@@ -1,0 +1,59 @@
+"""Portable text primitives.
+
+These are the building blocks of the text-analysis / dedup operators
+(SURVEY.md §2.8).  Every primitive is chosen to be *engine-portable*:
+it has an exact ANSI-SQL/DuckDB equivalent so the dedup and text
+operators can be oracle-checked value-for-value.  In particular all
+hashing goes through `md5` (hex string) — identical output in Spark,
+DuckDB, and Python — rather than engine-private hash functions
+(`xxhash64`/`hash` differ between engines).
+
+All expressions are built from `pyspark.sql.functions` (JVM-side,
+codegen'd) — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + collapse whitespace runs + trim.
+
+    DuckDB oracle: ``trim(regexp_replace(lower(x), ' +', ' ', 'g'))``.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped.
+
+    DuckDB oracle: ``list_filter(string_split(x, ' '), t -> t <> '')``.
+    """
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-word shingles (space-joined), the dedup unit for MinHash / Jaccard.
+
+    `transform(sequence(...))` keeps this a single JVM-side expression —
+    no shuffle, no Python.  Docs shorter than n words yield [].
+
+    DuckDB oracle:
+    ``list_transform(generate_series(1, greatest(len(toks)-{n-1}, 0)),
+      i -> array_to_string(toks[i:i+{n-1}], ' '))``
+    """
+    return F.when(F.size(tokens_col) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(tokens_col) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def portable_md5(*cols: Column | str) -> Column:
+    """md5 hex of the concatenation — the engine-portable hash.
+
+    DuckDB oracle: ``md5(a || b || ...)``.
+    """
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.md5(F.concat(*[p.cast("string") for p in parts]).cast("binary"))

@@ -1,0 +1,28 @@
+"""Vector math over `array<float>` embedding columns.
+
+Used by the similarity-search operators (SURVEY.md §2.8).  Everything
+is built from higher-order functions (`zip_with` + `aggregate`) so the
+arithmetic runs JVM-side inside whole-stage codegen — no Python UDF,
+no shuffle.  Elements are cast to double BEFORE any arithmetic so the
+result is a left-to-right double fold, which the DuckDB oracle mirrors
+with ``list_sum(list_transform(generate_series(1, len(a)), i ->
+CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

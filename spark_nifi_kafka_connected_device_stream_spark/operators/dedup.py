@@ -1,0 +1,291 @@
+"""Deduplication operators (SURVEY.md §2.8 — mandated extension surface).
+
+Large-scale training-data dedup over the `documents` table:
+
+- exact dedup         — normalized-text fingerprint groupBy (hash agg)
+- n-gram Jaccard      — exact shingle-overlap similarity, inverted-index
+                        join (only pairs sharing ≥1 shingle materialize)
+- MinHash + LSH       — the 100 TB path: 12 permutations → 4 bands × 3
+                        rows; candidate pairs via band-bucket equi-join
+- SimHash             — 32-bit signature per doc, near-dups collide
+
+Portability contract: all hashing is `md5` hex (identical in Spark /
+DuckDB / Python) and "min over permutation" is the lexicographic min of
+`md5(seed:shingle)` strings, so every operator here has an exact DuckDB
+oracle — value-checked, not just row-counted.
+
+Scale notes: nothing here does an all-pairs cross join.  The Jaccard
+join is inverted-index-pruned; MinHash-LSH cost is O(docs × perms) plus
+a self-join on band buckets (skew-prone hot buckets would be salted /
+frequency-capped at real scale — a cap on bucket size is the standard
+production mitigation and is noted in the docstring, not applied at
+test SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import normalize_text, portable_md5, shingles, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+
+N_PERM = 12
+BAND_ROWS = 3
+N_BANDS = N_PERM // BAND_ROWS  # 4 bands of 3 rows → s-curve threshold ≈ 0.63
+
+# DuckDB-side building blocks (mirror functions/textfns.py exactly)
+_DUCK_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)), "
+    f"i -> array_to_string({_DUCK_TOKENS}[i:i+2], ' ')))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct 3-word shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(normalize_text(F.col("text")))))).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS is_kept,
+           count(*) OVER (PARTITION BY fingerprint) AS group_size
+    FROM fp
+    """,
+    doc="Exact dedup by normalized-text fingerprint: hash-groupBy keeps the "
+        "min doc_id per group. At 100 TB this is one shuffle on a 32-char "
+        "key — the cheapest dedup tier, always run before fuzzy tiers.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(normalize_text(F.col("text")).cast("binary")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact fuzzy-dedup ground truth)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shing AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    """,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via "
+        "inverted-index self-join — only pairs sharing ≥1 shingle are "
+        "materialized (11.5k of 125k possible pairs at sf0.01). Ground "
+        "truth for the MinHash recall test.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s11): min over shingles of md5('<seed>:<shingle>').
+
+    One explode + one hash-agg; N_PERM hashes per (doc, shingle) pair
+    computed as a broadcast cross join with a 12-row seed table —
+    embarrassingly parallel, no skew."""
+    sh = _doc_shingles(spark, sf_dir)
+    seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "seed",
+        portable_md5(F.col("seed"), F.lit(":"), F.col("shingle")).alias("h"),
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"s{i}") for i in range(N_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_expr(band: int) -> F.Column:
+    cols = [F.col(f"s{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+    return F.md5(F.concat_ws(",", *cols).cast("binary"))
+
+
+_DUCK_SIGS = f"""
+    shing AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), hashed AS (
+      SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
+      FROM shing CROSS JOIN (SELECT unnest(generate_series(0, {N_PERM - 1})) AS seed) seeds
+    ), sigs AS (
+      SELECT doc_id,
+             {", ".join(f"min(CASE WHEN seed = {i} THEN h END) AS s{i}" for i in range(N_PERM))}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, band_id, md5(band_key) AS bucket FROM (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"concat_ws(',', {', '.join(f's{b * BAND_ROWS + r}' for r in range(BAND_ROWS))}) AS band_key "
+            f"FROM sigs"
+            for b in range(N_BANDS)
+        )}
+      )
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SIGS}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 12 portable-md5 permutations, 4 bands "
+        "× 3 rows (s-curve threshold ≈ 0.63), pairs sharing any band bucket. "
+        "THE fuzzy-dedup plan that survives 100 TB: cost is O(docs×perms) + "
+        "a band-bucket equi-join; at production scale hot buckets get "
+        "frequency-capped. Recall vs exact Jaccard asserted in tests.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select("doc_id", F.lit(b).alias("band_id"), _band_expr(b).alias("bucket"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_SIGS}
+    SELECT doc_id, s0, s3, s7, s11 FROM sigs
+    """,
+    doc="MinHash signature vectors themselves (4 of 12 components projected) "
+        "— value-level check that the permutation hashing is exact.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir).select("doc_id", "s0", "s3", "s7", "s11")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _duck_simhash_sql() -> str:
+    # bit b lives in hex digit b//4 (1-based substr), bit (3 - b%4) within it
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (CAST(floor((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) "
+        f"/ {2 ** (3 - b % 4)}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    simhash = " + ".join(f"(CASE WHEN w{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_duck_simhash_sql(),
+    doc="32-bit SimHash per document: per-token md5, majority vote per bit "
+        "position over all token occurrences. Near-dups land on equal (or "
+        "Hamming-close) signatures; signature computation is one explode + "
+        "one hash-agg — linear, shuffle only on doc_id.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+    hashed = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    bit_aggs = []
+    for b in range(_SIMHASH_BITS):
+        digit = F.substring(F.col("h"), b // 4 + 1, 1)
+        val = F.conv(digit, 16, 10).cast("bigint")  # hex digit value; oracle uses strpos
+        bit = F.floor(val / (2 ** (3 - b % 4))).cast("bigint") % 2
+        bit_aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"w{b}"))
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))

@@ -1,0 +1,247 @@
+"""Event-stream analytics in batch form — the reference's analytical
+core (SURVEY.md §2.3 A1-A4) restated over the `events` table.
+
+The reference's one query is: parse click events → event-time 5-minute
+tumbling window → count per (source, window)
+(`nifi_spark_kafka_product_view_platform.py:48-55`).  `events` is the
+batch stand-in (`ts` ↔ `timestamp`, `event_type` ↔ `context.source` —
+FIXTURES.md §2); the same plan runs as a stream in
+`streaming/pipeline.py`, and stream-batch equivalence is asserted in
+tests.
+
+Window-start parity contract: Spark `F.window` aligns tumbling windows
+to the epoch; the DuckDB oracle reproduces the bucket with
+`date_trunc('minute', ts) - (minute(ts) % 5) minutes` — pure wall-time
+arithmetic, valid because every real UTC offset is a multiple of the
+5-minute bucket.  Window bounds are emitted as formatted strings so the
+comparison is timezone-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _window_cols(df: DataFrame, ts_col: str = "ts", minutes: int = 5) -> DataFrame:
+    """Attach the tumbling window struct (the reference's A2 operator,
+    v1:50-51) — identical expression for batch and streaming plans."""
+    return df.withColumn("win", F.window(F.col(ts_col), f"{minutes} minutes"))
+
+
+def _win_bounds_select() -> list:
+    return [
+        F.date_format("win.start", TS_FMT_SPARK).alias("window_start"),
+        F.date_format("win.end", TS_FMT_SPARK).alias("window_end"),
+    ]
+
+
+_DUCK_BUCKET = "date_trunc('minute', ts) - to_minutes(CAST(minute(ts) % 5 AS BIGINT))"
+
+
+@register(
+    "product_view_counts",
+    oracle=f"""
+    SELECT strftime({_DUCK_BUCKET}, '{TS_FMT_DUCK}')                          AS window_start,
+           strftime({_DUCK_BUCKET} + to_minutes(CAST(5 AS BIGINT)), '{TS_FMT_DUCK}') AS window_end,
+           event_type AS source,
+           count(*)   AS source_number
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="THE reference query (v1:48-55): event-time 5-min tumbling window × "
+        "source → count, output (window_start, window_end, source, "
+        "source_number) matching result1.JPG's (start, end, source, "
+        "source_number). Batch form; streaming form in streaming/pipeline.py.",
+    tags=("events", "window-agg", "flagship"),
+)
+def product_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        _window_cols(e)
+        .groupBy("win", F.col("event_type").alias("source"))
+        .agg(F.count("*").alias("source_number"))
+        .select(*_win_bounds_select(), "source", "source_number")
+    )
+
+
+@register(
+    "product_view_distinct_users",
+    oracle=f"""
+    SELECT strftime({_DUCK_BUCKET}, '{TS_FMT_DUCK}') AS window_start,
+           event_type AS source,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The reference's *intended* distinct-user metric (comment v1:46, "
+        "import v1:2 — shipped as plain count; SURVEY.md §2.3 A4) — exact "
+        "variant; sketch variant is agg_approx_distinct.",
+    tags=("events", "window-agg"),
+)
+def product_view_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        _window_cols(e)
+        .groupBy("win", F.col("event_type").alias("source"))
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .select(
+            F.date_format("win.start", TS_FMT_SPARK).alias("window_start"),
+            "source",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+    doc="JSON payload extraction (the reference's from_json projection, "
+        "v1:29-33, over the props JSON column) + aggregation on the "
+        "extracted field.",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization (30-min inactivity gap) via lag + running sum — the "
+        "batch analog of streaming session_window; one shuffle on user_id, "
+        "both windows share the same partitioning so Catalyst plans a single "
+        "exchange.",
+    tags=("events", "window", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap detection on exact integer microseconds (engine-portable; float
+    # epoch would differ at ns granularity between engines)
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun).cast("bigint"))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "events_hourly_stats",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS sum_value,
+           round(avg(value), 4)   AS avg_value,
+           round(min(value), 6)   AS min_value,
+           round(max(value), 6)   AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly rollup with the full min/max/avg/sum stat family — the "
+        "foreachBatch re-aggregation pattern (v2:9-14) as a batch operator.",
+    tags=("events", "window-agg"),
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+@register(
+    "events_top_sources_per_window",
+    oracle="""
+    SELECT * FROM (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type AS source,
+             count(*)   AS source_number,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY count(*) DESC, event_type ASC) AS rnk
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+    ) WHERE rnk <= 3
+    """,
+    doc="The v2 foreachBatch 'sort each epoch by count desc' emit "
+        "(v2:9-14, SURVEY.md §2.4 O1) as a deterministic top-k per window "
+        "— rank-in-partition instead of a global per-batch sort.",
+    tags=("events", "topk"),
+)
+def events_top_sources_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("event_type").alias("source"),
+    ).agg(F.count("*").alias("source_number"))
+    w = Window.partitionBy("hour").orderBy(F.desc("source_number"), F.asc("source"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("hour", TS_FMT_SPARK).alias("hour_start"),
+            "source",
+            "source_number",
+            "rnk",
+        )
+    )

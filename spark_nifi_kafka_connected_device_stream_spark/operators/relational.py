@@ -1,0 +1,663 @@
+"""Batch relational operator surface (SURVEY.md §7 Phase 0).
+
+The reference has no batch query corpus (it is a streaming pipeline:
+`nifi_spark_kafka_product_view_platform.py`), so per SURVEY.md §2.7
+the full relational surface — scans with pushdown, joins of every
+flavor, aggregation incl. rollup/cube/distinct, sorts/top-k, set ops,
+scalar expressions — is declared here against the driver's TPC-H-ish
+testdata, each with a DuckDB oracle.
+
+Scale notes (100 TB posture):
+- Filters/projections are written so Catalyst pushes them into the
+  parquet scan (verified in tests/test_plans.py via PushedFilters).
+- Dimension joins (region/nation/customer vs orders/lineitem) use
+  explicit `F.broadcast` — at 1000 executors a shuffle join on a
+  25-row nation table is pure waste.
+- No unbounded global sorts: every ORDER BY feeding a LIMIT is a
+  bounded top-k (Spark executes orderBy().limit(k) as TakeOrdered,
+  no full sort/exchange of the big side).
+- Float aggregates are rounded in BOTH engines: summation order is
+  nondeterministic under parallel partial aggregation, so the rounded
+  value is the cross-engine contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# scans / projection / filter pushdown
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity >= 45
+    """,
+    doc="Parquet scan with filter+projection pushdown (SURVEY.md §2.2 P3/P4; "
+        "reference projects via selectExpr at v1:33).",
+    tags=("scan",),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_quantity") >= 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# aggregation core
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: the hash-aggregation core (partial/final HashAggregate, "
+        "map-side combine). Same operator family as the reference's streaming "
+        "groupBy().count() (v1:48-51) in batch form.",
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: tight range predicates + single global aggregate; "
+        "all three filters must reach the parquet scan.",
+    tags=("agg", "scan"),
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct aggregation (SURVEY.md §2.3 A4 — the reference "
+        "*intended* distinct-user counts, v1:46; exact variant).",
+    tags=("agg",),
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    doc="approx_count_distinct (HLL++) — the scale path for distinct users "
+        "(SURVEY.md §2.3 A4, import at v1:2). No value oracle: sketch "
+        "estimates are engine-specific; tests assert relative error vs exact.",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2)     AS sum_qty,
+           count(*)                      AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grouping-set aggregation; capability gap "
+        "called out in SURVEY.md §2.7).",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n_orders,
+           round(avg(o_totalprice), 4)      AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dims (grouping-set aggregation).",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Pivot (long→wide conditional aggregation) with explicit value list "
+        "— explicit values avoid the extra distinct-values job at scale.",
+    tags=("agg",),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out_names = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(n) for p, n in zip(prios, out_names)
+    ]
+    return piv.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Fact⋈dim join with explicit broadcast of both dims (customer, "
+        "nation) — no shuffle of the orders side at scale.",
+    tags=("join",),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS). Semi joins shuffle only keys — the right "
+        "side is reduced before the join at scale.",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders in 2001+.",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_outer_null_fill",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                      AS n_big_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS big_total
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Left-outer join with null-aware aggregation (count skips nulls, "
+        "sum null-filled to 0).",
+    tags=("join",),
+)
+def join_outer_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → fact join → agg → bounded "
+        "top-k (TakeOrdered, never a global sort). Tie-break on l_orderkey "
+        "makes the result set unique.",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join. Dims (supplier/nation/region/customer) "
+        "broadcast; only the orders⋈lineitem fact join shuffles.",
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking, bounded top-20.",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+    doc="Global top-k (the reference's foreachBatch sort, v2:10, bounded): "
+        "orderBy+limit compiles to TakeOrderedAndProject — per-partition "
+        "heap + driver merge, no global sort at scale. Raw column values, "
+        "no float arithmetic, so no rounding needed.",
+    tags=("topk",),
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct) of two key sets.",
+    tags=("setop",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="INTERSECT of two filtered key sets.",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.intersect(c)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    doc="EXCEPT: customers that never ordered.",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# scalar expression surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                   AS brand_u,
+           lower(p_type)                    AS type_l,
+           substr(p_name, 1, 8)             AS name_prefix,
+           length(p_name)                   AS name_len,
+           concat_ws('|', p_brand, p_type)  AS brand_type,
+           replace(p_type, ' ', '_')        AS type_snake,
+           reverse(p_brand)                 AS brand_rev,
+           trim(concat(' ', p_brand, ' '))  AS brand_trim
+    FROM part
+    WHERE p_size <= 10
+    """,
+    doc="Scalar string expression surface (SURVEY.md §2.2 P3-P6 analog): "
+        "all JVM-side, inside whole-stage codegen.",
+    tags=("scalar",),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                       AS y,
+           month(o_orderdate)                      AS m,
+           day(o_orderdate)                        AS d,
+           quarter(o_orderdate)                    AS q,
+           strftime(o_orderdate, '%Y-%m-%d')       AS d_str,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    doc="Scalar date/time expression surface — the timestamp handling the "
+        "reference did via LEGACY-parser to_timestamp (v1:37-40), done with "
+        "explicit deterministic semantics (SURVEY.md §4.1).",
+    tags=("scalar",),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+    )
+
+
+@register(
+    "scalar_math_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           abs(l_discount - 0.05)                 AS disc_dev,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT)         AS qty_decile,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           round(sqrt(l_extendedprice), 4)        AS price_sqrt,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END                  AS qty_band,
+           (l_returnflag = 'R')                   AS is_returned
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+    doc="Scalar math/conditional surface: arithmetic, abs/ceil/floor/sqrt, "
+        "CASE WHEN, boolean projection.",
+    tags=("scalar",),
+)
+def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    qty = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(qty / 10.0).cast("bigint").alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.when(qty < 10, "small").when(qty < 30, "medium").otherwise("large").alias("qty_band"),
+        (F.col("l_returnflag") == "R").alias("is_returned"),
+    )

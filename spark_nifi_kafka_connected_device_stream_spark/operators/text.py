@@ -1,0 +1,190 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.8).
+
+Language ID (stopword-marker heuristic), quality scoring, token
+counting (whitespace + regex word classes), and document
+fingerprinting.  All expressions are built-in `pyspark.sql.functions`
+(JVM-side, codegen'd) — at 100 TB these run as a single scan with
+map-side-only work, no shuffle except the final aggregations.
+
+Every operator has an exact DuckDB oracle; regexes are restricted to
+character-class patterns that mean the same thing in Java regex (Spark)
+and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import normalize_text, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+
+_DUCK_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
+
+# marker stopwords per language — deterministic heuristic (the synthetic
+# corpus is English-ish for all lang labels, so the *guess* is what is
+# checked, not agreement with the lang column)
+_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             count(*) AS n_tokens,
+             {", ".join(
+                 f"count(*) FILTER (WHERE tok IN ({', '.join(repr(w) for w in ws)})) AS hits_{lg}"
+                 for lg, ws in _MARKERS.items()
+             )}
+      FROM toks GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang AS lang_label, n_tokens,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM hits
+    """,
+    doc="Stopword-marker language ID: token-set hits against per-language "
+        "marker lists, argmax with deterministic tie order. Linear scan + "
+        "one hash-agg on doc_id.",
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+    aggs = [F.count("*").alias("n_tokens")] + [
+        F.sum(F.when(F.col("tok").isin(*ws), 1).otherwise(0)).alias(f"hits_{lg}")
+        for lg, ws in _MARKERS.items()
+    ]
+    hits = toks.groupBy("doc_id", "lang").agg(*aggs)
+    others = lambda *cols: F.greatest(*[F.col(c) for c in cols])  # noqa: E731
+    guess = (
+        F.when(F.greatest(F.col("hits_en"), F.col("hits_de"), F.col("hits_fr"), F.col("hits_es")) == 0, "und")
+        .when(F.col("hits_en") >= others("hits_de", "hits_fr", "hits_es"), "en")
+        .when(F.col("hits_de") >= others("hits_fr", "hits_es"), "de")
+        .when(F.col("hits_fr") >= F.col("hits_es"), "fr")
+        .otherwise("es")
+    )
+    return hits.select("doc_id", F.col("lang").alias("lang_label"), "n_tokens", guess.alias("lang_guess"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS BIGINT)
+               AS n_stopwords,
+             CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_unique_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars_raw, n_tokens, n_stopwords, n_unique_tokens,
+           round(CAST(n_chars_raw AS DOUBLE) / n_tokens, 4)       AS avg_token_len,
+           round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4)       AS stopword_ratio,
+           round(CAST(n_unique_tokens AS DOUBLE) / n_tokens, 4)   AS unique_ratio,
+           (n_tokens >= 20 AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.2) AS passes_quality
+    FROM feat
+    """,
+    doc="Per-document quality features (length, stopword ratio, lexical "
+        "diversity) + a boolean gate — the pre-training filter shape "
+        "(Gopher/C4-style rules). Map-only: no shuffle at all.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(normalize_text(F.col("text")))
+    stop = F.filter(tk, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(stop).cast("bigint").alias("n_stopwords"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_unique_tokens"),
+    )
+    return feat.select(
+        "*",
+        F.round(F.col("n_chars_raw").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_unique_tokens").cast("double") / F.col("n_tokens"), 4).alias("unique_ratio"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_unique_tokens").cast("double") / F.col("n_tokens") >= 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) AS total_ws_tokens,
+           sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)) AS total_word_tokens,
+           sum(CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT))        AS total_number_tokens,
+           round(avg(CAST(len({_DUCK_TOKENS}) AS BIGINT)), 4) AS avg_tokens_per_doc
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Token counting two ways — whitespace tokens and BPE-ish regex word "
+        "classes ([a-z]+ / [0-9]+ runs) — aggregated per source. The "
+        "token-budget accounting pass of a training-data pipeline.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(normalize_text(F.col("text")))
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    per_doc = d.select(
+        "source",
+        F.size(tk).cast("bigint").alias("ws_tokens"),
+        F.size(words).cast("bigint").alias("word_tokens"),
+        F.size(nums).cast("bigint").alias("number_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("word_tokens").alias("total_word_tokens"),
+        F.sum("number_tokens").alias("total_number_tokens"),
+        F.round(F.avg("ws_tokens"), 4).alias("avg_tokens_per_doc"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 4) AS shard_key,
+           CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    doc="Content fingerprint (md5 of normalized text) + a 4-hex-char shard "
+        "key — the partition-by-content primitive used to co-locate "
+        "duplicates before a dedup shuffle at scale.",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

@@ -1,0 +1,158 @@
+"""Analytic window functions (ranking / running / offset frames).
+
+The reference has none of these (capability gap flagged in SURVEY.md
+§2.7); its only ranking is a whole-batch sort in foreachBatch
+(`nifi_spark_kafka_product_view_platform_v2.py:10`), restated here as
+proper partitioned window functions.
+
+Scale notes: every window below is `partitionBy` a high-cardinality key
+(custkey / orderstatus) — one shuffle on the partition key, then
+in-partition sort; never a single-partition global window, which would
+serialize 100 TB through one task.  Every ORDER BY inside a window ends
+with a unique tie-break column so row_number/ntile are deterministic
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer: the canonical distributed top-k-per-group "
+        "(shuffle on the group key, per-partition sort; no global sort).",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    doc="Running (cumulative) sum per customer — explicit ROWS frame.",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS price_delta
+    FROM orders
+    """,
+    doc="Offset function (lag) — order-over-order price delta per customer; "
+        "first row per customer yields NULL.",
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+    """,
+    doc="Ranking family: rank / dense_rank (ties on raw doubles are "
+        "bit-identical across engines since no arithmetic is done), ntile "
+        "with unique tie-break, percent_rank rounded.",
+    tags=("window",),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_order,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="first_value/last_value with explicit full frame (the last_value "
+        "default-frame trap handled identically in both engines) + window "
+        "count; DISTINCT collapses to one row per customer.",
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(wo).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.count("*").over(wp).alias("n_orders"),
+    ).distinct()

@@ -1,0 +1,85 @@
+"""Query registry — the single source of truth exported by
+`__spark_entry__.py`.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a `(spark, sf_dir) -> DataFrame` callable plus (when the
+semantics are ANSI-SQL-expressible) a DuckDB oracle string over the
+same parquet tables.  The driver's correctness gate compares the two
+(row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased IDENTICALLY in both,
+- float aggregates are rounded in both (summation order differs between
+  engines; the rounded value is the contract),
+- timestamps are emitted as formatted strings (engine-neutral),
+- any LIMIT has a total-order tie-break so the result SET is unique.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# operator modules that self-register on import
+_OPERATOR_MODULES = (
+    "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.similarity",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.text",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_LOADED = False
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under `name` with an optional DuckDB
+    oracle. Used by every operator module."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _LOADED
+    if not _LOADED:
+        for mod in _OPERATOR_MODULES:
+            importlib.import_module(mod)
+        _LOADED = True
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}

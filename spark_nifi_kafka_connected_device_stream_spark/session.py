@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Restates the reference's session config (SURVEY.md §2.6 C6;
+`nifi_spark_kafka_product_view_platform.py:6-12`,
+`..._v2.py:17-25`: local master, graceful shutdown, explicit shuffle
+width, warehouse dir + Hive support) with a scale-aware posture:
+
+- AQE on (runtime partition coalescing, skew-join splitting) instead of
+  the reference's fixed `shuffle.partitions=2` — at 100 TB the shuffle
+  width must adapt per stage, not be hardcoded.
+- Session timezone pinned to UTC so event-time semantics are
+  deterministic across hosts (the reference leaned on LEGACY parser +
+  host-local time; SURVEY.md §4.1 flags this as a crutch to drop).
+- Arrow enabled for the Python boundary (Pandas UDFs in the extension
+  operators are Arrow-batched, never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "spark_device_stream",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Mirrors the reference's builder (v1:6-12) but with adaptive
+    execution; `spark.streaming.stopGracefullyOnShutdown` is kept
+    verbatim (v1:10).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.streaming.stopGracefullyOnShutdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Parquet catalog over the testdata star schema.
+
+The reference reads columnar parquet at rest (HDFS sink,
+`nifi_spark_kafka_product_view_platform_v2.py:84-89`; Hive external
+table over the same dir, `dag_file.py:71-80`).  Here the same pattern:
+schema-on-read parquet scans, one per table, with Catalyst handling
+column pruning and predicate pushdown — a `spark.read.parquet` scan is
+the 100 TB-scale path (vectorized reader, partition pruning, pushed
+filters), so nothing custom is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain `read.parquet` so filters/projections in the
+    downstream plan push into the scan (check with plans.scan_info).
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; it is read as raw nanos (`nanosAsLong`) and rebuilt
+    as a proper TimestampType at microsecond precision.  The
+    `to_utc_timestamp(..., session_tz)` shift makes the *wall-time*
+    rendering of `ts` equal to its stored UTC value in ANY session
+    timezone (rendering adds the session offset back), so
+    formatted-string outputs stay engine-portable — verified under
+    Asia/Kolkata in tests/test_oracle_parity.py."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        df = df.withColumn(
+            "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can be written in SQL (the
+    reference drives config through `spark.sql` too, v1:37)."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,87 @@
+"""Differential correctness: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's correctness gate (SURVEY.md §5.1): row count,
+column names, and order-insensitive value comparison at sf0.001.
+Stricter than a hash — on mismatch it prints the first differing rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_nifi_kafka_connected_device_stream_spark import registry
+
+from .conftest import SF_SMALL
+
+SPECS = registry.all_specs()
+ORACLE_SPECS = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_SPECS = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and FP noise below the rounding contracts
+        return round(v + 0.0, 9)
+    if isinstance(v, bool):
+        return bool(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return round(float(v), 9)
+    return v
+
+
+def _rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_query_matches_oracle(spark, duck, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_SMALL)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(spec.oracle)
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_set = _rowset(spark_rows, spark_cols)
+    d_set = _rowset(duck_rows, duck_cols)
+    if s_set != d_set:
+        diffs = [(s, d) for s, d in zip(s_set, d_set) if s != d][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
+def test_rows_only_queries_run(spark, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_SMALL)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 30

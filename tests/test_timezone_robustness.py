@@ -1,0 +1,46 @@
+"""Regression: oracle parity must hold when the CONSUMER's SparkSession
+uses a non-UTC timezone (the driver's session config is not ours to
+set).  Caught live: `from_utc_timestamp` vs `to_utc_timestamp` in
+catalog.load_table double-shifted events.ts under Asia/Kolkata.
+
+Runs the timestamp-sensitive queries in a dedicated +05:30 session and
+compares with DuckDB exactly like test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_nifi_kafka_connected_device_stream_spark import registry
+
+from .conftest import SF_SMALL
+from .test_oracle_parity import _rowset
+
+TZ_SENSITIVE = [
+    "product_view_counts",
+    "events_hourly_stats",
+    "events_sessionize",
+    "scalar_date_funcs",
+]
+
+
+@pytest.fixture(scope="module")
+def spark_kolkata(spark):
+    # reuse the shared JVM; session timezone is a runtime conf
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_parity_under_non_utc_session(spark_kolkata, duck, name):
+    spec = registry.all_specs()[name]
+    sdf = spec.fn(spark_kolkata, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(spec.oracle)
+    drows = rel.fetchall()
+    assert len(srows) == len(drows)
+    assert _rowset(srows, sdf.columns) == _rowset(drows, rel.columns), (
+        f"{name}: mismatch under Asia/Kolkata session timezone"
+    )
