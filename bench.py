@@ -1,0 +1,79 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes end-to-end via the noop sink (full plan runs on
+the executors, nothing collected to Python — measures the engine, not
+the driver round-trip).
+
+Usage: python bench.py            # one JSON line on stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs  # noqa: E402
+from spark_nifi_kafka_connected_device_stream_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    # the reference pipeline's core query + intended variant
+    "product_view_counts",
+    "product_view_distinct_users",
+    # relational spine
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_per_group",
+    "events_sessionize",
+    # 100 TB extension operators
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session(app_name="bench")
+
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on a trivial action
+    spark.range(1000).count()
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,19 @@ _DUCK_SHINGLES = (
 )
 
 
+def _documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cluster BEFORE the explode-heavy
+    work.  A small parquet file arrives as one input split, but the
+    shingle explosion multiplies rows ~100×: repartition first so the
+    hashing runs on every core (the classic 'small input, heavy
+    per-row compute' repartition)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct 3-word shingles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _documents_parallel(spark, sf_dir)
     return d.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens(normalize_text(F.col("text")))))).alias("shingle"),
@@ -117,7 +127,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # the shingle table feeds 3 plan branches (both join sides + sizes);
+    # persist it once instead of recomputing tokenize+hash per branch.
+    # At 100 TB the equivalent is materializing the inverted index to
+    # parquet once and reusing it across dedup tiers.
+    sh = _doc_shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -205,10 +219,19 @@ _DUCK_SIGS = f"""
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        part = sigs.select("doc_id", F.lit(b).alias("band_id"), _band_expr(b).alias("bucket"))
-        bands = part if bands is None else bands.unionByName(part)
+    # single pass: explode one array of (band_id, bucket) structs rather
+    # than a 4-way union that recomputes the signature subtree per band
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_expr(b).alias("bucket"))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.bucket")
+        .persist()  # tiny (docs × N_BANDS rows); feeds both join sides
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -274,14 +297,20 @@ def _duck_simhash_sql() -> str:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _documents_parallel(spark, sf_dir)
     toks = d.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
-    hashed = toks.select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    # one hex→int conversion per token; bit b of the 8-hex-digit prefix
+    # is (v >> (31 - b)) & 1 (digit b//4 holds bit 3 - b%4; the oracle
+    # does the same arithmetic digit-wise via strpos)
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    )
     bit_aggs = []
     for b in range(_SIMHASH_BITS):
-        digit = F.substring(F.col("h"), b // 4 + 1, 1)
-        val = F.conv(digit, 16, 10).cast("bigint")  # hex digit value; oracle uses strpos
-        bit = F.floor(val / (2 ** (3 - b % 4))).cast("bigint") % 2
+        bit = F.shiftright(F.col("v"), 31 - b).bitwiseAND(F.lit(1))
         bit_aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"w{b}"))
     bits = hashed.groupBy("doc_id").agg(*bit_aggs)
     simhash = None

@@ -1,0 +1,134 @@
+"""The streaming spine — the reference pipeline restated natively.
+
+Reference dataflow (SURVEY.md §3.1-3.2):
+  NiFi (file ingest → array-strip → 1-record split → timestamp stamp →
+  Kafka publish)  →  Spark (Kafka source → from_json → nested projection
+  → to_timestamp LEGACY → watermark 5m → 5m tumbling groupBy(source)
+  count → console/foreachBatch/parquet sinks)
+
+Here the NiFi half collapses into native operators (SURVEY.md §2.2
+P9-P11 → `explode_event_array`, P10 → `stamp_processing_time`) and the
+Spark half keeps the same logical plan with two deliberate semantic
+fixes (SURVEY.md §6 "known inconsistencies"):
+
+- the timestamp is parsed with the EXPLICIT full format
+  `yyyy-MM-dd HH:mm:ss.SSSZ` instead of a prefix match under
+  `spark.sql.legacy.timeParserPolicy=LEGACY`
+  (`nifi_spark_kafka_product_view_platform.py:37-40`);
+- the FULL wire schema is declared and projection happens in `select`
+  — Catalyst prunes `from_json` to the used fields anyway
+  (`OptimizeJsonExprs`), so declaring everything costs nothing and
+  keeps the other fields reachable (the reference declared a partial
+  schema, v1:15-20, silently dropping userid — which it then wished it
+  had for distinct counts, v1:46).
+
+Scale posture: the aggregation is watermark-bounded (state eviction),
+keys are (source × window) — low cardinality, no skew concern; for
+high-cardinality keys switch the state store to RocksDB
+(`spark.sql.streaming.stateStore.providerClass`) — noted, not needed
+for this key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Full wire record (FIXTURES.md §1; visible in reference data.JPG,
+# produced by the NiFi pipeline Active_Users_Pipeline.xml:1654-1671)
+PRODUCT_VIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("event", T.StringType()),
+        T.StructField("messageid", T.StringType()),
+        T.StructField("userid", T.StringType()),
+        T.StructField(
+            "properties", T.StructType([T.StructField("productid", T.StringType())])
+        ),
+        T.StructField("context", T.StructType([T.StructField("source", T.StringType())])),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+# explicit full format replacing the reference's LEGACY prefix-parse
+# (v1:37,40 parsed 'yyyy-MM-dd HH:mm:ss' against '....SSS+0000' data)
+TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSZ"
+
+
+def parse_product_views(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-payload deserialization chain (SURVEY.md §2.2 P1-P4, P7):
+    binary→string cast, from_json with declared schema (malformed rows
+    → null struct, dropped), nested projection, explicit timestamp
+    parse.  Works identically on batch and streaming DataFrames.
+
+    Output: (messageid, userid, productid, source, timestamp:Timestamp)
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), PRODUCT_VIEW_SCHEMA).alias("value")
+    )
+    return (
+        parsed.filter(F.col("value").isNotNull())
+        .select(
+            F.col("value.messageid").alias("messageid"),
+            F.col("value.userid").alias("userid"),
+            F.col("value.properties.productid").alias("productid"),
+            F.col("value.context.source").alias("source"),
+            F.to_timestamp(F.col("value.timestamp"), TIMESTAMP_FORMAT).alias("timestamp"),
+        )
+        .filter(F.col("timestamp").isNotNull())
+    )
+
+
+def explode_event_array(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Native replacement for NiFi's regex array-strip + record split
+    (`Active_Users_Pipeline.xml:1160-1164` ReplaceText `\\[(.*?)\\]`→`$1`;
+    SplitRecord 100k→10k→1 at XML:1374-1451,1296-1373 — SURVEY.md P9/P11).
+
+    A JSON *array* payload becomes one row per element via
+    explode(from_json(ArrayType)) — no regex, no per-record flowfiles;
+    record granularity is native to Spark."""
+    arr = F.from_json(F.col(value_col).cast("string"), T.ArrayType(PRODUCT_VIEW_SCHEMA))
+    return raw.select(F.explode(arr).alias("value")).select("value.*")
+
+
+def stamp_processing_time(df: DataFrame, col_name: str = "timestamp") -> DataFrame:
+    """NiFi UpdateRecord `/timestamp = now()` (XML:1654-1671, SURVEY.md
+    P10): processing-time stamping at ingest.  Kept for parity; event
+    pipelines should prefer true event time when the producer supplies
+    it (the stamped value is treated as event time downstream, exactly
+    as the reference does)."""
+    return df.withColumn(
+        col_name, F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss.SSSZ")
+    )
+
+
+def windowed_source_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "source",
+    window_duration: str = "5 minutes",
+    watermark: str = "5 minutes",
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """The analytical core (SURVEY.md §2.3 A1-A4; v1:48-55):
+    watermark → tumbling window → grouped count → golden output shape
+    (start, end, source, source_number) matching result1.JPG.
+
+    `distinct_col='userid'` switches to the metric the reference
+    *intended* ("count considering distinct users", v1:46):
+    approx_count_distinct — sketch-mergeable, bounded state; the exact
+    variant doesn't exist incrementally at scale."""
+    agg = (
+        F.approx_count_distinct(distinct_col) if distinct_col else F.count(F.lit(1))
+    ).alias("source_number")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(agg)
+        .select(
+            F.col("window.start").alias("start"),
+            F.col("window.end").alias("end"),
+            F.col(key_col),
+            F.col("source_number"),
+        )
+    )

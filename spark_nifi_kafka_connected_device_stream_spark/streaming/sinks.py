@@ -1,0 +1,116 @@
+"""Streaming sinks (SURVEY.md §2.5 K1-K7).
+
+Each helper returns a configured `DataStreamWriter` (caller invokes
+`.start()`), mirroring the reference sink-for-sink:
+
+- console (K1, v1:60-65)               → console_sink
+- foreachBatch sorted emit (K2, v2:9-14,77-81) → foreach_batch_topk
+- parquet append (K3, v2:84-89)        → parquet_sink
+- Kafka publish (K4, NiFi XML:996-1073) → kafka_sink
+- warehouse DDL (K5, dag:68-81)        → warehouse.create_external_table
+- JDBC export (K6, dag:83-90)          → warehouse.jdbc_export
+- memory (test harness, SURVEY.md §5)  → memory_sink
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def console_sink(
+    df: DataFrame,
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+    trigger: str | None = None,
+) -> DataStreamWriter:
+    """K1 (v1:60-65): update-mode console emit with checkpoint +
+    processing-time trigger."""
+    w = df.writeStream.format("console").outputMode(output_mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if trigger:
+        w = w.trigger(processingTime=trigger)
+    return w
+
+
+def memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", trigger: str | None = None
+) -> DataStreamWriter:
+    """Test-harness sink: accumulate into an in-memory table readable as
+    `spark.sql(f"SELECT * FROM {name}")` (SURVEY.md §5 streaming golden
+    tests)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger:
+        w = w.trigger(processingTime=trigger)
+    return w
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: str | None = None,
+) -> DataStreamWriter:
+    """K3 (v2:84-89): append-mode parquet. Legal on a watermarked
+    aggregation — windows are emitted once finalized.  At scale, add
+    `.partitionBy("dt")` on a date column derived from the window start
+    so downstream scans partition-prune."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        w = w.trigger(processingTime=trigger)
+    return w
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """K4 (NiFi PublishKafka, XML:996-1073: topic `active`, acks=all,
+    transactional): Spark's Kafka sink + checkpointing gives the same
+    effective guarantee for idempotent downstreams.  Payload must be a
+    `value` column (string/binary); build it with to_json(struct(*)).
+    Untestable in this container (no broker) — config only."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def foreach_batch_topk(
+    df: DataFrame,
+    k: int | None = None,
+    order_col: str = "source_number",
+    collector: Callable[[DataFrame, int], None] | None = None,
+) -> DataStreamWriter:
+    """K2/A5/O1 (v2:9-14,77-81): per-epoch re-aggregation — each
+    micro-batch arrives as a *batch* DataFrame, globally sorted by
+    count desc.  The reference's unbounded `sort(desc(...))` is kept
+    but bounded with `limit(k)` when k is given (an unbounded global
+    sort per epoch is the part that would not survive scale; top-k
+    compiles to TakeOrdered).  `collector` overrides the console write
+    (used by tests to capture per-epoch frames)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = batch_df.sort(F.desc(order_col))
+        if k is not None:
+            ranked = ranked.limit(k)
+        if collector is not None:
+            collector(ranked, epoch_id)
+        else:
+            ranked.write.format("console").save()
+
+    return df.writeStream.foreachBatch(fn)

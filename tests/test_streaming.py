@@ -1,0 +1,204 @@
+"""Streaming golden tests (SURVEY.md §5.2): deterministic file replay
+standing in for Kafka+NiFi, asserting
+
+1. stream-batch equivalence: windowed counts from the streaming plan
+   equal the batch groupBy of the same (non-late) events,
+2. watermark semantics: an event > 5 min behind the max seen event
+   time is dropped (A1, v1:49),
+3. malformed JSON rows become nulls and are dropped (P2, v1:29),
+4. the array-form payload explodes to one row per element (P9/P11),
+5. the foreachBatch sorted top-k emit (K2/O1, v2:9-14).
+
+No wall-clock dependence: all timestamps live in the data.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+    json_file_batch,
+    json_file_stream,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+    explode_event_array,
+    parse_product_views,
+    stamp_processing_time,
+    windowed_source_counts,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+    foreach_batch_topk,
+    memory_sink,
+)
+
+SOURCES = ("desktop", "mobile-web", "mobile-app")
+
+
+def _event(ts: str, i: int, source: str) -> str:
+    return (
+        f'{{"event": "ProductView", "messageid": "m-{i}", "userid": "user-{i % 7}",'
+        f' "properties": {{"productid": "product-{i % 13}"}},'
+        f' "context": {{"source": "{source}"}}, "timestamp": "{ts}+0000"}}'
+    )
+
+
+def _mk_events(base_min: int, n: int, start_i: int = 0) -> list[tuple[str, str, str]]:
+    """n events starting at 2021-03-06 10:<base_min>, 1/sec, round-robin
+    sources (the reference's replay shape, README.md:7)."""
+    out = []
+    for j in range(n):
+        minute = base_min + j // 60
+        sec = j % 60
+        ts = f"2021-03-06 10:{minute:02d}:{sec:02d}.000"
+        src = SOURCES[j % 3]
+        out.append((ts, src, _event(ts, start_i + j, src)))
+    return out
+
+
+@pytest.fixture()
+def replay_dir(tmp_path):
+    return str(tmp_path / "in")
+
+
+def _write_file(directory: str, name: str, lines: list[str]) -> None:
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(directory, name))
+
+
+def test_stream_batch_equivalence_and_late_drop(spark, replay_dir, tmp_path):
+    # batch 1: windows 10:00-10:05 (90 events), 10:05-10:10 (120), plus
+    # markers late in 10:10-10:15 so the post-batch-1 watermark
+    # (max event time 10:10:59 - 5 min = 10:05:59) passes W1's end —
+    # Spark expires a window only once watermark >= window.end
+    batch1_events = _mk_events(0, 90) + _mk_events(5, 120, start_i=90) + _mk_events(
+        10, 60, start_i=300
+    )
+    lines1 = [e[2] for e in batch1_events]
+    lines1.insert(10, "{not valid json at all")  # P2: malformed → dropped
+    lines1.insert(50, '{"event": "ProductView"}')  # parseable, no timestamp → dropped
+    _write_file(replay_dir, "batch1.json", lines1)
+
+    stream = json_file_stream(spark, replay_dir, max_files_per_trigger=1)
+    agg = windowed_source_counts(parse_product_views(stream))
+    q = memory_sink(agg, "pv_counts", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event into the already-expired W1 (watermark
+        # 10:05:59 > W1 end 10:05:00 → dropped) + flush events at 10:20
+        # that push the watermark past every batch-1 window
+        late = _event("2021-03-06 10:01:30.000", 999, "desktop")
+        flush = [e[2] for e in _mk_events(20, 30, start_i=1000)]
+        _write_file(replay_dir, "batch2.json", [late] + flush)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["start"].strftime("%H:%M"), r["source"]): r["source_number"]
+        for r in spark.sql("SELECT * FROM pv_counts").collect()
+    }
+    expected = Counter()
+    for ts, src, _ in batch1_events:  # late event NOT counted; flush window never emitted
+        minute = int(ts[14:16])
+        window = f"10:{(minute // 5) * 5:02d}"
+        expected[(window, src)] += 1
+    assert got == dict(expected)
+
+    # cross-check: the same plan in batch mode over all files (late event
+    # INCLUDED — batch has no watermark) differs in exactly the late window
+    batch = windowed_source_counts(
+        parse_product_views(json_file_batch(spark, replay_dir))
+    )
+    batch_counts = {
+        (r["start"].strftime("%H:%M"), r["source"]): r["source_number"]
+        for r in batch.collect()
+        if r["start"].strftime("%H:%M") in ("10:00", "10:05", "10:10")
+    }
+    assert batch_counts[("10:00", "desktop")] == expected[("10:00", "desktop")] + 1
+    del batch_counts[("10:00", "desktop")]
+    rest = {k: v for k, v in expected.items() if k != ("10:00", "desktop")}
+    assert batch_counts == rest
+
+
+def test_distinct_users_variant(spark, replay_dir, tmp_path):
+    events = _mk_events(0, 60)
+    _write_file(replay_dir, "b1.json", [e[2] for e in events])
+    stream = json_file_stream(spark, replay_dir)
+    agg = windowed_source_counts(parse_product_views(stream), distinct_col="userid")
+    q = memory_sink(agg, "pv_users", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk2")
+    ).start()
+    try:
+        q.processAllAvailable()
+        flush = [e[2] for e in _mk_events(20, 3, start_i=100)]
+        _write_file(replay_dir, "b2.json", flush)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM pv_users").collect()
+    # 60 events round-robin over 3 sources × 7 userids; each source sees
+    # 20 events → all 7 users (approx_count_distinct exact at this scale)
+    assert {(r["source"], r["source_number"]) for r in rows} == {(s, 7) for s in SOURCES}
+
+
+def test_explode_event_array(spark):
+    payload = (
+        '[{"event":"ProductView","messageid":"a","userid":"u1",'
+        '"properties":{"productid":"p1"},"context":{"source":"desktop"},'
+        '"timestamp":"2021-03-06 10:00:00.000+0000"},'
+        '{"event":"ProductView","messageid":"b","userid":"u2",'
+        '"properties":{"productid":"p2"},"context":{"source":"mobile-web"},'
+        '"timestamp":"2021-03-06 10:00:01.000+0000"}]'
+    )
+    df = spark.createDataFrame([(payload,)], ["value"])
+    rows = explode_event_array(df).collect()
+    assert [r["messageid"] for r in rows] == ["a", "b"]
+    assert rows[1]["context"]["source"] == "mobile-web"
+
+
+def test_stamp_processing_time_parseable(spark):
+    df = spark.createDataFrame([("x",)], ["value"])
+    stamped = stamp_processing_time(df)
+    parsed = stamped.select(
+        F.to_timestamp("timestamp", "yyyy-MM-dd HH:mm:ss.SSSZ").alias("ts")
+    ).collect()
+    assert parsed[0]["ts"] is not None
+
+
+def test_foreach_batch_topk(spark, replay_dir, tmp_path):
+    events = _mk_events(0, 61)  # 21 desktop, 20 each others
+    _write_file(replay_dir, "b1.json", [e[2] for e in events])
+    stream = json_file_stream(spark, replay_dir)
+    agg = windowed_source_counts(parse_product_views(stream), watermark="1 minute")
+    epochs: list[list] = []
+
+    def collect(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            epochs.append(rows)
+
+    q = (
+        foreach_batch_topk(agg, k=2, collector=collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert epochs, "no epochs captured"
+    top = epochs[-1]
+    assert len(top) == 2
+    counts = [r["source_number"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    assert top[0]["source"] == "desktop" and top[0]["source_number"] == 21
