@@ -1,0 +1,491 @@
+"""Advanced analytics operators: as-of joins, funnels, statistical
+aggregates, array/collection functions, grouping sets.
+
+None of these exist in the reference (SURVEY.md §2.7 lists joins,
+window functions, grouping sets, UDFs as its capability gaps) — they
+complete the engine's batch surface alongside operators/relational.py.
+
+Scale notes inline per operator; the as-of join deliberately avoids
+the naive per-row range join (quadratic) in favor of the union+window
+single-shuffle plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id,
+           max(c.c_us) AS last_click_us,
+           p.p_us - max(c.c_us) AS gap_us
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id AND c.c_us <= p.p_us
+    GROUP BY p.user_id, p.event_id, p.p_us
+    """,
+    doc="AS-OF join (purchase → most recent prior click per user), the "
+        "operator Spark lacks natively. Implemented as union-tag + one "
+        "window over (user_id, time): single shuffle, linear state — NOT "
+        "the quadratic range join the naive SQL implies (the oracle may be "
+        "quadratic; the engine plan must not be). Purchases with no prior "
+        "click are dropped (inner as-of).",
+    tags=("join", "asof"),
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    # order clicks before purchases at identical timestamps so a
+    # same-instant click counts as "prior" (matches the oracle's <=)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("us"), F.desc("is_click")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last_click = F.last(F.when(F.col("is_click"), F.col("us")), ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("last_click_us", last_click)
+        .filter(~F.col("is_click") & F.col("last_click_us").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "last_click_us",
+            (F.col("us") - F.col("last_click_us")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END)     AS v_us,
+             min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END)    AS c_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS p_us
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE v_us IS NOT NULL) AS reached_view,
+           count(*) FILTER (WHERE v_us IS NOT NULL AND c_us > v_us) AS reached_click,
+           count(*) FILTER (WHERE v_us IS NOT NULL AND c_us > v_us AND p_us > c_us)
+             AS reached_purchase
+    FROM stages
+    """,
+    doc="Ordered funnel (view → click → purchase, first-touch ordering): "
+        "one hash-agg per user then one global roll-up — the standard "
+        "product-analytics query at any scale (no joins, two shuffles, "
+        "second one on a single row set).",
+    tags=("events", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("us")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        first("view").alias("v_us"), first("click").alias("c_us"), first("purchase").alias("p_us")
+    )
+    v = F.col("v_us").isNotNull()
+    vc = v & (F.col("c_us") > F.col("v_us"))
+    vcp = vc & (F.col("p_us") > F.col("c_us"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(v.cast("bigint")).alias("reached_view"),
+        F.sum(vc.cast("bigint")).alias("reached_click"),
+        F.sum(vcp.cast("bigint")).alias("reached_purchase"),
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 6)          AS mean_v,
+           round(stddev_samp(value), 6)  AS sd_v,
+           round(var_samp(value), 6)     AS var_v,
+           round(min(value), 6)          AS min_v,
+           round(max(value), 6)          AS max_v,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Statistical aggregate family (stddev/variance/corr/covar) — "
+        "single-pass mergeable moments, scale-free.",
+    tags=("agg", "stats"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_user"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_user"),
+    )
+
+
+@register(
+    "stats_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact percentiles (linear interpolation — Spark `percentile` ≡ "
+        "DuckDB `quantile_cont`). Exact percentile is a sort-based agg; "
+        "the 100 TB path is percentile_approx (t-digest style sketch), "
+        "registered separately without a value oracle.",
+    tags=("agg", "stats"),
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+@register(
+    "stats_percentiles_approx",
+    oracle=None,  # sketch-based; engine-specific estimates
+    doc="percentile_approx — the sketch path for percentiles at scale "
+        "(bounded memory, mergeable). Rows-only check; accuracy vs exact "
+        "asserted in tests.",
+    tags=("agg", "stats", "approx"),
+)
+def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@register(
+    "array_collect_ops",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           list_sort(list(DISTINCT c_mktsegment))      AS segments,
+           len(list(DISTINCT c_mktsegment))            AS n_segments,
+           list_sort(list(c_custkey))[1:3]             AS first3_custkeys,
+           CAST(len(list(c_custkey)) AS BIGINT)        AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Collection aggregation: collect_set/collect_list with "
+        "deterministic ordering (array_sort — collection order is "
+        "otherwise partition-dependent), slicing, cardinality.",
+    tags=("agg", "array"),
+)
+def array_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 3).alias("first3_custkeys"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL')  AS returnflag,
+           coalesce(l_linestatus, 'ALL')  AS linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) * 2
+             + CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS with grouping_id disambiguation (the "
+        "general form behind rollup/cube).",
+    tags=("agg",),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) * 2
+                 + CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "histogram_price_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_in_bin
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram by arithmetic binning — map-side computable, "
+        "one shuffle of (bin → partial count).",
+    tags=("agg",),
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        o.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_in_bin"))
+        .select("bin", (F.col("bin") * 50000).alias("bin_lo"), "n", "avg_in_bin")
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS → left-semi join, then count "
+        "per priority.",
+    tags=("join", "agg"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q12_shipmode_case_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: join + conditional (CASE) aggregation.",
+    tags=("join", "agg"),
+)
+def q12_shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-condition filter (not a "
+        "WHERE — null-extension must survive), double aggregation.",
+    tags=("join", "agg"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: conditional revenue ratio over a broadcast "
+        "part join.",
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q17_small_quantity_avg_subquery",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_threshold
+    """,
+    doc="TPC-H Q17 shape: correlated avg subquery decorrelated into an "
+        "aggregate-then-join — the decorrelation Catalyst applies to the "
+        "subquery form, written explicitly.",
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: IN-subquery with HAVING → aggregate + semi "
+        "join, bounded top-20.",
+    tags=("join", "agg", "topk", "subquery"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("tq")).filter(F.col("tq") > 210)
+    return (
+        li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-clause predicate over a "
+        "broadcast join — exercises CNF conversion / partial pushdown.",
+    tags=("join", "scan"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = lambda b, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    return j.filter(
+        clause("Brand#1", 1, 15, 1, 20)
+        | clause("Brand#2", 10, 30, 10, 30)
+        | clause("Brand#3", 20, 50, 20, 40)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )

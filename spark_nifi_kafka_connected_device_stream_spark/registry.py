@@ -27,6 +27,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # operator modules that self-register on import
 _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.analytics",
     "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
     "spark_nifi_kafka_connected_device_stream_spark.operators.events",
     "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",

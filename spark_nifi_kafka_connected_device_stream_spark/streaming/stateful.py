@@ -1,0 +1,143 @@
+"""Stateful streaming beyond the reference's tumbling-window count
+(SURVEY.md §2.7 notes the reference exercises exactly one stateful
+operator; a credible engine needs the rest of the family):
+
+- session windows (gap-based, the streaming form of events_sessionize)
+- stream-static dimension enrichment (broadcast-style join; no state)
+- stream-stream time-interval join (state on both sides, bounded by
+  watermarks)
+- custom per-key running aggregates via applyInPandasWithState (the
+  escape hatch when built-in aggregations can't express the op)
+
+All take DataFrames (streaming or batch where legal) and return
+DataFrames — composition-friendly, sink-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    key_col: str = "userid",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per key: the streaming equivalent of the
+    batch lag+cumsum sessionization (operators/events.py).  State per
+    open session only; watermark closes and emits sessions."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table (the
+    warehouse-side lookup the reference pushed to Hive/MySQL after the
+    fact, dag_file.py:67-90, done inline).  The static side is re-read
+    per micro-batch — broadcast it when small."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: right event must
+    follow the left event by at most `interval`.  Both sides buffered in
+    state, bounded by their watermarks + the join range condition."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {interval}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-key running totals
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+RUNNING_TOTALS_STATE = T.StructType(
+    [T.StructField("total_events", T.LongType()), T.StructField("total_value", T.DoubleType())]
+)
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Arrow-batched per-key accumulator: state carries lifetime totals
+    across micro-batches; each batch emits one row per key with the
+    batch delta and the running totals."""
+    batch_events = 0
+    batch_value = 0.0
+    for pdf in pdfs:
+        batch_events += len(pdf)
+        batch_value += float(pdf["value"].sum())
+    prev_events, prev_value = state.get if state.exists else (0, 0.0)
+    total_events = prev_events + batch_events
+    total_value = prev_value + batch_value
+    state.update((total_events, total_value))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "batch_events": [batch_events],
+            "total_events": [total_events],
+            "total_value": [total_value],
+        }
+    )
+
+
+def running_totals(
+    stream: DataFrame, key_col: str = "source", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): lifetime
+    per-key event counts + value totals, emitted every micro-batch.
+    The pattern for operators Spark's built-in streaming aggs can't
+    express (decayed counters, per-key models, CDC merges).  State is
+    one tuple per key — scale-safe for any key cardinality the state
+    store holds; use RocksDB state store beyond ~1e7 keys."""
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("key"), F.col(value_col).cast("double").alias("value")
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        _running_totals_fn,
+        RUNNING_TOTALS_OUTPUT,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,154 @@
+"""Stateful streaming operators: session windows, stream-static and
+stream-stream joins, applyInPandasWithState running totals (state
+must survive across micro-batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+    json_file_stream,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+    parse_product_views,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import memory_sink
+from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+    running_totals,
+    session_window_counts,
+    stream_static_enrich,
+    stream_stream_interval_join,
+)
+
+from .test_streaming import _event, _mk_events, _write_file
+
+
+def test_session_window_counts(spark, tmp_path):
+    d = str(tmp_path / "in")
+    # user u0: bursts at 10:00 (3 events, 10s apart) and 11:00 (2 events)
+    lines = [
+        _event("2021-03-06 10:00:00.000", 0, "desktop"),
+        _event("2021-03-06 10:00:10.000", 7, "desktop"),   # i%7==0 → same user
+        _event("2021-03-06 10:00:20.000", 14, "desktop"),
+        _event("2021-03-06 11:00:00.000", 21, "desktop"),
+        _event("2021-03-06 11:00:10.000", 28, "desktop"),
+        _event("2021-03-06 13:00:00.000", 35, "desktop"),  # flush
+    ]
+    _write_file(d, "b1.json", lines)
+    stream = parse_product_views(json_file_stream(spark, d))
+    agg = session_window_counts(stream, gap="10 minutes", watermark="10 minutes")
+    q = memory_sink(agg, "sessions", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [_event("2021-03-06 15:00:00.000", 42, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.sql("SELECT * FROM sessions WHERE userid = 'user-0'").collect(),
+        key=lambda r: r["session_start"],
+    )
+    # two closed sessions: (3 events, 10:00:00-10:10:20) and (2, 11:00:00-11:10:10)
+    assert [(r["n_events"],) for r in rows[:2]] == [(3,), (2,)]
+    assert rows[0]["session_start"].strftime("%H:%M:%S") == "10:00:00"
+    assert rows[0]["session_end"].strftime("%H:%M:%S") == "10:10:20"
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    d = str(tmp_path / "in")
+    _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 9)])
+    dim = spark.createDataFrame(
+        [("desktop", "web"), ("mobile-web", "mobile"), ("mobile-app", "mobile")],
+        ["source", "channel"],
+    )
+    stream = parse_product_views(json_file_stream(spark, d))
+    enriched = stream_static_enrich(stream, dim, on="source")
+    q = memory_sink(enriched, "enriched", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == 9
+    assert all(r["channel"] == ("web" if r["source"] == "desktop" else "mobile") for r in rows)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    # left: views; right: purchases 2 min later (match) and 30 min later (no match)
+    _write_file(dl, "l.json", [_event("2021-03-06 10:00:00.000", 0, "desktop")])
+    _write_file(
+        dr,
+        "r.json",
+        [
+            _event("2021-03-06 10:02:00.000", 7, "desktop"),
+            _event("2021-03-06 10:30:00.000", 14, "desktop"),
+        ],
+    )
+    left = parse_product_views(json_file_stream(spark, dl)).select(
+        "userid", F.col("timestamp").alias("view_ts")
+    )
+    right = parse_product_views(json_file_stream(spark, dr)).select(
+        F.col("userid").alias("r_userid"), F.col("timestamp").alias("buy_ts")
+    )
+    joined = stream_stream_interval_join(
+        left.withColumnRenamed("userid", "key"),
+        right.withColumnRenamed("r_userid", "key"),
+        key="key",
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        interval="10 minutes",
+    ).select("key", "view_ts", "buy_ts")
+    q = memory_sink(joined, "vp_join", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        _write_file(dl, "flush_l.json", [_event("2021-03-06 12:00:00.000", 0, "desktop")])
+        _write_file(dr, "flush_r.json", [_event("2021-03-06 12:00:00.000", 7, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM vp_join WHERE view_ts < timestamp'2021-03-06 11:00:00'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["buy_ts"].strftime("%H:%M") == "10:02"
+
+
+def test_running_totals_state_across_batches(spark, tmp_path):
+    d = str(tmp_path / "in")
+    _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 30)])  # 10/source
+    stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+    with_value = stream.withColumn("value", F.lit(2.5))
+    totals = running_totals(with_value, key_col="source", value_col="value")
+    epochs = []
+
+    def collect(df, _epoch):
+        rows = df.collect()
+        if rows:
+            epochs.append({r["key"]: (r["total_events"], r["total_value"]) for r in rows})
+
+    q = (
+        totals.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [e[2] for e in _mk_events(10, 15, start_i=100)])  # +5/source
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(epochs) >= 2
+    assert epochs[0]["desktop"] == (10, 25.0)
+    # lifetime totals accumulated across micro-batches via GroupState
+    assert epochs[-1]["desktop"] == (15, 37.5)
