@@ -211,6 +211,54 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-31 00:00:00',
+                                    INTERVAL 1 HOUR)) AS h
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(b.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           t.event_type,
+           coalesce(c.n, 0) AS n
+    FROM buckets b
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = b.h AND c.event_type = t.event_type
+    """,
+    doc="Time-series gap filling: dense hourly grid (sequence+explode × "
+        "distinct keys) left-joined with actual counts, zeros filled — the "
+        "resample-with-gaps primitive. Grid generation is O(buckets×keys), "
+        "independent of fact size; the counts side is one hash-agg.",
+    tags=("events", "timeseries"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.sql(
+        """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+                                   timestamp'2024-01-31 00:00:00',
+                                   interval 1 hour)) AS h"""
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("ct")
+    ).agg(F.count("*").alias("n"))
+    return (
+        buckets.crossJoin(F.broadcast(types))
+        .join(counts, (counts.h == buckets.h) & (counts.ct == types.event_type), "left")
+        .select(
+            F.date_format(buckets.h, TS_FMT_SPARK).alias("hour_start"),
+            types.event_type,
+            F.coalesce(counts.n, F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
     "events_top_sources_per_window",
     oracle="""
     SELECT * FROM (

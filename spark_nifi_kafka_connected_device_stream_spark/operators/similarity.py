@@ -119,6 +119,93 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplanes(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — the
+    same constants are embedded in the Spark expressions and the DuckDB
+    oracle, so the sign-bit computation is engine-portable."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 0xFFFFFFFF - 0.5, 6))
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _duck_plane_literal(row: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in row) + "]"
+
+
+_DUCK_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * ({_duck_plane_literal(row)})[i])) > 0 "
+    f"THEN {2 ** p} ELSE 0 END)"
+    for p, row in enumerate(_PLANES)
+)
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id, CAST({_DUCK_BUCKET_EXPR} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+    doc="Random-hyperplane LSH (SimHash-for-vectors): 8 deterministic "
+        "hyperplanes → sign bits → 256 buckets.  The scale path for "
+        "cosine ANN: candidates come from equal (or Hamming-adjacent) "
+        "buckets, turning the cross join into an equi-join. Bucket "
+        "assignment is map-only, value-checked against the oracle.",
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for p, row in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in row])
+        dp = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dp > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_DUCK_COS}, 6) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE {_DUCK_COS} >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.45): the exact "
+        "all-pairs ground truth the LSH buckets approximate. Quadratic by "
+        "construction — at 100 TB this runs ONLY within LSH buckets or "
+        "IVF cells (see similarity_lsh_buckets); kept exact here as the "
+        "recall baseline, like dedup_ngram_jaccard for MinHash.",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    sim = cosine_similarity(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= 0.45)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

@@ -1,0 +1,87 @@
+"""Python-boundary operators: vectorized Pandas UDFs and grouped
+applyInPandas (SURVEY.md §2.7 lists UDF/UDAF as reference capability
+gaps; the guide's rule applies — Arrow-batched vectorized UDFs only,
+never row-at-a-time Python in the hot path).
+
+Both operators here are deliberately ALSO expressible in SQL so the
+Python boundary itself is oracle-checked: the test is that shipping
+the computation through Arrow batches produces bit-identical results
+to the JVM expression path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge_udf(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized charge computation — one Arrow batch per call,
+    numpy arithmetic (double ops identical to the JVM's)."""
+    return ext * (1.0 - disc) * (1.0 + tax)
+
+
+@register(
+    "pandas_udf_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="Scalar Pandas UDF (Arrow-vectorized): the slow-path surface, "
+        "value-checked against the pure-SQL form — proves the Python "
+        "boundary is numerically transparent.",
+    tags=("udf",),
+)
+def pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_charge_udf("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+    )
+
+
+_ZSCORE_SCHEMA = "event_id bigint, event_type string, z double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group standardization. pandas std() is ddof=1 == stddev_samp."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std()
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "z": (pdf["value"] - mean) / std,
+        }
+    )
+
+
+@register(
+    "applyinpandas_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="Grouped-map applyInPandas (per-group pandas frame in/out): "
+        "z-score normalization per event_type, oracle-checked against the "
+        "window-function form. The grouped-map pattern is the template for "
+        "per-group model scoring at scale (one shuffle on the group key; "
+        "each group must fit in one task's memory — groups here are "
+        "~n/5 rows; skewed groups would need salting+two-pass).",
+    tags=("udf",),
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = e.groupBy("event_type").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
+    return out.select("event_id", "event_type", F.round("z", 6).alias("z"))

@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.similarity",
     "spark_nifi_kafka_connected_device_stream_spark.operators.text",
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops",
 )
 
 

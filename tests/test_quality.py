@@ -1,0 +1,99 @@
+"""Quality gates for the approximate / scale-path operators: each
+sketch or LSH shortcut is measured against its exact counterpart.
+A fast-but-wrong approximation is a bug (SURVEY.md §4.2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+from .conftest import SF_MEDIUM, SF_SMALL
+
+SPECS = all_specs()
+
+
+def test_approx_count_distinct_error(spark):
+    e = load_table(spark, SF_MEDIUM, "events")
+    both = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    for r in both.collect():
+        rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
+        assert rel_err < 0.05, f"{r['event_type']}: approx {r['approx']} vs {r['exact']}"
+
+
+def test_percentile_approx_error(spark):
+    o = load_table(spark, SF_MEDIUM, "orders")
+    both = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+    ).collect()[0]
+    assert abs(both["approx"] - both["exact"]) / both["exact"] < 0.01
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Every truly-similar pair (3-gram Jaccard >= 0.8) must be an LSH
+    candidate — with 4 bands x 3 rows, P(miss at j=0.8) = (1-0.8^3)^4
+    ~ 5.6%; the planted near-dups sit at j~0.97 where P(miss) ~ 0.003%."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_MEDIUM).collect()
+    }
+    candidates = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert truth, "ground-truth near-dup set is empty — fixture changed?"
+    recall = len(truth & candidates) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.2%} over {len(truth)} true pairs"
+    # precision sanity: LSH shouldn't flood with false candidates here
+    assert len(candidates) <= 10 * len(truth)
+
+
+def test_ivf_matches_bruteforce_within_cell(spark):
+    """IVF restricts to the query's cell; every IVF neighbor must appear
+    in the brute-force ranking, in the same relative order."""
+    bf = SPECS["similarity_topk_bruteforce"].fn(spark, SF_MEDIUM).collect()
+    ivf = SPECS["similarity_topk_ivf"].fn(spark, SF_MEDIUM).collect()
+    bf_rank = {(r["query_id"], r["neighbor_id"]): r["rnk"] for r in bf}
+    by_query: dict[int, list[int]] = {}
+    for r in sorted(ivf, key=lambda r: (r["query_id"], r["rnk"])):
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_query) == 10
+    for q, neighbors in by_query.items():
+        in_bf = [n for n in neighbors if (q, n) in bf_rank]
+        ranks = [bf_rank[(q, n)] for n in in_bf]
+        assert ranks == sorted(ranks), f"query {q}: IVF order disagrees with brute force"
+
+
+def test_simhash_near_dups_collide(spark):
+    """Planted near-dups (jaccard ~0.97+) should mostly land on equal or
+    Hamming-close simhashes."""
+    truth = SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    sims = {r["doc_id"]: r["simhash"] for r in SPECS["dedup_simhash"].fn(spark, SF_SMALL).collect()}
+    if not truth:
+        return  # no planted pairs at this sf
+    close = 0
+    for r in truth:
+        h = sims[r["doc_a"]] ^ sims[r["doc_b"]]
+        if bin(h).count("1") <= 6:
+            close += 1
+    assert close / len(truth) >= 0.8
+
+
+def test_lsh_buckets_recall_for_near_pairs(spark):
+    """Hyperplane-LSH: vectors with cosine >= 0.45 should share a bucket
+    or differ in few sign bits (8 planes -> expected hamming
+    8*acos(0.45)/pi ~ 2.9)."""
+    pairs = SPECS["embedding_near_dup_pairs"].fn(spark, SF_MEDIUM).collect()
+    buckets = {
+        r["vec_id"]: r["bucket"] for r in SPECS["similarity_lsh_buckets"].fn(spark, SF_MEDIUM).collect()
+    }
+    if not pairs:
+        return
+    hams = [bin(buckets[r["vec_a"]] ^ buckets[r["vec_b"]]).count("1") for r in pairs]
+    assert sum(hams) / len(hams) <= 4.0
