@@ -33,13 +33,16 @@ HEADLINE = [
     "q10_returned_items",
     "window_topk_per_group",
     "events_sessionize",
+    "asof_join_last_click",
     # 100 TB extension operators
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_lsh_buckets",
     "text_quality_score",
     "text_token_stats",
+    "text_winnowing_fingerprints",
 ]
 
 

@@ -54,11 +54,16 @@ def _documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct 3-word shingles."""
+    """(doc_id, shingle) exploded distinct 3-word shingles.
+
+    Tokens are bound to a column before `shingles()` — its transform
+    lambda slices the token array per element, and a lambda over an
+    expression subtree re-evaluates the subtree per element (same trap
+    as text_winnowing_fingerprints; column attributes evaluate once)."""
     d = _documents_parallel(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(normalize_text(F.col("text")))))).alias("shingle"),
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("tk")))).alias("shingle")
     )
 
 

@@ -100,6 +100,52 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_STRIDE = 16
+_N_FRAMES = 8
+_FRAME_SCHEMA = "doc_id bigint, n_bytes bigint, frames array<bigint>"
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def sample(payload: bytes) -> list[int]:
+        out = []
+        for i in range(_N_FRAMES):
+            pos = i * _FRAME_STRIDE
+            out.append(int(payload[pos]) if pos < len(payload) else -1)
+        return out
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len),
+                "frames": pdf["payload"].map(sample),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_transform(generate_series(1, {_N_FRAMES}),
+             i -> CASE WHEN (i - 1) * {_FRAME_STRIDE} + 1 <= length(text)
+                       THEN CAST(ascii(substr(text, (i - 1) * {_FRAME_STRIDE} + 1, 1)) AS BIGINT)
+                       ELSE CAST(-1 AS BIGINT) END) AS frames
+    FROM documents
+    """,
+    doc="Audio/video frame-sampling stub over the binary payload: every "
+        "16th byte, first 8 'frames' (a real decoder would seek keyframes; "
+        "the mapInPandas batch plumbing and output shape are the real "
+        "part). Value-checked: the payload is ASCII text, so byte k == "
+        "ascii(char k) lets SQL mirror the byte indexing.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+
+
 @register(
     "multimodal_decode_features",
     oracle="""

@@ -105,12 +105,18 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tk = tokens(normalize_text(F.col("text")))
-    stop = F.filter(tk, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
-    feat = d.select(
+    with_tokens = d.select(
         "doc_id",
         "source",
         F.length("text").cast("bigint").alias("n_chars_raw"),
+        tokens(normalize_text(F.col("text"))).alias("tk"),
+    )
+    tk = F.col("tk")
+    stop = F.filter(tk, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
+    feat = with_tokens.select(
+        "doc_id",
+        "source",
+        "n_chars_raw",
         F.size(tk).cast("bigint").alias("n_tokens"),
         F.size(stop).cast("bigint").alias("n_stopwords"),
         F.size(F.array_distinct(tk)).cast("bigint").alias("n_unique_tokens"),
@@ -161,6 +167,76 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("word_tokens").alias("total_word_tokens"),
         F.sum("number_tokens").alias("total_number_tokens"),
         F.round(F.avg("ws_tokens"), 4).alias("avg_tokens_per_doc"),
+    )
+
+
+_WINNOW_W = 4  # winnowing window over consecutive shingle hashes
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)),
+                              i -> array_to_string({_DUCK_TOKENS}[i:i+2], ' ')),
+               s -> md5(s)) AS hashes
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN len(hashes) >= {_WINNOW_W} THEN
+               list_sort(list_distinct(list_transform(
+                 generate_series(1, len(hashes) - {_WINNOW_W - 1}),
+                 i -> list_aggregate(hashes[i:i+{_WINNOW_W - 1}], 'min'))))
+             WHEN len(hashes) > 0 THEN [list_aggregate(hashes, 'min')]
+             ELSE CAST([] AS VARCHAR[])
+           END AS fingerprints
+    FROM sh
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): "
+        "rolling window of w=4 over ordered shingle hashes, min per "
+        "window, dedup — the guaranteed-overlap-detection fingerprint "
+        "scheme. Entirely JVM-side higher-order functions; fingerprint "
+        "count is ~n/w per doc regardless of scale.",
+    tags=("text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    # materialize each stage as a real column: a higher-order-function
+    # lambda that references an expression SUBTREE re-evaluates it per
+    # array element (measured 380s vs 3s at sf0.1); referencing a bound
+    # column attribute evaluates it once per row
+    w = _WINNOW_W
+    # small single-file input, ~100 md5s per row: spread across cores
+    # before the compute (same repartition rationale as dedup.py)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            shingles(tokens(normalize_text(F.col("text")))), lambda s: F.md5(s.cast("binary"))
+        ).alias("hashes"),
+    )
+    n = F.size(F.col("hashes"))
+    windowed = hashed.select(
+        "doc_id",
+        "hashes",
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.array_min(F.slice(F.col("hashes"), i + 1, w)),
+            ),
+        )
+        .when(n > 0, F.array(F.array_min(F.col("hashes"))))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("windows"),
+    )
+    return windowed.select(
+        "doc_id", F.array_sort(F.array_distinct(F.col("windows"))).alias("fingerprints")
     )
 
 

@@ -31,12 +31,16 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine session.
 
     Mirrors the reference's builder (v1:6-12) but with adaptive
     execution; `spark.streaming.stopGracefullyOnShutdown` is kept
-    verbatim (v1:10).
+    verbatim (v1:10).  `hive=True` + `warehouse_dir` reproduce the v2
+    warehouse session (v2:22-24: spark.sql.warehouse.dir +
+    enableHiveSupport) for persistent `saveAsTable`/DDL.
     """
     cpus = default_parallelism()
     builder = (
@@ -52,6 +56,10 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if hive:
+        builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,83 @@
+"""End-to-end job compositions — the reference's two entry points and
+its Airflow control plane restated as single driver programs
+(SURVEY.md §3, §2.6: the linear DAG `sensor → download → spark-submit
+→ DDL → export → email` collapses into one SparkSession lifecycle).
+
+`run_product_view_job` is v2 (`nifi_spark_kafka_product_view_platform_v2.py`)
+complete: ONE aggregation lineage fanned out to TWO concurrent sinks
+(foreachBatch ranking emit + parquet append), each with its own
+checkpoint — the §2.7 "two concurrent queries on one lineage" pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.json_events import json_file_stream
+from .pipeline import parse_product_views, windowed_source_counts
+from .sinks import foreach_batch_topk, parquet_sink
+
+
+def run_product_view_job(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "5 minutes",
+    watermark: str = "5 minutes",
+    trigger: str | None = None,
+    topk: int | None = 10,
+    collector: Callable[[DataFrame, int], None] | None = None,
+    block: bool = False,
+):
+    """The full v2 pipeline on the file source (Kafka-swappable: pass
+    any raw DataFrame with a `value` column through the same chain).
+
+    Returns the two StreamingQuery handles (ranking, parquet).  With
+    `block=True` behaves like the reference's awaitTermination
+    (v2:91)."""
+    raw = json_file_stream(spark, input_dir)
+    agg = windowed_source_counts(
+        parse_product_views(raw),
+        window_duration=window_duration,
+        watermark=watermark,
+    )
+    # sink A (v2:77-81): per-epoch global ranking emit
+    ranking_q = (
+        foreach_batch_topk(agg, k=topk, collector=collector)
+        .outputMode("update")
+        .option("checkpointLocation", f"{checkpoint_dir}/ranking")
+        .start()
+    )
+    # sink B (v2:84-89): warehouse parquet, columns pruned to the
+    # commerce schema (source, source_number) as at v2:74
+    pruned = agg.select("source", "source_number")
+    w = parquet_sink(pruned, output_dir, f"{checkpoint_dir}/parquet", trigger=trigger)
+    parquet_q = w.start()
+    if block:
+        for q in (ranking_q, parquet_q):
+            q.awaitTermination()
+    return ranking_q, parquet_q
+
+
+def http_ingest(url: str, dest_path: str, expected_substring: str | None = "event") -> str:
+    """S3 + C1/C2 (dag_file.py:24-50): availability-checked HTTP
+    download to a local staging path, then read with the normal batch
+    chain.  Driver-side utility, not a distributed operator (at scale
+    the download belongs in object storage, not the driver).  Gated
+    import: `requests` may be absent in minimal containers."""
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("http_ingest requires the 'requests' package") from exc
+    resp = requests.get(url, timeout=60)
+    resp.raise_for_status()
+    if expected_substring is not None and expected_substring not in resp.text:
+        raise ValueError(
+            f"availability check failed: {expected_substring!r} not in response"
+        )
+    with open(dest_path, "w") as f:
+        f.write(resp.text)
+    return dest_path
