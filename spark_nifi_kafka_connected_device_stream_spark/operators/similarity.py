@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import dot, l2_norm
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -58,11 +58,21 @@ _DUCK_COS = """
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # candidate side arrives as one small parquet split; spread it so
+    # the broadcast-NLJ probe runs on every core.  Norms are computed
+    # once per SIDE, not per pair — the per-pair work is one dot fold.
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -95,17 +105,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
     return (
         c.join(
@@ -195,9 +208,18 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
-    sim = cosine_similarity(F.col("e_a"), F.col("e_b"))
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        l2_norm(F.col("embedding")).alias("n_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        l2_norm(F.col("embedding")).alias("n_b"),
+    )
+    sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("raw_sim", sim)
