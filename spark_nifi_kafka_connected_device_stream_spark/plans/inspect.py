@@ -51,6 +51,10 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 def shuffle_count(df: DataFrame) -> int:
     """Exchange operators in the plan (each is a full shuffle of its
-    input — the thing to minimize)."""
-    text = explain_str(df)
-    return len(re.findall(r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", text))
+    input — the thing to minimize).  Uses simple-mode explain: formatted
+    mode prints exchanges as numbered nodes the old pattern missed.
+    Broadcast exchanges are excluded — they move only the small side."""
+    text = explain_str(df, "simple")
+    # shuffle exchanges print as "Exchange hashpartitioning(...)" etc.;
+    # "BroadcastExchange" is a distinct token and never matches \bExchange\b
+    return len(re.findall(r"\bExchange\b", text))

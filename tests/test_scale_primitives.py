@@ -1,0 +1,116 @@
+"""Scale primitives: salted aggregation equivalence, bucketed
+co-located joins (no exchange), RocksDB state store for streaming
+state, AQE skew-join conf present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+    salted_agg,
+    write_bucketed,
+)
+from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str, shuffle_count
+from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_salted_agg_equivalence(spark):
+    """Salted two-phase agg must equal the plain agg exactly."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plain = {
+        (r["l_returnflag"],): (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], round(r["s"], 2))
+        for r in salted_agg(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            {"n": F.count(F.lit(1)), "s": F.sum("l_quantity")},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_two_shuffles_bounded_reducers(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
+    df = salted_agg(li, ["l_returnflag"], {"n": F.count(F.lit(1))}, n_salts=8)
+    # exactly two exchanges: (key, salt) then (key)
+    assert shuffle_count(df) == 2
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    # warehouse.dir is static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped at the end
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
+        write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    except Exception as exc:  # pragma: no cover - catalog-less session
+        import pytest
+
+        pytest.skip(f"no writable catalog in this session: {exc}")
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderkey").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = explain_str(joined)
+        # both sides pre-bucketed on the join key: sort-merge join with
+        # ZERO exchanges in the plan
+        assert shuffle_count(joined) == 0, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_rocksdb_state_store_runs(spark, tmp_path):
+    """High-cardinality streaming state belongs in RocksDB, not the JVM
+    heap — prove the provider works end-to-end in this build."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+        json_file_stream,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+        parse_product_views,
+        windowed_source_counts,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import memory_sink
+
+    from .test_streaming import _mk_events, _write_file
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "in")
+        _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 60)])
+        agg = windowed_source_counts(parse_product_views(json_file_stream(spark, d)))
+        q = memory_sink(agg, "rocks_pv", output_mode="append").option(
+            "checkpointLocation", str(tmp_path / "chk")
+        ).start()
+        try:
+            q.processAllAvailable()
+            _write_file(d, "b2.json", [e[2] for e in _mk_events(20, 3, start_i=100)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM rocks_pv").collect()
+        assert sum(r["source_number"] for r in rows) == 60
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
