@@ -459,6 +459,106 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total, 2) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar max subquery → the "
+        "supplier(s) achieving the quarter's maximum revenue (ties all "
+        "returned, so the result SET is deterministic).",
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total")
+    )
+    max_rev = rev.agg(F.max("total").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total == F.col("m"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "q21_late_shipments_by_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, count(*) AS n_late
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_late DESC, s_suppkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (adapted to this schema): suppliers ranked by "
+        "shipments later than order date + 90 days — fact-fact join with a "
+        "cross-table date predicate, bounded top-10.",
+    tags=("join", "agg", "topk"),
+)
+def q21_late_shipments_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_late"))
+        .orderBy(F.desc("n_late"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti join, "
+        "written through the spark.sql entry point (the reference's own "
+        "SQL surface, v1:37) to exercise Catalyst's subquery "
+        "decorrelation end-to-end.",
+    tags=("join", "agg", "subquery", "sql-api"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM _q22_customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM _q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM _q22_orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
     "q19_disjunctive_predicates",
     oracle="""
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
