@@ -533,7 +533,9 @@ def q21_late_shipments_by_supplier(spark: SparkSession, sf_dir: str) -> DataFram
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
     doc="TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti join, "
@@ -552,7 +554,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(c_acctbal), 2) AS total_bal
         FROM _q22_customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM _q22_customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM _q22_orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM _q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= timestamp'2000-01-01 00:00:00')
         GROUP BY c_nationkey
         """
     )
