@@ -1,0 +1,71 @@
+"""Exactly-once sink semantics across restarts (SURVEY.md §2.7: the
+reference relies on checkpointing for exactly-once, v1:63/v2:88).
+
+A streaming query is stopped mid-stream and a NEW query object resumes
+from the same checkpoint: the parquet file sink must contain every
+finalized window exactly once — no duplicates from reprocessing, no
+holes from the restart.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+    json_file_stream,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+    parse_product_views,
+    windowed_source_counts,
+)
+from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import parquet_sink
+
+from .test_streaming import _mk_events, _write_file
+
+
+def _start(spark, in_dir, out_dir, chk_dir):
+    agg = windowed_source_counts(
+        parse_product_views(json_file_stream(spark, in_dir, max_files_per_trigger=1))
+    )
+    return parquet_sink(agg, out_dir, chk_dir).start()
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    chk_dir = str(tmp_path / "chk")
+
+    # batch 1: two full windows + markers pushing the watermark past both
+    _write_file(in_dir, "b1.json", [e[2] for e in _mk_events(0, 90)])
+    _write_file(in_dir, "b2.json", [e[2] for e in _mk_events(5, 60, start_i=90)])
+    _write_file(in_dir, "b3.json", [e[2] for e in _mk_events(11, 30, start_i=150)])
+    q1 = _start(spark, in_dir, out_dir, chk_dir)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated failure/restart point
+
+    # restart from the SAME checkpoint; more data closes the last window
+    _write_file(in_dir, "b4.json", [e[2] for e in _mk_events(20, 30, start_i=999)])
+    q2 = _start(spark, in_dir, out_dir, chk_dir)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out_dir).collect()
+    keyed = Counter((r["start"].strftime("%H:%M"), r["source"]) for r in rows)
+    dupes = {k: c for k, c in keyed.items() if c > 1}
+    assert not dupes, f"duplicate window emissions after restart: {dupes}"
+    got = {
+        (k[0], k[1]): r
+        for k, r in (
+            ((r["start"].strftime("%H:%M"), r["source"]), r["source_number"]) for r in rows
+        )
+    }
+    # all three batch-1 windows present exactly once with full counts
+    expected = {}
+    for minute, n in (("10:00", 30), ("10:05", 20), ("10:10", 10)):
+        for s in ("desktop", "mobile-web", "mobile-app"):
+            expected[(minute, s)] = n
+    assert got == expected
