@@ -45,7 +45,7 @@ from ..sources.catalog import load_table
     tags=("join", "asof"),
 )
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
     tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
         "user_id",
         "event_id",
@@ -94,7 +94,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "funnel"),
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
     first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("us")))  # noqa: E731
     stages = e.groupBy("user_id").agg(
         first("view").alias("v_us"), first("click").alias("c_us"), first("purchase").alias("p_us")

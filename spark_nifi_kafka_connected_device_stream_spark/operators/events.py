@@ -161,7 +161,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap detection on exact integer microseconds (engine-portable; float
     # epoch would differ at ns granularity between engines)
-    e = load_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
     w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("us").over(w)

@@ -51,7 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         tz = spark.conf.get("spark.sql.session.timeZone")
-        df = df.withColumn(
+        # ts_us: the ORIGINAL stored epoch micros, for operators that
+        # output absolute times as numbers (the shifted `ts` instant is
+        # wall-time-correct but its unix_micros moves with session tz)
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
         )
     return df

@@ -21,6 +21,11 @@ TZ_SENSITIVE = [
     "events_hourly_stats",
     "events_sessionize",
     "scalar_date_funcs",
+    # absolute-micros outputs: must come from ts_us, not unix_micros
+    # (the catalog's wall-time shift moves instants with session tz)
+    "asof_join_last_click",
+    "funnel_view_click_purchase",
+    "events_gapfill_hourly",
 ]
 
 
