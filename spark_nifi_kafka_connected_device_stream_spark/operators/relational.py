@@ -593,6 +593,95 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P')                      AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           (nullif(o_orderstatus, 'P') IS NULL)            AS was_pending,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null,
+           coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END, -1.0)
+             AS price_filled
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    doc="Null-handling surface: nullif / coalesce / IS NULL / null-aware "
+        "CASE — the three-valued-logic battery.",
+    tags=("scalar",),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    st_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    price_null = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        st_null.alias("status_or_null"),
+        F.coalesce(st_null, F.lit("PENDING")).alias("status_filled"),
+        st_null.isNull().alias("was_pending"),
+        price_null.alias("price_or_null"),
+        F.coalesce(price_null, F.lit(-1.0)).alias("price_filled"),
+    )
+
+
+@register(
+    "scalar_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#11')        AS dist_to_b11,
+           levenshtein(lower(p_type), 'standard')  AS dist_to_standard,
+           (levenshtein(p_brand, 'Brand#11') <= 2) AS near_b11
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    doc="Edit-distance surface (levenshtein) — fuzzy string matching for "
+        "entity resolution; identical DP semantics in both engines.",
+    tags=("scalar", "text"),
+)
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    d_brand = F.levenshtein(F.col("p_brand"), F.lit("Brand#11"))
+    return p.select(
+        "p_partkey",
+        d_brand.alias("dist_to_b11"),
+        F.levenshtein(F.lower("p_type"), F.lit("standard")).alias("dist_to_standard"),
+        (d_brand <= 2).alias("near_b11"),
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW')    AS p5_low
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'p1_urgent' AS priority, p1_urgent AS n FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'p5_low' AS priority, p5_low AS n FROM wide
+    """,
+    doc="Unpivot (wide→long melt) of a pivoted count table — the inverse "
+        "of agg_pivot_status; Spark's unpivot()/melt operator.",
+    tags=("agg", "reshape"),
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("bigint")).alias("p1_urgent"),
+        F.sum((F.col("o_orderpriority") == "5-LOW").cast("bigint")).alias("p5_low"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["p1_urgent", "p5_low"],
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
+
+
+@register(
     "scalar_date_funcs",
     oracle="""
     SELECT o_orderkey,

@@ -174,6 +174,30 @@ def test_stamp_processing_time_parseable(spark):
     assert parsed[0]["ts"] is not None
 
 
+def test_complete_mode_running_totals(spark, replay_dir, tmp_path):
+    """Complete output mode: the sink receives the FULL aggregate state
+    every trigger (no watermark needed) — the third output-mode leg
+    next to update (K1) and append (K3)."""
+    _write_file(replay_dir, "b1.json", [e[2] for e in _mk_events(0, 30)])
+    stream = json_file_stream(spark, replay_dir, max_files_per_trigger=1)
+    totals = (
+        parse_product_views(stream)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("source_number"))
+    )
+    q = memory_sink(totals, "pv_complete", output_mode="complete").option(
+        "checkpointLocation", str(tmp_path / "chkc")
+    ).start()
+    try:
+        q.processAllAvailable()
+        _write_file(replay_dir, "b2.json", [e[2] for e in _mk_events(10, 30, start_i=100)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["source"]: r["source_number"] for r in spark.sql("SELECT * FROM pv_complete").collect()}
+    assert rows == {s: 20 for s in SOURCES}
+
+
 def test_foreach_batch_topk(spark, replay_dir, tmp_path):
     events = _mk_events(0, 61)  # 21 desktop, 20 each others
     _write_file(replay_dir, "b1.json", [e[2] for e in events])
