@@ -1,0 +1,165 @@
+"""Training-data pipeline operators beyond dedup/similarity
+(SURVEY.md §2.8 spirit): deterministic dataset mixing, sequence
+packing, and near-dup cluster resolution.
+
+These are the ops between "raw corpus" and "training shards":
+- `dataset_mix_sample`: reproducible weighted subsampling per source
+  via content hashing — no rand(), so every run (and every engine)
+  selects the same rows.  Oracle-checked.
+- `pack_sequences`: greedy first-fit packing of documents into
+  fixed-token-budget bins, per source partition (the sequence-packing
+  step before tokenizer sharding).  Inherently order-dependent →
+  rows-only + property tests.
+- `dedup_clusters`: connected components over near-dup candidate
+  pairs (min-label propagation to fixpoint) picking one canonical doc
+  per cluster — what turns pairwise dedup output into delete lists.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+# per-source sampling rates for the mix (sum of corpus shares the mix
+# targets; any missing source keeps rate 1.0)
+MIX_RATES = {"src0": 0.9, "src1": 0.7, "src2": 0.5, "src3": 0.3, "src4": 0.1}
+
+# 16-bit uniform from the md5 of the doc id: value/65536 ~ U[0,1)
+_DUCK_U16 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+        f"* {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+
+
+@register(
+    "dataset_mix_sample",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    WHERE {_DUCK_U16} / 65536.0 < CASE source
+        WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.7 WHEN 'src2' THEN 0.5
+        WHEN 'src3' THEN 0.3 WHEN 'src4' THEN 0.1 ELSE 1.0 END
+    GROUP BY source
+    """,
+    doc="Deterministic dataset mixing: per-source weighted subsample "
+        "selected by hashing the doc id into U[0,1) (md5 16-bit prefix) — "
+        "reproducible across runs, engines, and cluster sizes, unlike "
+        "rand()-based sampling. Map-only + one count shuffle.",
+    tags=("pipeline", "sampling"),
+)
+def dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    rate = None
+    for src, r in MIX_RATES.items():
+        rate = (rate.when if rate is not None else F.when)(F.col("source") == src, F.lit(r))
+    rate = rate.otherwise(F.lit(1.0))
+    return (
+        d.filter((u16 / 65536.0) < rate)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_PACK_SCHEMA = "source string, bin_id bigint, doc_id bigint, n_tokens bigint"
+TOKEN_BUDGET = 512
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy next-fit packing in doc_id order (deterministic)."""
+    pdf = pdf.sort_values("doc_id")
+    bins, current, used = [], 0, 0
+    for _, row in pdf.iterrows():
+        n = int(row["n_tokens"])
+        if used > 0 and used + n > TOKEN_BUDGET:
+            current += 1
+            used = 0
+        bins.append((row["source"], current, int(row["doc_id"]), n))
+        used += n
+    return pd.DataFrame(bins, columns=["source", "bin_id", "doc_id", "n_tokens"])
+
+
+@register(
+    "pack_sequences",
+    oracle=None,  # order-dependent greedy assignment; invariants tested in pytest
+    doc=f"Sequence packing: greedy next-fit of documents into "
+        f"{TOKEN_BUDGET}-token bins per source (applyInPandas per group, "
+        f"deterministic doc_id order). The packing step before writing "
+        f"training shards; per-group sequential by nature, parallel across "
+        f"groups — at scale, salt the group key to bound group size.",
+    tags=("pipeline", "udf"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import normalize_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    return with_tokens.groupBy("source").applyInPandas(_pack_group, schema=_PACK_SCHEMA)
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint; verified against union-find in pytest
+    doc="Near-dup cluster resolution: connected components over the "
+        "MinHash-LSH candidate pairs via min-label propagation iterated to "
+        "fixpoint (the DataFrame form of large-scale CC; converges in "
+        "O(diameter) joins — near-dup clusters are tiny, so 2-4 rounds). "
+        "Output: doc_id → canonical (minimum) doc of its cluster, keep "
+        "flag for the canonical member.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a < doc_b)
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # labels start as self; propagate min over neighbors until stable
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
