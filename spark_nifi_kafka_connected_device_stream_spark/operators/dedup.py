@@ -9,10 +9,11 @@ Large-scale training-data dedup over the `documents` table:
                         rows; candidate pairs via band-bucket equi-join
 - SimHash             — 32-bit signature per doc, near-dups collide
 
-Portability contract: all hashing is `md5` hex (identical in Spark /
-DuckDB / Python) and "min over permutation" is the lexicographic min of
-`md5(seed:shingle)` strings, so every operator here has an exact DuckDB
-oracle — value-checked, not just row-counted.
+Portability contract: all hashing derives from `md5` hex (identical in
+Spark / DuckDB / Python); MinHash permutations are affine maps
+`(a·h32 + b) mod p` over the 32-bit md5 prefix — exact integer
+arithmetic both engines reproduce bit-for-bit — so every operator here
+has an exact DuckDB oracle, value-checked, not just row-counted.
 
 Scale notes: nothing here does an all-pairs cross join.  The Jaccard
 join is inverted-index-pruned; MinHash-LSH cost is O(docs × perms) plus
@@ -27,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import normalize_text, portable_md5, shingles, tokens
+from ..functions.textfns import normalize_text, shingles, tokens
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -160,21 +161,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s0..s11): min over shingles of md5('<seed>:<shingle>').
+# affine permutation constants (deterministic; odd multipliers) over a
+# 32-bit base hash, mod a prime just under 2^32 — products stay < 2^63
+_MH_PRIME = 4294967291
+_MH_COEFFS = [(2 * i * i + 2 * i + 1, 7919 * (i + 1)) for i in range(N_PERM)]
 
-    One explode + one hash-agg; N_PERM hashes per (doc, shingle) pair
-    computed as a broadcast cross join with a 12-row seed table —
-    embarrassingly parallel, no skew."""
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s11): min over shingles of affine permutations of a
+    single 32-bit md5-prefix hash — ONE md5 per (doc, shingle), twelve
+    multiply-mods, and no 12× row explosion before the shuffle (the
+    previous seed-cross-join pushed N_PERM× rows through the exchange).
+    """
     sh = _doc_shingles(spark, sf_dir)
-    seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
-    hashed = sh.crossJoin(F.broadcast(seeds)).select(
-        "doc_id",
-        "seed",
-        portable_md5(F.col("seed"), F.lit(":"), F.col("shingle")).alias("h"),
-    )
+    h32 = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("doc_id", h32.alias("h"))
     aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"s{i}") for i in range(N_PERM)
+        F.min((F.col("h") * a + b) % _MH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(_MH_COEFFS)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
@@ -184,15 +188,24 @@ def _band_expr(band: int) -> F.Column:
     return F.md5(F.concat_ws(",", *cols).cast("binary"))
 
 
+# 32-bit value of the first 8 hex digits of md5(shingle), digit-wise
+_DUCK_H32 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
 _DUCK_SIGS = f"""
     shing AS (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
     ), hashed AS (
-      SELECT doc_id, seed, md5(concat(seed, ':', shingle)) AS h
-      FROM shing CROSS JOIN (SELECT unnest(generate_series(0, {N_PERM - 1})) AS seed) seeds
+      SELECT doc_id, {_DUCK_H32} AS h FROM shing
     ), sigs AS (
       SELECT doc_id,
-             {", ".join(f"min(CASE WHEN seed = {i} THEN h END) AS s{i}" for i in range(N_PERM))}
+             {", ".join(f"min((h * {a} + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(_MH_COEFFS))}
       FROM hashed GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, band_id, md5(band_key) AS bucket FROM (
