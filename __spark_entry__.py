@@ -11,11 +11,19 @@ registry (spark_nifi_kafka_connected_device_stream_spark.registry).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_nifi_kafka_connected_device_stream_spark import registry
+# robust under path-based import (importlib from file): make the repo
+# root importable regardless of the caller's cwd/sys.path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from spark_nifi_kafka_connected_device_stream_spark import registry  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -174,6 +174,34 @@ def test_stamp_processing_time_parseable(spark):
     assert parsed[0]["ts"] is not None
 
 
+def test_rate_source_emits_wire_schema(spark, tmp_path):
+    """S4/O2: the rate-source replay harness produces parseable wire
+    records at the configured rate (lenient timing assert)."""
+    import time
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+        rate_events,
+    )
+
+    raw = rate_events(spark, rows_per_second=20)
+    parsed = parse_product_views(raw)
+    q = memory_sink(parsed, "rate_pv", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chkr")
+    ).trigger(processingTime="250 milliseconds").start()
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_pv").count() >= 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_pv").collect()
+    assert len(rows) >= 5
+    assert {r["source"] for r in rows} <= set(SOURCES)
+    assert all(r["timestamp"] is not None and r["messageid"].startswith("msg-") for r in rows)
+
+
 def test_complete_mode_running_totals(spark, replay_dir, tmp_path):
     """Complete output mode: the sink receives the FULL aggregate state
     every trigger (no watermark needed) — the third output-mode leg
