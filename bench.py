@@ -54,8 +54,16 @@ def main() -> None:
 
     specs = all_specs()
     timings: dict[str, float] = {}
-    # JVM/codegen warmup on a trivial action
+    # JVM warmup + one scan per table so per-query timings measure the
+    # operators, not first-touch file IO / conf setup
     spark.range(1000).count()
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     for name in HEADLINE:
         fn = specs[name].fn
         t0 = time.perf_counter()

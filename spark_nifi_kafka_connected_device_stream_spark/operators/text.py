@@ -170,6 +170,57 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_token_positions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+    FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+    """,
+    doc="Positional token explode (posexplode; oracle via indexed unnest) "
+        "— the order-preserving flatten used for n-gram/window features.",
+    tags=("text",),
+)
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
+    return toks.select("doc_id", F.posexplode("tk").alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "tok"
+    )
+
+
+@register(
+    "stratified_sample_per_source",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    doc="Deterministic stratified sampling: exactly 20 docs per source, "
+        "chosen by hash order (reproducible across engines/cluster sizes, "
+        "unlike TABLESAMPLE). The per-class eval-set carve-out pattern.",
+    tags=("pipeline", "sampling"),
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string").cast("binary"))), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id")
+    )
+
+
 _WINNOW_W = 4  # winnowing window over consecutive shingle hashes
 
 
