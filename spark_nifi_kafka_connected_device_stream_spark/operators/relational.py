@@ -715,6 +715,43 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')      AS plus_30d,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')     AS plus_3m,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')              AS month_end,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')   AS month_start,
+           strftime(date_trunc('year', o_orderdate), '%Y-%m-%d')    AS year_start,
+           (2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS months_to_2002
+    FROM orders
+    WHERE o_orderkey <= 1500
+    """,
+    doc="Date arithmetic surface: interval add (days/months with "
+        "end-of-month clamping), last_day, month/year truncation, month "
+        "difference — all as formatted strings for engine-neutral compare.",
+    tags=("scalar",),
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500)
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        fmt(F.col("o_orderdate") + F.expr("interval 30 days")).alias("plus_30d"),
+        fmt(F.add_months("o_orderdate", 3)).alias("plus_3m"),
+        fmt(F.last_day("o_orderdate")).alias("month_end"),
+        fmt(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        fmt(F.date_trunc("year", "o_orderdate")).alias("year_start"),
+        # explicit month-index diff: months_between()'s fractional
+        # day-of-month semantics and date_diff('month')'s boundary
+        # counting disagree at month ends — this formula is exact in both
+        ((F.lit(2002) - F.year("o_orderdate")) * 12 + (F.lit(1) - F.month("o_orderdate")))
+        .cast("bigint")
+        .alias("months_to_2002"),
+    )
+
+
+@register(
     "scalar_math_case",
     oracle="""
     SELECT l_orderkey, l_linenumber,
