@@ -128,6 +128,78 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey AS nationkey, round(sum(o_totalprice), 2) AS nation_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT nationkey, nation_rev,
+           round(nation_rev / sum(nation_rev) OVER (), 6) AS rev_share
+    FROM rev
+    """,
+    doc="Share-of-total: per-group aggregate divided by an unpartitioned "
+        "window sum. The global window runs over the 25-row AGGREGATE, "
+        "not the fact table — the only safe use of a single-partition "
+        "window at scale.",
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nationkey",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
+    )
+
+
+@register(
+    "lateral_top_order_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 1
+    ) t
+    WHERE c.c_custkey <= 500
+    """,
+    doc="Correlated LATERAL subquery (top-1 order per customer) through "
+        "the SQL entry point — Catalyst rewrites it to a window top-k "
+        "rather than per-row re-execution.",
+    tags=("join", "subquery", "sql-api"),
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 1
+        ) t
+        WHERE c.c_custkey <= 500
+        """
+    )
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT DISTINCT o_custkey,
