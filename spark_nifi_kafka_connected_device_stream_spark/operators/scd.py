@@ -49,10 +49,13 @@ def scd2_apply(
     u = latest.alias("u")
     joined = o.join(u, F.col(f"o.{key}") == F.col(f"u.{key}"), "full_outer")
 
-    changed = F.col(f"u.{key}").isNotNull() & F.col(f"o.{key}").isNotNull() & (
-        F.concat_ws("", *[F.coalesce(F.col(f"o.{a}").cast("string"), F.lit("")) for a in attrs])
-        != F.concat_ws("", *[F.coalesce(F.col(f"u.{a}").cast("string"), F.lit("")) for a in attrs])
-    )
+    # null-safe per-attribute comparison (a concat-based compare would
+    # collide across attribute boundaries and on NULL vs empty string)
+    any_attr_diff = None
+    for a in attrs:
+        diff = ~F.col(f"o.{a}").eqNullSafe(F.col(f"u.{a}"))
+        any_attr_diff = diff if any_attr_diff is None else (any_attr_diff | diff)
+    changed = F.col(f"u.{key}").isNotNull() & F.col(f"o.{key}").isNotNull() & any_attr_diff
 
     # open rows with no (effective) change: keep
     unchanged = joined.filter(
