@@ -1,0 +1,33 @@
+"""Portable rounding.
+
+Spark's `round()` converts the double to its SHORTEST decimal
+representation (BigDecimal.valueOf) before HALF_UP; DuckDB multiplies
+and rounds the double directly.  The two disagree precisely when a
+value's decimal expansion lands on the .​..5 boundary — which is
+COMMON, not rare, when inputs carry fixed decimals (money columns:
+products/averages of 2-decimal values land on exact boundaries).
+Found by the sf0.1 oracle sweep: identical doubles rounded to
+different values (e.g. 40792.005 → 40792.01 vs 40792.0).
+
+`pround` is the same arithmetic in both engines:
+    floor(x * 10^n + 0.5) / 10^n
+On identical input doubles the result is bit-identical everywhere.
+Every oracle SQL uses the same formula textually (half-up toward +inf
+for negatives, consistently on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pround(col: Column | str, n: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**n)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def duck_pround(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -114,13 +115,13 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_moments",
     oracle="""
     SELECT event_type,
-           round(avg(value), 6)          AS mean_v,
-           round(stddev_samp(value), 6)  AS sd_v,
-           round(var_samp(value), 6)     AS var_v,
-           round(min(value), 6)          AS min_v,
-           round(max(value), 6)          AS max_v,
-           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
-           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
+           floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0          AS mean_v,
+           floor((stddev_samp(value)) * 1000000.0 + 0.5) / 1000000.0  AS sd_v,
+           floor((var_samp(value)) * 1000000.0 + 0.5) / 1000000.0     AS var_v,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0          AS min_v,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0          AS max_v,
+           floor((corr(value, CAST(user_id AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr_user,
+           floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS covar_user
     FROM events
     GROUP BY event_type
     """,
@@ -132,13 +133,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     uid = F.col("user_id").cast("double")
     return e.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mean_v"),
-        F.round(F.stddev_samp("value"), 6).alias("sd_v"),
-        F.round(F.var_samp("value"), 6).alias("var_v"),
-        F.round(F.min("value"), 6).alias("min_v"),
-        F.round(F.max("value"), 6).alias("max_v"),
-        F.round(F.corr(F.col("value"), uid), 6).alias("corr_user"),
-        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_user"),
+        pround(F.avg("value"), 6).alias("mean_v"),
+        pround(F.stddev_samp("value"), 6).alias("sd_v"),
+        pround(F.var_samp("value"), 6).alias("var_v"),
+        pround(F.min("value"), 6).alias("min_v"),
+        pround(F.max("value"), 6).alias("max_v"),
+        pround(F.corr(F.col("value"), uid), 6).alias("corr_user"),
+        pround(F.covar_samp(F.col("value"), uid), 6).alias("covar_user"),
     )
 
 
@@ -146,9 +147,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0  AS p50,
+           floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0  AS p90,
+           floor((quantile_cont(o_totalprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -161,9 +162,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        pround(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        pround(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        pround(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
     )
 
 
@@ -251,7 +252,7 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
            CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bin_lo,
            count(*) AS n,
-           round(avg(o_totalprice), 4) AS avg_in_bin
+           floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_in_bin
     FROM orders
     GROUP BY 1, 2
     """,
@@ -265,7 +266,7 @@ def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("bin", bin_col)
         .groupBy("bin")
-        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_in_bin"))
+        .agg(F.count("*").alias("n"), pround(F.avg("o_totalprice"), 4).alias("avg_in_bin"))
         .select("bin", (F.col("bin") * 50000).alias("bin_lo"), "n", "avg_in_bin")
     )
 
@@ -361,10 +362,9 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "q14_promo_revenue_ratio",
     oracle="""
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+             / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -382,14 +382,14 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+        .agg(pround(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
 
 @register(
     "q17_small_quantity_avg_subquery",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT floor((sum(l.l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
           FROM lineitem GROUP BY l_partkey) t
@@ -409,7 +409,7 @@ def q17_small_quantity_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         li.join(thresholds, li.l_partkey == thresholds.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
@@ -418,8 +418,8 @@ def q17_small_quantity_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           round(o.o_totalprice, 2) AS totalprice,
-           round(sum(l.l_quantity), 2) AS total_qty
+           floor((o.o_totalprice) * 100.0 + 0.5) / 100.0 AS totalprice,
+           floor((sum(l.l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -444,13 +444,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round("o_totalprice", 2).alias("totalprice"),
+            pround("o_totalprice", 2).alias("totalprice"),
             "total_qty",
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
@@ -468,7 +468,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, round(r.total, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, floor((r.total) * 100.0 + 0.5) / 100.0 AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.total = (SELECT max(total) FROM rev)
     """,
@@ -489,7 +489,7 @@ def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(max_rev), rev.total == F.col("m"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", pround("total", 2).alias("total_revenue"))
     )
 
 
@@ -530,18 +530,23 @@ def q21_late_shipments_by_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT c_nationkey,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
-    doc="TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti join, "
-        "written through the spark.sql entry point (the reference's own "
-        "SQL surface, v1:37) to exercise Catalyst's subquery "
-        "decorrelation end-to-end.",
+    doc="TPC-H Q22 shape: above-average-balance + NOT EXISTS, through the "
+        "spark.sql entry point (the reference's own SQL surface, v1:37) to "
+        "exercise Catalyst's subquery handling. The avg comparison is done "
+        "in exact integer cents (cents*n > total_cents): a float avg can "
+        "land exactly ON a 2-decimal balance, where a 1-ULP cross-engine "
+        "difference flips membership (caught by the sf0.1 sweep).",
     tags=("join", "agg", "subquery", "sql-api"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,9 +556,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_nationkey,
                count(*) AS n_customers,
-               round(sum(c_acctbal), 2) AS total_bal
+               -- 100D: Spark SQL parses bare 100.0 as DECIMAL, and
+               -- bigint(floor)/decimal yields a Decimal output type
+               floor(sum(c_acctbal) * 100D + 0.5) / 100D AS total_bal
         FROM _q22_customer c
-        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM _q22_customer WHERE c_acctbal > 0)
+        WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+                * (SELECT count(*) FROM _q22_customer WHERE c_acctbal > 0)
+              > (SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                 FROM _q22_customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM _q22_orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= timestamp'2000-01-01 00:00:00')
@@ -565,7 +575,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -590,6 +600,6 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | clause("Brand#2", 10, 30, 10, 30)
         | clause("Brand#3", 20, 50, 20, 40)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n"),
     )

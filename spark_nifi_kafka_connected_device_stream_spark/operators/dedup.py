@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, shingles, tokens
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -120,7 +121,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+           floor((n_common / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -153,7 +154,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", pround(jac, 4).alias("jaccard"))
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -107,7 +108,7 @@ def product_view_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
     FROM events
     GROUP BY event_type, k_bucket
     """,
@@ -121,7 +122,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10)
         .groupBy("event_type", "k_bucket")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), pround(F.sum("value"), 2).alias("total_value"))
     )
 
 
@@ -182,10 +183,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
            count(*)               AS n,
-           round(sum(value), 2)   AS sum_value,
-           round(avg(value), 4)   AS avg_value,
-           round(min(value), 6)   AS min_value,
-           round(max(value), 6)   AS max_value
+           floor((sum(value)) * 100.0 + 0.5) / 100.0   AS sum_value,
+           floor((avg(value)) * 10000.0 + 0.5) / 10000.0   AS avg_value,
+           floor((min(value)) * 1000000.0 + 0.5) / 1000000.0   AS min_value,
+           floor((max(value)) * 1000000.0 + 0.5) / 1000000.0   AS max_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -202,10 +203,10 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+            pround(F.min("value"), 6).alias("min_value"),
+            pround(F.max("value"), 6).alias("max_value"),
         )
     )
 

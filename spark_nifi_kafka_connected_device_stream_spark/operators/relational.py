@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -60,13 +61,13 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                        AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0  AS sum_charge,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                        AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                                   AS avg_price,
+           floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -84,13 +85,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -99,7 +100,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_delta",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -121,7 +122,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -133,7 +134,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS n_customers,
            count(*)                  AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -146,7 +147,7 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -171,7 +172,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2)     AS sum_qty,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0     AS sum_qty,
            count(*)                      AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -184,7 +185,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+        .agg(pround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -200,7 +201,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*)                         AS n_orders,
-           round(avg(o_totalprice), 4)      AS avg_price
+           floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0      AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -211,7 +212,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(F.count("*").alias("n_orders"), pround(F.avg("o_totalprice"), 4).alias("avg_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -257,7 +258,7 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_price
+           floor((sum(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -275,7 +276,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_orders"), pround(F.sum("o_totalprice"), 2).alias("total_price"))
     )
 
 
@@ -322,7 +323,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey)                      AS n_big_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS big_total
+           floor((coalesce(sum(o.o_totalprice), 0)) * 100.0 + 0.5) / 100.0 AS big_total
     FROM customer c
     LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
       ON o.o_custkey = c.c_custkey
@@ -340,7 +341,7 @@ def join_outer_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_big_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("big_total"),
+            pround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("big_total"),
         )
     )
 
@@ -349,7 +350,7 @@ def join_outer_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -375,7 +376,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -391,7 +392,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -425,7 +426,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -433,9 +434,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
            n.n_name AS nation,
-           round(c.c_acctbal, 2) AS acctbal
+           floor((c.c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -462,13 +463,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
             "revenue",
             F.col("n_name").alias("nation"),
-            F.round("c_acctbal", 2).alias("acctbal"),
+            pround("c_acctbal", 2).alias("acctbal"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -755,11 +756,11 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_case",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge,
            abs(l_discount - 0.05)                 AS disc_dev,
            CAST(ceil(l_quantity / 10.0) AS BIGINT)         AS qty_decile,
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
-           round(sqrt(l_extendedprice), 4)        AS price_sqrt,
+           floor((sqrt(l_extendedprice)) * 10000.0 + 0.5) / 10000.0        AS price_sqrt,
            CASE WHEN l_quantity < 10 THEN 'small'
                 WHEN l_quantity < 30 THEN 'medium'
                 ELSE 'large' END                  AS qty_band,
@@ -777,13 +778,13 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
+        pround(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
         ).alias("charge"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(qty / 10.0).cast("bigint").alias("qty_decile"),
         F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        pround(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
         F.when(qty < 10, "small").when(qty < 30, "medium").otherwise("large").alias("qty_band"),
         (F.col("l_returnflag") == "R").alias("is_returned"),
     )

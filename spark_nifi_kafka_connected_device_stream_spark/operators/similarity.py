@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -44,7 +45,7 @@ _DUCK_COS = """
     oracle=f"""
     SELECT * FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_DUCK_COS}, 6) AS cos_sim,
+             floor(({_DUCK_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
              row_number() OVER (PARTITION BY q.vec_id
                                 ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
@@ -80,7 +81,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("raw_sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("cos_sim"), "rnk")
+        .select("query_id", "neighbor_id", pround("raw_sim", 6).alias("cos_sim"), "rnk")
     )
 
 
@@ -89,7 +90,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT * FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_DUCK_COS}, 6) AS cos_sim,
+             floor(({_DUCK_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
              row_number() OVER (PARTITION BY q.vec_id
                                 ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
       FROM embeddings q
@@ -128,7 +129,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("raw_sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("cos_sim"), "rnk")
+        .select("query_id", "neighbor_id", pround("raw_sim", 6).alias("cos_sim"), "rnk")
     )
 
 
@@ -195,7 +196,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle=f"""
     SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-           round({_DUCK_COS}, 6) AS cos_sim
+           floor(({_DUCK_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
     WHERE {_DUCK_COS} >= 0.45
     """,
@@ -224,7 +225,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("raw_sim", sim)
         .filter(F.col("raw_sim") >= 0.45)
-        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", pround("raw_sim", 6).alias("cos_sim"))
     )
 
 
@@ -233,11 +234,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            count(*) AS n_vectors,
-           round(avg(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 4)
+           floor((avg(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))) * 10000.0 + 0.5) / 10000.0
              AS avg_l2_norm,
-           round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_first_dim,
-           round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_first_dim
+           floor((min(CAST(embedding[1] AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS min_first_dim,
+           floor((max(CAST(embedding[1] AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS max_first_dim
     FROM embeddings
     GROUP BY label
     """,
@@ -249,7 +250,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_l2_norm"),
-        F.round(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first_dim"),
-        F.round(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first_dim"),
+        pround(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_l2_norm"),
+        pround(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first_dim"),
+        pround(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first_dim"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, tokens
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -92,9 +93,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_chars_raw, n_tokens, n_stopwords, n_unique_tokens,
-           round(CAST(n_chars_raw AS DOUBLE) / n_tokens, 4)       AS avg_token_len,
-           round(CAST(n_stopwords AS DOUBLE) / n_tokens, 4)       AS stopword_ratio,
-           round(CAST(n_unique_tokens AS DOUBLE) / n_tokens, 4)   AS unique_ratio,
+           floor((CAST(n_chars_raw AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0       AS avg_token_len,
+           floor((CAST(n_stopwords AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0       AS stopword_ratio,
+           floor((CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0   AS unique_ratio,
            (n_tokens >= 20 AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.2) AS passes_quality
     FROM feat
     """,
@@ -123,9 +124,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feat.select(
         "*",
-        F.round(F.col("n_chars_raw").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
-        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(F.col("n_unique_tokens").cast("double") / F.col("n_tokens"), 4).alias("unique_ratio"),
+        pround(F.col("n_chars_raw").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        pround(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        pround(F.col("n_unique_tokens").cast("double") / F.col("n_tokens"), 4).alias("unique_ratio"),
         (
             (F.col("n_tokens") >= 20)
             & (F.col("n_unique_tokens").cast("double") / F.col("n_tokens") >= 0.2)
@@ -141,7 +142,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) AS total_ws_tokens,
            sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)) AS total_word_tokens,
            sum(CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT))        AS total_number_tokens,
-           round(avg(CAST(len({_DUCK_TOKENS}) AS BIGINT)), 4) AS avg_tokens_per_doc
+           floor((avg(CAST(len({_DUCK_TOKENS}) AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens_per_doc
     FROM documents
     GROUP BY source
     """,
@@ -166,7 +167,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("word_tokens").alias("total_word_tokens"),
         F.sum("number_tokens").alias("total_number_tokens"),
-        F.round(F.avg("ws_tokens"), 4).alias("avg_tokens_per_doc"),
+        pround(F.avg("ws_tokens"), 4).alias("avg_tokens_per_doc"),
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -31,7 +32,7 @@ def _charge_udf(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
     "pandas_udf_charge",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge
     FROM lineitem
     WHERE l_orderkey <= 200
     """,
@@ -45,7 +46,7 @@ def pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(_charge_udf("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
+        pround(_charge_udf("l_extendedprice", "l_discount", "l_tax"), 2).alias("charge"),
     )
 
 
@@ -69,7 +70,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "applyinpandas_zscore",
     oracle="""
     SELECT event_id, event_type,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+           floor(((value - avg(value) OVER w) / stddev_samp(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS z
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     """,
@@ -84,4 +85,4 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = e.groupBy("event_type").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
-    return out.select("event_id", "event_type", F.round("z", 6).alias("z"))
+    return out.select("event_id", "event_type", pround("z", 6).alias("z"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -50,10 +51,10 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           floor((sum(o_totalprice) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_total
     FROM orders
     """,
     doc="Running (cumulative) sum per customer — explicit ROWS frame.",
@@ -69,7 +70,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        pround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
 
 
@@ -77,9 +78,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_delta",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(o_totalprice - lag(o_totalprice) OVER (
+           floor((o_totalprice - lag(o_totalprice) OVER (
              PARTITION BY o_custkey
-             ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS price_delta
+             ORDER BY o_orderdate ASC, o_orderkey ASC)) * 100.0 + 0.5) / 100.0 AS price_delta
     FROM orders
     """,
     doc="Offset function (lag) — order-over-order price delta per customer; "
@@ -92,7 +93,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+        pround(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
     )
 
 
@@ -104,7 +105,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank() OVER w AS drnk,
            ntile(4)     OVER (PARTITION BY o_orderstatus
                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank
+           floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
     """,
@@ -123,7 +124,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(wt).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 
@@ -131,12 +132,12 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_share_of_total",
     oracle="""
     WITH rev AS (
-      SELECT c_nationkey AS nationkey, round(sum(o_totalprice), 2) AS nation_rev
+      SELECT c_nationkey AS nationkey, floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS nation_rev
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey
     )
     SELECT nationkey, nation_rev,
-           round(nation_rev / sum(nation_rev) OVER (), 6) AS rev_share
+           floor((nation_rev / sum(nation_rev) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS rev_share
     FROM rev
     """,
     doc="Share-of-total: per-group aggregate divided by an unpartitioned "
@@ -151,13 +152,13 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+        .agg(pround(F.sum("o_totalprice"), 2).alias("nation_rev"))
     )
     w = Window.partitionBy()
     return rev.select(
         "nationkey",
         "nation_rev",
-        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
+        pround(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
     )
 
 
