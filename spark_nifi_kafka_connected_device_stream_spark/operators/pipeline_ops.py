@@ -136,7 +136,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a < doc_b)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()  # reused every iteration; cut the LSH lineage
     # labels start as self; propagate min over neighbors until stable
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
@@ -153,6 +153,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
+            # iterative algorithms must truncate lineage per round, or the
+            # unrolled join tree grows unbounded (66 shuffles at 10 rounds)
+            .localCheckpoint()
         )
         if new_labels.exceptAll(labels).isEmpty():
             labels = new_labels
