@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
     "spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops",
     "spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.cohorts",
 )
 
 
