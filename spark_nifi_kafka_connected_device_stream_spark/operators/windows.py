@@ -129,6 +129,45 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_moving_avg_range",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus,
+             date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS day_idx,
+             floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, day_idx, day_total,
+           floor((avg(day_total) OVER (PARTITION BY o_orderstatus
+                                       ORDER BY day_idx
+                                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0
+             AS ma7
+    FROM daily
+    """,
+    doc="7-day moving average via a RANGE window frame over a day index "
+        "(value-based frame: gaps in the calendar shrink the window, "
+        "unlike a ROWS frame). Runs over the daily AGGREGATE, partitioned "
+        "by status — two narrow shuffles.",
+    tags=("window", "timeseries"),
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderstatus",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(pround(F.sum("o_totalprice"), 2).alias("day_total"))
+    w = Window.partitionBy("o_orderstatus").orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "o_orderstatus",
+        "day_idx",
+        "day_total",
+        pround(F.avg("day_total").over(w), 4).alias("ma7"),
+    )
+
+
+@register(
     "window_share_of_total",
     oracle="""
     WITH rev AS (
