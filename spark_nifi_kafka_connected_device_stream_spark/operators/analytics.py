@@ -188,16 +188,19 @@ def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_collect_ops",
     oracle="""
     SELECT n_nationkey AS nationkey,
-           list_sort(list(DISTINCT c_mktsegment))      AS segments,
-           len(list(DISTINCT c_mktsegment))            AS n_segments,
-           list_sort(list(c_custkey))[1:3]             AS first3_custkeys,
-           CAST(len(list(c_custkey)) AS BIGINT)        AS n_customers
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')   AS segments,
+           len(list(DISTINCT c_mktsegment))                               AS n_segments,
+           array_to_string(list_sort(list(c_custkey))[1:3], ',')          AS first3_custkeys,
+           CAST(len(list(c_custkey)) AS BIGINT)                           AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_nationkey
     """,
     doc="Collection aggregation: collect_set/collect_list with "
         "deterministic ordering (array_sort — collection order is "
-        "otherwise partition-dependent), slicing, cardinality.",
+        "otherwise partition-dependent), slicing, cardinality. Array "
+        "outputs are serialized to ','-joined strings in BOTH engines: "
+        "the driver's canonicalizer hashes rows via pandas and raw "
+        "list cells are unhashable.",
     tags=("agg", "array"),
 )
 def array_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,9 +210,12 @@ def array_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_nationkey").alias("nationkey"))
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
-            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 3).alias("first3_custkeys"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_custkey")), 1, 3).cast("array<string>"),
+                ",",
+            ).alias("first3_custkeys"),
             F.count("c_custkey").alias("n_customers"),
         )
     )
@@ -303,10 +309,10 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_case_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'

@@ -16,11 +16,18 @@ arithmetic both engines reproduce bit-for-bit — so every operator here
 has an exact DuckDB oracle, value-checked, not just row-counted.
 
 Scale notes: nothing here does an all-pairs cross join.  The Jaccard
-join is inverted-index-pruned; MinHash-LSH cost is O(docs × perms) plus
-a self-join on band buckets (skew-prone hot buckets would be salted /
-frequency-capped at real scale — a cap on bucket size is the standard
-production mitigation and is noted in the docstring, not applied at
-test SF).
+join is inverted-index-pruned AND document-frequency-capped: shingles
+appearing in more than MAX_SHINGLE_DF documents (stopword-like
+boilerplate) are dropped before the self-join, bounding any one
+shingle's contribution to df² pairs.  MinHash-LSH band buckets larger
+than MAX_BUCKET_SIZE are likewise dropped before the bucket self-join
+(a bucket that hot is mass-duplicated boilerplate; exact dedup handles
+it far cheaper).  Both caps are mirrored verbatim in the DuckDB
+oracles, so the operators stay value-checked WITH the caps in the
+plan.  At the test SFs the organic maxima (df 25, bucket ≲ 10 at
+sf0.1) sit far below the caps, so the caps only fire on genuinely
+pathological keys — `tests/test_quality.py` proves they fire on
+synthetic hot-key corpora.
 """
 
 from __future__ import annotations
@@ -36,6 +43,12 @@ from ..sources.catalog import load_table
 N_PERM = 12
 BAND_ROWS = 3
 N_BANDS = N_PERM // BAND_ROWS  # 4 bands of 3 rows → s-curve threshold ≈ 0.63
+
+# Hot-key frequency caps (see module docstring).  Both are far above the
+# organic maxima at the test SFs, so they bound the worst case without
+# changing results on non-pathological data.
+MAX_SHINGLE_DF = 64     # drop shingles present in > this many documents
+MAX_BUCKET_SIZE = 64    # drop LSH band-buckets holding > this many docs
 
 # DuckDB-side building blocks (mirror functions/textfns.py exactly)
 _DUCK_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
@@ -55,18 +68,57 @@ def _documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct 3-word shingles.
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded distinct 3-word shingles of a documents
+    DataFrame (injectable for tests).
 
     Tokens are bound to a column before `shingles()` — its transform
     lambda slices the token array per element, and a lambda over an
     expression subtree re-evaluates the subtree per element (same trap
     as text_winnowing_fingerprints; column attributes evaluate once)."""
-    d = _documents_parallel(spark, sf_dir)
-    toks = d.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
+    toks = docs.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
     return toks.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("tk")))).alias("shingle")
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(_documents_parallel(spark, sf_dir))
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df`.
+
+    The hot set (shingles above the cap) is by construction tiny — it is
+    broadcast and removed with a left-anti join, so the mitigation itself
+    adds no extra shuffle of the big table beyond the df aggregation.
+    A shingle with df = d contributes O(d²) candidate pairs to the
+    inverted-index self-join; capping df bounds any single shingle's
+    contribution to MAX_SHINGLE_DF² regardless of corpus size."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def cap_hot_buckets(bands: DataFrame, max_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+    """Drop LSH band-buckets holding more than `max_size` documents.
+
+    A bucket of size n yields n·(n-1)/2 candidate pairs; one
+    mass-duplicated boilerplate bucket at 100 TB would otherwise emit
+    billions of pairs through the self-join.  Docs that hot are exact or
+    near-exact duplicates — `dedup_exact` already catches them at hash
+    cost.  The hot-bucket set is tiny → broadcast left-anti join."""
+    hot = (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_size)
+        .select("band_id", "bucket")
+    )
+    return bands.join(F.broadcast(hot), ["band_id", "bucket"], "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +163,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH shing AS (
+    WITH shing0 AS (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), freq AS (
+      SELECT shingle, count(*) AS df FROM shing0 GROUP BY shingle
+    ), shing AS (
+      SELECT s.doc_id, s.shingle FROM shing0 s JOIN freq USING (shingle)
+      WHERE df <= {MAX_SHINGLE_DF}
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
     ), inter AS (
@@ -129,16 +186,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via "
         "inverted-index self-join — only pairs sharing ≥1 shingle are "
-        "materialized (11.5k of 125k possible pairs at sf0.01). Ground "
-        "truth for the MinHash recall test.",
+        "materialized (11.5k of 125k possible pairs at sf0.01), with a "
+        f"document-frequency cap (df > {MAX_SHINGLE_DF} dropped, mirrored "
+        "in the oracle) bounding hot-shingle blowup. Ground truth for the "
+        "MinHash recall test.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle table feeds 3 plan branches (both join sides + sizes);
-    # persist it once instead of recomputing tokenize+hash per branch.
-    # At 100 TB the equivalent is materializing the inverted index to
-    # parquet once and reusing it across dedup tiers.
-    sh = _doc_shingles(spark, sf_dir).persist()
+    # the capped shingle table feeds 3 plan branches (both join sides +
+    # sizes); materialize it once via an eager localCheckpoint instead of
+    # recomputing tokenize+hash per branch.  localCheckpoint (not
+    # persist) so the blocks are reclaimed by the ContextCleaner when the
+    # result is dropped — the driver runs ~90 queries in one session and
+    # an unreleased persist() accumulates across all of them.  At 100 TB
+    # the equivalent is materializing the inverted index to parquet once
+    # and reusing it across dedup tiers.
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir)).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -224,16 +287,25 @@ _DUCK_SIGS = f"""
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH {_DUCK_SIGS}
+    WITH {_DUCK_SIGS},
+    bucket_sizes AS (
+      SELECT band_id, bucket, count(*) AS n FROM bands GROUP BY band_id, bucket
+    ), capped AS (
+      SELECT b.doc_id, b.band_id, b.bucket
+      FROM bands b JOIN bucket_sizes s USING (band_id, bucket)
+      WHERE s.n <= {MAX_BUCKET_SIZE}
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
     doc="MinHash-LSH candidate pairs: 12 portable-md5 permutations, 4 bands "
         "× 3 rows (s-curve threshold ≈ 0.63), pairs sharing any band bucket. "
         "THE fuzzy-dedup plan that survives 100 TB: cost is O(docs×perms) + "
-        "a band-bucket equi-join; at production scale hot buckets get "
-        "frequency-capped. Recall vs exact Jaccard asserted in tests.",
+        "a band-bucket equi-join with hot buckets frequency-capped "
+        f"(> {MAX_BUCKET_SIZE} docs dropped, mirrored in the oracle) so no "
+        "bucket contributes more than MAX_BUCKET_SIZE² pairs. Recall vs "
+        "exact Jaccard asserted in tests.",
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,13 +318,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
+    # localCheckpoint (not persist): feeds the hot-bucket agg and both
+    # join sides; blocks are GC-reclaimed after the driver drops the
+    # result (see dedup_ngram_jaccard for the rationale)
     bands = (
         sigs.select("doc_id", F.explode(band_structs).alias("bb"))
         .select("doc_id", "bb.band_id", "bb.bucket")
-        .persist()  # tiny (docs × N_BANDS rows); feeds both join sides
+        .localCheckpoint(eager=True)
     )
-    a = bands.alias("a")
-    b_ = bands.alias("b")
+    capped = cap_hot_buckets(bands)
+    a = capped.alias("a")
+    b_ = capped.alias("b")
     return (
         a.join(
             b_,

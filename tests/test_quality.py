@@ -97,3 +97,52 @@ def test_lsh_buckets_recall_for_near_pairs(spark):
         return
     hams = [bin(buckets[r["vec_a"]] ^ buckets[r["vec_b"]]).count("1") for r in pairs]
     assert sum(hams) / len(hams) <= 4.0
+
+
+def test_hot_shingle_df_cap_fires(spark):
+    """A boilerplate shingle present in every doc of a synthetic corpus
+    must be dropped by cap_shingle_df, bounding the inverted-index join
+    input; organic shingles survive."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        cap_shingle_df, shingles_of,
+    )
+
+    n_docs = 80
+    docs = spark.createDataFrame(
+        [(i, f"common boilerplate header unique{i} word{i} tail{i} end") for i in range(n_docs)],
+        "doc_id int, text string",
+    )
+    sh = shingles_of(docs)
+    capped = cap_shingle_df(sh, max_df=64)
+    max_df = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= 64
+    # the hot shingle appears in all 80 docs and must be gone
+    hot = capped.filter(F.col("shingle") == "common boilerplate header").count()
+    assert hot == 0
+    # per-doc unique shingles survive
+    assert capped.count() > 0
+
+
+def test_lsh_hot_bucket_cap_fires(spark):
+    """A band-bucket larger than the cap (mass-duplicated boilerplate)
+    is dropped before the self-join; normal buckets survive."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import cap_hot_buckets
+
+    rows = [(i, 0, "hotbucket") for i in range(100)] + [
+        (1000 + i, 0, f"cold{i % 10}") for i in range(30)
+    ]
+    bands = spark.createDataFrame(rows, "doc_id int, band_id int, bucket string")
+    capped = cap_hot_buckets(bands, max_size=64)
+    assert capped.filter(F.col("bucket") == "hotbucket").count() == 0
+    assert capped.filter(F.col("bucket").startswith("cold")).count() == 30
+
+
+def test_dedup_query_paths_leave_no_persisted_blocks(spark):
+    """The dedup operators materialize intermediates via localCheckpoint,
+    not persist(): the catalog cache-manager must stay empty so the
+    driver's ~90-query session doesn't accumulate cached blocks."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        df = SPECS[name].fn(spark, SF_SMALL)
+        df.count()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "query path left entries in the cache manager"
