@@ -21,39 +21,105 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation with a random-ish salt derived from a
     stable row hash (deterministic — no rand(), so plans are
     replayable).  `aggs` maps output column name → DECOMPOSABLE
-    aggregate expression over the input (count/sum/min/max).  The
-    second phase re-aggregates the partials with sum/min/max by name
-    convention: pass the merge fn via the expression's type.
+    aggregate: either `(partial_expr, merge)` with merge in
+    {"sum", "min", "max"}, or a bare Column for the common
+    sum-mergeable cases (count/sum partials both merge by sum).
+    The merge function is declared by the caller — nothing is
+    inferred from the expression tree (plan-string parsing breaks
+    under Spark Connect and misreads wrapped expressions).
 
     Usage:
-        salted_agg(df, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")})
+        salted_agg(df, ["k"], {
+            "n": F.count(F.lit(1)),           # bare Column → merge=sum
+            "s": F.sum("v"),
+            "lo": (F.min("v"), "min"),
+            "hi": (F.max("v"), "max"),
+        })
     """
+    normalized: dict[str, tuple[Column, str]] = {}
+    for name, spec in aggs.items():
+        expr, merge = spec if isinstance(spec, tuple) else (spec, "sum")
+        if merge not in _MERGE_FNS:
+            raise ValueError(f"salted_agg merge must be one of {sorted(_MERGE_FNS)}: {merge!r}")
+        normalized[name] = (expr, merge)
     salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
-        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"_p_{name}") for name, (expr, _) in normalized.items()]
     )
-    merged = []
-    for name, expr in aggs.items():
-        fn_name = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001
-        partial = F.col(f"_p_{name}")
-        if fn_name.startswith("count") or fn_name.startswith("sum"):
-            merged.append(F.sum(partial).alias(name))
-        elif fn_name.startswith("min"):
-            merged.append(F.min(partial).alias(name))
-        elif fn_name.startswith("max"):
-            merged.append(F.max(partial).alias(name))
-        else:
-            raise ValueError(f"non-decomposable aggregate for salted_agg: {fn_name}")
+    merged = [
+        _MERGE_FNS[merge](F.col(f"_p_{name}")).alias(name)
+        for name, (_, merge) in normalized.items()
+    ]
     return phase1.groupBy(*keys).agg(*merged)
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL `ntile(n) OVER (ORDER BY ...)` WITHOUT the single-task
+    global sort an unpartitioned window forces.
+
+    Plan: range-repartition on the order key (parallel sort), row_number
+    WITHIN each range partition, then add broadcast per-partition offsets
+    to get exact global ranks; the tile is pure arithmetic on the rank.
+    The only unpartitioned work is the running-sum window over the
+    per-partition COUNTS — num_partitions rows of metadata, constant-size
+    at any data scale.  Matches SQL ntile bit-for-bit (first N%n tiles
+    get the extra row) provided `order_cols` is a total order — callers
+    must tie-break to uniqueness, or ranks (and thus tiles) are
+    engine-dependent.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    from pyspark.sql import Window
+
+    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(running), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(everything).alias("_total"),
+    )
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)) + F.col("_off")
+    ranked = part.join(F.broadcast(offsets), "_pid").withColumn("_rn", rn)
+    # SQL ntile: with N rows, q = N div n, r = N mod n — the first r
+    # tiles hold q+1 rows, the rest q.  All exact integer math via
+    # `div`; CASE branches evaluate lazily, so the `div q` arm is never
+    # reached when q = 0 (every row then satisfies _rn <= r·(q+1) = N).
+    q = F.expr(f"_total div {n}")
+    r = F.col("_total") % n
+    tile = F.when(
+        F.col("_rn") <= r * (q + 1),
+        F.expr(f"(_rn - 1) div (_total div {n} + 1) + 1"),
+    ).otherwise(
+        F.expr(
+            f"_total % {n} + (_rn - (_total % {n}) * (_total div {n} + 1) - 1)"
+            f" div (_total div {n}) + 1"
+        )
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_pid", "_off", "_total", "_rn")
 
 
 def write_bucketed(

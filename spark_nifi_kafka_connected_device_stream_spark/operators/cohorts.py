@@ -107,27 +107,26 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rfm
     """,
     doc="RFM segmentation: per-customer recency/frequency/monetary with "
-        "quartile scores. The ntile windows are global but run over the "
-        "AGGREGATED customer table (1 row per customer), not the fact "
-        "table — at extreme customer cardinality switch to approx "
-        "percentile cutpoints + a join.",
+        "quartile scores. Quartiles are EXACT ntile(4) semantics computed "
+        "scale-safely by functions/scale.global_ntile: range-repartition + "
+        "per-partition row_number + broadcast offsets — no unpartitioned "
+        "data window, so 10⁹ customers never funnel through one task. The "
+        "DuckDB oracle keeps plain ntile; the tie-broken total order makes "
+        "the two bit-identical.",
     tags=("agg", "cohort", "window"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         pround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    wr = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    rfm = global_ntile(rfm, 4, [F.desc("last_order"), F.asc("custkey")], "r_quartile")
+    rfm = global_ntile(rfm, 4, [F.desc("frequency"), F.asc("custkey")], "f_quartile")
+    rfm = global_ntile(rfm, 4, [F.desc("monetary"), F.asc("custkey")], "m_quartile")
     return rfm.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        "custkey", "frequency", "monetary", "r_quartile", "f_quartile", "m_quartile"
     )

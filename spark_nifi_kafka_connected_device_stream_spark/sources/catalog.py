@@ -47,8 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # save/restore: the flag is consulted at read() time (schema capture),
+    # not at execution, so scoping it here keeps later parquet reads in
+    # the same session from silently seeing TIMESTAMP(NANOS) as bigint
+    flag = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(flag, None)
+    spark.conf.set(flag, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.unset(flag) if prev is None else spark.conf.set(flag, prev)
     if dict(df.dtypes).get("ts") == "bigint":
         tz = spark.conf.get("spark.sql.session.timeZone")
         # ts_us: the ORIGINAL stored epoch micros, for operators that

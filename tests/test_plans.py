@@ -75,3 +75,47 @@ def test_broadcast_threshold_respected_for_fact_join(spark):
     # (at sf0.001 AQE may still broadcast; this documents the check, so
     # just assert the plan builds and runs)
     assert joined.count() > 0
+
+
+def test_rfm_has_no_unpartitioned_data_window(spark):
+    """customer_rfm_segments must not sort the per-customer table through
+    one task: every window over DATA rows is partitioned by _pid (the
+    range-partition id from global_ntile). The only permitted
+    unpartitioned windows are the running-offset sums over per-partition
+    COUNTS — constant-size metadata at any scale — recognizable by
+    operating on the _cnt aggregate."""
+    import re
+
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["customer_rfm_segments"].fn(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "ntile(" not in text  # replaced by arithmetic on exact ranks
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", text):
+        assert "_pid" in spec.split("ASC")[0], f"unpartitioned row_number: {spec}"
+
+
+def test_global_ntile_matches_sql_ntile_all_remainders(spark):
+    """Exact ntile parity across every N mod n remainder class, including
+    N < n (empty-tail tiles)."""
+    from pyspark.sql import Window
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import global_ntile
+
+    for n_rows in (3, 8, 9, 10, 11, 101):
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 37 % 100).alias("v")
+        )
+        expected = {
+            (r["id"],): r["t"]
+            for r in df.select(
+                "id", F.ntile(4).over(Window.orderBy(F.desc("v"), F.asc("id"))).alias("t")
+            ).collect()
+        }
+        got = {
+            (r["id"],): r["t"]
+            for r in global_ntile(
+                df, 4, [F.desc("v"), F.asc("id")], "t", num_partitions=5
+            ).collect()
+        }
+        assert got == expected, f"n_rows={n_rows}"
