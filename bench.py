@@ -38,8 +38,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "similarity_lsh_buckets",
+    "embedding_near_dup_pairs",
     "text_quality_score",
     "text_token_stats",
     "text_winnowing_fingerprints",
