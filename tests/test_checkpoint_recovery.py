@@ -69,3 +69,54 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
         for s in ("desktop", "mobile-web", "mobile-app"):
             expected[(minute, s)] = n
     assert got == expected
+
+
+def test_parquet_sink_exactly_once_after_midstream_kill(spark, tmp_path):
+    """Hard failure injection: the first query is stopped WHILE batches
+    are still pending (not at a processAllAvailable quiesce point), so
+    in-flight work is aborted and uncommitted sink files may be left on
+    disk. The restarted query must converge to every finalized window
+    exactly once — the file sink's _spark_metadata commit log is the
+    exactly-once mechanism under test (only committed files are read)."""
+    import time
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    chk_dir = str(tmp_path / "chk")
+
+    # 6 single-file triggers: three windows of data + watermark pushers
+    _write_file(in_dir, "b1.json", [e[2] for e in _mk_events(0, 45)])
+    _write_file(in_dir, "b2.json", [e[2] for e in _mk_events(0, 45, start_i=45)])
+    _write_file(in_dir, "b3.json", [e[2] for e in _mk_events(5, 30, start_i=90)])
+    _write_file(in_dir, "b4.json", [e[2] for e in _mk_events(5, 30, start_i=120)])
+    _write_file(in_dir, "b5.json", [e[2] for e in _mk_events(11, 30, start_i=150)])
+    _write_file(in_dir, "b6.json", [e[2] for e in _mk_events(20, 30, start_i=999)])
+
+    q1 = _start(spark, in_dir, out_dir, chk_dir)
+    try:
+        # kill as soon as at least one batch has committed, while later
+        # triggers are still queued — an abrupt stop, not a clean drain
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in (q1.recentProgress or [])):
+                break
+            time.sleep(0.05)
+    finally:
+        q1.stop()
+
+    q2 = _start(spark, in_dir, out_dir, chk_dir)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out_dir).collect()
+    keyed = Counter((r["start"].strftime("%H:%M"), r["source"]) for r in rows)
+    dupes = {k: c for k, c in keyed.items() if c > 1}
+    assert not dupes, f"duplicate window emissions after mid-stream kill: {dupes}"
+    got = {k: n for k, n in (((r["start"].strftime("%H:%M"), r["source"]), r["source_number"]) for r in rows)}
+    expected = {}
+    for minute, n in (("10:00", 30), ("10:05", 20), ("10:10", 10)):
+        for s in ("desktop", "mobile-web", "mobile-app"):
+            expected[(minute, s)] = n
+    assert got == expected, f"holes/mismatch after restart: {got}"
