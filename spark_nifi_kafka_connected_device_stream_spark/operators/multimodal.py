@@ -128,10 +128,10 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     oracle=f"""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           list_transform(generate_series(1, {_N_FRAMES}),
+           array_to_string(list_transform(generate_series(1, {_N_FRAMES}),
              i -> CASE WHEN (i - 1) * {_FRAME_STRIDE} + 1 <= length(text)
                        THEN CAST(ascii(substr(text, (i - 1) * {_FRAME_STRIDE} + 1, 1)) AS BIGINT)
-                       ELSE CAST(-1 AS BIGINT) END) AS frames
+                       ELSE CAST(-1 AS BIGINT) END), ',') AS frames
     FROM documents
     """,
     doc="Audio/video frame-sampling stub over the binary payload: every "
@@ -143,7 +143,14 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
-    return b.mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+    frames = b.mapInPandas(_frame_sample_batches, schema=_FRAME_SCHEMA)
+    # the Arrow batch boundary carries a real array<bigint>; the registered
+    # output serializes it (driver canonicalizer can't hash list cells)
+    return frames.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(F.col("frames").cast("array<string>"), ",").alias("frames"),
+    )
 
 
 @register(

@@ -237,14 +237,14 @@ _WINNOW_W = 4  # winnowing window over consecutive shingle hashes
       FROM documents
     )
     SELECT doc_id,
-           CASE
+           array_to_string(CASE
              WHEN len(hashes) >= {_WINNOW_W} THEN
                list_sort(list_distinct(list_transform(
                  generate_series(1, len(hashes) - {_WINNOW_W - 1}),
                  i -> list_aggregate(hashes[i:i+{_WINNOW_W - 1}], 'min'))))
              WHEN len(hashes) > 0 THEN [list_aggregate(hashes, 'min')]
              ELSE CAST([] AS VARCHAR[])
-           END AS fingerprints
+           END, ',') AS fingerprints
     FROM sh
     """,
     doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): "
@@ -287,8 +287,14 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("windows"),
     )
+    # serialized to a ','-joined string: the driver canonicalizer hashes
+    # rows via pandas and raw list cells are unhashable (same contract
+    # as array_collect_ops)
     return windowed.select(
-        "doc_id", F.array_sort(F.array_distinct(F.col("windows"))).alias("fingerprints")
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.col("windows"))), ",").alias(
+            "fingerprints"
+        ),
     )
 
 
