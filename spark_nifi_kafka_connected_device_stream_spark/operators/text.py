@@ -139,9 +139,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) AS total_ws_tokens,
-           sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)) AS total_word_tokens,
-           sum(CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT))        AS total_number_tokens,
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_word_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)        AS total_number_tokens,
            floor((avg(CAST(len({_DUCK_TOKENS}) AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens_per_doc
     FROM documents
     GROUP BY source

@@ -28,20 +28,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's per-round correctness gate checks only the
 # FIRST 50 registry entries.  Round 1 verified relational/analytics/
-# windows (its first 50); round 2 leads with the flagship events module
-# and the LLM-pipeline extension surface (35 queries) so every query has
-# a driver-verified row across the two rounds.
+# windows (its first 50); round 2 led with events + the LLM-pipeline
+# extension surface.  Round 3 leads with windows (its last two queries,
+# lateral_top_order_per_customer / window_first_last, sat at indices
+# 59-60 and were never inside any round's window), then text (re-check
+# of the fixed text_token_stats oracle), then the modules that gained
+# new round-3 queries (similarity / pipeline_ops), then the rest of the
+# extension surface for continuity.
 _OPERATOR_MODULES = (
-    "spark_nifi_kafka_connected_device_stream_spark.operators.events",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.similarity",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
     "spark_nifi_kafka_connected_device_stream_spark.operators.text",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.similarity",
     "spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
     "spark_nifi_kafka_connected_device_stream_spark.operators.cohorts",
     "spark_nifi_kafka_connected_device_stream_spark.operators.analytics",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
     "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
 )
 

@@ -66,6 +66,31 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
 
 
+# DuckDB output types the driver canonicalizer does not hash stably:
+# HUGEINT/UHUGEINT/DECIMAL are rendered as float before hashing (so
+# `1435` hashes differently from Spark's `1435`), and LIST/STRUCT crash
+# it (`unhashable type: 'list'`).  sum(BIGINT) returns HUGEINT in
+# DuckDB, so every integral aggregate must be CAST(sum(...) AS BIGINT)
+# on the OUTSIDE.  This killed q12 (round 1) and text_token_stats
+# (round 2); this test makes the class structurally impossible.
+_UNSTABLE_TYPE_MARKERS = ("HUGEINT", "UHUGEINT", "DECIMAL", "[]", "STRUCT(", "MAP(")
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_output_types_hash_stable(duck, name):
+    rel = duck.sql(SPECS[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(m in str(t).upper() for m in _UNSTABLE_TYPE_MARKERS)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits driver-unhashable DuckDB types {bad}; "
+        "CAST the aggregate to BIGINT/DOUBLE outside the sum(), or "
+        "serialize arrays with array_to_string on both sides"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
 def test_rows_only_queries_run(spark, name):
     spec = SPECS[name]
