@@ -193,15 +193,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the capped shingle table feeds 3 plan branches (both join sides +
-    # sizes); materialize it once via an eager localCheckpoint instead of
-    # recomputing tokenize+hash per branch.  localCheckpoint (not
-    # persist) so the blocks are reclaimed by the ContextCleaner when the
-    # result is dropped — the driver runs ~90 queries in one session and
-    # an unreleased persist() accumulates across all of them.  At 100 TB
-    # the equivalent is materializing the inverted index to parquet once
-    # and reusing it across dedup tiers.
-    sh = cap_shingle_df(_doc_shingles(spark, sf_dir)).localCheckpoint(eager=True)
+    # Materialize the RAW shingle table once (eager localCheckpoint),
+    # BEFORE the df cap: the cap itself needs two reads of the shingles
+    # (the df aggregation + the anti-join probe), and checkpointing after
+    # the cap would run the tokenize+shingle explosion — the expensive
+    # part — twice.  From the checkpointed blocks, the cap's df agg and
+    # the three downstream consumers (sizes + both join sides) are all
+    # cheap re-scans; the broadcast anti-join is map-only.
+    # localCheckpoint (not persist) so the blocks are reclaimed by the
+    # ContextCleaner when the result is dropped — the driver runs ~90
+    # queries in one session and an unreleased persist() accumulates
+    # across all of them.  At 100 TB the equivalent is materializing the
+    # inverted index to parquet once and reusing it across dedup tiers.
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

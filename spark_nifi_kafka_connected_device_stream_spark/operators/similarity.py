@@ -229,6 +229,129 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded hyperplane LSH for the near-dup pipeline (OR-amplification).
+# 32 deterministic planes = 8 bands x 4 sign bits: a pair is a candidate
+# iff it matches in ANY band — the same band/bucket shape as
+# dedup_minhash_lsh, tuned for the cosine threshold in play.  At the
+# fixture's deliberately-low 0.45 threshold (p = 1 - acos(s)/pi ~ 0.65)
+# this recalls ~0.77-0.93 of true pairs while scanning ~0.41 of all
+# pairs; at a production threshold of 0.7+ the identical shape prunes
+# ~10x.  Parameters are constants so the DuckDB oracle embeds the same
+# plane literals.
+_NB_BANDS = 8
+_NB_ROWS = 4
+_NB_PLANES = _hyperplanes(_NB_BANDS * _NB_ROWS)  # first 8 rows == _PLANES
+
+
+def _plane_dot(emb: F.Column, row: list[float]) -> F.Column:
+    plane = F.array(*[F.lit(x) for x in row])
+    return F.aggregate(
+        F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_band_bucket(band: int) -> str:
+    terms = []
+    for r in range(_NB_ROWS):
+        row = _NB_PLANES[band * _NB_ROWS + r]
+        dp = (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({_duck_plane_literal(row)})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dp} > 0 THEN {2 ** r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_DUCK_NB_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_id, {_duck_band_bucket(b)} AS bucket FROM embeddings"
+    for b in range(_NB_BANDS)
+)
+
+
+@register(
+    "embedding_near_dup_bucketed",
+    oracle=f"""
+    WITH bands AS (
+      {_DUCK_NB_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           floor(({_DUCK_COS}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand
+    JOIN embeddings q ON q.vec_id = vec_a
+    JOIN embeddings c ON c.vec_id = vec_b
+    WHERE {_DUCK_COS} >= 0.45
+    """,
+    doc="The production-shaped near-dup plan end-to-end: banded hyperplane "
+        "LSH (8 bands x 4 sign bits) -> candidate pairs from any matching "
+        "band bucket -> exact within-candidate cosine >= 0.45.  Replaces "
+        "embedding_near_dup_pairs' O(n^2) join with a band-bucket equi-join "
+        "+ a join-back on vec_id: every stage is linear or equi-partitioned, "
+        "so the plan survives 100 TB.  Recall vs the exact baseline is "
+        "gated in tests/test_quality.py.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    band_structs = []
+    for b in range(_NB_BANDS):
+        bucket = None
+        for r in range(_NB_ROWS):
+            dp = _plane_dot(F.col("embedding"), _NB_PLANES[b * _NB_ROWS + r])
+            term = F.when(dp > 0, F.lit(2 ** r)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), bucket.cast("bigint").alias("bucket"))
+        )
+    # slim (vec_id, band_id, bucket) table, materialized once: it feeds
+    # both sides of the candidate self-join, and the 32 plane-dot HOFs
+    # are the expensive part (localCheckpoint, not persist — see dedup)
+    bands = (
+        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("vec_id", "bb.band_id", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # join the full vectors back by key (equi-join on vec_id — at scale
+    # both sides co-partition; AQE broadcasts the small side here)
+    emb = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm"))
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("raw_sim", sim)
+        .filter(F.col("raw_sim") >= 0.45)
+        .select("vec_a", "vec_b", pround("raw_sim", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

@@ -99,6 +99,29 @@ def test_lsh_buckets_recall_for_near_pairs(spark):
     assert sum(hams) / len(hams) <= 4.0
 
 
+def test_bucketed_near_dup_recall_and_exactness(spark):
+    """The banded-LSH near-dup plan must (a) return a SUBSET of the exact
+    all-pairs result with identical similarities — candidates are
+    exact-filtered, so no false positives — and (b) recall most true
+    pairs.  With 8 bands x 4 sign bits at the deliberately-hostile 0.45
+    threshold (p ~ 0.65), deterministic recall measures 0.93 at sf0.01;
+    gate at 0.85."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SPECS["embedding_near_dup_pairs"].fn(spark, SF_MEDIUM).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SPECS["embedding_near_dup_bucketed"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert exact, "exact near-dup ground truth is empty — fixture changed?"
+    assert set(bucketed) <= set(exact), "bucketed result contains non-near-dup pairs"
+    for pair, sim in bucketed.items():
+        assert sim == exact[pair], f"{pair}: sim {sim} != exact {exact[pair]}"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.85, f"bucketed recall {recall:.2%} over {len(exact)} true pairs"
+
+
 def test_hot_shingle_df_cap_fires(spark):
     """A boilerplate shingle present in every doc of a synthetic corpus
     must be dropped by cap_shingle_df, bounding the inverted-index join
