@@ -119,15 +119,54 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tokens.groupBy("source").applyInPandas(_pack_group, schema=_PACK_SCHEMA)
 
 
+def _dedup_clusters_oracle() -> str:
+    """Connected components in ANSI SQL: transitive closure via a
+    recursive CTE over the SAME capped LSH pairs the Spark side uses
+    (SQL fragments imported from operators.dedup so the two stay in
+    lockstep), then cluster_id = min reachable node.  Set-semantics
+    UNION makes the recursion terminate and the result deterministic,
+    so the driver can value-check what was previously rows-only."""
+    from .dedup import _DUCK_SIGS, MAX_BUCKET_SIZE
+
+    return f"""
+    WITH RECURSIVE {_DUCK_SIGS},
+    bucket_sizes AS (
+      SELECT band_id, bucket, count(*) AS n FROM bands GROUP BY band_id, bucket
+    ), capped AS (
+      SELECT b.doc_id, b.band_id, b.bucket
+      FROM bands b JOIN bucket_sizes s USING (band_id, bucket)
+      WHERE s.n <= {MAX_BUCKET_SIZE}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT doc_a, doc_a FROM edges
+      UNION
+      SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+    )
+    SELECT src AS doc_id,
+           min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+    """
+
+
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint; verified against union-find in pytest
+    oracle=_dedup_clusters_oracle(),
     doc="Near-dup cluster resolution: connected components over the "
         "MinHash-LSH candidate pairs via min-label propagation iterated to "
         "fixpoint (the DataFrame form of large-scale CC; converges in "
-        "O(diameter) joins — near-dup clusters are tiny, so 2-4 rounds). "
+        "O(diameter) joins — near-dup clusters are tiny, so 2-4 rounds; "
+        "the 10-round bound covers diameter <= 10, far beyond observed). "
         "Output: doc_id → canonical (minimum) doc of its cluster, keep "
-        "flag for the canonical member.",
+        "flag for the canonical member. Value-checked against a DuckDB "
+        "recursive-CTE transitive closure over the identical capped pairs.",
     tags=("pipeline", "dedup"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
