@@ -193,7 +193,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the RAW shingle table once (eager localCheckpoint),
+    # Materialize the RAW shingle table once (localCheckpoint),
     # BEFORE the df cap: the cap itself needs two reads of the shingles
     # (the df aggregation + the anti-join probe), and checkpointing after
     # the cap would run the tokenize+shingle explosion — the expensive
@@ -203,9 +203,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist) so the blocks are reclaimed by the
     # ContextCleaner when the result is dropped — the driver runs ~90
     # queries in one session and an unreleased persist() accumulates
-    # across all of them.  At 100 TB the equivalent is materializing the
+    # across all of them.  Lazy (eager=False): the df aggregation job
+    # materializes it as a side effect instead of a dedicated serial
+    # barrier job.  At 100 TB the equivalent is materializing the
     # inverted index to parquet once and reusing it across dedup tiers.
-    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=True))
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -313,7 +315,18 @@ _DUCK_SIGS = f"""
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_signatures(spark, sf_dir)
+    # Checkpoint the SIGNATURE table, not the exploded band table: sigs
+    # is the top of the expensive subtree (shingle explosion + 12
+    # min-aggs) at one row per doc — 4× smaller than bands — and the
+    # band derivation below it is four md5-of-concat projections the
+    # consumers re-derive for free.  Lazy (eager=False): the first job
+    # that touches it (the hot-bucket agg) materializes it as a side
+    # effect, so there is no dedicated barrier job serialized before
+    # the real work — that barrier was ~1s of the round-2 bench
+    # regression.  localCheckpoint (not persist): blocks are
+    # GC-reclaimed after the driver drops the result (see
+    # dedup_ngram_jaccard for the rationale).
+    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     # single pass: explode one array of (band_id, bucket) structs rather
     # than a 4-way union that recomputes the signature subtree per band
     band_structs = F.array(
@@ -322,13 +335,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    # localCheckpoint (not persist): feeds the hot-bucket agg and both
-    # join sides; blocks are GC-reclaimed after the driver drops the
-    # result (see dedup_ngram_jaccard for the rationale)
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", "bb.band_id", "bb.bucket")
-        .localCheckpoint(eager=True)
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band_id", "bb.bucket"
     )
     capped = cap_hot_buckets(bands)
     a = capped.alias("a")
