@@ -30,6 +30,18 @@ TABLES = (
 )
 
 
+# Analyzed-plan cache: (applicationId, session tz, abs sf_dir, table) ->
+# DataFrame.  A DataFrame is an immutable logical plan, so reuse within
+# one session is safe — this skips the parquet footer/schema capture
+# (~0.1-0.25s per read.parquet call) that otherwise repeats for EVERY
+# query in a multi-query session (the driver runs ~90).  Keyed by
+# applicationId so a stopped/rebuilt session can't serve stale plans,
+# and by session timezone because the events plan embeds the tz in its
+# wall-time correction (tests flip tz mid-session); failed reads (bad
+# path) are never cached, so missing-path errors still surface per call.
+_PLAN_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain `read.parquet` so filters/projections in the
     downstream plan push into the scan (check with plans.scan_info).
@@ -44,9 +56,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Asia/Kolkata in tests/test_oracle_parity.py."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.session.timeZone"),
+        os.path.abspath(sf_dir),
+        name,
+    )
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # evict entries from previous sessions so the cache stays bounded
+    for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
+        del _PLAN_CACHE[k]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        _PLAN_CACHE[key] = df
+        return df
     # save/restore: the flag is consulted at read() time (schema capture),
     # not at execution, so scoping it here keeps later parquet reads in
     # the same session from silently seeing TIMESTAMP(NANOS) as bigint
@@ -65,6 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
         )
+    _PLAN_CACHE[key] = df
     return df
 
 

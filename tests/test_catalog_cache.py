@@ -1,0 +1,61 @@
+"""The analyzed-plan cache in sources.catalog must be invisible:
+same results, same semantics, just no repeated schema capture.
+
+Also pins the nanosAsLong save/restore contract (ADVICE r2): the flag
+is consulted at read() time only, so an events ACTION executed after
+load_table returns — with the flag already restored — must still
+succeed and produce rebuilt microsecond timestamps.  Version-sensitive
+behavior (Spark 4.1.2); this test is the tripwire if an upgrade starts
+re-propagating session conf into the physical plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+    _PLAN_CACHE,
+    load_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cache_hit_returns_same_plan(spark):
+    a = load_table(spark, SF, "lineitem")
+    b = load_table(spark, SF, "lineitem")
+    assert a is b  # plan reused, no second schema capture
+
+
+def test_events_action_after_restore(spark):
+    df = load_table(spark, SF, "events")
+    # flag restored by now; the action must still execute and the ts
+    # column must be a rebuilt TimestampType, not raw nanos
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    row = df.select(F.min("ts").alias("m"), F.count("*").alias("n")).first()
+    assert row.n > 0 and row.m is not None
+
+
+def test_cache_keyed_by_timezone(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    utc_events = load_table(spark, SF, "events")
+    utc_val = utc_events.select(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")).first()[0]
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        ist_events = load_table(spark, SF, "events")
+        # different tz -> different cached plan (the tz is embedded in
+        # the wall-time correction), but the RENDERED wall time is the
+        # portability contract and must be identical
+        assert ist_events is not utc_events
+        ist_val = ist_events.select(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+        ).first()[0]
+        assert ist_val == utc_val
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_cache_bounded_to_live_session(spark):
+    load_table(spark, SF, "region")
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in _PLAN_CACHE)
