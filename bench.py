@@ -32,6 +32,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "window_topk_per_group",
+    "window_first_last",
+    "lateral_top_order_per_customer",
     "events_sessionize",
     "asof_join_last_click",
     # 100 TB extension operators

@@ -34,8 +34,8 @@ def salted_agg(
     stable row hash (deterministic — no rand(), so plans are
     replayable).  `aggs` maps output column name → DECOMPOSABLE
     aggregate: either `(partial_expr, merge)` with merge in
-    {"sum", "min", "max"}, or a bare Column for the common
-    sum-mergeable cases (count/sum partials both merge by sum).
+    {"sum", "min", "max"}, or a bare Column only if it is a plain
+    count()/sum() (both merge by sum); other bare Columns raise.
     The merge function is declared by the caller — nothing is
     inferred from the expression tree (plan-string parsing breaks
     under Spark Connect and misreads wrapped expressions).
@@ -50,7 +50,25 @@ def salted_agg(
     """
     normalized: dict[str, tuple[Column, str]] = {}
     for name, spec in aggs.items():
-        expr, merge = spec if isinstance(spec, tuple) else (spec, "sum")
+        if isinstance(spec, tuple):
+            expr, merge = spec
+        else:
+            # A bare Column is accepted ONLY when it is recognizably a
+            # count()/sum() (sum-mergeable partials).  Anything else —
+            # including reprs this Spark API flavor doesn't expose —
+            # must use the explicit (expr, merge) form: silently
+            # merging a min/max partial by sum would return wrong
+            # values with no error.  The repr is used only to REJECT,
+            # never to pick a merge, so an unparseable repr fails fast
+            # instead of guessing.
+            expr, merge = spec, "sum"
+            head = str(spec).removeprefix("Column<'").lstrip()
+            if not (head.startswith("count(") or head.startswith("sum(")):
+                raise ValueError(
+                    f"salted_agg: aggregate {name!r} is a bare Column whose "
+                    "sum-mergeability can't be confirmed; pass the explicit "
+                    "(expr, merge) tuple, e.g. (F.min('v'), 'min')"
+                )
         if merge not in _MERGE_FNS:
             raise ValueError(f"salted_agg merge must be one of {sorted(_MERGE_FNS)}: {merge!r}")
         normalized[name] = (expr, merge)
@@ -86,9 +104,23 @@ def global_ntile(
     engine-dependent.
     """
     spark = df.sparkSession
-    nparts = num_partitions or spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(nparts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # conf, not sparkContext.defaultParallelism: the SparkContext is
+    # unavailable under Spark Connect, and shuffle.partitions is the
+    # knob that already sizes every other exchange in the plan
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # localCheckpoint: `part` feeds BOTH the per-partition counts and
+    # the ranked output.  Without it the single-computation guarantee
+    # rests on physical exchange reuse, which silently degrades if
+    # spark.sql.exchange.reuse is off or AQE reshapes one branch — and
+    # _pid must be identical in both branches for correctness, not just
+    # cost.  Lazy (eager=False): the counts job materializes it, no
+    # dedicated barrier job.
+    part = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     from pyspark.sql import Window

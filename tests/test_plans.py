@@ -91,8 +91,18 @@ def test_rfm_has_no_unpartitioned_data_window(spark):
     df = SPECS["customer_rfm_segments"].fn(spark, SF_SMALL)
     text = explain_str(df)
     assert "ntile(" not in text  # replaced by arithmetic on exact ranks
-    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", text):
-        assert "_pid" in spec.split("ASC")[0], f"unpartitioned row_number: {spec}"
+    # A windowspecdefinition lists partition columns first, then the
+    # ORDER BY entries, then the frame.  Capture up to the frame marker
+    # (nested parens make a [^)]* capture truncate early) and assert the
+    # FIRST spec argument is the _pid partition key — not merely that
+    # _pid appears somewhere before an ASC token.
+    starts = [m.end() for m in re.finditer(r"row_number\(\) windowspecdefinition\(", text)]
+    assert starts, "expected at least one row_number window in the RFM plan"
+    for s in starts:
+        frame = text.find("specifiedwindowframe", s)
+        assert frame != -1, "windowspecdefinition without a frame spec"
+        spec = text[s:frame]
+        assert "_pid" in spec.split(",")[0], f"unpartitioned row_number: {spec}"
 
 
 def test_global_ntile_matches_sql_ntile_all_remainders(spark):

@@ -37,6 +37,28 @@ def test_salted_agg_equivalence(spark):
     assert salted == plain
 
 
+def test_salted_agg_rejects_ambiguous_bare_column(spark):
+    """A bare F.min/F.max would be silently merged by sum (wrong values);
+    salted_agg must refuse it and demand the explicit tuple form."""
+    import pytest
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
+    with pytest.raises(ValueError, match="explicit"):
+        salted_agg(li, ["l_returnflag"], {"lo": F.min("l_quantity")})
+    # the tuple form of the same aggregate is exact
+    got = {
+        (r["l_returnflag"],): r["lo"]
+        for r in salted_agg(
+            li, ["l_returnflag"], {"lo": (F.min("l_quantity"), "min")}
+        ).collect()
+    }
+    want = {
+        (r["l_returnflag"],): r["lo"]
+        for r in li.groupBy("l_returnflag").agg(F.min("l_quantity").alias("lo")).collect()
+    }
+    assert got == want
+
+
 def test_salted_agg_two_shuffles_bounded_reducers(spark):
     li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
     df = salted_agg(li, ["l_returnflag"], {"n": F.count(F.lit(1))}, n_salts=8)
