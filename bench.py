@@ -48,6 +48,10 @@ HEADLINE = [
     "text_quality_score",
     "text_token_stats",
     "text_winnowing_fingerprints",
+    # curation tier (round 3)
+    "benchmark_contamination",
+    "embedding_kmeans_assign",
+    "documents_quality_deciles",
 ]
 
 

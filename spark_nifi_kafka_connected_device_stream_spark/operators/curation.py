@@ -1,0 +1,422 @@
+"""Corpus-curation operators — the training-data pipeline tier beyond
+dedup (SURVEY.md §2.8 extension surface): benchmark-contamination
+scanning, incremental (batch-vs-corpus) dedup, deterministic k-means
+over embeddings, character-entropy gibberish scoring, and global
+quality binning.
+
+Scale notes (the 100 TB plans):
+
+- contamination: the eval set is tiny next to the corpus (benchmarks
+  are KBs; corpora are TBs) — its distinct n-grams broadcast, so the
+  corpus side is ONE map-side semi-join + one partial-agg groupBy.
+- incremental dedup: the NEW batch is tiny next to the corpus — the
+  batch fingerprints broadcast and the corpus scan stays map-only;
+  only matched corpus rows (bounded by batch size) reach a shuffle.
+- k-means: centroids (k×dims doubles) broadcast each iteration; per
+  iteration cost is one map-side assignment pass + one (cluster, dim)
+  partial agg — the canonical distributed Lloyd step.  Iterations are
+  unrolled (k and rounds are compile-time constants here), matching
+  what a driver loop would generate at scale.
+- entropy / deciles: map-only feature extraction; the decile pass
+  reuses functions/scale.global_ntile (range-partitioned exact ranks,
+  no unpartitioned data window).
+
+Portability contract: identical float expressions evaluated in the
+same order in both engines (double math over exact integer or float32
+inputs), `portable.pround` floor-rounding on every emitted float, and
+centroid coordinates rounded to 9 decimals BEFORE distances are taken
+so cross-engine summation-order noise (~1e-15) cannot reach the
+rounded outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from ..functions.textfns import normalize_text, shingles, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+from .dedup import _DUCK_TOKENS, _documents_parallel
+
+# deterministic splits (pure arithmetic on doc_id — reproducible at any
+# scale, mirrored verbatim in the oracles)
+EVAL_MOD = 97     # doc_id % 97 == 0  -> the held-out "benchmark" set
+BATCH_MOD = 10    # doc_id % 10 == 0  -> the "newly arrived" batch
+CONTAM_NGRAM = 5  # n-gram size for contamination overlap
+KMEANS_K = 4      # initial centroids = vec_id < KMEANS_K
+CENTROID_DECIMALS = 9
+
+# DuckDB 5-gram fragment (same shape as dedup's 3-gram one)
+_DUCK_5GRAMS = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - {CONTAM_NGRAM - 1}, 0)), "
+    f"i -> array_to_string({_DUCK_TOKENS}[i:i+{CONTAM_NGRAM - 1}], ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_DUCK_5GRAMS}) AS g FROM documents
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    ), corpus AS (
+      SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams
+      WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY doc_id
+    ), shared AS (
+      SELECT gr.doc_id, count(*) AS n_shared
+      FROM grams gr JOIN eval_grams e USING (g)
+      WHERE gr.doc_id % {EVAL_MOD} <> 0 GROUP BY gr.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(s.n_grams, 0)  AS n_grams,
+           coalesce(sh.n_shared, 0) AS n_shared,
+           CASE WHEN coalesce(s.n_grams, 0) > 0
+                THEN floor((CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / s.n_grams) * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS contamination_ratio,
+           (coalesce(s.n_grams, 0) > 0 AND
+            CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / s.n_grams >= 0.3) AS is_contaminated
+    FROM corpus c
+    LEFT JOIN sizes  s  ON s.doc_id  = c.doc_id
+    LEFT JOIN shared sh ON sh.doc_id = c.doc_id
+    """,
+    doc=f"Benchmark-contamination scan: for every corpus document, the "
+        f"share of its distinct {CONTAM_NGRAM}-gram shingles that also appear in a "
+        f"held-out eval set (doc_id % {EVAL_MOD} == 0). The eval-side gram set is "
+        "DISTINCT + broadcast (eval sets are tiny at any corpus scale), so "
+        "the corpus pass is one map-side inner join + one partial-agg "
+        "groupBy — no corpus-sized shuffle. The decontamination pass every "
+        "training pipeline runs before training.",
+    tags=("curation", "text"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("tk")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("tk"), n=CONTAM_NGRAM))).alias("g"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    corpus_grams = grams.filter(~is_eval)
+    sizes = corpus_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shared = (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    corpus = docs.filter(~is_eval).select("doc_id")
+    ratio = F.col("n_shared").cast("double") / F.col("n_grams")
+    return (
+        corpus.join(sizes, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.when(F.col("n_grams") > 0, pround(ratio, 4))
+            .otherwise(F.lit(0.0))
+            .alias("contamination_ratio"),
+            ((F.col("n_grams") > 0) & (ratio >= 0.3)).alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch vs corpus)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), batch AS (
+      SELECT * FROM fp WHERE doc_id % {BATCH_MOD} = 0
+    ), corpus_match AS (
+      SELECT fingerprint, min(doc_id) AS match_doc
+      FROM fp WHERE doc_id % {BATCH_MOD} <> 0 GROUP BY fingerprint
+    )
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN m.match_doc IS NULL THEN 'fresh' ELSE 'duplicate' END AS status,
+           m.match_doc
+    FROM batch b LEFT JOIN corpus_match m USING (fingerprint)
+    """,
+    doc=f"Incremental exact dedup: classify a NEW batch (doc_id % {BATCH_MOD} == 0) "
+        "against the existing corpus by normalized-text fingerprint. The "
+        "batch fingerprints broadcast, so the corpus scan is map-only and "
+        "only corpus rows matching the batch (bounded by batch size) reach "
+        "the min-doc aggregation — the production shape for continuous "
+        "ingestion, where re-shuffling the full corpus per batch would be "
+        "the scale-killer.",
+    tags=("curation", "dedup"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fingerprint"),
+    )
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    batch = fp.filter(is_batch)
+    corpus = fp.filter(~is_batch)
+    # corpus-side: map-only semi-filter against the broadcast batch set,
+    # THEN aggregate — the agg input is at most |batch| distinct keys
+    batch_keys = batch.select("fingerprint").distinct()
+    corpus_match = (
+        corpus.join(F.broadcast(batch_keys), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("match_doc"))
+    )
+    return batch.join(F.broadcast(corpus_match), "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("match_doc").isNull(), F.lit("fresh"))
+        .otherwise(F.lit("duplicate"))
+        .alias("status"),
+        "match_doc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means over embeddings (one unrolled Lloyd round)
+# ---------------------------------------------------------------------------
+
+def _dist2(vec_col: F.Column, cent_col: F.Column) -> F.Column:
+    """Σ (x - c)² over two double arrays, accumulated left-to-right."""
+    return F.aggregate(
+        F.zip_with(vec_col, cent_col, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): nearest centroid per vector, ties to the
+    lowest cid via min-of-struct.  centroids is k rows → broadcast
+    nested-loop; the big side never shuffles."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", _dist2(F.col("v"), F.col("c")).alias("dist2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cid")).alias("b")
+    )
+    return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), init AS (
+      SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}
+    ), d1 AS (
+      SELECT e.vec_id, i.cid,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                                     j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))) AS dist2
+      FROM e CROSS JOIN init i
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), mean1 AS (
+      SELECT a1.cid, gs.j,
+             floor(avg(e.v[gs.j]) * 1e{CENTROID_DECIMALS} + 0.5) / 1e{CENTROID_DECIMALS} AS m
+      FROM a1 JOIN e USING (vec_id),
+           LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) gs
+      GROUP BY a1.cid, gs.j
+    ), cent1 AS (
+      SELECT cid, list(m ORDER BY j) AS c FROM mean1 GROUP BY cid
+    ), d2 AS (
+      SELECT e.vec_id, c1.cid,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                                     j -> (e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j]))) AS dist2
+      FROM e CROSS JOIN cent1 c1
+    )
+    SELECT vec_id,
+           CAST(cid AS INTEGER) AS cluster,
+           floor(dist2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
+    FROM (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      FROM d2
+    ) WHERE rn = 1
+    """,
+    doc=f"Deterministic k-means (k={KMEANS_K}) over the embedding corpus: init "
+        f"centroids = vec_id < {KMEANS_K}, one full Lloyd round (assign → "
+        "recenter → reassign), squared-L2. Centroids broadcast, assignment "
+        "is a map-side pass, recentering is one (cluster, dim) partial "
+        "agg — per-iteration cost linear in corpus size with NO "
+        "corpus-sized shuffle; the driver-loop form at 100 TB generates "
+        "exactly this per round. Centroid coords round to "
+        f"{CENTROID_DECIMALS} decimals before distances so cross-engine "
+        "float-sum noise can't flip assignments (clusters/semantic-dedup "
+        "tier, SemDedup-style).",
+    tags=("curation", "similarity"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(emb, init).select("vec_id", "cid")
+    # recenter: (cluster, dim) partial agg, then assemble ordered arrays
+    dims = a1.join(emb, "vec_id").select(
+        "cid", F.posexplode(F.col("v")).alias("j", "x")
+    )
+    mean1 = dims.groupBy("cid", "j").agg(
+        pround(F.avg("x"), CENTROID_DECIMALS).alias("m")
+    )
+    cent1 = mean1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    a2 = _assign(emb, cent1)
+    return a2.select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cluster"),
+        pround(F.col("dist2"), 6).alias("dist2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# character entropy (gibberish / low-quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS t
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t)), i -> t[i])) AS ch
+      FROM norm
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           floor((ln(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt))
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Per-document Shannon character entropy over normalized text — "
+        "the cheap gibberish/boilerplate detector (near-zero entropy = "
+        "repeated filler; natural text sits in a narrow band). Uses the "
+        "algebraic form H = ln(n) − Σc·ln(c)/n so the per-character pass "
+        "is a plain two-level hash agg — no per-row division by a "
+        "group total, no window. Map + one partial-agg shuffle.",
+    tags=("curation", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("t"))
+    # bind `t` to a column attribute BEFORE the transform lambda: a
+    # lambda over an expression subtree re-evaluates the subtree (the
+    # regexp) per element — the HOF recompute trap
+    chars = norm.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.col("t").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    sum_clnc = F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double")))
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_chars_norm"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        pround(F.log(n.cast("double")) - sum_clnc / n, 6).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# global quality deciles (corpus curation binning)
+# ---------------------------------------------------------------------------
+
+# the scalar quality score: lexical diversity + stopword naturalness +
+# saturating length credit.  Fixed double expression evaluated in the
+# same order in both engines over exact integer inputs.
+_SCORE_SQL = (
+    "CASE WHEN n_tokens > 0 THEN "
+    "0.5 * (CAST(n_unique AS DOUBLE) / n_tokens) "
+    "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) "
+    "+ 0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) "
+    "ELSE 0.0 END"
+)
+
+
+@register(
+    "documents_quality_deciles",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_unique,
+             CAST(len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS BIGINT) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, {_SCORE_SQL} AS score FROM feat
+    )
+    SELECT doc_id,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS quality_score,
+           CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS decile
+    FROM scored
+    """,
+    doc="Corpus curation binning: a scalar quality score (lexical "
+        "diversity + stopword naturalness + saturating length credit) "
+        "and its exact global decile. The decile comes from "
+        "functions/scale.global_ntile — range-repartitioned exact ranks, "
+        "NO unpartitioned data window — so the binning that decides "
+        "sampling weights stays exact at corpus scale.",
+    tags=("curation", "text"),
+)
+def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(normalize_text(F.col("text")))
+    feat = d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_unique"),
+        F.size(F.filter(tk, lambda t: t.isin("the", "a", "and", "of", "to", "is")))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    scored = feat.select("doc_id", F.expr(_SCORE_SQL).alias("score"))
+    tiled = global_ntile(scored, 10, [F.desc("score"), F.asc("doc_id")], "decile")
+    return tiled.select(
+        "doc_id",
+        pround(F.col("score"), 6).alias("quality_score"),
+        F.col("decile").cast("int").alias("decile"),
+    )

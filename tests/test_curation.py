@@ -1,0 +1,135 @@
+"""Curation-tier behavior + scale-posture checks.
+
+Value parity with DuckDB is covered by tests/test_oracle_parity.py
+(these five queries all carry oracles); here we pin the semantic edges
+and the physical-plan claims the 100 TB story rests on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    BATCH_MOD,
+    EVAL_MOD,
+    KMEANS_K,
+)
+from spark_nifi_kafka_connected_device_stream_spark.plans import (
+    broadcast_join_count,
+    explain_str,
+    shuffle_count,
+)
+from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+from .conftest import SF_SMALL
+
+SPECS = all_specs()
+
+
+# ---------------------------------------------------------------- semantics
+
+def test_contamination_excludes_eval_docs(spark):
+    df = SPECS["benchmark_contamination"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows and all(r.doc_id % EVAL_MOD != 0 for r in rows)
+    # ratio bounded and consistent with the flag threshold
+    for r in rows:
+        assert 0.0 <= r.contamination_ratio <= 1.0
+        if r.is_contaminated:
+            assert r.n_grams > 0 and r.contamination_ratio >= 0.3 - 1e-4
+
+
+def test_incremental_statuses_partition_batch(spark):
+    df = SPECS["dedup_incremental_exact"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows and all(r.doc_id % BATCH_MOD == 0 for r in rows)
+    for r in rows:
+        if r.status == "duplicate":
+            assert r.match_doc is not None and r.match_doc % BATCH_MOD != 0
+        else:
+            assert r.status == "fresh" and r.match_doc is None
+
+
+def test_kmeans_covers_all_vectors_once(spark):
+    df = SPECS["embedding_kmeans_assign"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    n_vec = (
+        SPECS["embedding_norm_stats"]
+        .fn(spark, SF_SMALL)
+        .agg(F.sum("n_vectors"))
+        .first()[0]
+    )
+    assert len(rows) == len({r.vec_id for r in rows})
+    assert all(0 <= r.cluster < KMEANS_K and r.dist2 >= 0.0 for r in rows)
+    # every vector assigned exactly once
+    assert len(rows) == n_vec
+
+
+def test_entropy_bounds(spark):
+    df = SPECS["text_char_entropy"].fn(spark, SF_SMALL)
+    import math
+
+    for r in df.collect():
+        # 0 <= H <= ln(alphabet size)
+        assert -1e-9 <= r.entropy <= math.log(r.n_distinct_chars) + 1e-9
+
+
+def test_quality_deciles_are_balanced_and_ordered(spark):
+    df = SPECS["documents_quality_deciles"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.quality_score)
+    assert set(by_decile) == set(range(1, 11))
+    sizes = [len(by_decile[d]) for d in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1  # exact ntile balance
+    # monotone: decile d's worst score >= decile d+1's best (desc order)
+    for d in range(1, 10):
+        assert min(by_decile[d]) >= max(by_decile[d + 1]) - 1e-9
+
+
+# ------------------------------------------------------------- plan posture
+
+def test_contamination_eval_side_is_broadcast(spark):
+    df = SPECS["benchmark_contamination"].fn(spark, SF_SMALL)
+    assert broadcast_join_count(df) >= 1
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text
+
+
+def test_incremental_corpus_join_is_broadcast(spark):
+    df = SPECS["dedup_incremental_exact"].fn(spark, SF_SMALL)
+    # batch-keys semi-filter AND the final left join are both broadcast:
+    # the corpus never shuffles in full
+    assert broadcast_join_count(df) >= 2
+
+
+def test_kmeans_assignment_is_broadcast_nlj(spark):
+    df = SPECS["embedding_kmeans_assign"].fn(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in text
+    # the only exchanges: assignment argmin (vec_id), recenter (cid,j),
+    # centroid assembly (cid), final argmin (vec_id) — no corpus-sized
+    # extra shuffles from the iteration unrolling
+    assert shuffle_count(df) <= 6
+
+
+def test_entropy_two_level_agg_shuffles(spark):
+    df = SPECS["text_char_entropy"].fn(spark, SF_SMALL)
+    # repartition + (doc,ch) agg + (doc) agg — bounded, no window
+    assert shuffle_count(df) <= 3
+    assert "windowspecdefinition" not in explain_str(df)
+
+
+def test_deciles_no_unpartitioned_data_window(spark):
+    import re
+
+    df = SPECS["documents_quality_deciles"].fn(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "ntile(" not in text
+    starts = [m.end() for m in re.finditer(r"row_number\(\) windowspecdefinition\(", text)]
+    assert starts
+    for s in starts:
+        frame = text.find("specifiedwindowframe", s)
+        assert frame != -1
+        assert "_pid" in text[s:frame].split(",")[0]
