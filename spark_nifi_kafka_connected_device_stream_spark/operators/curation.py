@@ -360,6 +360,145 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scalar quantization of embeddings (ANN memory compression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_scalar_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), el AS (
+      SELECT vec_id, gs.j, v[gs.j] AS x
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) gs
+    ), dims AS (
+      SELECT j, min(x) AS mn, max(x) AS mx FROM el GROUP BY j
+    ), q AS (
+      SELECT el.vec_id, el.j, el.x, d.mn, d.mx,
+             CAST(CASE WHEN d.mx > d.mn
+                  THEN least(floor((el.x - d.mn) / (d.mx - d.mn) * 255.0), 255.0)
+                  ELSE 0.0 END AS INTEGER) AS qv
+      FROM el JOIN dims d USING (j)
+    ), deq AS (
+      SELECT vec_id, j, qv,
+             (x - (mn + (qv + 0.5) * (mx - mn) / 255.0))
+             * (x - (mn + (qv + 0.5) * (mx - mn) / 255.0)) AS err2
+      FROM q
+    )
+    SELECT vec_id,
+           string_agg(qv, ',' ORDER BY j) AS codes,
+           floor(sum(err2) * 1000000.0 + 0.5) / 1000000.0 AS sq_error
+    FROM deq GROUP BY vec_id
+    """,
+    doc="Uint8 scalar quantization of the embedding corpus: per-dimension "
+        "global min/max (an agg down to dims-many rows — constant-size at "
+        "any corpus scale) broadcasts back, then the quantize+error pass "
+        "is map-only. 4x memory compression for the ANN tier; codes are "
+        "emitted comma-joined (the driver canonicalizer rejects raw "
+        "arrays) with the midpoint-dequantization squared error. min/max "
+        "are exact corpus values (no float summation), so codes are "
+        "bit-deterministic across engines.",
+    tags=("curation", "similarity"),
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    el = emb.select("vec_id", F.posexplode("v").alias("j", "x"))
+    dims = el.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0
+    qv = (
+        F.when(F.col("mx") > F.col("mn"), F.least(F.floor(scale), F.lit(255.0)))
+        .otherwise(F.lit(0.0))
+        .cast("int")
+    )
+    q = el.join(F.broadcast(dims), "j").select("vec_id", "j", "x", "mn", "mx", qv.alias("qv"))
+    deq = F.col("mn") + (F.col("qv") + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / 255.0
+    err2 = (F.col("x") - deq) * (F.col("x") - deq)
+    per_el = q.select("vec_id", "j", "qv", err2.alias("err2"))
+    return per_el.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "qv"))),
+                lambda s: s["qv"].cast("string"),
+            ),
+        ).alias("codes"),
+        pround(F.sum("err2"), 6).alias("sq_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document keywords
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 5
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP}
+    """,
+    doc=f"Per-document top-{TFIDF_TOP} keywords by tf-idf (idf = ln(N/df), "
+        "ties broken by term). The document-fingerprinting / topic-signal "
+        "pass of a curation pipeline. Three partial-agg shuffles — "
+        "(doc,term) tf, term df, and the per-doc top-k window partitioned "
+        "by doc_id — plus a broadcast of the 1-row corpus count; nothing "
+        "corpus-sized crosses the cluster twice.",
+    tags=("curation", "text"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            pround(F.col("score"), 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # global quality deciles (corpus curation binning)
 # ---------------------------------------------------------------------------
 

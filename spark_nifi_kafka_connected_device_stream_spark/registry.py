@@ -44,8 +44,8 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.events",
     "spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops",
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
-    "spark_nifi_kafka_connected_device_stream_spark.operators.cohorts",
     "spark_nifi_kafka_connected_device_stream_spark.operators.curation",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.cohorts",
     "spark_nifi_kafka_connected_device_stream_spark.operators.analytics",
     "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
 )

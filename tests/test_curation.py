@@ -88,6 +88,33 @@ def test_quality_deciles_are_balanced_and_ordered(spark):
         assert min(by_decile[d]) >= max(by_decile[d + 1]) - 1e-9
 
 
+def test_quantize_codes_roundtrip_shape(spark):
+    df = SPECS["embedding_scalar_quantize"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 64
+        assert all(0 <= c <= 255 for c in codes)
+        assert r.sq_error >= 0.0
+    # quantization error bounded by the per-dim cell size:
+    # sum over dims of (cell/2)^2 where cell = range/256 — loose 4x slack
+    assert max(r.sq_error for r in rows) < 1.0
+
+
+def test_tfidf_topk_per_doc(spark):
+    df = SPECS["text_tfidf_top_terms"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        assert len(rs) <= 5 and sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rnk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.tfidf > b.tfidf or (a.tfidf == b.tfidf and a.term < b.term)
+
+
 # ------------------------------------------------------------- plan posture
 
 def test_contamination_eval_side_is_broadcast(spark):
