@@ -499,6 +499,88 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bigram language-model log-probability (perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, tk[gs.i] AS w1, tk[gs.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+    ), uni AS (
+      SELECT doc_id, tk[gs.i] AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs
+    ), uni_counts AS (
+      SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w
+    ), vocab AS (
+      SELECT count(*) AS v FROM uni_counts
+    ), bg_counts AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), doc_bg AS (
+      SELECT doc_id, w1, w2, count(*) AS n_occ FROM bg GROUP BY doc_id, w1, w2
+    ), scored AS (
+      SELECT d.doc_id, d.n_occ,
+             ln((CAST(bc.c2 AS DOUBLE) + 1.0) / (uc.c1 + v.v)) AS lp
+      FROM doc_bg d
+      JOIN bg_counts bc USING (w1, w2)
+      JOIN uni_counts uc USING (w1)
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+           floor((sum(n_occ * lp) / sum(n_occ)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score: average add-one-smoothed bigram "
+        "log-probability ln((c(w1,w2)+1)/(c(w1)+V)) of each document "
+        "under the LM induced by the corpus itself — the KenLM-filter "
+        "shape without an external model. Docs far below the corpus band "
+        "are gibberish; far above are boilerplate. All counts are "
+        "partial-agg shuffles on term keys; the per-doc pass joins its "
+        "DISTINCT bigrams (not every occurrence) against the count "
+        "tables, and the vocabulary size broadcasts as one row.",
+    tags=("curation", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("tk")
+    )
+    tk = F.col("tk")
+    # adjacent pairs via two slices zipped — single JVM expression, and
+    # `tk` is a bound column so the HOF lambdas don't recompute upstream
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = toks.select("doc_id", F.explode(tk).alias("w1"))
+    uni_counts = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = uni_counts.agg(F.count("*").alias("v"))
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_occ"))
+    lp = F.log((F.col("c2").cast("double") + 1.0) / (F.col("c1") + F.col("v")))
+    scored = (
+        doc_bg.join(bg_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "n_occ", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+        pround(F.sum(F.col("n_occ") * F.col("lp")) / F.sum("n_occ"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # global quality deciles (corpus curation binning)
 # ---------------------------------------------------------------------------
 

@@ -80,6 +80,31 @@ def stream_stream_interval_join(
     return lw.join(rw, cond).drop(rw[key])
 
 
+def streaming_dedup_exact(
+    stream: DataFrame,
+    fingerprint_cols: Iterable[str],
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival of each fingerprint within
+    the watermark horizon passes; re-arrivals are dropped.  The
+    streaming sibling of the batch `dedup_exact` /
+    `dedup_incremental_exact` tier — continuous ingestion dedupes
+    at-the-door instead of re-scanning the corpus per batch.
+
+    Uses `dropDuplicatesWithinWatermark`, so state is bounded: a
+    fingerprint's state is evictable once the watermark passes its
+    first-seen event time (plain `dropDuplicates` on a stream keeps
+    every key forever — the unbounded-state trap at 100 TB).  Exactly
+    which duplicate within the horizon survives is arrival-order
+    dependent (streaming semantics); cross-horizon re-ingests pass
+    again and are the batch tier's job.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(fingerprint_cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: per-key running totals
 # ---------------------------------------------------------------------------

@@ -115,6 +115,17 @@ def test_tfidf_topk_per_doc(spark):
             assert a.tfidf > b.tfidf or (a.tfidf == b.tfidf and a.term < b.term)
 
 
+def test_bigram_logprob_in_plausible_band(spark):
+    df = SPECS["text_bigram_logprob"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # smoothed probabilities are < 1 → logprob strictly negative,
+        # and bounded below by ln(1/(max_c1 + V)) >> -20 on this corpus
+        assert -20.0 < r.avg_logprob < 0.0
+        assert r.n_bigrams >= 1
+
+
 # ------------------------------------------------------------- plan posture
 
 def test_contamination_eval_side_is_broadcast(spark):

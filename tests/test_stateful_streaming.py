@@ -123,6 +123,48 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows[0]["buy_ts"].strftime("%H:%M") == "10:02"
 
 
+def test_streaming_dedup_exact_within_watermark(spark, tmp_path):
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_dedup_exact,
+    )
+
+    d = str(tmp_path / "in")
+    # m-1 arrives three times (twice in b1, once in b2) within the
+    # watermark horizon; m-2 once
+    _write_file(
+        d,
+        "b1.json",
+        [
+            _event("2021-03-06 10:00:00.000", 1, "desktop"),
+            _event("2021-03-06 10:00:05.000", 1, "desktop"),
+            _event("2021-03-06 10:00:10.000", 2, "desktop"),
+        ],
+    )
+    stream = parse_product_views(json_file_stream(spark, d))
+    deduped = streaming_dedup_exact(
+        stream, ["messageid"], ts_col="timestamp", watermark="10 minutes"
+    )
+    q = memory_sink(deduped, "dedup_stream", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [_event("2021-03-06 10:01:00.000", 1, "desktop")])
+        q.processAllAvailable()
+        # advance event time so earlier rows are final
+        _write_file(d, "flush.json", [_event("2021-03-06 12:00:00.000", 99, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = {
+        r["messageid"]: r["n"]
+        for r in spark.sql(
+            "SELECT messageid, count(*) AS n FROM dedup_stream GROUP BY messageid"
+        ).collect()
+    }
+    assert counts["m-1"] == 1 and counts["m-2"] == 1
+
+
 def test_running_totals_state_across_batches(spark, tmp_path):
     d = str(tmp_path / "in")
     _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 30)])  # 10/source
