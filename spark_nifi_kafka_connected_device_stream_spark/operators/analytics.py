@@ -20,6 +20,17 @@ from ..registry import register
 from ..sources.catalog import load_table
 
 
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer 100ths of a 2-decimal double column (prices,
+    discounts, balances).  Money sums MUST run in integer units when a
+    query emits many rounded groups: a float sum is order-dependent by
+    ~1 ULP, and across hundreds of groups some group WILL land on a
+    rounding boundary and flip a cent between engines (q7 did, at
+    sf0.01, in exactly one of 1245 groups).  SQL mirror:
+    CAST(floor(x * 100.0 + 0.5) AS BIGINT)."""
+    return F.floor(col * 100.0 + 0.5).cast("bigint")
+
+
 @register(
     "asof_join_last_click",
     oracle="""
@@ -609,3 +620,132 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           floor((CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))) AS DOUBLE)
+                  / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape (volume shipping): supplier-nation x customer-"
+        "nation x ship-year revenue over a 2-year window, generalized to "
+        "ALL nation pairs (the spec's 2-nation constant fold is too "
+        "selective on this synthetic corpus). Two broadcast nation dims + "
+        "broadcast supplier/customer; one fact-side aggregate shuffle. "
+        "Revenue is summed in EXACT integer 1e-4-dollar units (prices "
+        "and discounts are 2-decimal) — 1250 output groups make a "
+        "float-sum half-ULP rounding flip a near-certainty otherwise.",
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            pround(
+                F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+                .cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH allsales AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           floor((CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(volume) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+    FROM allsales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): NATION_8 suppliers' "
+        "share of ECONOMY-part revenue sold into ASIA customers, by order "
+        "year. Seven-table join with every dimension broadcast; the only "
+        "shuffle is the per-year aggregate; share is a conditional-sum "
+        "ratio in one pass (no self-join), with both sums in exact "
+        "integer 1e-4-dollar units (see _cents).",
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey"))
+    n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    sales = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == o.o_orderkey,
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_8", F.col("volume")).otherwise(F.lit(0))
+    ).cast("double") / F.sum("volume").cast("double")
+    return sales.groupBy("o_year").agg(pround(share, 6).alias("mkt_share"))
