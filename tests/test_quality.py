@@ -70,6 +70,28 @@ def test_ivf_matches_bruteforce_within_cell(spark):
         assert ranks == sorted(ranks), f"query {q}: IVF order disagrees with brute force"
 
 
+def test_ivf_quantized_rerank_recovers_ivf_topk(spark):
+    """Quantization perturbs similarities by at most the code-cell size;
+    after the exact re-rank over 2k candidates, the final top-k should
+    almost always equal the unquantized IVF top-k (same cells, exact
+    final scores — only candidates squeezed out in the approximate pass
+    can differ)."""
+    ivf = SPECS["similarity_topk_ivf"].fn(spark, SF_MEDIUM).collect()
+    ivfq = SPECS["similarity_topk_ivf_quantized"].fn(spark, SF_MEDIUM).collect()
+    plain = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    quant = {(r["query_id"], r["neighbor_id"]) for r in ivfq}
+    assert len(quant) == len(plain)
+    recall = len(plain & quant) / len(plain)
+    assert recall >= 0.9, f"quantized ANN recall {recall:.2f} vs plain IVF"
+    # exact-score parity on the common pairs: the re-rank used full
+    # precision, so cos_sim must agree exactly with the IVF numbers
+    ivf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf}
+    for r in ivfq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ivf_sim:
+            assert abs(r["cos_sim"] - ivf_sim[key]) < 1e-9
+
+
 def test_simhash_near_dups_collide(spark):
     """Planted near-dups (jaccard ~0.97+) should mostly land on equal or
     Hamming-close simhashes."""
