@@ -68,3 +68,46 @@ def jdbc_export(
     for k, v in opts.items():
         w = w.option(k, v)
     w.save()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized for the scan path.  Streaming sinks emit one file per
+    micro-batch per partition — at a 5-minute trigger that is ~10⁵
+    files/year, and at 100 TB the NameNode/driver pays per-file costs
+    while scans pay per-file open overhead.  Standard maintenance:
+    periodically rewrite the closed portion of the directory into
+    ~`target_file_bytes` files (the parquet row-group sweet spot).
+
+    Output partition count is sized from the ACTUAL input bytes (not
+    file count), optionally sorted by `sort_col` so downstream range
+    predicates prune row groups via min/max stats.  Writes to
+    `dst_dir` (never in place — readers of `src_dir` are unaffected;
+    the caller swaps directories or updates the table location).
+    Returns (files_before, files_after).
+    """
+    import glob
+    import math
+    import os
+
+    files_before = len(glob.glob(os.path.join(src_dir, "*.parquet")))
+    total_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(src_dir, "*.parquet"))
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_col is not None:
+        # repartitionByRange + sortWithinPartitions = globally ordered
+        # files with tight per-file min/max stats
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst_dir)
+    files_after = len(glob.glob(os.path.join(dst_dir, "*.parquet")))
+    return files_before, files_after

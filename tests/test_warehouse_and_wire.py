@@ -58,3 +58,43 @@ def test_kafka_wire_format_binary_value(spark):
     agg = windowed_source_counts(parsed).collect()
     assert sum(r["source_number"] for r in agg) == 30
     assert {r["source"] for r in agg} == {"desktop", "mobile-web", "mobile-app"}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # simulate a streaming sink's fragmentation: many tiny files (AQE
+    # may coalesce the round-robin shuffle, so count what was written)
+    spark.range(40).repartition(40).write.parquet(src)
+    before, after = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert before >= 10 and after == 1
+    assert spark.read.parquet(dst).count() == 40
+    assert {r.id for r in spark.read.parquet(dst).collect()} == set(range(40))
+
+
+def test_compact_parquet_sorted_rowgroups(spark, tmp_path):
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(20).write.parquet(src)
+    # tiny target forces multiple output files; range partitioning on id
+    # must produce disjoint id ranges per file (min/max pruning works)
+    before, after = compact_parquet(spark, src, dst, target_file_bytes=4096, sort_col="id")
+    assert before >= 10 and after > 1
+    import duckdb
+
+    con = duckdb.connect()
+    ranges = con.sql(
+        f"SELECT filename, min(id), max(id) FROM read_parquet('{dst}/*.parquet', filename=true) GROUP BY filename ORDER BY 2"
+    ).fetchall()
+    for (f1, lo1, hi1), (f2, lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered ranges across files
+    total = spark.read.parquet(dst).count()
+    assert total == 1000
