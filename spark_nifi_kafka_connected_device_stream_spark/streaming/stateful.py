@@ -147,6 +147,84 @@ def _running_totals_fn(
     )
 
 
+EXPIRY_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("closed_by_timeout", T.BooleanType()),
+    ]
+)
+EXPIRY_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+_EXPIRY_GAP_MS = 10 * 60 * 1000
+
+
+def _session_expiry_fn(key, pdfs, state: GroupState):
+    """Event-time-timeout state machine: accumulate per-key counts;
+    when the WATERMARK passes last_ts + gap the state times out and the
+    closed session is emitted exactly once, then state is freed.  This
+    is the eviction discipline every custom stateful operator needs at
+    scale — without a timeout, per-key state lives forever."""
+    import datetime as _dt
+
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "first_ts": [_dt.datetime.utcfromtimestamp(first_us / 1e6)],
+                "last_ts": [_dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                "closed_by_timeout": [True],
+            }
+        )
+        return
+    n, first_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = (pdf["timestamp"].astype("int64") // 1000).tolist()
+        n += len(us)
+        first_us = min(us) if first_us is None else min(first_us, *us)
+        last_us = max(us) if last_us is None else max(last_us, *us)
+    state.update((n, first_us, last_us))
+    # timeout fires once the event-time watermark passes this timestamp
+    state.setTimeoutTimestamp(last_us // 1000 + _EXPIRY_GAP_MS)
+    return
+    yield  # pragma: no cover - generator form required by the API
+
+
+def session_expiry_summaries(
+    stream: DataFrame, key_col: str = "userid", ts_col: str = "timestamp"
+) -> DataFrame:
+    """Custom stateful operator with EVENT-TIME TIMEOUT: per-key open
+    sessions accumulate silently; a key's summary row is emitted only
+    when the watermark passes its last event + 10 min (the session
+    closed).  Complements session_window_counts (built-in) by
+    exercising the explicit state-eviction path
+    (GroupStateTimeout.EventTimeTimeout + state.remove) that bounds
+    state size for arbitrary custom operators."""
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("timestamp")
+    ).withWatermark("timestamp", "10 minutes")
+    return projected.groupBy("key").applyInPandasWithState(
+        _session_expiry_fn,
+        EXPIRY_OUTPUT,
+        EXPIRY_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_totals(
     stream: DataFrame, key_col: str = "source", value_col: str = "value"
 ) -> DataFrame:

@@ -123,6 +123,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows[0]["buy_ts"].strftime("%H:%M") == "10:02"
 
 
+def test_session_expiry_event_time_timeout(spark, tmp_path):
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        session_expiry_summaries,
+    )
+
+    d = str(tmp_path / "in")
+    # user-0: 3 events in a burst; then event time jumps 2 hours so the
+    # watermark passes burst_end + 10min and the session must close
+    _write_file(
+        d,
+        "b1.json",
+        [
+            _event("2021-03-06 10:00:00.000", 0, "desktop"),
+            _event("2021-03-06 10:00:30.000", 7, "desktop"),
+            _event("2021-03-06 10:01:00.000", 14, "desktop"),
+        ],
+    )
+    stream = parse_product_views(json_file_stream(spark, d))
+    out = session_expiry_summaries(stream)
+    q = memory_sink(out, "expiry", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM expiry").count() == 0  # still open
+        _write_file(d, "b2.json", [_event("2021-03-06 12:00:00.000", 1, "desktop")])
+        q.processAllAvailable()
+        # one more batch so the new watermark is applied to the state
+        _write_file(d, "b3.json", [_event("2021-03-06 12:30:00.000", 8, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM expiry WHERE key = 'user-0'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3 and r["closed_by_timeout"]
+    assert r["first_ts"].strftime("%H:%M:%S") == "10:00:00"
+    assert r["last_ts"].strftime("%H:%M:%S") == "10:01:00"
+
+
 def test_streaming_dedup_exact_within_watermark(spark, tmp_path):
     from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
         streaming_dedup_exact,
