@@ -227,6 +227,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH shing0 AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), freq AS (
+      SELECT shingle, count(*) AS df FROM shing0 GROUP BY shingle
+    ), shing AS (
+      SELECT s.doc_id, s.shingle FROM shing0 s JOIN freq USING (shingle)
+      WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           floor((CAST(n_common AS DOUBLE) / sa.n) * 10000.0 + 0.5) / 10000.0 AS containment_a,
+           floor((CAST(n_common AS DOUBLE) / sb.n) * 10000.0 + 0.5) / 10000.0 AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.9
+       OR CAST(n_common AS DOUBLE) / sb.n >= 0.9
+    """,
+    doc="Asymmetric shingle containment |A∩B|/|A| (threshold 0.9 on "
+        "either side): catches SUB-document duplication — quotes, "
+        "templated wrappers, one doc embedded in another — that "
+        "symmetric Jaccard misses when the containing doc is much "
+        "larger. Same df-capped inverted-index plan as "
+        "dedup_ngram_jaccard; only the final arithmetic differs.",
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    ca = F.col("n_common").cast("double") / F.col("sa.n")
+    cb = F.col("n_common").cast("double") / F.col("sb.n")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((ca >= 0.9) | (cb >= 0.9))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            pround(ca, 4).alias("containment_a"),
+            pround(cb, 4).alias("containment_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
