@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 _MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+def plan_parallelism(df_or_spark) -> int:
+    """Partition count for explicit repartitions, from session conf.
+
+    `spark.sparkContext.defaultParallelism` is the natural choice but
+    the SparkContext is unavailable under Spark Connect;
+    `spark.sql.shuffle.partitions` is session conf (Connect-safe) and
+    already sizes every other exchange in the plan, so explicit
+    repartitions stay consistent with implicit ones."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

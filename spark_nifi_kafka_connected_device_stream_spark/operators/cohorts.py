@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -79,7 +80,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.textfns import normalize_text, shingles, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.repartition(plan_parallelism(spark), "doc_id")
     toks = d.select(tokens(normalize_text(F.col("text"))).alias("tk"))
     bigrams = toks.select(F.explode(shingles(F.col("tk"), n=2)).alias("bigram"))
     return (

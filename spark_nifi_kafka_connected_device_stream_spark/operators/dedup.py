@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, shingles, tokens
 from ..functions.portable import pround
+from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -65,7 +66,7 @@ def _documents_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing runs on every core (the classic 'small input, heavy
     per-row compute' repartition)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.repartition(plan_parallelism(spark), "doc_id")
 
 
 def shingles_of(docs: DataFrame) -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
 from ..functions.portable import pround
+from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -62,7 +63,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate side arrives as one small parquet split; spread it so
     # the broadcast-NLJ probe runs on every core.  Norms are computed
     # once per SIDE, not per pair — the per-pair work is one dot fold.
-    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -106,7 +107,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -209,7 +210,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("e_a"),
@@ -298,7 +299,7 @@ _DUCK_NB_BANDS = " UNION ALL ".join(
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
     band_structs = []
     for b in range(_NB_BANDS):
         bucket = None
@@ -461,7 +462,7 @@ def similarity_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
     el = e.select("vec_id", F.posexplode("v").alias("j", "x"))
     dims = el.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     qv = (

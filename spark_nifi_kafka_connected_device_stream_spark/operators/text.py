@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, tokens
 from ..functions.portable import pround
+from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -265,7 +266,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _WINNOW_W
     # small single-file input, ~100 md5s per row: spread across cores
     # before the compute (same repartition rationale as dedup.py)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.repartition(plan_parallelism(spark), "doc_id")
     hashed = d.select(
         "doc_id",
         F.transform(
