@@ -641,3 +641,217 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("score"), 6).alias("quality_score"),
         F.col("decile").cast("int").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source, toks,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM feat
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_max(list_transform(list_distinct(toks),
+                           d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                       / len(toks) END AS top_raw,
+             CASE WHEN len(g3) = 0 THEN 0.0
+                  ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                       / len(g3) END AS dup_raw
+      FROM g
+    )
+    SELECT doc_id, source, n_tokens,
+           floor(top_raw * 10000.0 + 0.5) / 10000.0 AS top_token_share,
+           floor(dup_raw * 10000.0 + 0.5) / 10000.0 AS dup_3gram_ratio,
+           (floor(top_raw * 10000.0 + 0.5) / 10000.0 <= 0.2
+            AND floor(dup_raw * 10000.0 + 0.5) / 10000.0 <= 0.18) AS passes_repetition
+    FROM r
+    """,
+    doc="Gopher-style repetition rules: most-frequent-token share and "
+        "duplicate-3-gram fraction per document, plus the boolean filter "
+        "gate. Map-only — all work is JVM array expressions inside one "
+        "projection; at corpus scale this is a single scan with zero "
+        "shuffles. The per-row cost is O(unique_tokens * n_tokens), "
+        "bounded by document length, independent of corpus size.",
+    tags=("curation", "text"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_parallel(spark, sf_dir)
+    t = d.select(
+        "doc_id", "source", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    # toks materialized as a column FIRST; every expression below binds
+    # the column reference (computed once per row) instead of inlining
+    # the tokenizer subtree per use (the HOF-recompute trap).
+    t = t.select("doc_id", "source", "toks", shingles(F.col("toks"), n=3).alias("g3"))
+    tk, g3 = F.col("toks"), F.col("g3")
+    top_raw = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda d_: F.size(F.filter(tk, lambda x: x == d_)),
+            )
+        ).cast("double")
+        / F.size(tk)
+    )
+    dup_raw = F.when(F.size(g3) == 0, F.lit(0.0)).otherwise(
+        (F.size(g3) - F.size(F.array_distinct(g3))).cast("double") / F.size(g3)
+    )
+    r = t.select(
+        "doc_id",
+        "source",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        top_raw.alias("top_raw"),
+        dup_raw.alias("dup_raw"),
+    )
+    top, dup = pround(F.col("top_raw"), 4), pround(F.col("dup_raw"), 4)
+    return r.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        top.alias("top_token_share"),
+        dup.alias("dup_3gram_ratio"),
+        ((top <= 0.2) & (dup <= 0.18)).alias("passes_repetition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage (tokenizer / OOV planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM toks GROUP BY token
+    ), total AS (
+      SELECT CAST(sum(n_occ) AS BIGINT) AS total_occ FROM counts
+    ), ranked AS (
+      SELECT token, n_occ,
+             row_number() OVER (ORDER BY n_occ DESC, token) AS rank,
+             CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_occ
+      FROM counts
+    )
+    SELECT rank, token, n_occ,
+           floor((CAST(cum_occ AS DOUBLE) / total_occ) * 1000000.0 + 0.5) / 1000000.0
+             AS cum_share
+    FROM ranked, total
+    WHERE rank <= 50
+    """,
+    doc="Corpus vocabulary coverage curve: top-50 tokens by occurrence "
+        "with cumulative share of all token occurrences — the "
+        "tokenizer-planning / OOV-rate report. Scale shape: one explode + "
+        "one hash-agg (vocab-sized output), bounded top-k "
+        "(TakeOrderedAndProject — no global sort of the vocab), then a "
+        "window over exactly 50 rows (constant-size at any corpus scale) "
+        "and a broadcast of the 1-row total.",
+    tags=("curation", "text"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_parallel(spark, sf_dir)
+    toks = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    # counts feeds BOTH the scalar total and the top-k branch; it is
+    # vocab-sized (tiny next to the corpus), so a lazy localCheckpoint
+    # makes the corpus scan + token agg run ONCE instead of per-branch
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("n_occ").cast("bigint").alias("total_occ"))
+    # bounded top-k first (50 rows), THEN the running-sum window: the
+    # prefix of a running sum equals the running sum of the prefix under
+    # the same total order, so the window only ever sees 50 rows.
+    top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(50)
+    order = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        "token",
+        "n_occ",
+        F.row_number().over(order).alias("rank"),
+        F.sum("n_occ").over(cum).cast("bigint").alias("cum_occ"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "n_occ",
+        pround(F.col("cum_occ").cast("double") / F.col("total_occ"), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(any_value(d.med) * 10000.0 + 0.5) / 10000.0 AS median_value,
+           floor(any_value(m.mad) * 10000.0 + 0.5) / 10000.0 AS mad_value,
+           CAST(count(*) FILTER (WHERE d.adev > CAST(4.4478 AS DOUBLE) * m.mad)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-type outlier detection: exact median + median "
+        "absolute deviation, outliers = |v - med| > 3*1.4826*MAD (the "
+        "constant is pre-multiplied to 4.4478 so both engines parse ONE "
+        "identical double literal — a 3.0*1.4826 product would "
+        "constant-fold in DECIMAL in DuckDB and double in Spark). "
+        "Two passes over events with 5-row broadcast joins — the "
+        "inherent shape of exact MAD. Spark's exact `percentile` is a "
+        "partial-aggregatable counts-map whose memory is bounded by "
+        "DISTINCT values per group (2-decimal charges here → bounded); "
+        "for unbounded-cardinality value domains switch to "
+        "percentile_approx.",
+    tags=("curation", "events"),
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.first("med"), 4).alias("median_value"),
+            pround(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

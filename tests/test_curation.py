@@ -171,3 +171,65 @@ def test_deciles_no_unpartitioned_data_window(spark):
         frame = text.find("specifiedwindowframe", s)
         assert frame != -1
         assert "_pid" in text[s:frame].split(",")[0]
+
+
+def test_repetition_stats_bounds_and_gate(spark):
+    df = SPECS["text_repetition_stats"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.top_token_share <= 1.0
+        assert 0.0 <= r.dup_3gram_ratio <= 1.0
+        assert r.passes_repetition == (
+            r.top_token_share <= 0.2 and r.dup_3gram_ratio <= 0.18
+        )
+        # a doc with >= 1 token has top share >= 1/n_tokens
+        if r.n_tokens:
+            assert r.top_token_share >= 1.0 / r.n_tokens - 1e-4
+
+
+def test_repetition_stats_is_map_only(spark):
+    df = SPECS["text_repetition_stats"].fn(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "windowspecdefinition" not in text
+    # the only exchange is the deliberate input-spread repartition
+    assert shuffle_count(df) <= 1
+
+
+def test_vocab_coverage_curve_shape(spark):
+    df = SPECS["text_vocab_coverage"].fn(spark, SF_SMALL)
+    rows = sorted(df.collect(), key=lambda r: r.rank)
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # counts nonincreasing with rank; cumulative share nondecreasing, <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_occ >= b.n_occ
+        assert a.cum_share <= b.cum_share + 1e-9
+    assert rows[-1].cum_share <= 1.0 + 1e-9
+    if len(rows) < 50:  # whole vocab fit: the curve must close at 1.0
+        assert abs(rows[-1].cum_share - 1.0) < 1e-6
+
+
+def test_vocab_coverage_topk_is_bounded_sort(spark):
+    df = SPECS["text_vocab_coverage"].fn(spark, SF_SMALL)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    # the 1-row total joins as a broadcast cross product, not a shuffle
+    assert "BroadcastNestedLoopJoin" in text
+
+
+def test_mad_outliers_sane(spark):
+    df = SPECS["events_value_outliers_mad"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > 0
+        assert 0 <= r.n_outliers <= r.n_events
+        assert r.mad_value >= 0.0
+        # an outlier fence at 3 robust sigmas keeps the bulk inside
+        assert r.n_outliers < 0.2 * r.n_events
+
+
+def test_mad_outliers_broadcasts_the_stats(spark):
+    df = SPECS["events_value_outliers_mad"].fn(spark, SF_SMALL)
+    # med (5 rows) and mad (5 rows) both broadcast back onto events
+    assert broadcast_join_count(df) >= 2
