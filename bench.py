@@ -52,6 +52,8 @@ HEADLINE = [
     "benchmark_contamination",
     "embedding_kmeans_assign",
     "documents_quality_deciles",
+    "text_repetition_stats",
+    "events_value_outliers_mad",
 ]
 
 

@@ -97,9 +97,39 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(bins, columns=["source", "bin_id", "doc_id", "n_tokens"])
 
 
+def _pack_sequences_oracle() -> str:
+    """The greedy next-fit recurrence in ANSI SQL: row_number orders the
+    docs per source exactly as `_pack_group` does, then a recursive CTE
+    threads the (bin_id, used-tokens) state one rn step per iteration —
+    the same sequential dependency the Pandas loop has, so the
+    previously rows-only query becomes value-checked (same upgrade
+    `dedup_clusters` got)."""
+    from .dedup import _DUCK_TOKENS
+
+    return f"""
+    WITH RECURSIVE feat AS (
+      SELECT source, doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), step AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS used
+      FROM feat WHERE rn = 1
+      UNION ALL
+      SELECT f.source, f.doc_id, f.n_tokens, f.rn,
+             CASE WHEN s.used > 0 AND s.used + f.n_tokens > {TOKEN_BUDGET}
+                  THEN s.bin_id + 1 ELSE s.bin_id END,
+             CASE WHEN s.used > 0 AND s.used + f.n_tokens > {TOKEN_BUDGET}
+                  THEN f.n_tokens ELSE s.used + f.n_tokens END
+      FROM step s JOIN feat f ON f.source = s.source AND f.rn = s.rn + 1
+    )
+    SELECT source, bin_id, doc_id, n_tokens FROM step
+    """
+
+
 @register(
     "pack_sequences",
-    oracle=None,  # order-dependent greedy assignment; invariants tested in pytest
+    oracle=_pack_sequences_oracle(),
     doc=f"Sequence packing: greedy next-fit of documents into "
         f"{TOKEN_BUDGET}-token bins per source (applyInPandas per group, "
         f"deterministic doc_id order). The packing step before writing "
