@@ -826,8 +826,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "constant is pre-multiplied to 4.4478 so both engines parse ONE "
         "identical double literal — a 3.0*1.4826 product would "
         "constant-fold in DECIMAL in DuckDB and double in Spark). "
-        "Two passes over events with 5-row broadcast joins — the "
-        "inherent shape of exact MAD. Spark's exact `percentile` is a "
+        "Three scans of events (median, MAD, fence count), each "
+        "map-side with 5-row broadcast stat joins — the inherent shape "
+        "of exact nested-median statistics. Spark's exact `percentile` is a "
         "partial-aggregatable counts-map whose memory is bounded by "
         "DISTINCT values per group (2-decimal charges here → bounded); "
         "for unbounded-cardinality value domains switch to "
