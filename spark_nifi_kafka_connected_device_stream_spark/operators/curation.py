@@ -856,3 +856,175 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation funnel (capstone: the tiers composed end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    """The whole curation pipeline as ONE value-checked report, composed
+    from the same SQL fragments the individual oracles use (cluster CTEs
+    from dedup_clusters, gates from text_quality_score /
+    text_repetition_stats) so every stage stays in lockstep with its
+    standalone operator."""
+    from .dedup import _DUCK_SIGS, MAX_BUCKET_SIZE
+
+    pct = lambda n: f"floor(CAST({n} AS DOUBLE) / n0 * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""
+    WITH RECURSIVE {_DUCK_SIGS},
+    bucket_sizes AS (
+      SELECT band_id, bucket, count(*) AS n FROM bands GROUP BY band_id, bucket
+    ), capped AS (
+      SELECT b.doc_id, b.band_id, b.bucket
+      FROM bands b JOIN bucket_sizes s USING (band_id, bucket)
+      WHERE s.n <= {MAX_BUCKET_SIZE}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT doc_a, doc_a FROM edges
+      UNION
+      SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+    ), drops AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> min(dst)
+    ), fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS pass1
+      FROM fp
+    ), feat AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM feat
+    ), gates AS (
+      SELECT doc_id,
+             (len(toks) >= 20
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2) AS pass3,
+             ((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE floor((CAST(list_max(list_transform(list_distinct(toks),
+                             d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                         / len(toks)) * 10000.0 + 0.5) / 10000.0 END) <= 0.2
+              AND (CASE WHEN len(g3) = 0 THEN 0.0
+                        ELSE floor((CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                             / len(g3)) * 10000.0 + 0.5) / 10000.0 END) <= 0.18) AS pass4
+      FROM g
+    ), flags AS (
+      SELECT d.doc_id, p1.pass1, (dr.doc_id IS NULL) AS pass2, ga.pass3, ga.pass4
+      FROM documents d
+      JOIN p1 ON p1.doc_id = d.doc_id
+      LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+      JOIN gates ga ON ga.doc_id = d.doc_id
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE pass1) AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE pass1 AND pass2) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE pass1 AND pass2 AND pass3) AS BIGINT) AS n3,
+             CAST(count(*) FILTER (WHERE pass1 AND pass2 AND pass3 AND pass4) AS BIGINT) AS n4
+      FROM flags
+    )
+    SELECT 0 AS stage_idx, 'total' AS stage, n0 AS n_docs, {pct('n0')} AS pct_of_total FROM agg
+    UNION ALL SELECT 1, 'exact_dedup', n1, {pct('n1')} FROM agg
+    UNION ALL SELECT 2, 'near_dup', n2, {pct('n2')} FROM agg
+    UNION ALL SELECT 3, 'quality_gate', n3, {pct('n3')} FROM agg
+    UNION ALL SELECT 4, 'repetition_gate', n4, {pct('n4')} FROM agg
+    """
+
+
+@register(
+    "curation_funnel_report",
+    oracle=_funnel_oracle(),
+    doc="Capstone: the curation pipeline end-to-end as a survivorship "
+        "funnel — total docs, after exact dedup (min doc_id per "
+        "normalized-text md5), after near-dup cluster resolution (drop "
+        "non-canonical LSH cluster members), after the quality gate, "
+        "after the repetition gate — each stage cumulative, with share "
+        "of corpus. Gate predicates reuse the standalone operators' "
+        "exact semantics (and the oracle reuses their SQL fragments). "
+        "Scale shape: one map-side gate projection, one fingerprint "
+        "window shuffle, one hash join against the (corpus-bounded) "
+        "drop set, and a single-row aggregate unpivoted to 5 rows — "
+        "plus the iterative cluster resolution it composes.",
+    tags=("curation", "pipeline"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_ops import dedup_clusters
+
+    d = _documents_parallel(spark, sf_dir)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    t = t.select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("fingerprint"),
+        tokens(F.col("norm")).alias("toks"),
+    )
+    t = t.select("doc_id", "fingerprint", "toks", shingles(F.col("toks"), n=3).alias("g3"))
+    tk, g3 = F.col("toks"), F.col("g3")
+    quality = (F.size(tk) >= 20) & (
+        F.size(F.array_distinct(tk)).cast("double") / F.size(tk) >= 0.2
+    )
+    top_raw = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda d_: F.size(F.filter(tk, lambda x: x == d_)),
+            )
+        ).cast("double")
+        / F.size(tk)
+    )
+    dup_raw = F.when(F.size(g3) == 0, F.lit(0.0)).otherwise(
+        (F.size(g3) - F.size(F.array_distinct(g3))).cast("double") / F.size(g3)
+    )
+    repetition = (pround(top_raw, 4) <= 0.2) & (pround(dup_raw, 4) <= 0.18)
+    wfp = Window.partitionBy("fingerprint")
+    flags = t.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(wfp)).alias("pass1"),
+        quality.alias("pass3"),
+        repetition.alias("pass4"),
+    )
+    drops = (
+        dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("_dropped"))
+    )
+    flags = flags.join(drops, "doc_id", "left").withColumn(
+        "pass2", F.col("_dropped").isNull()
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("pass1").cast("long")).alias("n1"),
+        F.sum((F.col("pass1") & F.col("pass2")).cast("long")).alias("n2"),
+        F.sum(
+            (F.col("pass1") & F.col("pass2") & F.col("pass3")).cast("long")
+        ).alias("n3"),
+        F.sum(
+            (F.col("pass1") & F.col("pass2") & F.col("pass3") & F.col("pass4")).cast(
+                "long"
+            )
+        ).alias("n4"),
+    )
+    agg = agg.select(
+        "*",
+        *[
+            pround(F.col(f"n{i}").cast("double") / F.col("n0"), 6).alias(f"pct{i}")
+            for i in range(5)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'total', n0, pct0, 1, 'exact_dedup', n1, pct1, "
+            "2, 'near_dup', n2, pct2, 3, 'quality_gate', n3, pct3, "
+            "4, 'repetition_gate', n4, pct4) "
+            "as (stage_idx, stage, n_docs, pct_of_total)"
+        )
+    )

@@ -233,3 +233,17 @@ def test_mad_outliers_broadcasts_the_stats(spark):
     df = SPECS["events_value_outliers_mad"].fn(spark, SF_SMALL)
     # med (5 rows) and mad (5 rows) both broadcast back onto events
     assert broadcast_join_count(df) >= 2
+
+
+def test_funnel_is_monotone_and_consistent(spark):
+    df = SPECS["curation_funnel_report"].fn(spark, SF_SMALL)
+    rows = sorted(df.collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == [
+        "total", "exact_dedup", "near_dup", "quality_gate", "repetition_gate"
+    ]
+    total = rows[0].n_docs
+    assert total > 0 and rows[0].pct_of_total == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs >= b.n_docs  # survivorship can only shrink
+    for r in rows:
+        assert abs(r.pct_of_total - r.n_docs / total) < 1e-6
