@@ -54,6 +54,7 @@ HEADLINE = [
     "documents_quality_deciles",
     "text_repetition_stats",
     "events_value_outliers_mad",
+    "curation_funnel_report",
 ]
 
 
