@@ -83,6 +83,31 @@ def register(
     return deco
 
 
+# Fine-grained window control on top of module order: names in _PROMOTE
+# are moved to the FRONT of the registry (in this order), names in
+# _DEMOTE to the BACK — everything else keeps registration order.  This
+# lets a round put specific never-driver-checked queries inside the
+# driver's 50-entry correctness window without reshuffling whole
+# modules.  Round 3: promote the five queries that have never had a
+# driver row in any round (q7/q8 registered late in the relational
+# module; the other three are late-round-3 additions), demote five
+# round-1-verified window re-checks to make room.
+_PROMOTE: tuple[str, ...] = (
+    "q7_volume_shipping",
+    "q8_market_share",
+    "text_vocab_coverage",
+    "events_value_outliers_mad",
+    "curation_funnel_report",
+)
+_DEMOTE: tuple[str, ...] = (
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_dense_ntile",
+    "window_moving_avg_range",
+    "window_share_of_total",
+)
+
+
 def _load() -> None:
     global _LOADED
     if not _LOADED:
@@ -93,7 +118,17 @@ def _load() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load()
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PROMOTE:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered and name not in _DEMOTE:
+            ordered[name] = spec
+    for name in _DEMOTE:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

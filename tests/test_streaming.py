@@ -254,3 +254,43 @@ def test_foreach_batch_topk(spark, replay_dir, tmp_path):
     counts = [r["source_number"] for r in top]
     assert counts == sorted(counts, reverse=True)
     assert top[0]["source"] == "desktop" and top[0]["source_number"] == 21
+
+
+def test_watermark_drop_is_observable_in_state_metrics(spark, replay_dir, tmp_path):
+    """The late-drop behavior is not just output-visible: the streaming
+    progress metrics must account for it (`numRowsDroppedByWatermark`),
+    and the windowed aggregation must actually carry state rows — the
+    observability surface an operator watches at 100 TB, where you
+    detect watermark misconfiguration from metrics, not from diffing
+    outputs."""
+    batch1 = [e[2] for e in _mk_events(0, 30) + _mk_events(10, 10, start_i=100)]
+    _write_file(replay_dir, "b1.json", batch1)
+    stream = json_file_stream(spark, replay_dir, max_files_per_trigger=1)
+    agg = windowed_source_counts(parse_product_views(stream))
+    q = memory_sink(agg, "pv_obs", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk_obs")
+    ).start()
+    try:
+        q.processAllAvailable()
+        # watermark is now 10:10:xx - 5min > 10:05 > window-1 end;
+        # this event targets the expired 10:00-10:05 window -> dropped
+        _write_file(
+            replay_dir, "b2.json", [_event("2021-03-06 10:01:30.000", 999, "desktop")]
+        )
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        assert progresses, "no state-operator progress reported"
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progresses
+            for op in p["stateOperators"]
+        )
+        assert dropped >= 1
+        state_rows = max(
+            op.get("numRowsTotal", 0)
+            for p in progresses
+            for op in p["stateOperators"]
+        )
+        assert state_rows >= 1  # open windows held as state
+    finally:
+        q.stop()
