@@ -1028,3 +1028,73 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (stage_idx, stage, n_docs, pct_of_total)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment (PAPERS.md: sentiment at scale — the lexicon tier)
+# ---------------------------------------------------------------------------
+
+# fixed polarity lexicon over the corpus vocabulary; the SIGN of the
+# net count decides the label (integer comparison — no float threshold
+# to flip cross-engine)
+_POS_WORDS = ("fast", "big", "value", "merge")
+_NEG_WORDS = ("slow", "small", "dup", "stream")
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents
+    ), counts AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> t IN {_POS_WORDS!r})) AS BIGINT) AS n_pos,
+             CAST(len(list_filter(toks, t -> t IN {_NEG_WORDS!r})) AS BIGINT) AS n_neg
+      FROM feat
+    )
+    SELECT doc_id, source, n_tokens, n_pos, n_neg,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE floor((CAST(n_pos - n_neg AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+                     / 10000.0 END AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_pos < n_neg THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM counts
+    """,
+    doc="Lexicon sentiment at corpus scale (PAPERS.md sentiment-at-scale "
+        "tier): positive/negative token counts against a fixed polarity "
+        "lexicon, normalized polarity score, and a label decided by the "
+        "SIGN of the integer net count — no float threshold that could "
+        "flip cross-engine. Map-only single scan; the lexicon is a "
+        "compile-time constant (broadcast-free).",
+    tags=("curation", "text"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_parallel(spark, sf_dir)
+    t = d.select(
+        "doc_id", "source", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    tk = F.col("toks")
+    counts = t.select(
+        "doc_id",
+        "source",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(tk, lambda x: x.isin(*_POS_WORDS))).cast("bigint").alias("n_pos"),
+        F.size(F.filter(tk, lambda x: x.isin(*_NEG_WORDS))).cast("bigint").alias("n_neg"),
+    )
+    net = F.col("n_pos") - F.col("n_neg")
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(pround(net.cast("double") / F.col("n_tokens"), 4))
+        .alias("polarity"),
+        F.when(F.col("n_pos") > F.col("n_neg"), "positive")
+        .when(F.col("n_pos") < F.col("n_neg"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )
