@@ -749,3 +749,44 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("supp_nation") == "NATION_8", F.col("volume")).otherwise(F.lit(0))
     ).cast("double") / F.sum("volume").cast("double")
     return sales.groupBy("o_year").agg(pround(share, 6).alias("mkt_share"))
+
+
+@register(
+    "events_user_activity_percentiles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(n_events) AS BIGINT) AS min_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           floor((quantile_cont(n_events, 0.5)) * 10000.0 + 0.5) / 10000.0  AS p50,
+           floor((quantile_cont(n_events, 0.9)) * 10000.0 + 0.5) / 10000.0  AS p90,
+           floor((quantile_cont(n_events, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+    FROM per_user GROUP BY event_type
+    """,
+    doc="Per-entity activity distribution: events per (user, type), then "
+        "the exact percentile profile of that per-user count per type — "
+        "the power-user / bot-detection report. Nested aggregation: the "
+        "inner groupBy shuffles on (user_id, event_type) — fully "
+        "partial-aggregatable; the outer exact percentile runs over the "
+        "per-user counts, whose DISTINCT values are small integers, so "
+        "the counts-map percentile stays memory-bounded at any corpus "
+        "scale (unlike percentiles over continuous columns).",
+    tags=("agg", "stats", "events"),
+)
+def events_user_activity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n_events").alias("min_events"),
+        F.max("n_events").alias("max_events"),
+        pround(F.percentile("n_events", 0.5), 4).alias("p50"),
+        pround(F.percentile("n_events", 0.9), 4).alias("p90"),
+        pround(F.percentile("n_events", 0.99), 4).alias("p99"),
+    )
