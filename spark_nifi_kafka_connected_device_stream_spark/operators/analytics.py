@@ -790,3 +790,42 @@ def events_user_activity_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         pround(F.percentile("n_events", 0.9), 4).alias("p90"),
         pround(F.percentile("n_events", 0.99), 4).alias("p99"),
     )
+
+
+# deterministic erasure cohort: pure arithmetic on user_id, mirrored
+# verbatim in the oracle (same pattern as curation's EVAL_MOD/BATCH_MOD)
+ERASE_MOD = 37
+
+
+@register(
+    "events_erasure_impact",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE user_id % {ERASE_MOD} = 0) AS BIGINT)
+             AS n_events_erased,
+           CAST(count(DISTINCT user_id) FILTER (WHERE user_id % {ERASE_MOD} = 0) AS BIGINT)
+             AS n_users_erased,
+           floor((CAST(count(*) FILTER (WHERE user_id % {ERASE_MOD} = 0) AS DOUBLE)
+                  / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS pct_erased
+    FROM events GROUP BY event_type
+    """,
+    doc=f"Data-governance impact scan: given a deletion cohort (here the "
+        f"deterministic user_id % {ERASE_MOD} == 0 stand-in for a "
+        "right-to-be-forgotten list), report per event type how many "
+        "rows and distinct users an erasure pass would remove. One scan, "
+        "one partial-aggregatable groupBy; at scale the real deletion "
+        "list broadcasts as a semi-join exactly like "
+        "benchmark_contamination's eval side.",
+    tags=("agg", "events", "governance"),
+)
+def events_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    erased = F.col("user_id") % ERASE_MOD == 0
+    n_erased = F.sum(erased.cast("long"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_erased.alias("n_events_erased"),
+        F.count_distinct(F.when(erased, F.col("user_id"))).alias("n_users_erased"),
+        pround(n_erased.cast("double") / F.count(F.lit(1)), 6).alias("pct_erased"),
+    )

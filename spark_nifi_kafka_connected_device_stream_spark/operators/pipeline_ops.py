@@ -235,3 +235,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def _cluster_stats_oracle() -> str:
+    """Cluster-size accounting over the same transitive closure the
+    dedup_clusters oracle computes — grouped by cluster size."""
+    from .dedup import _DUCK_SIGS, MAX_BUCKET_SIZE
+
+    return f"""
+    WITH RECURSIVE {_DUCK_SIGS},
+    bucket_sizes AS (
+      SELECT band_id, bucket, count(*) AS n FROM bands GROUP BY band_id, bucket
+    ), capped AS (
+      SELECT b.doc_id, b.band_id, b.bucket
+      FROM bands b JOIN bucket_sizes s USING (band_id, bucket)
+      WHERE s.n <= {MAX_BUCKET_SIZE}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT doc_a, doc_a FROM edges
+      UNION
+      SELECT r.src, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.dst
+    ), members AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ), csize AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM members GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_droppable
+    FROM csize GROUP BY cluster_size
+    """
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=_cluster_stats_oracle(),
+    doc="Dedup accounting: near-dup cluster size histogram with the "
+        "droppable-document count per size bucket — what an operator "
+        "reads to predict corpus shrinkage before committing a delete "
+        "list. One groupBy over the cluster labels (cluster count is "
+        "bounded by corpus size; the histogram is tiny) on top of the "
+        "iterative CC resolution.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = dedup_clusters(spark, sf_dir)
+    csize = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - F.lit(1))).alias("n_droppable"),
+    )

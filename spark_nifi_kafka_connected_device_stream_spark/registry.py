@@ -105,6 +105,9 @@ _DEMOTE: tuple[str, ...] = (
     "window_rank_dense_ntile",
     "window_moving_avg_range",
     "window_share_of_total",
+    # registers mid-window (pipeline_ops) but is a brand-new round-3
+    # query with no room left in the packed window — round-4 candidate
+    "dedup_cluster_stats",
 )
 
 
