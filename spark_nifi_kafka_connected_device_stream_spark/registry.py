@@ -88,26 +88,29 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 3: promote the five queries that have never had a
-# driver row in any round (q7/q8 registered late in the relational
-# module; the other three are late-round-3 additions), demote five
-# round-1-verified window re-checks to make room.
+# modules.  Round 4: promote the last four queries that have never had
+# a driver row in any round (all landed after round 3's window packed).
+# Once these four have green rows, every registered query has been
+# driver-verified at least once — tests/test_oracle_parity.py pins the
+# invariant that no never-checked backlog can accumulate again.
 _PROMOTE: tuple[str, ...] = (
-    "q7_volume_shipping",
-    "q8_market_share",
-    "text_vocab_coverage",
-    "events_value_outliers_mad",
-    "curation_funnel_report",
+    "dedup_cluster_stats",
+    "events_user_activity_percentiles",
+    "events_erasure_impact",
+    "text_sentiment_lexicon",
 )
 _DEMOTE: tuple[str, ...] = (
+    # double-verified re-checks (green in two separate rounds) demoted
+    # to make room for the four first-time checks above.
     "window_running_sum",
     "window_lag_delta",
     "window_rank_dense_ntile",
     "window_moving_avg_range",
     "window_share_of_total",
-    # registers mid-window (pipeline_ops) but is a brand-new round-3
-    # query with no room left in the packed window — round-4 candidate
-    "dedup_cluster_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_positions",
+    "text_winnowing_fingerprints",
 )
 
 

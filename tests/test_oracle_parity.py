@@ -114,28 +114,23 @@ def test_entry_smoke(spark):
 
 def test_driver_window_contains_all_first_time_queries():
     """The driver's correctness gate checks only the FIRST 50 registry
-    entries. Every query that has never had a driver row in a previous
-    round (CORRECTNESS_r01/r02) must sit inside the round-3 window —
-    the _PROMOTE/_DEMOTE lists in registry.py exist for exactly this;
-    this test fails if a refactor silently reorders them out."""
-    window = list(SPECS)[:50]
-    first_time = {
-        # never checked in r1/r2 (registered late or added in round 3)
-        "lateral_top_order_per_customer", "window_first_last",
-        "q7_volume_shipping", "q8_market_share",
-        "dedup_containment", "embedding_near_dup_bucketed",
-        "similarity_topk_ivf_quantized", "pack_sequences",
-        "dedup_clusters",  # oracle upgraded in r3 → needs a value row
-        "text_token_stats",  # red in r2 (oracle type) → re-check
-        "benchmark_contamination", "dedup_incremental_exact",
-        "embedding_kmeans_assign", "text_char_entropy",
-        "embedding_scalar_quantize", "text_tfidf_top_terms",
-        "text_bigram_logprob", "documents_quality_deciles",
-        "text_repetition_stats", "text_vocab_coverage",
-        "events_value_outliers_mad", "curation_funnel_report",
-    }
-    missing = first_time - set(window)
-    assert not missing, f"first-time queries outside the driver window: {sorted(missing)}"
+    entries.  Steady-state invariant: any registered query that has no
+    driver row in ANY recorded round (CORRECTNESS_r0*.json) must sit
+    inside the current window — the _PROMOTE/_DEMOTE lists in
+    registry.py exist for exactly this; this test fails if a new query
+    registers outside the window or a refactor reorders one out, so a
+    never-checked backlog can't silently accumulate again."""
+    import glob
+    import json
+
+    checked: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(path) as f:
+            checked.update(json.load(f).keys())
+    window = set(list(SPECS)[:50])
+    never = set(SPECS) - checked
+    missing = never - window
+    assert not missing, f"never-driver-checked queries outside the 50-entry window: {sorted(missing)}"
 
 
 def test_bad_sf_dir_raises_clean_error(spark):
