@@ -45,17 +45,21 @@ def salted_agg(
     """Two-phase aggregation with a random-ish salt derived from a
     stable row hash (deterministic — no rand(), so plans are
     replayable).  `aggs` maps output column name → DECOMPOSABLE
-    aggregate: either `(partial_expr, merge)` with merge in
-    {"sum", "min", "max"}, or a bare Column only if it is a plain
-    count()/sum() (both merge by sum); other bare Columns raise.
-    The merge function is declared by the caller — nothing is
-    inferred from the expression tree (plan-string parsing breaks
-    under Spark Connect and misreads wrapped expressions).
+    aggregate as an explicit `(partial_expr, merge)` tuple with merge
+    in {"sum", "min", "max"}.  Bare Columns are rejected outright: the
+    merge CANNOT be inferred safely — on this Spark build
+    F.count_distinct / F.sum_distinct repr identically to plain
+    count()/sum() (`Column<'count(x)'>`), and the JVM expression tree
+    is not introspectable from Python (and plan-string parsing breaks
+    under Spark Connect), so a repr-based allowance would silently
+    sum-merge DISTINCT partials across salt groups — overcounting with
+    no error.  Note distinct aggregates are not salt-decomposable at
+    all: use exact groupBy or approx_count_distinct for those.
 
     Usage:
         salted_agg(df, ["k"], {
-            "n": F.count(F.lit(1)),           # bare Column → merge=sum
-            "s": F.sum("v"),
+            "n": (F.count(F.lit(1)), "sum"),
+            "s": (F.sum("v"), "sum"),
             "lo": (F.min("v"), "min"),
             "hi": (F.max("v"), "max"),
         })
@@ -65,22 +69,13 @@ def salted_agg(
         if isinstance(spec, tuple):
             expr, merge = spec
         else:
-            # A bare Column is accepted ONLY when it is recognizably a
-            # count()/sum() (sum-mergeable partials).  Anything else —
-            # including reprs this Spark API flavor doesn't expose —
-            # must use the explicit (expr, merge) form: silently
-            # merging a min/max partial by sum would return wrong
-            # values with no error.  The repr is used only to REJECT,
-            # never to pick a merge, so an unparseable repr fails fast
-            # instead of guessing.
-            expr, merge = spec, "sum"
-            head = str(spec).removeprefix("Column<'").lstrip()
-            if not (head.startswith("count(") or head.startswith("sum(")):
-                raise ValueError(
-                    f"salted_agg: aggregate {name!r} is a bare Column whose "
-                    "sum-mergeability can't be confirmed; pass the explicit "
-                    "(expr, merge) tuple, e.g. (F.min('v'), 'min')"
-                )
+            raise ValueError(
+                f"salted_agg: aggregate {name!r} is a bare Column; its merge "
+                "function can't be inferred safely (count_distinct/sum_distinct "
+                "are indistinguishable from count/sum by repr and would be "
+                "silently overcounted). Pass the explicit (expr, merge) tuple, "
+                "e.g. (F.count(F.lit(1)), 'sum') or (F.min('v'), 'min')"
+            )
         if merge not in _MERGE_FNS:
             raise ValueError(f"salted_agg merge must be one of {sorted(_MERGE_FNS)}: {merge!r}")
         normalized[name] = (expr, merge)

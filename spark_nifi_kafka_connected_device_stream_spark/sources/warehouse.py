@@ -96,10 +96,17 @@ def compact_parquet(
     import math
     import os
 
-    files_before = len(glob.glob(os.path.join(src_dir, "*.parquet")))
-    total_bytes = sum(
-        os.path.getsize(p) for p in glob.glob(os.path.join(src_dir, "*.parquet"))
-    )
+    # recursive: streaming sinks and hive-partitioned layouts nest files
+    # under key=value subdirectories — a flat glob would size them as 0
+    # bytes and collapse the whole dataset into one file
+    def _parquet_files(d: str) -> list[str]:
+        return glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+
+    src_files = _parquet_files(src_dir)
+    if not src_files:
+        raise FileNotFoundError(f"compact_parquet: no parquet files under {src_dir!r}")
+    files_before = len(src_files)
+    total_bytes = sum(os.path.getsize(p) for p in src_files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(src_dir)
     if sort_col is not None:
@@ -109,5 +116,5 @@ def compact_parquet(
     else:
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(dst_dir)
-    files_after = len(glob.glob(os.path.join(dst_dir, "*.parquet")))
+    files_after = len(_parquet_files(dst_dir))
     return files_before, files_after

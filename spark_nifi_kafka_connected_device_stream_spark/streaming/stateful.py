@@ -167,40 +167,57 @@ EXPIRY_STATE = T.StructType(
 _EXPIRY_GAP_MS = 10 * 60 * 1000
 
 
-def _session_expiry_fn(key, pdfs, state: GroupState):
-    """Event-time-timeout state machine: accumulate per-key counts;
-    when the WATERMARK passes last_ts + gap the state times out and the
-    closed session is emitted exactly once, then state is freed.  This
-    is the eviction discipline every custom stateful operator needs at
-    scale — without a timeout, per-key state lives forever."""
-    import datetime as _dt
+def _make_session_expiry_fn(tz_name: str):
+    """Build the expiry state function bound to the SESSION timezone.
 
-    if state.hasTimedOut:
-        n, first_us, last_us = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "n_events": [n],
-                "first_ts": [_dt.datetime.utcfromtimestamp(first_us / 1e6)],
-                "last_ts": [_dt.datetime.utcfromtimestamp(last_us / 1e6)],
-                "closed_by_timeout": [True],
-            }
-        )
+    Arrow hands pandas tz-NAIVE wall-clock timestamps localized to the
+    session tz, but `state.setTimeoutTimestamp` compares against the
+    true event-time watermark (epoch millis).  Treating the naive wall
+    time as epoch (the pre-round-4 bug) fires the timeout offset by the
+    tz offset — e.g. 5.5 h late under Asia/Kolkata.  So: localize to the
+    session tz first, store TRUE epoch micros in state, and convert back
+    to session wall time only when emitting (naive output timestamps are
+    re-interpreted in session tz by Arrow on the way out)."""
+
+    def _session_expiry_fn(key, pdfs, state: GroupState):
+        def _wall(us: int) -> pd.Timestamp:
+            # true epoch → session-tz wall time, naive for Arrow output
+            return pd.Timestamp(us, unit="us", tz="UTC").tz_convert(tz_name).tz_localize(None)
+
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "first_ts": [_wall(first_us)],
+                    "last_ts": [_wall(last_us)],
+                    "closed_by_timeout": [True],
+                }
+            )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # naive session-wall → tz-aware → true epoch micros.
+            # ambiguous=False: on a DST fall-back repeat hour, pick
+            # standard time deterministically (UTC sessions never hit it)
+            localized = pdf["timestamp"].dt.tz_localize(
+                tz_name, ambiguous=False, nonexistent="shift_forward"
+            )
+            us = (localized.astype("int64") // 1000).tolist()
+            n += len(us)
+            first_us = min(us) if first_us is None else min(first_us, *us)
+            last_us = max(us) if last_us is None else max(last_us, *us)
+        state.update((n, first_us, last_us))
+        # true epoch millis — comparable to the event-time watermark
+        state.setTimeoutTimestamp(last_us // 1000 + _EXPIRY_GAP_MS)
         return
-    n, first_us, last_us = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        us = (pdf["timestamp"].astype("int64") // 1000).tolist()
-        n += len(us)
-        first_us = min(us) if first_us is None else min(first_us, *us)
-        last_us = max(us) if last_us is None else max(last_us, *us)
-    state.update((n, first_us, last_us))
-    # timeout fires once the event-time watermark passes this timestamp
-    state.setTimeoutTimestamp(last_us // 1000 + _EXPIRY_GAP_MS)
-    return
-    yield  # pragma: no cover - generator form required by the API
+        yield  # pragma: no cover - generator form required by the API
+
+    return _session_expiry_fn
 
 
 def session_expiry_summaries(
@@ -213,11 +230,12 @@ def session_expiry_summaries(
     exercising the explicit state-eviction path
     (GroupStateTimeout.EventTimeTimeout + state.remove) that bounds
     state size for arbitrary custom operators."""
+    tz_name = stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     projected = stream.select(
         F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("timestamp")
     ).withWatermark("timestamp", "10 minutes")
     return projected.groupBy("key").applyInPandasWithState(
-        _session_expiry_fn,
+        _make_session_expiry_fn(tz_name),
         EXPIRY_OUTPUT,
         EXPIRY_STATE,
         "append",

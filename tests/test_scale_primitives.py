@@ -31,20 +31,28 @@ def test_salted_agg_equivalence(spark):
         for r in salted_agg(
             li.select("l_returnflag", "l_quantity"),
             ["l_returnflag"],
-            {"n": F.count(F.lit(1)), "s": F.sum("l_quantity")},
+            {"n": (F.count(F.lit(1)), "sum"), "s": (F.sum("l_quantity"), "sum")},
         ).collect()
     }
     assert salted == plain
 
 
 def test_salted_agg_rejects_ambiguous_bare_column(spark):
-    """A bare F.min/F.max would be silently merged by sum (wrong values);
-    salted_agg must refuse it and demand the explicit tuple form."""
+    """EVERY bare Column must be refused: F.count_distinct reprs
+    identically to F.count on this build (Column<'count(x)'>), so no
+    repr-based allowance can tell sum-mergeable partials from distinct
+    ones — a silently sum-merged distinct partial overcounts across
+    salt groups with no error."""
     import pytest
 
     li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
     with pytest.raises(ValueError, match="explicit"):
         salted_agg(li, ["l_returnflag"], {"lo": F.min("l_quantity")})
+    # the exact trap from ADVICE r3: count_distinct looks like count
+    with pytest.raises(ValueError, match="explicit"):
+        salted_agg(li, ["l_returnflag"], {"n": F.count_distinct("l_quantity")})
+    with pytest.raises(ValueError, match="explicit"):
+        salted_agg(li, ["l_returnflag"], {"n": F.count(F.lit(1))})
     # the tuple form of the same aggregate is exact
     got = {
         (r["l_returnflag"],): r["lo"]
@@ -61,7 +69,7 @@ def test_salted_agg_rejects_ambiguous_bare_column(spark):
 
 def test_salted_agg_two_shuffles_bounded_reducers(spark):
     li = load_table(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
-    df = salted_agg(li, ["l_returnflag"], {"n": F.count(F.lit(1))}, n_salts=8)
+    df = salted_agg(li, ["l_returnflag"], {"n": (F.count(F.lit(1)), "sum")}, n_salts=8)
     # exactly two exchanges: (key, salt) then (key)
     assert shuffle_count(df) == 2
 

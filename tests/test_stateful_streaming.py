@@ -163,6 +163,52 @@ def test_session_expiry_event_time_timeout(spark, tmp_path):
     assert r["last_ts"].strftime("%H:%M:%S") == "10:01:00"
 
 
+def test_session_expiry_non_utc_session_tz(spark, tmp_path):
+    """ADVICE r3: setTimeoutTimestamp expects TRUE event-time epoch
+    millis, but Arrow hands the state fn naive session-wall timestamps.
+    Under Asia/Kolkata (+5:30) the pre-fix code set the timeout 5.5 h in
+    the future, so the watermark never passed it and the session never
+    closed — this replay must still emit the closed session."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        session_expiry_summaries,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        d = str(tmp_path / "in")
+        _write_file(
+            d,
+            "b1.json",
+            [
+                _event("2021-03-06 10:00:00.000", 0, "desktop"),
+                _event("2021-03-06 10:01:00.000", 7, "desktop"),
+            ],
+        )
+        stream = parse_product_views(json_file_stream(spark, d))
+        out = session_expiry_summaries(stream)
+        q = memory_sink(out, "expiry_tz", output_mode="append").option(
+            "checkpointLocation", str(tmp_path / "chk")
+        ).start()
+        try:
+            q.processAllAvailable()
+            _write_file(d, "b2.json", [_event("2021-03-06 12:00:00.000", 1, "desktop")])
+            q.processAllAvailable()
+            _write_file(d, "b3.json", [_event("2021-03-06 12:30:00.000", 8, "desktop")])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM expiry_tz WHERE key = 'user-0'").collect()
+        assert len(rows) == 1, "session never closed — timeout epoch is tz-shifted"
+        r = rows[0]
+        assert r["n_events"] == 2 and r["closed_by_timeout"]
+        # wall-clock round trip: emitted ts must match the ingested wall time
+        assert r["first_ts"].strftime("%H:%M:%S") == "10:00:00"
+        assert r["last_ts"].strftime("%H:%M:%S") == "10:01:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_streaming_dedup_exact_within_watermark(spark, tmp_path):
     from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
         streaming_dedup_exact,

@@ -76,6 +76,30 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(dst).collect()} == set(range(40))
 
 
+def test_compact_parquet_hive_partitioned_dirs(spark, tmp_path):
+    """ADVICE r3: a flat glob sized hive-partitioned input as 0 bytes,
+    silently rewriting any dataset into ONE file. Nested key=value
+    layouts must be sized recursively and keep >1 output file when the
+    bytes demand it; an empty source must raise, not return (0, 1)."""
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "hive_src")
+    dst = str(tmp_path / "hive_dst")
+    spark.range(2000).selectExpr("id", "id % 4 AS part").repartition(20).write.partitionBy(
+        "part"
+    ).parquet(src)
+    before, after = compact_parquet(spark, src, dst, target_file_bytes=4096)
+    assert before >= 20  # counted the nested files, not 0
+    assert after > 1  # sized from real bytes → multiple output files
+    assert spark.read.parquet(dst).count() == 2000
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        compact_parquet(spark, str(tmp_path / "empty_src"), dst)
+
+
 def test_compact_parquet_sorted_rowgroups(spark, tmp_path):
     from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
         compact_parquet,
