@@ -46,14 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain `read.parquet` so filters/projections in the
     downstream plan push into the scan (check with plans.scan_info).
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; it is read as raw nanos (`nanosAsLong`) and rebuilt
-    as a proper TimestampType at microsecond precision.  The
-    `to_utc_timestamp(..., session_tz)` shift makes the *wall-time*
-    rendering of `ts` equal to its stored UTC value in ANY session
-    timezone (rendering adds the session offset back), so
-    formatted-string outputs stay engine-portable — verified under
-    Asia/Kolkata in tests/test_oracle_parity.py."""
+    `events.ts` has shipped in several parquet physical layouts across
+    fixture generations (TIMESTAMP(NANOS), plain TIMESTAMP(MICROS)/ntz,
+    instant TIMESTAMP).  All are normalized to the same two-column
+    contract:
+
+      * `ts_us`  — the ORIGINAL stored epoch micros (bigint), for
+        operators that output absolute times as numbers,
+      * `ts`     — TimestampType whose *wall-time* rendering equals the
+        stored value in ANY session timezone (the
+        `to_utc_timestamp(..., session_tz)` shift cancels the session
+        offset that rendering adds back), so formatted-string outputs
+        stay engine-portable — verified under Asia/Kolkata in
+        tests/test_timezone_robustness.py."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     key = (
@@ -83,14 +88,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
     finally:
         spark.conf.unset(flag) if prev is None else spark.conf.set(flag, prev)
-    if dict(df.dtypes).get("ts") == "bigint":
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        # ts_us: the ORIGINAL stored epoch micros, for operators that
-        # output absolute times as numbers (the shifted `ts` instant is
-        # wall-time-correct but its unix_micros moves with session tz)
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts", F.to_utc_timestamp(F.timestamp_micros(F.expr("ts div 1000")), tz)
+    ts_dtype = dict(df.dtypes).get("ts")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    # ts_us: the ORIGINAL stored epoch micros, for operators that
+    # output absolute times as numbers (the shifted `ts` instant is
+    # wall-time-correct but its unix_micros moves with session tz)
+    if ts_dtype == "bigint":
+        # TIMESTAMP(NANOS) fixture read as raw nanos via nanosAsLong
+        df = df.withColumn("ts_us", F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        # TIMESTAMP(MICROS) isAdjustedToUTC=false fixture: the wall
+        # time IS the stored value; pure wall arithmetic (no session-tz
+        # involvement, so no DST edge) recovers the epoch micros
+        df = df.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
         )
+    elif ts_dtype == "timestamp":
+        # instant (isAdjustedToUTC=true) fixture: already epoch micros
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    else:
+        _PLAN_CACHE[key] = df
+        return df
+    df = df.withColumn(
+        "ts", F.to_utc_timestamp(F.timestamp_micros(F.col("ts_us")), tz)
+    )
     _PLAN_CACHE[key] = df
     return df
 
