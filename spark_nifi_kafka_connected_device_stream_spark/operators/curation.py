@@ -40,6 +40,39 @@ from ..registry import register
 from ..sources.catalog import load_table
 from .dedup import _DUCK_TOKENS, _documents_parallel
 
+
+def _top_token_share(tk: F.Column) -> F.Column:
+    """Share of the document taken by its most frequent token.
+
+    Max token frequency == longest equal run in the sorted token array:
+    array_sort (O(n log n)) + ONE linear aggregate() fold with
+    constant-size state. Replaces the earlier
+    transform(array_distinct, d -> size(filter(toks, == d))) nest,
+    whose O(distinct × n_tokens) per-row cost blows up on long
+    documents at corpus scale. Still map-only: no token explode, no
+    shuffle. The null initial `prev` can never equal a real token, so
+    the first element always starts a run of 1."""
+    max_freq = F.aggregate(
+        F.array_sort(tk),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    return F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
+        max_freq.cast("double") / F.size(tk)
+    )
+
 # deterministic splits (pure arithmetic on doc_id — reproducible at any
 # scale, mirrored verbatim in the oracles)
 EVAL_MOD = 97     # doc_id % 97 == 0  -> the held-out "benchmark" set
@@ -681,8 +714,10 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duplicate-3-gram fraction per document, plus the boolean filter "
         "gate. Map-only — all work is JVM array expressions inside one "
         "projection; at corpus scale this is a single scan with zero "
-        "shuffles. The per-row cost is O(unique_tokens * n_tokens), "
-        "bounded by document length, independent of corpus size.",
+        "shuffles. The max-frequency term is array_sort + one linear "
+        "aggregate() pass over the sorted tokens (longest equal run), so "
+        "the per-row cost is O(n_tokens log n_tokens) — safe for long "
+        "documents, unlike a distinct×tokens nested HOF.",
     tags=("curation", "text"),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,15 +730,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenizer subtree per use (the HOF-recompute trap).
     t = t.select("doc_id", "source", "toks", shingles(F.col("toks"), n=3).alias("g3"))
     tk, g3 = F.col("toks"), F.col("g3")
-    top_raw = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(tk),
-                lambda d_: F.size(F.filter(tk, lambda x: x == d_)),
-            )
-        ).cast("double")
-        / F.size(tk)
-    )
+    top_raw = _top_token_share(tk)
     dup_raw = F.when(F.size(g3) == 0, F.lit(0.0)).otherwise(
         (F.size(g3) - F.size(F.array_distinct(g3))).cast("double") / F.size(g3)
     )
@@ -972,15 +999,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (F.size(tk) >= 20) & (
         F.size(F.array_distinct(tk)).cast("double") / F.size(tk) >= 0.2
     )
-    top_raw = F.when(F.size(tk) == 0, F.lit(0.0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(tk),
-                lambda d_: F.size(F.filter(tk, lambda x: x == d_)),
-            )
-        ).cast("double")
-        / F.size(tk)
-    )
+    top_raw = _top_token_share(tk)
     dup_raw = F.when(F.size(g3) == 0, F.lit(0.0)).otherwise(
         (F.size(g3) - F.size(F.array_distinct(g3))).cast("double") / F.size(g3)
     )

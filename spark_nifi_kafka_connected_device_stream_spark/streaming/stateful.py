@@ -15,7 +15,10 @@ DataFrames — composition-friendly, sink-agnostic.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable
+from datetime import timedelta
+from datetime import timezone as _dt_timezone
 from typing import Any
 
 import pandas as pd
@@ -167,7 +170,35 @@ EXPIRY_STATE = T.StructType(
 _EXPIRY_GAP_MS = 10 * 60 * 1000
 
 
-def _make_session_expiry_fn(tz_name: str):
+def _resolve_tz(tz_name: str):
+    """Resolve a Spark session-timezone string to a tzinfo pandas accepts.
+
+    Spark's `spark.sql.session.timeZone` allows region ids
+    (`Asia/Kolkata`, `UTC`) AND offset styles (`GMT+8`, `UTC+05:30`,
+    `+08:00`, `-0530`) — pandas' tz_localize rejects the offset styles
+    as strings, which would crash mid-batch on an executor. Region ids
+    pass through as ZoneInfo; offset styles become fixed-offset tzinfo
+    (both picklable into the UDF closure); anything else fails fast at
+    plan-construction time with an actionable message."""
+    try:
+        import zoneinfo
+
+        return zoneinfo.ZoneInfo(tz_name)
+    except Exception:
+        pass
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", tz_name.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt_timezone(
+            sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        )
+    raise ValueError(
+        f"unsupported spark.sql.session.timeZone {tz_name!r}: use a region id "
+        "(e.g. 'UTC', 'Asia/Kolkata') or a fixed offset (e.g. 'GMT+8', '+08:00')"
+    )
+
+
+def _make_session_expiry_fn(tz_name):
     """Build the expiry state function bound to the SESSION timezone.
 
     Arrow hands pandas tz-NAIVE wall-clock timestamps localized to the
@@ -230,7 +261,12 @@ def session_expiry_summaries(
     exercising the explicit state-eviction path
     (GroupStateTimeout.EventTimeTimeout + state.remove) that bounds
     state size for arbitrary custom operators."""
-    tz_name = stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    # resolved (and validated) at plan-construction time: a bad tz conf
+    # raises here, not mid-batch on an executor; NOTE the tz is captured
+    # now — conf changes after this call don't retroactively apply
+    tz_name = _resolve_tz(
+        stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    )
     projected = stream.select(
         F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("timestamp")
     ).withWatermark("timestamp", "10 minutes")

@@ -280,3 +280,34 @@ def test_running_totals_state_across_batches(spark, tmp_path):
     assert epochs[0]["desktop"] == (10, 25.0)
     # lifetime totals accumulated across micro-batches via GroupState
     assert epochs[-1]["desktop"] == (15, 37.5)
+
+
+def test_resolve_tz_region_offset_and_invalid():
+    """Spark's session.timeZone accepts offset styles (GMT+8, +08:00)
+    that pandas' tz_localize rejects as strings; _resolve_tz must map
+    every Spark-legal form to a pandas-usable tzinfo and fail fast
+    (plan-construction time, not mid-batch) on garbage."""
+    from datetime import timedelta
+
+    import pandas as pd
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        _resolve_tz,
+    )
+
+    assert str(_resolve_tz("Asia/Kolkata")) == "Asia/Kolkata"
+    for s, off in [
+        ("GMT+8", 8 * 60),
+        ("UTC+05:30", 5 * 60 + 30),
+        ("+08:00", 8 * 60),
+        ("-0530", -(5 * 60 + 30)),
+        ("GMT-11", -11 * 60),
+    ]:
+        tz = _resolve_tz(s)
+        assert tz.utcoffset(None) == timedelta(minutes=off), s
+        # the actual call site: pandas localize/convert must accept it
+        assert pd.Timestamp("2024-01-01").tz_localize(tz) is not None
+    assert pd.Timestamp(0, unit="us", tz="UTC").tz_convert(_resolve_tz("UTC")).year == 1970
+    with pytest.raises(ValueError, match="unsupported spark.sql.session.timeZone"):
+        _resolve_tz("Nope/Nope")
