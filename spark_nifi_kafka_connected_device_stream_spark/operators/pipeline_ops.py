@@ -297,3 +297,76 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
         (F.count(F.lit(1)) * (F.col("cluster_size") - F.lit(1))).alias("n_droppable"),
     )
+
+
+# fixed-size overlapping token chunks: the context-window chunking step
+# between cleaning and tokenizer sharding.  64-token chunks, stride 48
+# (16-token overlap) — small enough that sf0.001 docs produce multi-
+# chunk output, and the arithmetic is scale-free.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _chunk_oracle() -> str:
+    from .dedup import _DUCK_TOKENS
+
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM feat WHERE len(toks) > 0
+    ), chunks AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN n <= {c} THEN 0
+                    ELSE CAST(ceil((n - {c}) / {s}.0) AS BIGINT) END)) AS cid
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(cid AS INTEGER) AS chunk_id,
+           CAST(len(toks[cid * {s} + 1 : cid * {s} + {c}]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[cid * {s} + 1 : cid * {s} + {c}], ' ') AS chunk_text
+    FROM chunks
+    """
+
+
+@register(
+    "text_chunk_documents",
+    oracle=_chunk_oracle(),
+    doc=f"Context-window chunking: split each document into "
+        f"{CHUNK_TOKENS}-token chunks with a {CHUNK_TOKENS - CHUNK_STRIDE}-"
+        f"token overlap (stride {CHUNK_STRIDE}), the step that turns "
+        f"cleaned documents into model-sized training rows. Map-only: "
+        f"tokenize, explode a per-doc chunk-index sequence, slice the "
+        f"token array — one scan, zero shuffles, output rows bounded by "
+        f"total-tokens/stride. The final chunk may be short; empty docs "
+        f"produce no chunks.",
+    tags=("pipeline", "text"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import normalize_text, tokens
+
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    t = t.filter(F.col("n") > 0).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= c, F.lit(1)).otherwise(
+            F.ceil((F.col("n") - F.lit(c)) / F.lit(float(s))).cast("int") + 1
+        ),
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    ctoks = F.slice(F.col("toks"), F.col("chunk_id") * s + 1, c)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(ctoks).cast("bigint").alias("n_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )

@@ -88,20 +88,21 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 4: promote the last four queries that have never had
-# a driver row in any round (all landed after round 3's window packed).
-# Once these four have green rows, every registered query has been
-# driver-verified at least once — tests/test_oracle_parity.py pins the
-# invariant that no never-checked backlog can accumulate again.
+# modules.  Round 6: promote the four ts_us consumers repaired after
+# the fixture's TIMESTAMP(NANOS)→MICROS flip (catalog.py now normalizes
+# both layouts) — three of them were riding stale r1-r4 green rows
+# while actually crashing, so they need FRESH driver rows this round.
+# The round-4 promotes are green in both r4 and r5 (double-verified)
+# and rotate out to make room.
 _PROMOTE: tuple[str, ...] = (
-    "dedup_cluster_stats",
-    "events_user_activity_percentiles",
-    "events_erasure_impact",
-    "text_sentiment_lexicon",
+    "events_sessionize",
+    "asof_join_last_click",
+    "funnel_view_click_purchase",
+    "events_retention_cohorts",
 )
 _DEMOTE: tuple[str, ...] = (
     # double-verified re-checks (green in two separate rounds) demoted
-    # to make room for the four first-time checks above.
+    # to make room for the four re-checks above.
     "window_running_sum",
     "window_lag_delta",
     "window_rank_dense_ntile",
@@ -111,6 +112,10 @@ _DEMOTE: tuple[str, ...] = (
     "text_quality_score",
     "text_token_positions",
     "text_winnowing_fingerprints",
+    "dedup_cluster_stats",
+    "events_user_activity_percentiles",
+    "events_erasure_impact",
+    "text_sentiment_lexicon",
 )
 
 
