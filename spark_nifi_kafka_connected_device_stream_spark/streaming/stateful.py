@@ -198,17 +198,40 @@ def _resolve_tz(tz_name: str):
     )
 
 
+def _arrow_tz_transferable(tz_str: str) -> bool:
+    """Whether Arrow can move a timestamp column whose schema is stamped
+    with this session-tz STRING into pandas.  pyarrow's converter
+    accepts IANA region ids and pure `±HH:MM` offsets, but rejects
+    Spark-legal letter-offset styles (`GMT+8`, `UTC+05:30`) via pytz —
+    an executor crash before user code runs.  Ops that transfer
+    timestamp columns through applyInPandas* must check this at plan
+    construction."""
+    try:
+        import zoneinfo
+
+        zoneinfo.ZoneInfo(tz_str)
+        return True
+    except Exception:
+        pass
+    return re.fullmatch(r"[+-]\d{2}:\d{2}", tz_str) is not None
+
+
 def _make_session_expiry_fn(tz_name):
     """Build the expiry state function bound to the SESSION timezone.
 
-    Arrow hands pandas tz-NAIVE wall-clock timestamps localized to the
-    session tz, but `state.setTimeoutTimestamp` compares against the
-    true event-time watermark (epoch millis).  Treating the naive wall
-    time as epoch (the pre-round-4 bug) fires the timeout offset by the
-    tz offset — e.g. 5.5 h late under Asia/Kolkata.  So: localize to the
-    session tz first, store TRUE epoch micros in state, and convert back
-    to session wall time only when emitting (naive output timestamps are
-    re-interpreted in session tz by Arrow on the way out)."""
+    The stream side hands this fn `ts_us` — TRUE epoch micros computed
+    JVM-side via unix_micros — never a raw timestamp column.  Two bugs
+    live on the alternative path: (a) `state.setTimeoutTimestamp`
+    compares against the true event-time watermark (epoch millis), so
+    treating an Arrow-delivered naive wall time as epoch (the
+    pre-round-4 bug) fires the timeout offset by the tz offset — 5.5 h
+    late under Asia/Kolkata; (b) Arrow stamps transferred timestamp
+    columns with the session tz STRING, and pyarrow's pytz-based
+    parser rejects Spark-legal offset styles like `GMT+8` outright —
+    an executor crash before user code even runs (round-6 finding).
+    Epoch bigints dodge both; `tz_name` (a resolved tzinfo) is used
+    only to render output wall times, naive, for Arrow on the way
+    out."""
 
     def _session_expiry_fn(key, pdfs, state: GroupState):
         def _wall(us: int) -> pd.Timestamp:
@@ -232,13 +255,9 @@ def _make_session_expiry_fn(tz_name):
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            # naive session-wall → tz-aware → true epoch micros.
-            # ambiguous=False: on a DST fall-back repeat hour, pick
-            # standard time deterministically (UTC sessions never hit it)
-            localized = pdf["timestamp"].dt.tz_localize(
-                tz_name, ambiguous=False, nonexistent="shift_forward"
-            )
-            us = (localized.astype("int64") // 1000).tolist()
+            # ts_us is already true epoch micros (unix_micros, JVM-side)
+            # — no localization, no DST ambiguity, no tz parsing
+            us = pdf["ts_us"].astype("int64").tolist()
             n += len(us)
             first_us = min(us) if first_us is None else min(first_us, *us)
             last_us = max(us) if last_us is None else max(last_us, *us)
@@ -264,11 +283,27 @@ def session_expiry_summaries(
     # resolved (and validated) at plan-construction time: a bad tz conf
     # raises here, not mid-batch on an executor; NOTE the tz is captured
     # now — conf changes after this call don't retroactively apply
-    tz_name = _resolve_tz(
-        stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
-    )
+    conf_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    tz_name = _resolve_tz(conf_tz)
+    # Spark's analyzer requires the watermarked COLUMN itself to reach
+    # the stateful operator (event-time timeout), so the timestamp must
+    # ride along through Arrow — which stamps it with the session-tz
+    # string pyarrow can't always parse.  Fail fast with the rename the
+    # user needs instead of crashing an executor mid-batch.
+    if not _arrow_tz_transferable(conf_tz):
+        raise ValueError(
+            f"spark.sql.session.timeZone {conf_tz!r} cannot cross the Arrow "
+            "timestamp transfer into pandas (pyarrow accepts IANA region ids "
+            "and ±HH:MM offsets only). Set an equivalent form, e.g. '+08:00' "
+            "instead of 'GMT+8'."
+        )
+    # the fn reads ts_us (true epoch micros, JVM-computed) — exact, no
+    # DST-ambiguous localization; the timestamp column is only along
+    # for the analyzer's watermark check
     projected = stream.select(
-        F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("timestamp")
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("timestamp"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
     ).withWatermark("timestamp", "10 minutes")
     return projected.groupBy("key").applyInPandasWithState(
         _make_session_expiry_fn(tz_name),

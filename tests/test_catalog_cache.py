@@ -11,6 +11,8 @@ re-propagating session conf into the physical plan.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
@@ -59,3 +61,54 @@ def test_cache_bounded_to_live_session(spark):
     load_table(spark, SF, "region")
     app = spark.sparkContext.applicationId
     assert all(k[0] == app for k in _PLAN_CACHE)
+
+
+def test_events_fixture_schema_sentinel(spark):
+    """Fixture-regen tripwire (round-5 postmortem): the driver has
+    regenerated events.parquet with a DIFFERENT physical ts layout
+    between rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); whatever the
+    layout, load_table must surface the normalized two-column contract
+    every ts consumer depends on: TimestampType `ts` (wall-time-stable)
+    + bigint `ts_us` (stored epoch micros, matching DuckDB's
+    epoch_us(ts)).  If a future regen breaks this, ONE loud named test
+    fails instead of nine scattered ones."""
+    import glob
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            continue
+        physical = str(pq.read_schema(path).field("ts").type)
+        e = load_table(spark, sf_dir, "events")
+        dt = dict(e.dtypes)
+        assert dt.get("ts") == "timestamp", (sf_dir, physical, dt.get("ts"))
+        assert dt.get("ts_us") == "bigint", (sf_dir, physical, dt.get("ts_us"))
+        got = e.select(F.min("ts_us").alias("m")).collect()[0]["m"]
+        want = duckdb.sql(
+            f"SELECT min(epoch_us(ts)) FROM '{path}'"
+        ).fetchone()[0]
+        assert got == want, (sf_dir, physical, got, want)
+
+
+def test_registry_counts_match_readme():
+    """README.md's operator counts must track the live registry —
+    cosmetic drift here was a carried ADVICE item in rounds 4-5."""
+    import re
+
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+    specs = all_specs()
+    n_total = len(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"(\d+) operators are registered in `__spark_entry__.py`, (\d+) with a", text)
+    assert m, "README operator-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
+        f"README says {m.group(1)}/{m.group(2)}, registry has {n_total}/{n_oracle}"
+    )

@@ -163,18 +163,23 @@ def test_session_expiry_event_time_timeout(spark, tmp_path):
     assert r["last_ts"].strftime("%H:%M:%S") == "10:01:00"
 
 
-def test_session_expiry_non_utc_session_tz(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("tz", ["Asia/Kolkata", "+05:30"])
+def test_session_expiry_non_utc_session_tz(spark, tmp_path, tz):
     """ADVICE r3: setTimeoutTimestamp expects TRUE event-time epoch
-    millis, but Arrow hands the state fn naive session-wall timestamps.
-    Under Asia/Kolkata (+5:30) the pre-fix code set the timeout 5.5 h in
-    the future, so the watermark never passed it and the session never
-    closed — this replay must still emit the closed session."""
+    millis; the operator now ships JVM-computed unix_micros into the
+    state fn, so timeouts fire at the true event time under any session
+    tz.  "+05:30" (ADVICE r5 follow-up) exercises the pure-offset tz
+    style — the one offset form pyarrow's Arrow-transfer layer can
+    parse; both params share the +5:30 offset so the asserts match."""
     from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
         session_expiry_summaries,
     )
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    spark.conf.set("spark.sql.session.timeZone", tz)
     try:
         d = str(tmp_path / "in")
         _write_file(
@@ -187,7 +192,7 @@ def test_session_expiry_non_utc_session_tz(spark, tmp_path):
         )
         stream = parse_product_views(json_file_stream(spark, d))
         out = session_expiry_summaries(stream)
-        q = memory_sink(out, "expiry_tz", output_mode="append").option(
+        q = memory_sink(out, f"expiry_tz_{abs(hash(tz))%10000}", output_mode="append").option(
             "checkpointLocation", str(tmp_path / "chk")
         ).start()
         try:
@@ -198,7 +203,7 @@ def test_session_expiry_non_utc_session_tz(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-        rows = spark.sql("SELECT * FROM expiry_tz WHERE key = 'user-0'").collect()
+        rows = spark.sql(f"SELECT * FROM expiry_tz_{abs(hash(tz))%10000} WHERE key = 'user-0'").collect()
         assert len(rows) == 1, "session never closed — timeout epoch is tz-shifted"
         r = rows[0]
         assert r["n_events"] == 2 and r["closed_by_timeout"]
@@ -360,3 +365,26 @@ def test_running_totals_tws_gated_or_equivalent(spark, tmp_path):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert epochs and epochs[0]["desktop"] == (10, 25.0)
+
+
+def test_session_expiry_letter_offset_tz_fails_fast(spark, tmp_path):
+    """Letter-offset session tz (GMT+8) cannot cross the Arrow
+    timestamp transfer (pyarrow/pytz rejects the string); the operator
+    must raise at plan construction with the rename the user needs,
+    not crash an executor mid-batch (round-6 finding)."""
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        session_expiry_summaries,
+    )
+
+    d = str(tmp_path / "in")
+    _write_file(d, "b1.json", [_event("2021-03-06 10:00:00.000", 0, "desktop")])
+    stream = parse_product_views(json_file_stream(spark, d))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "GMT+8")
+    try:
+        with pytest.raises(ValueError, match="\\+08:00"):
+            session_expiry_summaries(stream)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
