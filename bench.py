@@ -48,6 +48,9 @@ HEADLINE = [
     "text_quality_score",
     "text_token_stats",
     "text_winnowing_fingerprints",
+    # pipeline-shaping tier (round 6)
+    "text_chunk_documents",
+    "embedding_dim_stats",
     # curation tier (round 3)
     "benchmark_contamination",
     "embedding_kmeans_assign",

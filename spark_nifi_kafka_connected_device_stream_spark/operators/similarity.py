@@ -380,6 +380,44 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH el AS (
+      SELECT gs.j AS dim, CAST(embedding[gs.j] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) gs
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n_values,
+           floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+           floor(min(x) * 1000000.0 + 0.5) / 1000000.0 AS min_val,
+           floor(max(x) * 1000000.0 + 0.5) / 1000000.0 AS max_val
+    FROM el GROUP BY dim
+    """,
+    doc="Per-dimension corpus statistics over the embedding column — "
+        "what a vector pipeline computes to plan normalization / "
+        "whitening / quantization ranges (the same min/max ranges "
+        "embedding_scalar_quantize consumes). Scale shape: posexplode "
+        "is map-side; the aggregate's shuffle is bounded by the "
+        "embedding DIMENSION (not the corpus) after partial "
+        "aggregation, so the reduce side is constant-size at any "
+        "corpus scale.",
+    tags=("similarity", "agg"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode(F.col("embedding")).alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        pround(F.avg("x"), 6).alias("mean_val"),
+        pround(F.min("x"), 6).alias("min_val"),
+        pround(F.max("x"), 6).alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF + scalar-quantized codes + exact re-rank (the production ANN stack)
 # ---------------------------------------------------------------------------
