@@ -323,3 +323,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(fp, 1, 4).alias("shard_key"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+# corpus-frequent n-grams: C4-style boilerplate detection thresholds
+# (1% of the 500-doc corpus — yields ~100-200 qualifying 3-grams on the
+# synthetic fixtures at every SF, so the top-100 report is never empty)
+BOILERPLATE_MIN_DF = 5
+BOILERPLATE_TOP = 100
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS g3
+      FROM feat
+    ), e AS (
+      SELECT doc_id, unnest(g3) AS ngram FROM g
+    ), c AS (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq FROM e GROUP BY ngram
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT ngram, doc_freq,
+           floor((CAST(doc_freq AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+             / 1000000.0 AS df_share
+    FROM c, tot
+    WHERE doc_freq >= {BOILERPLATE_MIN_DF}
+    ORDER BY doc_freq DESC, ngram
+    LIMIT {BOILERPLATE_TOP}
+    """,
+    doc=f"C4-style boilerplate detection: 3-gram shingles appearing in "
+        f"≥{BOILERPLATE_MIN_DF} distinct documents, ranked by document "
+        f"frequency (top {BOILERPLATE_TOP}, ngram tie-break) — the "
+        f"corpus-frequent-span report that feeds boilerplate stripping. "
+        f"Scale shape: per-doc DISTINCT shingles computed JVM-side "
+        f"(array_distinct, map-only) so a span repeated within one doc "
+        f"counts once; one shuffle on the shingle key with partial "
+        f"aggregation; the corpus-size side is a broadcast single-row "
+        f"aggregate; bounded output via TakeOrderedAndProject.",
+    tags=("text", "curation"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfns import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.array_distinct(
+            shingles(tokens(normalize_text(F.col("text"))), n=3)
+        ).alias("g3")
+    )
+    counts = (
+        per_doc.select(F.explode("g3").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= BOILERPLATE_MIN_DF)
+    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "doc_freq",
+            pround(F.col("doc_freq").cast("double") / F.col("n_docs"), 6).alias(
+                "df_share"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(BOILERPLATE_TOP)
+    )

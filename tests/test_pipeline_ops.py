@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops import (
     TOKEN_BUDGET,
 )
@@ -81,3 +83,50 @@ def test_dataset_mix_rates_plausible(spark):
         if totals.get(src, 0) >= 20:
             frac = sampled.get(src, 0) / totals[src]
             assert abs(frac - rate) < 0.35, f"{src}: {frac} vs {rate}"
+
+
+def test_chunk_documents_invariants(spark):
+    """Reconstruction properties the oracle can't express directly:
+    stride-dropping each chunk's overlap re-yields the exact original
+    token stream, every full chunk has CHUNK_TOKENS tokens, and chunk
+    ids are dense from 0 per doc."""
+    from spark_nifi_kafka_connected_device_stream_spark.functions.textfns import (
+        normalize_text,
+        tokens,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = SPECS["text_chunk_documents"].fn(spark, SF_SMALL).collect()
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r["doc_id"]][r["chunk_id"]] = r
+    orig = {
+        r["doc_id"]: r["toks"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", tokens(normalize_text(F.col("text"))).alias("toks"))
+        .collect()
+    }
+    assert set(by_doc) == {d for d, t in orig.items() if t}
+    for doc_id, chunks in by_doc.items():
+        n = len(chunks)
+        assert sorted(chunks) == list(range(n)), "chunk ids not dense from 0"
+        # non-final chunks are always full-size
+        for cid in range(n - 1):
+            assert chunks[cid]["n_tokens"] == CHUNK_TOKENS
+        # first STRIDE tokens of each chunk + the final chunk's tail
+        # reconstruct the original token stream exactly
+        rebuilt = []
+        for cid in range(n):
+            toks = chunks[cid]["chunk_text"].split(" ")
+            assert len(toks) == chunks[cid]["n_tokens"]
+            rebuilt.extend(toks if cid == n - 1 else toks[:CHUNK_STRIDE])
+        # chunk cid covers [cid*STRIDE, cid*STRIDE+CHUNK): the first
+        # STRIDE tokens of the non-final chunks plus the whole final
+        # chunk tile the document exactly
+        assert rebuilt == orig[doc_id]
