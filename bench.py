@@ -51,6 +51,7 @@ HEADLINE = [
     # pipeline-shaping tier (round 6)
     "text_chunk_documents",
     "embedding_dim_stats",
+    "text_boilerplate_ngrams",
     # curation tier (round 3)
     "benchmark_contamination",
     "embedding_kmeans_assign",

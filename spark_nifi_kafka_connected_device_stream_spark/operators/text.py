@@ -370,21 +370,25 @@ BOILERPLATE_TOP = 100
     tags=("text", "curation"),
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textfns import shingles
+    # _doc_shingles = repartition-then-tokenize-then-explode with the
+    # token array BOUND to a column between steps: nesting tokens()
+    # inside shingles() re-evaluates the tokenizer per shingle element
+    # (HOF-recompute trap, 10s vs <1s at sf0.1), and the explode's
+    # inferred not-empty filter then inlines that whole subtree into
+    # the pre-repartition scan task — reuse the dedup tier's shared,
+    # already-defused building block instead
+    from .dedup import _doc_shingles
 
-    d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
-        F.array_distinct(
-            shingles(tokens(normalize_text(F.col("text"))), n=3)
-        ).alias("g3")
-    )
     counts = (
-        per_doc.select(F.explode("g3").alias("ngram"))
-        .groupBy("ngram")
+        _doc_shingles(spark, sf_dir)
+        .groupBy(F.col("shingle").alias("ngram"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
         .filter(F.col("doc_freq") >= BOILERPLATE_MIN_DF)
     )
-    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
