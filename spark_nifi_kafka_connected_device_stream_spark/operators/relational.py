@@ -788,3 +788,172 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(qty < 10, "small").when(qty < 30, "medium").otherwise("large").alias("qty_band"),
         (F.col("l_returnflag") == "R").alias("is_returned"),
     )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (adapted to the lite schema: linestatus stands "
+        "in for shipmode): join lineitem-orders with a ship-date range, "
+        "split counts by order priority class. The date range pushes "
+        "into the lineitem scan; the join shuffles on l_orderkey with "
+        "partial aggregation after.",
+    tags=("join", "agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT floor((100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)
+             / 10000.0 AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: one-month lineitem slice joined to part, "
+        "conditional revenue share. The part side is dimension-sized — "
+        "Spark broadcasts it (asserted in test_plans for the join "
+        "family); the date range pushes into the fact scan.",
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            pround(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150.0
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate AS o_orderdate,
+           floor(o.o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice,
+           floor(b.total_qty * 100.0 + 0.5) / 100.0 AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: aggregate lineitem per order, HAVING filter "
+        "on the summed quantity, join back to orders + customer, "
+        "bounded top-100 by total price (o_orderkey tie-break → unique "
+        "result set). The HAVING prunes the join input to the rare "
+        "large orders BEFORE the joins; top-k is "
+        "TakeOrderedAndProject, never a global sort.",
+    tags=("join", "agg", "topk"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            pround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            pround(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5)
+             / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brand/size/"
+        "quantity ranges across the join. Catalyst extracts the "
+        "common single-side conjuncts from the OR and pushes them "
+        "below the join (l_quantity range to the fact scan, "
+        "brand/size to the broadcast dimension), leaving only the "
+        "cross-side residual on the join.",
+    tags=("join", "agg", "scan"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & q.between(1, 21))
+        | ((brand == "Brand#2") & size.between(1, 30) & q.between(10, 30))
+        | ((brand == "Brand#3") & size.between(1, 45) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

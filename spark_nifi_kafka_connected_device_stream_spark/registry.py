@@ -99,6 +99,13 @@ _PROMOTE: tuple[str, ...] = (
     "asof_join_last_click",
     "funnel_view_click_purchase",
     "events_retention_cohorts",
+    # round-6 additions (never driver-checked — need first rows; the
+    # three ops added earlier this round land inside the window via
+    # module order, these four register in last-place relational)
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
 )
 _DEMOTE: tuple[str, ...] = (
     # double-verified re-checks (green in two separate rounds) demoted
