@@ -31,6 +31,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
     "window_topk_per_group",
     "window_first_last",
     "lateral_top_order_per_customer",

@@ -129,3 +129,26 @@ def test_global_ntile_matches_sql_ntile_all_remainders(spark):
             ).collect()
         }
         assert got == expected, f"n_rows={n_rows}"
+
+
+def test_q18_having_prune_and_take_ordered(spark):
+    """q18's top-100 must be TakeOrderedAndProject (bounded, no global
+    sort), and the quantity HAVING must prune before the joins (plan
+    contains the filter on the aggregated column, not a post-join
+    filter of the full fact table)."""
+    df = SPECS["q18_large_volume_orders"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "total_qty" in plan and "150.0" in plan
+
+
+def test_q19_pushdown_through_disjunction(spark):
+    """Catalyst must extract the common single-side conjuncts from
+    q19's OR-of-ANDs: the l_quantity range reaches the lineitem scan
+    and brand/size reach the part scan; part stays broadcast."""
+    df = SPECS["q19_disjunctive_revenue"].fn(spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, f"quantity range not pushed: {pushed}"
+    assert "p_brand" in pushed or "p_size" in pushed, f"dim predicates not pushed: {pushed}"
+    assert broadcast_join_count(df) >= 1
