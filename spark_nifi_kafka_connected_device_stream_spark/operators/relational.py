@@ -957,3 +957,70 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5)
+             / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+    GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+    """,
+    doc="TPC-H Q7 shape: volume shipped between two nations in both "
+        "directions, per year. Two ROLE-PLAYING scans of the nation "
+        "dimension (supplier-side and customer-side aliases) — "
+        "supplier, customer, and both nation sides broadcast; the only "
+        "data-sized shuffle is the lineitem-orders join plus the final "
+        "tiny aggregate. The nation-pair disjunction is a cross-side "
+        "residual (it references both aliases) and correctly stays on "
+        "the joins.",
+    tags=("join", "agg"),
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        joined.filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

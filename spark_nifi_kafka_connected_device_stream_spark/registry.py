@@ -106,6 +106,7 @@ _PROMOTE: tuple[str, ...] = (
     "q14_promo_revenue_share",
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
+    "q7_nation_volume_shipping",
 )
 _DEMOTE: tuple[str, ...] = (
     # double-verified re-checks (green in two separate rounds) demoted
