@@ -83,18 +83,29 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     errors: dict[str, str] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        # one query blowing up must not zero out the whole bench —
-        # record the error and keep measuring the rest
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"  {name}: FAILED {errors[name]}", file=sys.stderr)
+        # min over `runs` executions: single-run wall-clock swings ±40%
+        # on box noise (r6: 46.9s recorded vs 33.0s same-code minima),
+        # which drowns real round-over-round deltas.  The warm second
+        # run is cheap and the min is the stable statistic.
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # one query blowing up must not zero out the whole bench —
+            # record the error and keep measuring the rest
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"  {name}: FAILED {errors[name]}", file=sys.stderr)
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        if best is None:
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -104,9 +115,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs,
+        "aggregation": "min",
     }
     if errors:
+        # a crashed query drops out of the sum — flag the total so a
+        # partial round can't be misread as faster than a clean one
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
     spark.stop()
 

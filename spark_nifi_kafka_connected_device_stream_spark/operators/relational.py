@@ -903,6 +903,14 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
+        .select("c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        # Order on the RAW price (matching the oracle's ORDER BY
+        # o.o_totalprice) and round only in the final projection —
+        # rounding before the sort could flip the top-100 set whenever
+        # two prices differ below the cent.
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
         .select(
             "c_name",
             "o_custkey",
@@ -911,8 +919,6 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("o_totalprice"), 2).alias("o_totalprice"),
             pround(F.col("total_qty"), 2).alias("total_qty"),
         )
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(100)
     )
 
 

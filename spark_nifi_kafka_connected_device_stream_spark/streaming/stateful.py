@@ -186,12 +186,23 @@ def _resolve_tz(tz_name: str):
         return zoneinfo.ZoneInfo(tz_name)
     except Exception:
         pass
-    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", tz_name.strip())
+    # Minutes are only unambiguous after a ':' separator or a 2-digit
+    # hour ('+08:30', '+0830'); a bare '+830' is rejected rather than
+    # guessed at.  Offsets beyond ±18:00 (the datetime.timezone limit,
+    # and beyond anything Spark accepts) fall through to the actionable
+    # error below instead of timezone()'s raw "offset must be ..." one.
+    m = re.fullmatch(
+        r"(?:GMT|UTC)?([+-])(?:(\d{1,2})|(\d{1,2}):(\d{2})|(\d{2})(\d{2}))",
+        tz_name.strip(),
+    )
     if m:
         sign = 1 if m.group(1) == "+" else -1
-        return _dt_timezone(
-            sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
-        )
+        hours = int(m.group(2) or m.group(3) or m.group(5))
+        minutes = int(m.group(4) or m.group(6) or 0)
+        if minutes < 60 and timedelta(hours=hours, minutes=minutes) <= timedelta(
+            hours=18
+        ):
+            return _dt_timezone(sign * timedelta(hours=hours, minutes=minutes))
     raise ValueError(
         f"unsupported spark.sql.session.timeZone {tz_name!r}: use a region id "
         "(e.g. 'UTC', 'Asia/Kolkata') or a fixed offset (e.g. 'GMT+8', '+08:00')"

@@ -6,6 +6,7 @@ must survive across micro-batches).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -192,7 +193,10 @@ def test_session_expiry_non_utc_session_tz(spark, tmp_path, tz):
         )
         stream = parse_product_views(json_file_stream(spark, d))
         out = session_expiry_summaries(stream)
-        q = memory_sink(out, f"expiry_tz_{abs(hash(tz))%10000}", output_mode="append").option(
+        # deterministic per-param table name — hash() is per-process
+        # salted, so it would be non-reproducible across runs
+        table = "expiry_tz_" + re.sub(r"[^A-Za-z0-9]", "_", tz)
+        q = memory_sink(out, table, output_mode="append").option(
             "checkpointLocation", str(tmp_path / "chk")
         ).start()
         try:
@@ -203,7 +207,7 @@ def test_session_expiry_non_utc_session_tz(spark, tmp_path, tz):
             q.processAllAvailable()
         finally:
             q.stop()
-        rows = spark.sql(f"SELECT * FROM expiry_tz_{abs(hash(tz))%10000} WHERE key = 'user-0'").collect()
+        rows = spark.sql(f"SELECT * FROM {table} WHERE key = 'user-0'").collect()
         assert len(rows) == 1, "session never closed — timeout epoch is tz-shifted"
         r = rows[0]
         assert r["n_events"] == 2 and r["closed_by_timeout"]
@@ -316,6 +320,14 @@ def test_resolve_tz_region_offset_and_invalid():
     assert pd.Timestamp(0, unit="us", tz="UTC").tz_convert(_resolve_tz("UTC")).year == 1970
     with pytest.raises(ValueError, match="unsupported spark.sql.session.timeZone"):
         _resolve_tz("Nope/Nope")
+    # ADVICE r6: out-of-range offsets must hit OUR actionable error, not
+    # datetime.timezone's raw "offset must be a timedelta..." one; bare
+    # '+830' is ambiguous (8:30 or 83:0?) and must be rejected too.
+    for bad in ["UTC+99", "GMT-19", "+18:01", "+830", "-990"]:
+        with pytest.raises(ValueError, match="unsupported spark.sql.session.timeZone"):
+            _resolve_tz(bad)
+    # the boundary itself is legal
+    assert _resolve_tz("+18:00").utcoffset(None) == timedelta(hours=18)
 
 
 def test_running_totals_tws_gated_or_equivalent(spark, tmp_path):
