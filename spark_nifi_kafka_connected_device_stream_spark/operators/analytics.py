@@ -829,3 +829,160 @@ def events_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(erased, F.col("user_id"))).alias("n_users_erased"),
         pround(n_erased.cast("double") / F.count(F.lit(1)), 6).alias("pct_erased"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation tier (round 7): q9 / q11 shapes adapted to the
+# lite schema (no partsupp — p_retailprice stands in for supplycost,
+# lineitem for the part-supplier stock relation).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    WITH profit AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             10 * CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT))
+             - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                * CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)
+               AS amount_e5
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%ol%'
+    )
+    SELECT nation, o_year,
+           floor(CAST(sum(amount_e5) AS DOUBLE) / 100000.0 * 100.0 + 0.5)
+             / 100.0 AS profit
+    FROM profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit): LIKE-filtered parts "
+        "('%ol%' ~ 'bolt'/'old...', the Q9 '%green%' analog), profit "
+        "= revenue minus a 10%%-of-retail unit-cost proxy "
+        "(p_retailprice stands in for ps_supplycost), grouped by "
+        "supplier nation x order year. The amount is computed in "
+        "exact integer 1e-5-dollar units — revenue scaled x10 so the "
+        "retail*qty cost term (cents x centi-qty = 1e-4 $ = 10%% in "
+        "1e-5 $) needs no division — summation is order-independent "
+        "and cross-engine exact. Scale: one lineitem->orders shuffle "
+        "join (both big), part/supplier/nation broadcast, LIKE filter "
+        "prunes at the part dim before the join; one final "
+        "partial-aggregatable groupBy.",
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ol%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount_e5 = (
+        F.lit(10)
+        * _cents(F.col("l_extendedprice"))
+        * (100 - _cents(F.col("l_discount")))
+        - _cents(F.col("p_retailprice")) * _cents(F.col("l_quantity"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount_e5.alias("amount_e5"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            pround(F.sum("amount_e5").cast("double") / F.lit(100000.0), 2).alias(
+                "profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_part_values",
+    oracle="""
+    WITH vals AS (
+      SELECT l.l_partkey,
+             sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT)))
+               AS value_e4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           floor(CAST(value_e4 AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0
+             AS part_value
+    FROM vals
+    WHERE value_e4 * (SELECT count(*) FROM vals)
+          > 2 * (SELECT sum(value_e4) FROM vals)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock, global-share HAVING): "
+        "per-part revenue from NATION_3's suppliers, keeping parts "
+        "whose value exceeds 2x the mean part value — the "
+        "uncorrelated scalar subquery every engine must decorrelate "
+        "into an aggregate + filter. TPC-H's fixed 1/1000-of-total "
+        "fraction is scale-DEPENDENT (the spec divides it by SF; a "
+        "fixed fraction returns 0 rows at sf0.1), so the threshold "
+        "is restated relative to the mean, which is invariant under "
+        "data growth. The share test runs in exact integers "
+        "(value*n_parts > 2*total) so no fraction ever touches a "
+        "float. Scale: supplier/nation broadcast into the lineitem "
+        "scan, one per-part aggregate shuffle; the grand total is a "
+        "1-row broadcast crossJoin over the (already small) per-part "
+        "aggregate, never over lineitem.",
+    tags=("agg", "subquery"),
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    value_e4 = F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    )
+    vals = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(value_e4.alias("value_e4"))
+    )
+    total = vals.agg(
+        F.sum("value_e4").alias("total_e4"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * F.col("n_parts") > 2 * F.col("total_e4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            pround(F.col("value_e4").cast("double") / F.lit(10000.0), 2).alias(
+                "part_value"
+            ),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )

@@ -23,7 +23,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
@@ -1029,4 +1029,211 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation tier (round 7): q2 / q16 / q20 shapes adapted to
+# the lite schema (no partsupp table — lineitem's (l_partkey,
+# l_suppkey) pairs stand in as the part-supplier relation).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+                      AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), asia AS (
+      SELECT o.partkey, o.suppkey, o.cost_c, s.s_name, s.s_acctbal, n.n_name
+      FROM offers o
+      JOIN supplier s ON s.s_suppkey = o.suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT a.s_acctbal, a.s_name, a.n_name, p.p_partkey, p.p_type,
+           CAST(a.cost_c AS DOUBLE) / 100.0 AS unit_cost
+    FROM asia a JOIN part p ON p.p_partkey = a.partkey
+    WHERE p.p_size = 15
+      AND a.cost_c = (SELECT min(a2.cost_c) FROM asia a2
+                      WHERE a2.partkey = a.partkey)
+    ORDER BY a.s_acctbal DESC, a.n_name, a.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier, correlated scalar "
+        "subquery): cheapest ASIA supplier per size-15 part, where "
+        "'offer cost' is the min unit price each supplier ever charged "
+        "for the part (lineitem stands in for partsupp). The "
+        "correlated `= (SELECT min ...)` is decorrelated by hand into "
+        "a per-part min aggregate joined back on partkey — the exact "
+        "rewrite Catalyst/DuckDB perform internally. Unit cost is "
+        "rounded to exact integer cents BEFORE min/equality so the "
+        "float-equality join is deterministic across engines. Scale: "
+        "one lineitem-sized shuffle (the offers agg); everything "
+        "after runs on the offers table (|parts|x|suppliers| at "
+        "most); supplier/nation/region and part broadcast; top-100 is "
+        "TakeOrderedAndProject.",
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    cost_c = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + F.lit(0.5)
+    ).cast("bigint")
+    offers = (
+        li.select("l_partkey", "l_suppkey", cost_c.alias("cost_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cost_c").alias("cost_c"))
+    )
+    supp_asia = (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    asia = offers.join(F.broadcast(supp_asia), offers.l_suppkey == F.col("s_suppkey"))
+    # decorrelate `= (SELECT min ... WHERE partkey = outer.partkey)` as a
+    # per-part window min on the offers table rather than a self-joined
+    # aggregate: a grouped-agg + join-back branches the plan and makes
+    # Spark compute (and scan) the offers subtree twice; the window keeps
+    # one linear plan (single lineitem scan) at the cost of one
+    # offers-sized shuffle on partkey — many distinct keys, no skew.
+    w = Window.partitionBy("l_partkey")
+    return (
+        asia.withColumn("best_c", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("best_c"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("cost_c").cast("double") / F.lit(100.0)).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct "
+        "supplier counts per (brand, type, size) over the lineitem "
+        "part-supplier relation, excluding 'complaint' suppliers via "
+        "NOT IN (negative account balance stands in for the comment "
+        "LIKE filter — the fixture supplier table has no s_comment). "
+        "s_suppkey is non-null so NOT IN == broadcast anti-join; the "
+        "IN-list size predicate is pushed to the part scan. Scale: "
+        "the bad-supplier list and part dim broadcast; the only "
+        "shuffle is the two-phase distinct aggregate.",
+    tags=("join", "agg", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & ~F.col("p_type").startswith("SMALL")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_concentrated_suppliers",
+    oracle="""
+    WITH pp AS (
+      SELECT l.l_suppkey,
+             sum(CASE WHEN year(l.l_shipdate) = 1995
+                 THEN CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS q95_c,
+             sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)) AS qall_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM pp WHERE q95_c * 2 > qall_c)
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion, nested IN over a "
+        "correlated aggregate): suppliers who shipped more than half "
+        "of their all-time 'red' part volume (per part) during 1995 — "
+        "availqty > half-of-shipped restated against lineitem since "
+        "the lite schema has no partsupp. Quantities are exact "
+        "integer centi-units so the x2-vs-total comparison can never "
+        "ULP-flip between engines. Scale: part filter broadcasts into "
+        "the lineitem scan, one (suppkey, partkey) aggregate shuffle, "
+        "then the qualifying-supplier set (bounded by |supplier|) "
+        "broadcasts back as a semi-join — the supplier table itself "
+        "is never shuffled.",
+    tags=("join", "agg", "subquery"),
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_name", "s_acctbal", "s_suppkey")
+    qty_c = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("bigint")
+    pp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1995, qty_c).otherwise(F.lit(0))
+            ).alias("q95_c"),
+            F.sum(qty_c).alias("qall_c"),
+        )
+    )
+    keep = (
+        pp.filter(F.col("q95_c") * 2 > F.col("qall_c")).select("l_suppkey").distinct()
+    )
+    return (
+        s.join(F.broadcast(keep), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

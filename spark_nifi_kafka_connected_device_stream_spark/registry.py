@@ -88,43 +88,74 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 6: promote the four ts_us consumers repaired after
-# the fixture's TIMESTAMP(NANOS)→MICROS flip (catalog.py now normalizes
-# both layouts) — three of them were riding stale r1-r4 green rows
-# while actually crashing, so they need FRESH driver rows this round.
-# The round-4 promotes are green in both r4 and r5 (double-verified)
-# and rotate out to make room.
+# modules.  Round 7 (VERDICT r6 top-next): 47 queries' freshest
+# driver-green rows predate the round-5 fixture regeneration — the
+# local sf0.001 parity suite re-validates them every pytest run, but
+# driver re-verification against the CURRENT fixtures is the contract.
+# This promote list is exactly 50 names = the whole driver window:
+# the 5 new TPC-H shapes (first driver rows) + the 33 queries whose
+# only green row is r1 + 12 of the 13 r2-green ones.  Still queued for
+# round 8: stats_moments (r2) and the r3 cohort (q7_volume_shipping,
+# q8_market_share, text_language_id, text_quality_score,
+# text_token_positions, text_winnowing_fingerprints).
 _PROMOTE: tuple[str, ...] = (
-    "events_sessionize",
-    "asof_join_last_click",
-    "funnel_view_click_purchase",
-    "events_retention_cohorts",
-    # round-6 additions (never driver-checked — need first rows; the
-    # three ops added earlier this round land inside the window via
-    # module order, these four register in last-place relational)
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume_shipping",
-)
-_DEMOTE: tuple[str, ...] = (
-    # double-verified re-checks (green in two separate rounds) demoted
-    # to make room for the four re-checks above.
-    "window_running_sum",
+    # round-7 additions — never driver-checked
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q16_supplier_part_counts",
+    "q20_concentrated_suppliers",
+    # last green row = r1 (pre-regen fixtures)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q19_disjunctive_predicates",
+    "q21_late_shipments_by_supplier",
+    "q22_idle_rich_customers",
+    "scan_filter_project",
+    "agg_cube",
+    "agg_distinct_exact",
+    "agg_pivot_status",
+    "agg_rollup",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_outer_null_fill",
+    "join_semi",
+    "scalar_date_arith",
+    "scalar_date_funcs",
+    "scalar_math_case",
+    "scalar_null_handling",
+    "scalar_string_distance",
+    "scalar_string_funcs",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk_global",
+    "unpivot_status_counts",
     "window_lag_delta",
-    "window_rank_dense_ntile",
     "window_moving_avg_range",
+    "window_rank_dense_ntile",
+    "window_running_sum",
     "window_share_of_total",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_positions",
-    "text_winnowing_fingerprints",
-    "dedup_cluster_stats",
-    "events_user_activity_percentiles",
-    "events_erasure_impact",
-    "text_sentiment_lexicon",
+    # last green row = r2
+    "array_collect_ops",
+    "customer_rfm_segments",
+    "grouping_sets_explicit",
+    "histogram_price_bins",
+    "q4_order_priority_exists",
+    "q12_shipmode_case_agg",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_avg_subquery",
+    "q18_large_volume_customers",
+    "stats_percentiles",
 )
+# With the promote list filling the whole 50-entry window, demotion
+# order is irrelevant this round.
+_DEMOTE: tuple[str, ...] = ()
 
 
 def _load() -> None:

@@ -152,3 +152,67 @@ def test_q19_pushdown_through_disjunction(spark):
     assert "l_quantity" in pushed, f"quantity range not pushed: {pushed}"
     assert "p_brand" in pushed or "p_size" in pushed, f"dim predicates not pushed: {pushed}"
     assert broadcast_join_count(df) >= 1
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark):
+    """q2's correlated min-cost subquery must decorrelate into a
+    per-part aggregate: dims (supplier/nation/region/part) broadcast,
+    the bounded top-100 is TakeOrderedAndProject, and only the offers
+    aggregates shuffle — never a second lineitem pass."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["q2_min_cost_supplier"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 3
+    # lineitem is scanned once (offers agg); the per-part min rides on it
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """q16's NOT IN over non-null s_suppkey must compile to a
+    broadcast anti-join (no shuffled subquery), with the size IN-list
+    pushed to the part scan."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["q16_supplier_part_counts"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "p_brand" in pushed
+
+
+def test_q20_semi_join_keeps_supplier_unshuffled(spark):
+    """q20's nested IN must end as a semi-join into supplier with the
+    qualifying-supplier set broadcast; the part LIKE filter reaches
+    the part scan."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["q20_concentrated_suppliers"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed, f"LIKE prefix not pushed: {pushed}"
+
+
+def test_q9_single_fact_shuffle_join(spark):
+    """q9 joins two fact tables (lineitem x orders) — that's the one
+    legitimate shuffle join; part/supplier/nation must broadcast and
+    the LIKE filter must prune part before the join."""
+    df = SPECS["q9_product_type_profit"].fn(spark, SF_SMALL)
+    assert broadcast_join_count(df) >= 3
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed or "p_partkey" in pushed
+
+
+def test_q11_total_is_broadcast_not_recompute(spark):
+    """q11's global-share threshold must come from a 1-row broadcast
+    over the per-part aggregate — lineitem scanned exactly once, and
+    the share filter never re-aggregates the fact table."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["q11_important_part_values"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("lineitem.parquet") <= 2, "fact table re-scanned per subquery"

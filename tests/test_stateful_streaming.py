@@ -400,3 +400,81 @@ def test_session_expiry_letter_offset_tz_fails_fast(spark, tmp_path):
             session_expiry_summaries(stream)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_session_window_stream_batch_equivalence(spark, tmp_path):
+    """VERDICT r6 #7: F.session_window must produce IDENTICAL closed
+    sessions in streaming (watermark-driven emission) and batch mode on
+    the same replay — the same contract the tumbling-window test pins
+    in test_streaming.  A flush user advances the watermark past every
+    real session; its own still-open session is the only allowed
+    difference (batch has no watermark, so it appears there)."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+        json_file_batch,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        session_window_counts,
+    )
+
+    d = str(tmp_path / "in")
+    # 3 users (i%7 selects the user), multiple sessions each, bursts
+    # separated by more than the 10-minute gap; sub-gap spacing varies
+    # so session extents differ per user
+    lines = [
+        # user-0: 3-event session at 10:00, singleton at 10:30
+        _event("2021-03-06 10:00:00.000", 0, "desktop"),
+        _event("2021-03-06 10:02:00.000", 7, "desktop"),
+        _event("2021-03-06 10:04:00.000", 14, "desktop"),
+        _event("2021-03-06 10:30:00.000", 21, "desktop"),
+        # user-1: 2-event session at 10:05, 2-event session at 11:00
+        _event("2021-03-06 10:05:00.000", 1, "mobile-web"),
+        _event("2021-03-06 10:06:00.000", 8, "mobile-web"),
+        _event("2021-03-06 11:00:00.000", 15, "mobile-web"),
+        _event("2021-03-06 11:03:00.000", 22, "mobile-web"),
+        # user-2: one 4-event session straddling chained gaps (9-min
+        # spacing keeps extending the window past start+gap)
+        _event("2021-03-06 10:00:30.000", 2, "mobile-app"),
+        _event("2021-03-06 10:09:30.000", 9, "mobile-app"),
+        _event("2021-03-06 10:18:30.000", 16, "mobile-app"),
+        _event("2021-03-06 10:27:30.000", 23, "mobile-app"),
+    ]
+    _write_file(d, "b1.json", lines)
+    stream = parse_product_views(json_file_stream(spark, d))
+    agg = session_window_counts(stream, gap="10 minutes", watermark="10 minutes")
+    q = (
+        memory_sink(agg, "sw_equiv", output_mode="append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # flush: watermark → 13:00 - 10m = 12:50 > every session end
+        _write_file(d, "b2.json", [_event("2021-03-06 13:00:00.000", 3, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rowset(rows):
+        return sorted(
+            (r["userid"], r["session_start"].isoformat(),
+             r["session_end"].isoformat(), r["n_events"])
+            for r in rows
+        )
+
+    streamed = rowset(spark.sql("SELECT * FROM sw_equiv").collect())
+    # same plan-builder, batch source: withWatermark is a no-op in
+    # batch, session_window itself must agree on every closed session
+    batch = session_window_counts(
+        parse_product_views(json_file_batch(spark, d)),
+        gap="10 minutes",
+        watermark="10 minutes",
+    )
+    batched = rowset(
+        batch.filter(F.col("userid") != "user-3").collect()  # drop flush user
+    )
+    assert streamed == batched
+    # sanity on the semantics themselves: user-2's chained 9-minute
+    # spacings must merge into ONE session ending last_event + gap
+    u2 = [r for r in streamed if r[0] == "user-2"]
+    assert len(u2) == 1 and u2[0][3] == 4
+    assert u2[0][2].endswith("10:37:30")
