@@ -33,6 +33,12 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
+    # round-7 decorrelation tier (completes the 22-shape TPC-H spine)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q16_supplier_part_counts",
+    "q20_concentrated_suppliers",
     "window_topk_per_group",
     "window_first_last",
     "lateral_top_order_per_customer",

@@ -971,6 +971,11 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(value_e4.alias("value_e4"))
+        # both the grand total and the share filter consume vals; without
+        # a checkpoint the two branches each re-run the lineitem scan +
+        # aggregate.  vals is parts-sized (tiny next to the fact table),
+        # so materialize it once — lazy, per the dedup-tier idiom.
+        .localCheckpoint(eager=False)
     )
     total = vals.agg(
         F.sum("value_e4").alias("total_e4"), F.count(F.lit(1)).alias("n_parts")

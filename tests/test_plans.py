@@ -208,11 +208,12 @@ def test_q9_single_fact_shuffle_join(spark):
 
 def test_q11_total_is_broadcast_not_recompute(spark):
     """q11's global-share threshold must come from a 1-row broadcast
-    over the per-part aggregate — lineitem scanned exactly once, and
-    the share filter never re-aggregates the fact table."""
+    over the per-part aggregate; the per-part aggregate is
+    checkpointed so the fact table is scanned at most once — the
+    share filter must never re-aggregate lineitem."""
     from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
 
     df = SPECS["q11_important_part_values"].fn(spark, SF_SMALL)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert plan.count("lineitem.parquet") <= 2, "fact table re-scanned per subquery"
+    assert plan.count("lineitem.parquet") <= 1, "fact table re-scanned per subquery"
