@@ -488,3 +488,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"w{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "text_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), firsts AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           floor(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+             AS seen_frac
+    FROM firsts GROUP BY doc_id
+    """,
+    doc="Per-document shingle novelty: the fraction of each document's "
+        "distinct 3-gram shingles already present in an EARLIER "
+        "document (by doc_id — ingestion order).  The curation metric "
+        "behind 'how much new content does this batch add' and the "
+        "soft-dedup threshold between keep/drop — complements the "
+        "pairwise Jaccard tiers by scoring docs against the whole "
+        "preceding corpus, not a candidate pair.  Scale shape: "
+        "min(doc_id) per shingle runs as a grouped AGGREGATE, not a "
+        "shingle-partitioned window — partial map-side combine "
+        "collapses a corpus-frequent shingle to one row per task, "
+        "where a window would sort that shingle's entire occurrence "
+        "list inside one un-splittable partition.  The exploded "
+        "shingle table is checkpointed once (dedup-tier idiom) so "
+        "the agg and the join-back probe share one tokenize pass; "
+        "residual probe-side skew on hot shingles is AQE skew-join "
+        "territory.  No candidate-pair explosion anywhere.",
+    tags=("dedup", "text", "agg"),
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    flagged = sh.join(firsts, "shingle").withColumn(
+        "seen", (F.col("first_doc") < F.col("doc_id")).cast("int")
+    )
+    n_seen = F.sum("seen")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_seen.cast("bigint").alias("n_seen_before"),
+        pround(n_seen.cast("double") / F.count(F.lit(1)), 6).alias("seen_frac"),
+    )

@@ -573,3 +573,78 @@ def similarity_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH el AS (
+      SELECT label, gs.j AS dim, CAST(embedding[gs.j] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) gs
+    ), cent AS (
+      SELECT label, dim,
+             floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS c
+      FROM el GROUP BY label, dim
+    )
+    SELECT CAST(a.label AS INTEGER) AS label_a,
+           CAST(b.label AS INTEGER) AS label_b,
+           floor(sum(a.c * b.c)
+                 / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS centroid_cosine
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Per-label centroid computation + pairwise centroid cosine — "
+        "the class-separation report a classifier-based quality "
+        "filter (or clustering sanity check) reads before trusting "
+        "label assignments.  Centroid components are rounded to 6dp "
+        "in BOTH engines before the cosine so the cross-engine value "
+        "contract survives float-summation order.  Scale shape: one "
+        "corpus-sized aggregate whose reduce side is bounded by "
+        "|labels| x dim (constant at any corpus size), checkpointed "
+        "once, then a self-join + cosine over that constant-sized "
+        "table — the corpus is scanned exactly once and never "
+        "re-shuffled.",
+    tags=("similarity", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+    cent = (
+        el.groupBy("label", "dim")
+        .agg(pround(F.avg("x"), 6).alias("c"))
+        # consumed twice (both sides of the pair join) — materialize the
+        # |labels| x dim rows once instead of re-scanning the corpus
+        .localCheckpoint(eager=False)
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            pround(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            "centroid_cosine",
+        )
+    )

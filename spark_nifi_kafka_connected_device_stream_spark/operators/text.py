@@ -401,3 +401,41 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "ngram")
         .limit(BOILERPLATE_TOP)
     )
+
+
+@register(
+    "text_token_freq_spectrum",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    )
+    SELECT CAST(c AS BIGINT) AS tok_count,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(c * count(*) AS BIGINT) AS total_occurrences
+    FROM counts GROUP BY c
+    """,
+    doc="Token frequency-of-frequencies spectrum (the Zipf/Good-Turing "
+        "curve): how many distinct tokens occur exactly c times, and "
+        "the total corpus mass at each count.  What a vocabulary/BPE "
+        "pipeline reads to pick min-count cutoffs and estimate "
+        "singleton (hapax) mass at corpus scale.  Scale shape: the "
+        "vocab aggregate is the one big shuffle (partial map-side "
+        "combine); the spectrum re-aggregate runs over distinct COUNT "
+        "values — a set whose size grows ~log with the corpus, so the "
+        "second exchange is constant-sized for practical purposes.",
+    tags=("text", "agg"),
+)
+def text_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        plan_parallelism(spark), "doc_id"
+    )
+    toks = d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        (F.col("c") * F.count(F.lit(1))).alias("total_occurrences"),
+    ).select(
+        F.col("c").alias("tok_count"), "n_distinct_tokens", "total_occurrences"
+    )

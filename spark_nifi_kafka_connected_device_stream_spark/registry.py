@@ -93,11 +93,13 @@ def register(
 # local sf0.001 parity suite re-validates them every pytest run, but
 # driver re-verification against the CURRENT fixtures is the contract.
 # This promote list is exactly 50 names = the whole driver window:
-# the 5 new TPC-H shapes (first driver rows) + the 33 queries whose
-# only green row is r1 + 12 of the 13 r2-green ones.  Still queued for
-# round 8: stats_moments (r2) and the r3 cohort (q7_volume_shipping,
-# q8_market_share, text_language_id, text_quality_score,
-# text_token_positions, text_winnowing_fingerprints).
+# the 8 round-7 additions (first driver rows) + the 33 queries whose
+# only green row is r1 + 9 of the 13 r2-green ones.  Still queued for
+# round 8: histogram_price_bins / q13_customer_order_distribution /
+# stats_percentiles / stats_moments (r2) and the r3 cohort
+# (q7_volume_shipping, q8_market_share, text_language_id,
+# text_quality_score, text_token_positions,
+# text_winnowing_fingerprints).
 _PROMOTE: tuple[str, ...] = (
     # round-7 additions — never driver-checked
     "q2_min_cost_supplier",
@@ -105,6 +107,9 @@ _PROMOTE: tuple[str, ...] = (
     "q11_important_part_values",
     "q16_supplier_part_counts",
     "q20_concentrated_suppliers",
+    "text_token_freq_spectrum",
+    "text_shingle_novelty",
+    "embedding_label_centroids",
     # last green row = r1 (pre-regen fixtures)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,15 +148,12 @@ _PROMOTE: tuple[str, ...] = (
     "array_collect_ops",
     "customer_rfm_segments",
     "grouping_sets_explicit",
-    "histogram_price_bins",
     "q4_order_priority_exists",
     "q12_shipmode_case_agg",
-    "q13_customer_order_distribution",
     "q14_promo_revenue_ratio",
     "q15_top_supplier_revenue",
     "q17_small_quantity_avg_subquery",
     "q18_large_volume_customers",
-    "stats_percentiles",
 )
 # With the promote list filling the whole 50-entry window, demotion
 # order is irrelevant this round.

@@ -217,3 +217,37 @@ def test_q11_total_is_broadcast_not_recompute(spark):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("lineitem.parquet") <= 1, "fact table re-scanned per subquery"
+
+
+def test_novelty_and_spectrum_plan_shapes(spark):
+    """text_token_freq_spectrum stays join-free (vocab agg + tiny
+    spectrum re-agg).  text_shingle_novelty computes min-doc-per-
+    shingle as a grouped AGGREGATE (map-side partial combine — skew-
+    safe on corpus-frequent shingles) over a checkpointed shingle
+    table, never as a shingle-partitioned window (one hot shingle
+    would sort inside a single un-splittable partition), and the
+    documents parquet is scanned at most once."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["text_token_freq_spectrum"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "Join" not in plan, "spectrum grew a join"
+    assert shuffle_count(df) <= 3
+
+    df = SPECS["text_shingle_novelty"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "WindowExec" not in plan and "windowspecdefinition" not in plan
+    assert plan.count("documents.parquet") <= 1
+    assert shuffle_count(df) <= 4
+
+
+def test_label_centroids_single_corpus_scan(spark):
+    """embedding_label_centroids: the corpus aggregate is checkpointed
+    (|labels| x dim rows), so embeddings is scanned once and the pair
+    join runs broadcast over the constant-sized centroid table."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["embedding_label_centroids"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert plan.count("embeddings.parquet") <= 1
+    assert broadcast_join_count(df) >= 1
