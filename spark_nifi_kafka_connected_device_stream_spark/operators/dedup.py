@@ -539,3 +539,82 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_seen.cast("bigint").alias("n_seen_before"),
         pround(n_seen.cast("double") / F.count(F.lit(1)), 6).alias("seen_frac"),
     )
+
+
+@register(
+    "source_ngram_overlap",
+    oracle=f"""
+    WITH src_sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+      )
+    ), tot AS (
+      SELECT source, count(*) AS n FROM src_sh GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared
+      FROM src_sh a JOIN src_sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared AS BIGINT) AS n_shared,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           floor(CAST(p.shared AS DOUBLE) / (ta.n + tb.n - p.shared)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    """,
+    doc="Cross-source shingle-overlap matrix: pairwise Jaccard between "
+        "each source's distinct 3-gram shingle set — the train/test "
+        "leakage diagnostic run at SOURCE granularity before choosing "
+        "a dataset mix (complements benchmark_contamination, which "
+        "checks one eval set against the corpus).  Scale shape: the "
+        "(source, shingle) distinct aggregate is the one corpus-sized "
+        "shuffle (map-side combine); the self-join's per-shingle blow-"
+        "up is bounded by |sources|^2 — a constant — so no frequency "
+        "cap is needed, unlike the doc-granular inverted index; the "
+        "checkpointed distinct table feeds all three consumers "
+        "(totals + both join sides) without re-tokenizing; totals "
+        "broadcast (|sources| rows).",
+    tags=("dedup", "text", "join"),
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    toks = docs.select("source", tokens(normalize_text(F.col("text"))).alias("tk"))
+    src_sh = (
+        toks.select(
+            "source", F.explode(F.array_distinct(shingles(F.col("tk")))).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tot = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = src_sh.select(F.col("source").alias("source_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            pround(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

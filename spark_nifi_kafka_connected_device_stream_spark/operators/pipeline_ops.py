@@ -370,3 +370,48 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ctoks).cast("bigint").alias("n_tokens"),
         F.array_join(ctoks, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, {_DUCK_U16} % 100 AS bucket FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY source, split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment: doc_id "
+        "md5-hashed into a 0-99 bucket — stable across runs, engines, "
+        "cluster sizes, and INSERTIONS (a new doc never flips an "
+        "existing doc's split, unlike rand() or row_number slicing). "
+        "The per-(source, split) count report is the leakage audit a "
+        "pipeline runs before training.  Map-only + one tiny "
+        "aggregate shuffle.",
+    tags=("pipeline", "sampling"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(u16 % 100 < 80, F.lit("train"))
+        .when(u16 % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -251,3 +251,16 @@ def test_label_centroids_single_corpus_scan(spark):
     plan = explain_str(df)
     assert plan.count("embeddings.parquet") <= 1
     assert broadcast_join_count(df) >= 1
+
+
+def test_source_overlap_single_scan_and_broadcast_totals(spark):
+    """source_ngram_overlap: the checkpointed (source, shingle) table
+    feeds the totals and both self-join sides — documents scanned at
+    most once, totals broadcast, and the pair aggregate's output is
+    |sources|^2-bounded."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["source_ngram_overlap"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") <= 1
+    assert broadcast_join_count(df) >= 2

@@ -26,6 +26,11 @@ TZ_SENSITIVE = [
     "asof_join_last_click",
     "funnel_view_click_purchase",
     "events_gapfill_hourly",
+    # round-7 shapes with year() extraction over timestamp columns —
+    # calendar fields must come from the stored wall time, not shift
+    # with the consumer session tz
+    "q9_product_type_profit",
+    "q20_concentrated_suppliers",
 ]
 
 
