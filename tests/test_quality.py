@@ -191,3 +191,38 @@ def test_dedup_query_paths_leave_no_persisted_blocks(spark):
         df.count()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "query path left entries in the cache manager"
+
+
+def test_shingle_novelty_exact_on_hot_shingle_corpus(spark):
+    """text_shingle_novelty applies NO frequency cap (unlike the
+    pairwise tiers) — its min-per-shingle aggregate must stay EXACT on
+    a corpus where one shingle appears in every document.  Every doc
+    after doc 0 must count the boilerplate shingle as seen-before;
+    each doc's unique tail shingles stay novel."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        shingles_of,
+    )
+
+    n_docs = 80
+    docs = spark.createDataFrame(
+        [(i, f"common boilerplate header unique{i} word{i} tail{i} end") for i in range(n_docs)],
+        "doc_id int, text string",
+    )
+    # same computation as the registered op, over the injectable corpus
+    sh = shingles_of(docs).localCheckpoint(eager=False)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    flagged = sh.join(firsts, "shingle").withColumn(
+        "seen", (F.col("first_doc") < F.col("doc_id")).cast("int")
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("seen").alias("s"))
+        .collect()
+    }
+    # text = 7 tokens -> 5 shingles/doc, all distinct within a doc
+    assert out[0] == (5, 0)  # first doc: everything novel
+    # docs 1..79: exactly the 'common boilerplate header' shingle is
+    # seen-before (the unique{i}-anchored shingles can't repeat)
+    for i in range(1, n_docs):
+        assert out[i] == (5, 1), f"doc {i}: {out[i]}"

@@ -294,3 +294,43 @@ def test_watermark_drop_is_observable_in_state_metrics(spark, replay_dir, tmp_pa
         assert state_rows >= 1  # open windows held as state
     finally:
         q.stop()
+
+
+def test_available_now_catch_up_exactly_once(spark, replay_dir, tmp_path):
+    """Trigger.AvailableNow: process ALL pending files with streaming
+    semantics (respecting maxFilesPerTrigger batching), then terminate
+    on its own — the scheduled-catch-up mode a production ingest job
+    runs from cron instead of a 24/7 driver.  A restart with new files
+    must process ONLY the new ones (checkpointed offsets carry
+    across runs — exactly-once, no reprocessing)."""
+    from pyspark.sql import functions as F
+
+    _write_file(replay_dir, "a.json", [e[2] for e in _mk_events(0, 30)])
+    _write_file(replay_dir, "b.json", [e[2] for e in _mk_events(5, 40, start_i=100)])
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def run_once():
+        stream = parse_product_views(
+            json_file_stream(spark, replay_dir, max_files_per_trigger=1)
+        )
+        q = (
+            stream.select("userid", "productid", "timestamp")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive, "availableNow query must self-terminate"
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 70
+
+    # second run: one new file; the two old files must NOT reprocess
+    _write_file(replay_dir, "c.json", [e[2] for e in _mk_events(10, 25, start_i=500)])
+    run_once()
+    df = spark.read.parquet(out_dir)
+    assert df.count() == 95
+    assert df.select("userid", "productid", "timestamp").distinct().count() == 95
