@@ -114,3 +114,50 @@ def foreach_batch_topk(
             ranked.write.format("console").save()
 
     return df.writeStream.foreachBatch(fn)
+
+
+def foreach_batch_corpus_dedup(
+    df: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    fingerprint_col: str = "fingerprint",
+) -> DataStreamWriter:
+    """Ingest-time dedup against a PERSISTENT corpus fingerprint store —
+    the streaming front door of the batch `dedup_incremental_exact`
+    tier: each micro-batch keeps only fingerprints never seen in ANY
+    earlier batch (across restarts, beyond any watermark horizon,
+    where `streaming_dedup_exact`'s in-state dedup ends).
+
+    Per epoch: (1) in-batch dedup; (2) probe the store with the batch
+    fingerprints — the corpus side is scanned map-side with the SMALL
+    batch side broadcast twice (semi to find collisions, anti to drop
+    them), never hashed whole, exactly like dedup_incremental_exact,
+    so the pass scales to a 100 TB store; (3) survivors append as the
+    store's `epoch=N` partition.
+
+    Exactly-once: foreachBatch may re-run an epoch after a crash.  Both
+    writes go to `epoch=<id>` partition directories with overwrite
+    mode, and the probe reads only partitions with epoch < current
+    (partition-pruned), so a re-run neither double-writes nor drops
+    its own rows against its own half-written store partition.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([fingerprint_col])
+        try:
+            corpus = spark.read.parquet(corpus_dir).filter(F.col("epoch") < epoch_id)
+            seen = corpus.join(
+                F.broadcast(batch.select(fingerprint_col)), fingerprint_col, "left_semi"
+            ).select(fingerprint_col)
+            fresh = batch.join(F.broadcast(seen), fingerprint_col, "left_anti")
+        except AnalysisException:  # first epoch: store directory does not exist yet
+            fresh = batch
+        fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        fresh.select(fingerprint_col).write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch={epoch_id}"
+        )
+
+    return df.writeStream.foreachBatch(fn)

@@ -478,3 +478,51 @@ def test_session_window_stream_batch_equivalence(spark, tmp_path):
     u2 = [r for r in streamed if r[0] == "user-2"]
     assert len(u2) == 1 and u2[0][3] == 4
     assert u2[0][2].endswith("10:37:30")
+
+
+def test_foreach_batch_corpus_dedup_across_restart(spark, tmp_path):
+    """Ingest-time dedup against the persistent fingerprint store must
+    drop re-ingested content ACROSS query restarts (beyond watermark
+    state, which dies with the query) — first arrival wins globally."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        foreach_batch_corpus_dedup,
+    )
+
+    d = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def run(files_written_after_start=None):
+        stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+        fp = stream.withColumn(
+            "fingerprint",
+            F.md5(F.concat_ws("|", "userid", "productid", "timestamp").cast("binary")),
+        )
+        q = (
+            foreach_batch_corpus_dedup(fp, corpus, out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 3 distinct events, one exact duplicate line
+    e1 = _event("2021-03-06 10:00:00.000", 0, "desktop")
+    e2 = _event("2021-03-06 10:01:00.000", 1, "mobile-web")
+    e3 = _event("2021-03-06 10:02:00.000", 2, "mobile-app")
+    _write_file(d, "b1.json", [e1, e2, e3, e1])
+    run()
+    assert spark.read.parquet(out).count() == 3
+
+    # restart: re-ingest e2 (must drop — store remembers it) + one new
+    e4 = _event("2021-03-06 12:00:00.000", 3, "desktop")
+    _write_file(d, "b2.json", [e2, e4])
+    run()
+    result = spark.read.parquet(out)
+    assert result.count() == 4
+    assert result.select("fingerprint").distinct().count() == 4
+    # the store holds exactly the 4 unique fingerprints, epoch-partitioned
+    store = spark.read.parquet(corpus)
+    assert store.select("fingerprint").distinct().count() == 4
+    assert store.count() == 4
