@@ -143,21 +143,38 @@ def foreach_batch_corpus_dedup(
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates([fingerprint_col])
-        try:
-            corpus = spark.read.parquet(corpus_dir).filter(F.col("epoch") < epoch_id)
-            seen = corpus.join(
-                F.broadcast(batch.select(fingerprint_col)), fingerprint_col, "left_semi"
-            ).select(fingerprint_col)
-            fresh = batch.join(F.broadcast(seen), fingerprint_col, "left_anti")
-        except AnalysisException:  # first epoch: store directory does not exist yet
-            fresh = batch
-        fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        fresh.select(fingerprint_col).write.mode("overwrite").parquet(
-            f"{corpus_dir}/epoch={epoch_id}"
-        )
+        corpus_dedup_epoch(batch_df, epoch_id, corpus_dir, out_dir, fingerprint_col)
 
     return df.writeStream.foreachBatch(fn)
+
+
+def corpus_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_dir: str,
+    out_dir: str,
+    fingerprint_col: str = "fingerprint",
+) -> None:
+    """One epoch of foreach_batch_corpus_dedup, module-level so the
+    crashed-epoch re-run path is unit-testable: calling this twice
+    with the same epoch_id must leave the store and output byte-for-
+    byte equivalent (partition overwrite + epoch < N probe)."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates([fingerprint_col])
+    try:
+        corpus = spark.read.parquet(corpus_dir).filter(F.col("epoch") < epoch_id)
+        seen = corpus.join(
+            F.broadcast(batch.select(fingerprint_col)), fingerprint_col, "left_semi"
+        ).select(fingerprint_col)
+        fresh = batch.join(F.broadcast(seen), fingerprint_col, "left_anti")
+    except AnalysisException:  # first epoch: store directory does not exist yet
+        fresh = batch
+    # materialize BEFORE overwriting the store partition: `fresh` must
+    # not be re-planned against a store state this write changes
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    fresh.select(fingerprint_col).write.mode("overwrite").parquet(
+        f"{corpus_dir}/epoch={epoch_id}"
+    )

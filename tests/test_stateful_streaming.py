@@ -526,3 +526,30 @@ def test_foreach_batch_corpus_dedup_across_restart(spark, tmp_path):
     store = spark.read.parquet(corpus)
     assert store.select("fingerprint").distinct().count() == 4
     assert store.count() == 4
+
+
+def test_corpus_dedup_epoch_rerun_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers an epoch after a crash (its write can
+    complete before the checkpoint commit).  Re-running the SAME epoch
+    must (a) not drop the batch's rows against its own half-written
+    store partition, and (b) leave store + output with no duplicates."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        corpus_dedup_epoch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame([("fpA", 1), ("fpB", 2)], "fingerprint string, v int")
+    b1 = spark.createDataFrame([("fpB", 3), ("fpC", 4)], "fingerprint string, v int")
+
+    corpus_dedup_epoch(b0, 0, corpus, out)
+    corpus_dedup_epoch(b1, 1, corpus, out)  # fpB dropped (seen in epoch 0)
+    first = sorted(r["fingerprint"] for r in spark.read.parquet(out).collect())
+    assert first == ["fpA", "fpB", "fpC"]
+
+    # crash-replay epoch 1: identical delivery, run again
+    corpus_dedup_epoch(b1, 1, corpus, out)
+    again = sorted(r["fingerprint"] for r in spark.read.parquet(out).collect())
+    assert again == first, "epoch re-run changed the output"
+    store = spark.read.parquet(corpus)
+    assert sorted(r["fingerprint"] for r in store.collect()) == ["fpA", "fpB", "fpC"]
