@@ -439,3 +439,83 @@ def text_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("c").alias("tok_count"), "n_distinct_tokens", "total_occurrences"
     )
+
+
+HH_K = 64  # heavy-hitter threshold divisor: report tokens with freq > total/HH_K
+
+
+@register(
+    "text_token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), c AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), t AS (
+      SELECT count(*) AS total FROM toks
+    )
+    SELECT c.tok,
+           CAST(c.n AS BIGINT) AS n_occurrences,
+           floor(CAST(c.n AS DOUBLE) / t.total * 1000000.0 + 0.5) / 1000000.0
+             AS share
+    FROM c, t
+    WHERE c.n * {HH_K} > t.total
+    """,
+    doc="Exact heavy hitters via a two-pass Misra-Gries sketch: pass 1 "
+        "runs a mergeable MG({HH_K}) summary PER PARTITION inside "
+        "mapInPandas — bounded state (64 counters), zero shuffle — "
+        "whose union provably contains every token with global "
+        "frequency > total/64 (if freq(x)·64 > total then by "
+        "pigeonhole some partition has freq_p(x)·64 > n_p, and "
+        "MG(64) never evicts such a key).  Pass 2 exactly recounts "
+        "ONLY the candidate set (broadcast semi-filter, map-side) and "
+        "applies the true threshold, so the RESULT is exact and "
+        "oracle-checkable — the sketch is pure pruning.  The 100 TB "
+        "win: the full token shuffle (|vocab|-sized) is replaced by a "
+        "shuffle over ≤ 64·n_partitions candidate keys.  Sketch "
+        "merging is vectorized: value_counts per Arrow batch, then "
+        "counter-level MG merge (subtract the (K+1)-th count, drop "
+        "non-positive) — no per-token Python loop.",
+    tags=("text", "sketch", "agg"),
+)
+def text_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        plan_parallelism(spark), "doc_id"
+    )
+    toks = d.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    ).localCheckpoint(eager=False)
+
+    def mg_partition(pdfs):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in pdfs:
+            batch = pdf["tok"].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > HH_K:
+                # MG merge: subtract the (K+1)-th largest count from all,
+                # drop non-positive — keeps the undercount bound additive
+                cut = counters.nlargest(HH_K + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"tok": counters.index.astype(str)})
+
+    candidates = toks.mapInPandas(mg_partition, "tok string").distinct()
+    counted = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_K > F.col("total"))
+        .select(
+            "tok",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            pround(
+                F.col("n_occurrences").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+    )

@@ -93,11 +93,12 @@ def register(
 # local sf0.001 parity suite re-validates them every pytest run, but
 # driver re-verification against the CURRENT fixtures is the contract.
 # This promote list is exactly 50 names = the whole driver window:
-# the 10 round-7 additions (first driver rows) + the 33 queries whose
-# only green row is r1 + 7 of the 13 r2-green ones.  Still queued for
+# the 11 round-7 additions (first driver rows) + the 33 queries whose
+# only green row is r1 + 6 of the 13 r2-green ones.  Still queued for
 # round 8: histogram_price_bins / q13_customer_order_distribution /
 # stats_percentiles / stats_moments / array_collect_ops /
-# grouping_sets_explicit (r2) and the r3 cohort
+# grouping_sets_explicit / q4_order_priority_exists (r2) and the r3
+# cohort
 # (q7_volume_shipping, q8_market_share, text_language_id,
 # text_quality_score, text_token_positions,
 # text_winnowing_fingerprints).
@@ -113,6 +114,7 @@ _PROMOTE: tuple[str, ...] = (
     "embedding_label_centroids",
     "dataset_split_assign",
     "source_ngram_overlap",
+    "text_token_heavy_hitters",
     # last green row = r1 (pre-regen fixtures)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -149,7 +151,6 @@ _PROMOTE: tuple[str, ...] = (
     "window_share_of_total",
     # last green row = r2
     "customer_rfm_segments",
-    "q4_order_priority_exists",
     "q12_shipmode_case_agg",
     "q14_promo_revenue_ratio",
     "q15_top_supplier_revenue",

