@@ -426,3 +426,84 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sketch: streaming Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("n_seen_bucket", T.LongType()),
+    ]
+)
+HH_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+HH_SKETCH_K = 64
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    n_buckets: int = 8,
+    k: int = HH_SKETCH_K,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the continuous twin of the
+    batch `text_token_heavy_hitters` sketch pass.  Keys are hashed
+    into `n_buckets` state groups; each group maintains ONE mergeable
+    MG(k) summary across all micro-batches (state is 2 arrays of ≤ k
+    entries per bucket — constant memory at ANY key cardinality, which
+    is the whole point: per-key streaming aggregation state grows with
+    |keys|, the sketch does not).  Emits each bucket's current summary
+    every micro-batch (update mode).  MG bound per bucket: est_count ≤
+    true_count ≤ est_count + floor(n_seen_bucket / (k+1)) — any key
+    with true frequency above n_seen_bucket/(k+1) is guaranteed
+    present.  Exact counts for the candidate set are the batch tier's
+    recount job, same as the batch operator's pass 2."""
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.crc32(F.col(key_col).cast("string").cast("binary")) % n_buckets)
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def fn(key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keys, counts, n_seen = state.get
+            counters = pd.Series(list(counts), index=list(keys), dtype="int64")
+        else:
+            counters = pd.Series(dtype="int64")
+            n_seen = 0
+        for pdf in pdfs:
+            vc = pdf["key"].value_counts()
+            n_seen += int(vc.sum())
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        counters = counters.astype("int64")
+        state.update(
+            ([str(i) for i in counters.index], [int(v) for v in counters.values], int(n_seen))
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": int(key[0]),
+                "key": counters.index.astype(str),
+                "est_count": counters.values,
+                "n_seen_bucket": int(n_seen),
+            }
+        )
+
+    return projected.groupBy("bucket").applyInPandasWithState(
+        fn, HH_OUTPUT, HH_STATE, "update", GroupStateTimeout.NoTimeout
+    )

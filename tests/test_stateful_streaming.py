@@ -553,3 +553,100 @@ def test_corpus_dedup_epoch_rerun_is_idempotent(spark, tmp_path):
     assert again == first, "epoch re-run changed the output"
     store = spark.read.parquet(corpus)
     assert sorted(r["fingerprint"] for r in store.collect()) == ["fpA", "fpB", "fpC"]
+
+
+def test_streaming_heavy_hitters_sketch(spark, tmp_path):
+    """Streaming MG sketch: state must CARRY across micro-batches and,
+    while the per-bucket key set fits in k counters, stay EXACT (MG
+    only loses precision under eviction): product-0's final estimate
+    must equal its true 2-batch count, which batch 2 alone cannot
+    produce.  A second pass keys on the unique-per-event messageid —
+    65 distinct keys per bucket against k=8 — and the state must stay
+    bounded at <= k counters per bucket under that churn."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    d = str(tmp_path / "in")
+    # batch 1: 130 events -> product-0 gets i%13==0 hits (10), others 10 each
+    _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 130)])
+    stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+    hh = streaming_heavy_hitters(stream, "productid", n_buckets=4, k=8)
+    q = (
+        memory_sink(hh, "hh_sketch", output_mode="update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [e[2] for e in _mk_events(10, 130, start_i=130)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update-mode memory sink: take the LAST emission per (bucket, key)
+    rows = spark.sql(
+        "SELECT * FROM hh_sketch"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[(r["bucket"], r["key"])] = (r["est_count"], r["n_seen_bucket"])
+    ests = {k[1]: v for k, v in latest.items()}
+    # product-0 true count: i in 0..259 with i%13==0 -> 20
+    assert "product-0" in ests, f"hot key evicted: {sorted(ests)}"
+    est, n_bucket = ests["product-0"]
+    assert est <= 20 <= est + n_bucket // 9, (est, n_bucket)
+    # 13 products over 4 buckets -> <= 8 keys per bucket: no eviction,
+    # so the MG estimate must be EXACT — and exactness across batches
+    # proves the state carried (batch 2 alone would give 10)
+    assert est == 20, est
+    # state really accumulated across batches: its bucket saw both batches
+    assert n_bucket > 130 // 4 // 2, n_bucket
+
+
+def test_streaming_heavy_hitters_state_bounded_under_churn(spark, tmp_path):
+    """High-cardinality churn: ~250 once-only messageids (pure noise,
+    which MG annihilates — equal counts cancel) plus one messageid
+    repeated 40 times.  Summaries must stay <= k keys per bucket at
+    every emission (constant state at any key cardinality), and the
+    needle must survive the churn with an in-bound estimate."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    d = str(tmp_path / "in")
+    # duplicate messageid: emit the SAME i repeatedly (m-0), plus noise
+    needle = [_event(f"2021-03-06 10:00:{s:02d}.000", 0, "desktop") for s in range(20)]
+    noise1 = [e[2] for e in _mk_events(1, 110, start_i=1)]
+    _write_file(d, "b1.json", needle + noise1)
+    stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+    hh = streaming_heavy_hitters(stream, "messageid", n_buckets=4, k=8)
+    q = (
+        memory_sink(hh, "hh_churn", output_mode="update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        needle2 = [
+            _event(f"2021-03-06 10:10:{s:02d}.000", 0, "desktop") for s in range(20)
+        ]
+        noise2 = [e[2] for e in _mk_events(11, 110, start_i=500)]
+        _write_file(d, "b2.json", needle2 + noise2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import collections
+
+    rows = spark.sql("SELECT * FROM hh_churn").collect()
+    per_emission = collections.Counter()
+    latest = {}
+    for r in rows:
+        per_emission[(r["bucket"], r["n_seen_bucket"])] += 1
+        latest[(r["bucket"], r["key"])] = (r["est_count"], r["n_seen_bucket"])
+    assert per_emission, "no summaries emitted"
+    assert max(per_emission.values()) <= 8, per_emission
+    ests = {k[1]: v for k, v in latest.items()}
+    assert "m-0" in ests, f"needle evicted: {sorted(ests)}"
+    est, n_bucket = ests["m-0"]
+    assert est <= 40 <= est + n_bucket // 9, (est, n_bucket)
