@@ -462,7 +462,7 @@ HH_K = 64  # heavy-hitter threshold divisor: report tokens with freq > total/HH_
     WHERE c.n * {HH_K} > t.total
     """,
     doc="Exact heavy hitters via a two-pass Misra-Gries sketch: pass 1 "
-        "runs a mergeable MG({HH_K}) summary PER PARTITION inside "
+        "runs a mergeable MG(64) summary PER PARTITION inside "
         "mapInPandas — bounded state (64 counters), zero shuffle — "
         "whose union provably contains every token with global "
         "frequency > total/64 (if freq(x)·64 > total then by "
