@@ -873,7 +873,10 @@ def events_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and cross-engine exact. Scale: one lineitem->orders shuffle "
         "join (both big), part/supplier/nation broadcast, LIKE filter "
         "prunes at the part dim before the join; one final "
-        "partial-aggregatable groupBy.",
+        "partial-aggregatable groupBy. Headroom: amount_e5 is "
+        "~1e10-1e11 per row, so an int64 sum (~9.2e18) holds ~1e8 rows "
+        "per (nation, o_year) group — ample through SF 10k; beyond "
+        "that, accumulate as decimal(38,0) (swap the .cast at the sum).",
     tags=("join", "agg"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,7 +953,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "float. Scale: supplier/nation broadcast into the lineitem "
         "scan, one per-part aggregate shuffle; the grand total is a "
         "1-row broadcast crossJoin over the (already small) per-part "
-        "aggregate, never over lineitem.",
+        "aggregate, never over lineitem. Headroom: value_e4 sums "
+        "~1e9-1e10 per row into int64, and the share filter multiplies "
+        "it by n_parts — safe to ~1e6 parts x 1e12 totals; at larger SF "
+        "run the filter in decimal(38,0) to keep the exact-integer "
+        "contract.",
     tags=("agg", "subquery"),
 )
 def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -444,6 +444,27 @@ def text_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_K = 64  # heavy-hitter threshold divisor: report tokens with freq > total/HH_K
 
 
+def mg_partition_summaries(pdfs, k: int = HH_K):
+    """Mergeable Misra-Gries(k) summary over one partition's Arrow
+    batches — module-level so the no-false-negative guarantee is tested
+    against THIS function (tests/test_quality.py), not a copy.  Yields
+    the surviving candidate tokens; any token with partition frequency
+    > n_partition/k is guaranteed to survive (the MG bound)."""
+    import pandas as pd
+
+    counters = pd.Series(dtype="int64")
+    for pdf in pdfs:
+        batch = pdf["tok"].value_counts()
+        counters = counters.add(batch, fill_value=0)
+        if len(counters) > k:
+            # MG merge: subtract the (K+1)-th largest count from all,
+            # drop non-positive — keeps the undercount bound additive
+            cut = counters.nlargest(k + 1).iloc[-1]
+            counters = counters - cut
+            counters = counters[counters > 0]
+    yield pd.DataFrame({"tok": counters.index.astype(str)})
+
+
 @register(
     "text_token_heavy_hitters",
     oracle=f"""
@@ -486,22 +507,7 @@ def text_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
     ).localCheckpoint(eager=False)
 
-    def mg_partition(pdfs):
-        import pandas as pd
-
-        counters = pd.Series(dtype="int64")
-        for pdf in pdfs:
-            batch = pdf["tok"].value_counts()
-            counters = counters.add(batch, fill_value=0)
-            if len(counters) > HH_K:
-                # MG merge: subtract the (K+1)-th largest count from all,
-                # drop non-positive — keeps the undercount bound additive
-                cut = counters.nlargest(HH_K + 1).iloc[-1]
-                counters = counters - cut
-                counters = counters[counters > 0]
-        yield pd.DataFrame({"tok": counters.index.astype(str)})
-
-    candidates = toks.mapInPandas(mg_partition, "tok string").distinct()
+    candidates = toks.mapInPandas(mg_partition_summaries, "tok string").distinct()
     counted = (
         toks.join(F.broadcast(candidates), "tok")
         .groupBy("tok")

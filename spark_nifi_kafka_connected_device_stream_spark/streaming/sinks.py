@@ -165,12 +165,22 @@ def corpus_dedup_epoch(
     batch = batch_df.dropDuplicates([fingerprint_col])
     try:
         corpus = spark.read.parquet(corpus_dir).filter(F.col("epoch") < epoch_id)
+    except AnalysisException as exc:
+        # ONLY a missing store directory means "first epoch".  Any other
+        # analysis error (store schema drift, mistyped fingerprint column)
+        # must propagate — swallowing it would silently disable dedup for
+        # the batch and write duplicates permanently into both stores.
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        fresh = batch
+    else:
         seen = corpus.join(
             F.broadcast(batch.select(fingerprint_col)), fingerprint_col, "left_semi"
         ).select(fingerprint_col)
         fresh = batch.join(F.broadcast(seen), fingerprint_col, "left_anti")
-    except AnalysisException:  # first epoch: store directory does not exist yet
-        fresh = batch
     # materialize BEFORE overwriting the store partition: `fresh` must
     # not be re-planned against a store state this write changes
     fresh = fresh.localCheckpoint(eager=True)

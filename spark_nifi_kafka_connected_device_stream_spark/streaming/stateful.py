@@ -188,9 +188,10 @@ def _resolve_tz(tz_name: str):
         pass
     # Minutes are only unambiguous after a ':' separator or a 2-digit
     # hour ('+08:30', '+0830'); a bare '+830' is rejected rather than
-    # guessed at.  Offsets beyond ±18:00 (the datetime.timezone limit,
-    # and beyond anything Spark accepts) fall through to the actionable
-    # error below instead of timezone()'s raw "offset must be ..." one.
+    # guessed at.  Offsets beyond ±18:00 (Java ZoneOffset's limit, hence
+    # the most Spark itself accepts; Python's datetime.timezone would
+    # allow up to ±24h) fall through to the actionable error below so we
+    # never "support" a session tz the JVM side would reject.
     m = re.fullmatch(
         r"(?:GMT|UTC)?([+-])(?:(\d{1,2})|(\d{1,2}):(\d{2})|(\d{2})(\d{2}))",
         tz_name.strip(),

@@ -265,25 +265,10 @@ def test_misra_gries_candidates_contain_true_heavy_hitters(spark):
     cand = [
         r["tok"]
         for r in toks.mapInPandas(
-            # reuse the registered op's partition summarizer via a fresh
-            # closure with identical semantics: call the op end-to-end
-            # instead of reimplementing — build a documents-shaped table
-            lambda pdfs: _mg_forward(pdfs, T.HH_K),
+            # the REGISTERED op's partition summarizer, not a copy: if
+            # the MG merge logic changes, this guarantee test follows it
+            lambda pdfs: T.mg_partition_summaries(pdfs, T.HH_K),
             "tok string",
         ).collect()
     ]
     assert "needle" in cand, "MG evicted a true heavy hitter"
-
-
-def _mg_forward(pdfs, k):
-    import pandas as pd
-
-    counters = pd.Series(dtype="int64")
-    for pdf in pdfs:
-        batch = pdf["tok"].value_counts()
-        counters = counters.add(batch, fill_value=0)
-        if len(counters) > k:
-            cut = counters.nlargest(k + 1).iloc[-1]
-            counters = counters - cut
-            counters = counters[counters > 0]
-    yield pd.DataFrame({"tok": counters.index.astype(str)})

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
@@ -553,6 +554,28 @@ def test_corpus_dedup_epoch_rerun_is_idempotent(spark, tmp_path):
     assert again == first, "epoch re-run changed the output"
     store = spark.read.parquet(corpus)
     assert sorted(r["fingerprint"] for r in store.collect()) == ["fpA", "fpB", "fpC"]
+
+
+def test_corpus_dedup_epoch_store_drift_raises(spark, tmp_path):
+    """Only a MISSING store directory may be treated as 'first epoch'.
+    A store that exists but lacks the fingerprint column (schema drift,
+    mistyped column) must raise — silently falling back would disable
+    dedup for the batch and write duplicates into both stores forever."""
+    from pyspark.errors import AnalysisException
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        corpus_dedup_epoch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    # a store partition with the WRONG column name
+    spark.createDataFrame([("fpA",)], "wrong_col string").write.parquet(
+        f"{corpus}/epoch=0"
+    )
+    b1 = spark.createDataFrame([("fpA", 1)], "fingerprint string, v int")
+    with pytest.raises(AnalysisException):
+        corpus_dedup_epoch(b1, 1, corpus, out)
 
 
 def test_streaming_heavy_hitters_sketch(spark, tmp_path):
