@@ -196,6 +196,41 @@ def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_percentiles_approx_bound",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, true AS within_tolerance
+    FROM orders
+    """,
+    doc="Driver-checkable accuracy contract for percentile_approx "
+        "(KLL-style rank sketch, accuracy=10000 → rank error ≤ 1e-4): "
+        "per group, the approx p50/p90 must land inside the EXACT "
+        "[p49,p51] / [p89,p91] envelope — a ±0.01-quantile window, two "
+        "orders of magnitude wider than the sketch's guarantee, so the "
+        "check is stable at every SF while still catching a broken "
+        "sketch.  The oracle is the constant-true table (the estimate "
+        "itself is engine-specific; the bound is the contract).",
+    tags=("agg", "stats", "approx"),
+)
+def stats_percentiles_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        F.percentile("o_totalprice", 0.49).alias("p50_lo"),
+        F.percentile("o_totalprice", 0.51).alias("p50_hi"),
+        F.percentile("o_totalprice", 0.89).alias("p90_lo"),
+        F.percentile("o_totalprice", 0.91).alias("p90_hi"),
+    )
+    return g.select(
+        "o_orderstatus",
+        (
+            F.col("p50_approx").between(F.col("p50_lo"), F.col("p50_hi"))
+            & F.col("p90_approx").between(F.col("p90_lo"), F.col("p90_hi"))
+        ).alias("within_tolerance"),
+    )
+
+
+@register(
     "array_collect_ops",
     oracle="""
     SELECT n_nationkey AS nationkey,

@@ -168,6 +168,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_bound",
+    oracle="""
+    SELECT DISTINCT event_type, true AS within_tolerance
+    FROM events
+    """,
+    doc="Driver-checkable accuracy contract for the HLL++ sketch: per "
+        "group, |approx_count_distinct(rsd=0.01) − exact| must stay "
+        "within 5% of exact (5 sigma of the configured rsd).  The "
+        "estimate itself is engine-specific so the VALUE can't be "
+        "oracle-checked — but the BOUND can: the query emits one "
+        "boolean per group and the oracle is the constant-true table, "
+        "so a sketch regression flips the value hash red.  Both "
+        "aggregates run in the same single-shuffle groupBy.",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return g.select(
+        "event_type",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_tolerance"),
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
