@@ -153,6 +153,90 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BYTE_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, n_distinct_bytes bigint, "
+    "byte_entropy double, content_md5 string, has_control_bytes boolean"
+)
+
+
+def _byte_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+    import math
+
+    import numpy as np
+
+    def stats(payload: bytes):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256)
+        n = int(arr.size)
+        if n:
+            p = counts[counts > 0] / n
+            # same portable rounding as pround (floor(x*1e6+0.5)/1e6) so
+            # the double matches DuckDB's entropy() bit-for-bit
+            ent = math.floor(float(-(p * np.log2(p)).sum()) * 1e6 + 0.5) / 1e6
+        else:
+            ent = 0.0
+        # control bytes other than \t \n \r signal a corrupt/binary-in-
+        # text payload — the cheap validity screen before any decode
+        ctrl = int(counts[:32].sum()) - int(counts[9] + counts[10] + counts[13])
+        return (
+            n,
+            int((counts > 0).sum()),
+            ent,
+            hashlib.md5(payload).hexdigest(),
+            bool(ctrl > 0),
+        )
+
+    for pdf in batches:
+        s = pdf["payload"].map(stats)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": s.map(lambda t: t[0]),
+                "n_distinct_bytes": s.map(lambda t: t[1]),
+                "byte_entropy": s.map(lambda t: t[2]),
+                "content_md5": s.map(lambda t: t[3]),
+                "has_control_bytes": s.map(lambda t: t[4]),
+            }
+        )
+
+
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+    ), st AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)          AS n_bytes,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_bytes,
+             floor(entropy(c) * 1000000.0 + 0.5) / 1000000.0 AS byte_entropy,
+             bool_or(ascii(c) < 32 AND ascii(c) NOT IN (9, 10, 13))
+               AS has_control_bytes
+      FROM ch GROUP BY doc_id
+    )
+    SELECT st.doc_id, st.n_bytes, st.n_distinct_bytes, st.byte_entropy,
+           md5(d.text) AS content_md5, st.has_control_bytes
+    FROM st JOIN documents d ON d.doc_id = st.doc_id
+    """,
+    doc="Corruption / byte-entropy scan over the binary payload — the "
+        "validity screen a multimodal pipeline runs BEFORE any decode: "
+        "byte count, distinct-byte cardinality, Shannon entropy of the "
+        "byte histogram (log2; truncated text ~4 bits, compressed/"
+        "encrypted blobs ~8, constant padding ~0), md5 checksum, and a "
+        "control-byte flag (any byte <32 except tab/newline/CR).  Map-"
+        "only mapInPandas with a bounded 256-bin histogram per row — no "
+        "shuffle at any scale.  Value-checked end-to-end: the payload "
+        "is ASCII text, so DuckDB's char-level entropy()/md5 mirror the "
+        "byte-level numpy path exactly (both engines round entropy with "
+        "the shared portable formula).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInPandas(_byte_stats_batches, schema=_BYTE_STATS_SCHEMA)
+
+
 @register(
     "multimodal_decode_features",
     oracle="""
