@@ -67,6 +67,19 @@ HEADLINE = [
     "text_repetition_stats",
     "events_value_outliers_mad",
     "curation_funnel_report",
+    # round-7 additions (first benched r8)
+    "text_shingle_novelty",
+    "text_token_freq_spectrum",
+    "embedding_label_centroids",
+    "dataset_split_assign",
+    "source_ngram_overlap",
+    "text_token_heavy_hitters",
+    # round-8 additions: skew demonstration pair (identical results,
+    # plain vs salted plan — the bench rows ARE the comparison) +
+    # multimodal corruption scan
+    "skew_hot_key_plain",
+    "skew_hot_key_salted",
+    "multimodal_byte_stats",
 ]
 
 

@@ -294,3 +294,94 @@ def events_top_sources_per_window(spark: SparkSession, sf_dir: str) -> DataFrame
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key skew demonstration pair (functions/scale.py salted_agg at bench
+# scale). ~50% of all events are remapped onto ONE group key
+# (user_id % 2 = 0 → 'hot') — the skew regime where a plain groupBy
+# funnels half the table into a single reducer. The two queries compute
+# IDENTICAL results (same oracle), differing only in plan shape, so the
+# bench rows measure the salting overhead/benefit directly and the
+# driver hash-checks both. Money sums run in exact integer cents so the
+# result is independent of summation order (plain vs salted vs DuckDB).
+
+_SKEW_ORACLE = """
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'hot' ELSE event_type END AS source_key,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+"""
+
+
+def _hot_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    key = (
+        F.when(F.col("user_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("source_key")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return e.select(key, cents.alias("cents"), "value")
+
+
+@register(
+    "skew_hot_key_plain",
+    oracle=_SKEW_ORACLE,
+    doc="Baseline for the skew pair: plain groupBy on the hot-keyed "
+        "events. At local scale the map-side partial aggregation "
+        "already collapses the hot key to one row per task, so this "
+        "WINS here; the salted twin exists for high-cardinality-"
+        "accumulator aggregations (collect/distinct-heavy) and "
+        "documents the crossover honestly.",
+    tags=("events", "skew"),
+)
+def skew_hot_key_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _hot_keyed_events(spark, sf_dir)
+        .groupBy("source_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "skew_hot_key_salted",
+    oracle=_SKEW_ORACLE,
+    doc="functions/scale.salted_agg on the hot-keyed events: phase 1 "
+        "groups on (key, hash-derived salt) bounding any single "
+        "reducer's input to ~1/n_salts of the hot key, phase 2 merges "
+        "the ≤ n_salts partials per key. Same result set as "
+        "skew_hot_key_plain (shared oracle) — only the plan differs.",
+    tags=("events", "skew"),
+)
+def skew_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import salted_agg
+
+    keyed = _hot_keyed_events(spark, sf_dir)
+    out = salted_agg(
+        keyed,
+        ["source_key"],
+        {
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "total_cents": (F.sum("cents"), "sum"),
+            "min_value": (F.min("value"), "min"),
+            "max_value": (F.max("value"), "max"),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "source_key",
+        "n_events",
+        (F.col("total_cents").cast("double") / F.lit(100.0)).alias("total_value"),
+        "min_value",
+        "max_value",
+    )

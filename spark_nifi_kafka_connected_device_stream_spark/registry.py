@@ -88,77 +88,39 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 7 (VERDICT r6 top-next): 47 queries' freshest
-# driver-green rows predate the round-5 fixture regeneration — the
-# local sf0.001 parity suite re-validates them every pytest run, but
-# driver re-verification against the CURRENT fixtures is the contract.
-# This promote list is exactly 50 names = the whole driver window:
-# the 11 round-7 additions (first driver rows) + the 33 queries whose
-# only green row is r1 + 6 of the 13 r2-green ones.  Still queued for
-# round 8: histogram_price_bins / q13_customer_order_distribution /
-# stats_percentiles / stats_moments / array_collect_ops /
-# grouping_sets_explicit / q4_order_priority_exists (r2) and the r3
-# cohort
-# (q7_volume_shipping, q8_market_share, text_language_id,
-# text_quality_score, text_token_positions,
-# text_winnowing_fingerprints).
+# modules.  Round 8 (VERDICT r7 top-next): this closes the driver
+# re-verification sweep started in round 7 — after this round every
+# registered query has a driver-green row on the CURRENT (post-round-5)
+# fixtures.  The list = the last 13 queries whose freshest green row is
+# r2/r3 (pre-regen), the 3 round-8 additions (first driver rows:
+# the two sketch accuracy-bound queries replacing the registry's only
+# `err: no_oracle` rows, and the multimodal corruption scan), and the
+# 2 round-8 skew-demonstration queries.  The remaining ~32 window
+# slots fall to module order (windows/text/similarity/... — all
+# r5+-green), giving those a free same-fixture re-check.
 _PROMOTE: tuple[str, ...] = (
-    # round-7 additions — never driver-checked
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q16_supplier_part_counts",
-    "q20_concentrated_suppliers",
-    "text_token_freq_spectrum",
-    "text_shingle_novelty",
-    "embedding_label_centroids",
-    "dataset_split_assign",
-    "source_ngram_overlap",
-    "text_token_heavy_hitters",
-    # last green row = r1 (pre-regen fixtures)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "q19_disjunctive_predicates",
-    "q21_late_shipments_by_supplier",
-    "q22_idle_rich_customers",
-    "scan_filter_project",
-    "agg_cube",
-    "agg_distinct_exact",
-    "agg_pivot_status",
-    "agg_rollup",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_outer_null_fill",
-    "join_semi",
-    "scalar_date_arith",
-    "scalar_date_funcs",
-    "scalar_math_case",
-    "scalar_null_handling",
-    "scalar_string_distance",
-    "scalar_string_funcs",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk_global",
-    "unpivot_status_counts",
-    "window_lag_delta",
-    "window_moving_avg_range",
-    "window_rank_dense_ntile",
-    "window_running_sum",
-    "window_share_of_total",
-    # last green row = r2
-    "customer_rfm_segments",
-    "q12_shipmode_case_agg",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_avg_subquery",
-    "q18_large_volume_customers",
+    # last green row = r2 (pre-regen fixtures)
+    "histogram_price_bins",
+    "q13_customer_order_distribution",
+    "stats_percentiles",
+    "stats_moments",
+    "array_collect_ops",
+    "grouping_sets_explicit",
+    "q4_order_priority_exists",
+    # last green row = r3 (pre-regen fixtures)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_positions",
+    "text_winnowing_fingerprints",
+    # round-8 additions — never driver-checked
+    "agg_approx_distinct_bound",
+    "stats_percentiles_approx_bound",
+    "multimodal_byte_stats",
+    "skew_hot_key_plain",
+    "skew_hot_key_salted",
 )
-# With the promote list filling the whole 50-entry window, demotion
-# order is irrelevant this round.
 _DEMOTE: tuple[str, ...] = ()
 
 

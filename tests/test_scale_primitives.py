@@ -144,3 +144,75 @@ def test_rocksdb_state_store_runs(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_skew_pair_identical_results(spark):
+    """The registered skew demonstration pair (plain vs salted groupBy
+    over hot-keyed events, ~50% of rows on one key) must produce
+    identical result sets — only the plan shape may differ."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        skew_hot_key_plain,
+        skew_hot_key_salted,
+    )
+
+    plain = {
+        r["source_key"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
+        for r in skew_hot_key_plain(spark, SF_SMALL).collect()
+    }
+    salted = {
+        r["source_key"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
+        for r in skew_hot_key_salted(spark, SF_SMALL).collect()
+    }
+    assert salted == plain
+    assert "hot" in plain and plain["hot"][0] > 0
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join splitting is the session's mitigation for skewed
+    SHUFFLE joins (the LSH bucket join in dedup.py has exactly this
+    shape: hash-partitioned on bucket keys whose population follows the
+    duplicate-cluster distribution — one hot bucket lands on one
+    reducer).  Prove the conf chain actually FIRES in this build: build
+    a join where half the left side shares one key, execute under
+    lowered skew thresholds, and assert the final adaptive plan split
+    the hot partition (`skew=true` on the sort-merge join)."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # coalescing can merge the tiny non-skewed partitions into the
+        # hot one's neighborhood and mask the split at this data size
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 37 % 1000).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k").groupBy("tag").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+        )
+        [row] = joined.collect()
+        assert row["n"] == 151_000  # 150k hot-key matches + 1k odd ids < 2000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
