@@ -11,6 +11,7 @@ checkpoint — the §2.7 "two concurrent queries on one lineage" pattern.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,21 +64,41 @@ def run_product_view_job(
 
 
 def http_ingest(url: str, dest_path: str, expected_substring: str | None = "event") -> str:
-    """S3 + C1/C2 (dag_file.py:24-50): availability-checked HTTP
-    download to a local staging path, then read with the normal batch
-    chain.  Driver-side utility, not a distributed operator (at scale
-    the download belongs in object storage, not the driver).  Gated
-    import: `requests` may be absent in minimal containers."""
-    try:
-        import requests  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError("http_ingest requires the 'requests' package") from exc
-    resp = requests.get(url, timeout=60)
-    resp.raise_for_status()
-    if expected_substring is not None and expected_substring not in resp.text:
+    """S3 + C1/C2 (dag_file.py:24-50): availability-checked download to
+    a local staging path, then read with the normal batch chain.  The
+    availability check IS the reference's HttpSensor (dag:36-43 pokes
+    the URL before the download task runs); the copy is its
+    PythonOperator download (dag:45-50).  Driver-side utility, not a
+    distributed operator (at scale the download belongs in object
+    storage, not the driver).
+
+    Accepts `file://` URLs as a network-free source so the whole
+    sensor→download→job→DDL control plane is exercisable offline (the
+    http(s) path is identical beyond the fetch).  Gated import:
+    `requests` may be absent in minimal containers."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    if parsed.scheme == "file":
+        path = (parsed.netloc or "") + parsed.path
+        if not os.path.exists(path):  # the sensor's "not available yet" poke
+            raise FileNotFoundError(f"http_ingest sensor: {url} not available")
+        with open(path) as f:
+            body = f.read()
+    elif parsed.scheme in ("http", "https"):
+        try:
+            import requests  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover
+            raise RuntimeError("http_ingest requires the 'requests' package") from exc
+        resp = requests.get(url, timeout=60)
+        resp.raise_for_status()
+        body = resp.text
+    else:
+        raise ValueError(f"http_ingest: unsupported URL scheme {parsed.scheme!r}")
+    if expected_substring is not None and expected_substring not in body:
         raise ValueError(
             f"availability check failed: {expected_substring!r} not in response"
         )
     with open(dest_path, "w") as f:
-        f.write(resp.text)
+        f.write(body)
     return dest_path

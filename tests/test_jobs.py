@@ -1,13 +1,17 @@
 """End-to-end v2 job: ONE aggregation lineage fanned out to TWO
 concurrent sinks (foreachBatch ranking + warehouse parquet), each with
-its own checkpoint — SURVEY.md §2.7 / §3.2.
+its own checkpoint — SURVEY.md §2.7 / §3.2.  Plus the full Airflow
+control plane (C1-C6 + K5) replayed offline through file:// URLs.
 """
 
 from __future__ import annotations
 
 import os
 
+import pytest
+
 from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+    http_ingest,
     run_product_view_job,
 )
 
@@ -57,3 +61,77 @@ def test_product_view_job_dual_sink(spark, tmp_path):
     assert got == {(s, 50) for s in ("desktop", "mobile-web", "mobile-app")} | {
         (s, 30) for s in ("desktop", "mobile-web", "mobile-app")
     }
+
+
+def test_full_control_plane_lifecycle_offline(spark, tmp_path):
+    """The reference DAG's whole chain (dag_file.py:100-102:
+    sensor >> download >> spark job >> DDL) as ONE offline run:
+
+    - C1 sensor poke against a not-yet-available upstream fails fast,
+    - C2 download stages the file once it exists (file:// — the
+      network-free twin of the HTTP path),
+    - the content availability check gates bad payloads,
+    - C3/C4/C5 run the v2 dual-sink job over the staged dir,
+    - K5 registers the warehouse DDL over the job's parquet output and
+      the final SQL read-back returns the finalized window counts.
+    """
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        create_external_table,
+    )
+
+    remote_dir = tmp_path / "remote"
+    remote = remote_dir / "events.json"
+
+    # C1: the sensor's "not available yet" poke — upstream missing
+    with pytest.raises(FileNotFoundError, match="not available"):
+        http_ingest(f"file://{remote}", str(tmp_path / "never.json"))
+
+    events = _mk_events(0, 60)
+    _write_file(str(remote_dir), "events.json", [e[2] for e in events])
+
+    # availability check on CONTENT must gate, not just existence
+    with pytest.raises(ValueError, match="availability check failed"):
+        http_ingest(f"file://{remote}", str(tmp_path / "bad.json"),
+                    expected_substring="definitely-not-present")
+
+    # C2: staged download into the job's input dir
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    staged = http_ingest(f"file://{remote}", str(in_dir / "b1.json"))
+    assert os.path.getsize(staged) > 0
+
+    # C3/C4/C5: the v2 job (dual sink) over the staged directory
+    out_dir = str(tmp_path / "warehouse")
+    chk_dir = str(tmp_path / "chk")
+    epochs = []
+    ranking_q, parquet_q = run_product_view_job(
+        spark, str(in_dir), out_dir, chk_dir, topk=3,
+        collector=lambda df, eid: epochs.append(df.collect()),
+    )
+    try:
+        ranking_q.processAllAvailable()
+        parquet_q.processAllAvailable()
+        # a later "remote drop" advances the watermark so window 0
+        # finalizes into the warehouse sink — same chain again
+        _write_file(str(remote_dir), "events2.json",
+                    [e[2] for e in _mk_events(20, 3, start_i=500)])
+        http_ingest(f"file://{remote_dir / 'events2.json'}", str(in_dir / "b2.json"))
+        ranking_q.processAllAvailable()
+        parquet_q.processAllAvailable()
+    finally:
+        ranking_q.stop()
+        parquet_q.stop()
+    assert any(rows for rows in epochs)
+
+    # K5: warehouse DDL over the job output (external table; view
+    # fallback on a catalog-less session), then the dag's read-back
+    create_external_table(spark, "commerce_lifecycle", out_dir)
+    try:
+        total = spark.sql(
+            "SELECT sum(source_number) AS s FROM commerce_lifecycle"
+        ).collect()[0]["s"]
+        assert total == 60  # the finalized first window, 20 per source
+    finally:
+        spark.sql("DROP TABLE IF EXISTS commerce_lifecycle")
+        if any(v.name == "commerce_lifecycle" for v in spark.catalog.listTables()):
+            spark.catalog.dropTempView("commerce_lifecycle")

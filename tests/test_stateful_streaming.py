@@ -673,3 +673,66 @@ def test_streaming_heavy_hitters_state_bounded_under_churn(spark, tmp_path):
     assert "m-0" in ests, f"needle evicted: {sorted(ests)}"
     est, n_bucket = ests["m-0"]
     assert est <= 40 <= est + n_bucket // 9, (est, n_bucket)
+
+
+def test_streaming_heavy_hitters_bounded_under_rocksdb(spark, tmp_path):
+    """The same high-cardinality churn, but with the RocksDB state
+    store provider — the store the sketch targets in production (heap
+    providers OOM first under per-key state; the sketch keeps ≤ k
+    counters per bucket REGARDLESS of provider, and RocksDB keeps the
+    bucket state itself off-heap).  Pins that the MG tuple state
+    round-trips RocksDB serialization across micro-batches: needle
+    survives, every emission stays ≤ k keys per bucket."""
+    import collections
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "in")
+        needle = [
+            _event(f"2021-03-06 10:00:{s:02d}.000", 0, "desktop") for s in range(20)
+        ]
+        _write_file(d, "b1.json", needle + [e[2] for e in _mk_events(1, 110, start_i=1)])
+        stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+        hh = streaming_heavy_hitters(stream, "messageid", n_buckets=4, k=8)
+        q = (
+            memory_sink(hh, "hh_rocks", output_mode="update")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            needle2 = [
+                _event(f"2021-03-06 10:10:{s:02d}.000", 0, "desktop") for s in range(20)
+            ]
+            _write_file(
+                d, "b2.json", needle2 + [e[2] for e in _mk_events(11, 110, start_i=500)]
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("SELECT * FROM hh_rocks").collect()
+    per_emission = collections.Counter()
+    latest = {}
+    for r in rows:
+        per_emission[(r["bucket"], r["n_seen_bucket"])] += 1
+        latest[(r["bucket"], r["key"])] = (r["est_count"], r["n_seen_bucket"])
+    assert per_emission, "no summaries emitted"
+    assert max(per_emission.values()) <= 8, per_emission
+    ests = {k[1]: v for k, v in latest.items()}
+    assert "m-0" in ests, f"needle evicted under RocksDB: {sorted(ests)}"
+    est, n_bucket = ests["m-0"]
+    assert est <= 40 <= est + n_bucket // 9, (est, n_bucket)
