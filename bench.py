@@ -80,6 +80,9 @@ HEADLINE = [
     "skew_hot_key_plain",
     "skew_hot_key_salted",
     "multimodal_byte_stats",
+    "text_bpe_pair_counts",
+    "embedding_knn_graph_stats",
+    "multimodal_modality_routing",
 ]
 
 

@@ -153,6 +153,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUTING_SCHEMA = "doc_id bigint, mime string, f_a bigint, f_b bigint"
+_MIMES = ("image/fake", "audio/fake", "text/plain")
+
+
+def _route_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # one Arrow pass, per-modality dispatch INSIDE the batch: the point
+    # is one corpus scan for all modalities, not one scan per decoder
+    def feats(doc_id: int, mime: str, payload: bytes) -> tuple[int, int]:
+        n = len(payload)
+        b0 = int(payload[0]) if n else -1
+        if mime == "image/fake":     # stub decode: dims from byte count
+            return 64 + n % 512, b0
+        if mime == "audio/fake":     # stub: 16 bytes/ms "sample rate"
+            return n // 16, n % 256
+        return n, b0                 # text/plain: raw length + first byte
+
+    for pdf in batches:
+        mimes = pdf["doc_id"].map(lambda d: _MIMES[int(d) % 3])
+        out = [
+            feats(d, m, p)
+            for d, m, p in zip(pdf["doc_id"], mimes, pdf["payload"], strict=True)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": mimes,
+                "f_a": [t[0] for t in out],
+                "f_b": [t[1] for t in out],
+            }
+        )
+
+
+@register(
+    "multimodal_modality_routing",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/fake'
+                           WHEN 1 THEN 'audio/fake'
+                           ELSE 'text/plain' END AS mime,
+           CASE doc_id % 3
+             WHEN 0 THEN 64 + octet_length(encode(text)) % 512
+             WHEN 1 THEN octet_length(encode(text)) // 16
+             ELSE octet_length(encode(text)) END AS f_a,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(ascii(substr(text, 1, 1)) AS BIGINT)
+             WHEN 1 THEN octet_length(encode(text)) % 256
+             ELSE CAST(ascii(substr(text, 1, 1)) AS BIGINT) END AS f_b
+    FROM documents
+    """,
+    doc="Modality routing: a mixed-modality corpus (modality derived "
+        "deterministically from doc_id here; a mime column in "
+        "production) decoded in ONE mapInPandas pass that dispatches "
+        "per-modality stub decoders inside each Arrow batch — one "
+        "corpus scan serves every decoder, instead of one filtered "
+        "scan per modality.  Decoders are the documented deterministic "
+        "stubs (no codecs in-container); the oracle replays their "
+        "arithmetic per modality branch, value-checking the routing "
+        "end-to-end.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInPandas(_route_batches, schema=_ROUTING_SCHEMA)
+
+
 _BYTE_STATS_SCHEMA = (
     "doc_id bigint, n_bytes bigint, n_distinct_bytes bigint, "
     "byte_entropy double, content_md5 string, has_control_bytes boolean"

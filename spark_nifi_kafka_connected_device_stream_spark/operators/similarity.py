@@ -648,3 +648,102 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine",
         )
     )
+
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "embedding_knn_graph_stats",
+    oracle=f"""
+    WITH edges AS (
+      SELECT * FROM (
+        SELECT q.label, q.vec_id AS src, c.vec_id AS dst, {_DUCK_COS} AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {KNN_GRAPH_K}
+    )
+    SELECT CAST(e.label AS INTEGER) AS label,
+           CAST(count(DISTINCT e.src) AS BIGINT)  AS n_nodes,
+           CAST(count(*) AS BIGINT)               AS n_edges,
+           floor(avg(e.sim) * 1000000.0 + 0.5) / 1000000.0 AS mean_knn_sim,
+           CAST(count(*) FILTER (WHERE r.src IS NOT NULL) AS BIGINT)
+             AS n_reciprocal
+    FROM edges e LEFT JOIN edges r
+      ON r.label = e.label AND r.src = e.dst AND r.dst = e.src
+    GROUP BY e.label
+    """,
+    doc=f"k-NN graph construction (k={KNN_GRAPH_K}) + per-cell graph "
+        f"stats — the primitive under graph-based semantic dedup "
+        f"(SemDeDup-style: cluster, build the within-cell kNN graph, "
+        f"drop near-duplicate components) and kNN-classifier quality "
+        f"screens.  Edges are deterministic (sim DESC, neighbor ASC "
+        f"tie-break); reciprocal-edge count measures how symmetric the "
+        f"neighborhood structure is (mutual-kNN is the usual dedup "
+        f"edge filter).  Scale shape: the pair scan is confined WITHIN "
+        f"cells (equi-join on the cell id — N²/cells, the IVF "
+        f"restriction, never all-pairs), top-k per node via one "
+        f"window over the cell partition, and the reciprocity check "
+        f"is a self-join of the EDGE set (k·N rows, k constant).",
+    tags=("similarity", "ann", "agg"),
+)
+def embedding_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    q = e.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = e.select(
+        F.col("label").alias("c_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    edges = (
+        q.join(c, (F.col("label") == F.col("c_label")) & (F.col("src") != F.col("dst")))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("label", "src", "dst", "sim")
+        # consumed twice (stats + reciprocity probe): k·N rows, tiny next
+        # to the pair scan that produced them — materialize once
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("label").alias("r_label"),
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("r_dst"),
+    )
+    marked = edges.join(
+        rev,
+        (F.col("r_label") == F.col("label"))
+        & (F.col("r_src") == F.col("dst"))
+        & (F.col("r_dst") == F.col("src")),
+        "left",
+    )
+    return (
+        marked.groupBy("label")
+        .agg(
+            F.countDistinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+            pround(F.avg("sim"), 6).alias("mean_knn_sim"),
+            F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_reciprocal"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_nodes",
+            "n_edges",
+            "mean_knn_sim",
+            "n_reciprocal",
+        )
+    )

@@ -441,6 +441,68 @@ def text_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 50
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ), p AS (
+      SELECT substr(tok, i, 2) AS pair, freq
+      FROM w, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+    doc=f"One round of the BPE-training inner loop: adjacent symbol-pair "
+        f"counts weighted by word frequency, top {BPE_TOP} (the argmax "
+        f"pair is the next merge).  THE scale property of BPE training: "
+        f"after the one corpus-sized vocab aggregate (map-side combine), "
+        f"every subsequent merge round runs over the VOCAB table "
+        f"(|vocab| ~ 1e6-1e8 rows), never re-scanning the corpus — pair "
+        f"explode and re-count here are vocab-bounded, and the top pair "
+        f"compiles to TakeOrderedAndProject.  Iterating merges = "
+        f"re-running this shape on a re-segmented vocab.",
+    tags=("text", "agg"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        plan_parallelism(spark), "doc_id"
+    )
+    vocab = (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Spark's sequence(1, n) yields a DESCENDING [1,0] when n=0, so
+    # single-char tokens must be excluded, not relied on to explode empty
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
 HH_K = 64  # heavy-hitter threshold divisor: report tokens with freq > total/HH_K
 
 

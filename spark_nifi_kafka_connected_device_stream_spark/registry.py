@@ -92,12 +92,13 @@ def register(
 # re-verification sweep started in round 7 — after this round every
 # registered query has a driver-green row on the CURRENT (post-round-5)
 # fixtures.  The list = the last 13 queries whose freshest green row is
-# r2/r3 (pre-regen), the 3 round-8 additions (first driver rows:
+# r2/r3 (pre-regen) and the 8 round-8 additions (first driver rows:
 # the two sketch accuracy-bound queries replacing the registry's only
-# `err: no_oracle` rows, and the multimodal corruption scan), and the
-# 2 round-8 skew-demonstration queries.  The remaining ~32 window
-# slots fall to module order (windows/text/similarity/... — all
-# r5+-green), giving those a free same-fixture re-check.
+# `err: no_oracle` rows, the multimodal corruption scan + modality
+# routing, the skew-demonstration pair, the BPE pair counter, and the
+# kNN-graph stats).  The remaining ~29 window slots fall to module
+# order (windows/text/similarity/... — all r5+-green), giving those a
+# free same-fixture re-check.
 _PROMOTE: tuple[str, ...] = (
     # last green row = r2 (pre-regen fixtures)
     "histogram_price_bins",
@@ -120,6 +121,9 @@ _PROMOTE: tuple[str, ...] = (
     "multimodal_byte_stats",
     "skew_hot_key_plain",
     "skew_hot_key_salted",
+    "text_bpe_pair_counts",
+    "embedding_knn_graph_stats",
+    "multimodal_modality_routing",
 )
 _DEMOTE: tuple[str, ...] = ()
 
