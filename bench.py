@@ -83,6 +83,7 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "embedding_knn_graph_stats",
     "multimodal_modality_routing",
+    "events_incident_window_attribution",
 ]
 
 

@@ -385,3 +385,75 @@ def skew_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range / interval join — the operator class Spark has no native node
+# for (a non-equi time-containment join). Incident windows OVERLAP
+# (each busiest 5-min window extended by a ±2-minute blast radius), so
+# no single equi-key exists and an event can attribute to multiple
+# incidents — a genuine range join, not a disguised window equi-join.
+
+INCIDENT_TOP = 10
+INCIDENT_PRE_MIN = 2   # blast radius before the window
+INCIDENT_POST_MIN = 2  # and after (window is 5 min → hi = start + 7)
+
+
+@register(
+    "events_incident_window_attribution",
+    oracle=f"""
+    WITH w AS (
+      SELECT {_DUCK_BUCKET} AS wstart, count(*) AS n
+      FROM events GROUP BY 1
+      ORDER BY n DESC, wstart LIMIT {INCIDENT_TOP}
+    ), iv AS (
+      SELECT wstart,
+             wstart - to_minutes(CAST({INCIDENT_PRE_MIN} AS BIGINT))      AS lo,
+             wstart + to_minutes(CAST({5 + INCIDENT_POST_MIN} AS BIGINT)) AS hi
+      FROM w
+    )
+    SELECT strftime(iv.wstart, '{TS_FMT_DUCK}') AS window_start,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+    GROUP BY 1, 2
+    """,
+    doc=f"Incident attribution via a RANGE JOIN: the {INCIDENT_TOP} "
+        f"busiest 5-minute windows, each widened by a ±{INCIDENT_PRE_MIN}-"
+        f"minute blast radius (so intervals OVERLAP — no equi-key "
+        f"rewrite exists), joined to every event whose timestamp falls "
+        f"inside.  Strategy: the interval side is tiny and bounded "
+        f"(top-k), so it BROADCASTS and the non-equi predicate "
+        f"evaluates map-side over the streamed fact table — a "
+        f"BroadcastNestedLoopJoin that scans events exactly once, no "
+        f"shuffle for the join itself.  When BOTH sides are large "
+        f"(interval table ~ fact-sized), the scale rewrite is interval "
+        f"bucketing: explode each interval into the coarse time "
+        f"buckets it covers, equi-join fact rows on their bucket, then "
+        f"re-apply the exact range predicate — shuffle bounded by "
+        f"bucket width instead of |fact|x|intervals|.",
+    tags=("events", "range-join"),
+)
+def events_incident_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        _window_cols(e)
+        .groupBy(F.col("win.start").alias("wstart"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    iv = (
+        counts.orderBy(F.col("n").desc(), "wstart")
+        .limit(INCIDENT_TOP)
+        .select(
+            "wstart",
+            (F.col("wstart") - F.expr(f"INTERVAL {INCIDENT_PRE_MIN} MINUTES")).alias("lo"),
+            (F.col("wstart") + F.expr(f"INTERVAL {5 + INCIDENT_POST_MIN} MINUTES")).alias("hi"),
+        )
+    )
+    return (
+        e.join(F.broadcast(iv), (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy(
+            F.date_format("wstart", TS_FMT_SPARK).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

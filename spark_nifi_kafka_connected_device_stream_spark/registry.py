@@ -124,6 +124,7 @@ _PROMOTE: tuple[str, ...] = (
     "text_bpe_pair_counts",
     "embedding_knn_graph_stats",
     "multimodal_modality_routing",
+    "events_incident_window_attribution",
 )
 _DEMOTE: tuple[str, ...] = ()
 
