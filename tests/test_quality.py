@@ -272,3 +272,57 @@ def test_misra_gries_candidates_contain_true_heavy_hitters(spark):
         ).collect()
     ]
     assert "needle" in cand, "MG evicted a true heavy hitter"
+
+
+def test_bpe_pair_counts_hand_example(spark, tmp_path, monkeypatch):
+    """Pin BPE semantics against a hand computation (the DuckDB oracle
+    mirrors the implementation, so a shared misunderstanding would pass
+    parity): pair counts are weighted by WORD FREQUENCY — 'abab' seen 3
+    times contributes ab:6 ba:3 — and single-char tokens contribute
+    nothing."""
+    import spark_nifi_kafka_connected_device_stream_spark.operators.text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd a"), (1, "abab cd cd a a")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["pair"]: r["pair_count"]
+        for r in T.text_bpe_pair_counts(spark, d).collect()
+    }
+    # vocab: abab freq 3, cd freq 3, a freq 3
+    # abab -> pairs ab, ba, ab (x3 freq) => ab:6, ba:3; cd -> cd:3; 'a' -> none
+    assert out == {"ab": 6, "ba": 3, "cd": 3}, out
+
+
+def test_knn_graph_reciprocity_hand_example(spark, tmp_path):
+    """Pin the kNN-graph reciprocity semantics on a 1-D geometry whose
+    mutual/non-mutual edges are checkable by hand.  Cell 0 holds two
+    identical vectors (mutual pair -> both edges reciprocal); cell 1
+    holds three vectors where cosine ties force the neighbor-id
+    tie-break."""
+    import spark_nifi_kafka_connected_device_stream_spark.operators.similarity as S
+
+    rows = [
+        # cell 0: v0 == v1 -> each other's only neighbor, both edges mutual
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        # cell 1: three distinct directions; with k=3 > |cell|-1 every
+        # in-cell pair becomes an edge -> all 6 edges reciprocal
+        (2, [1.0, 0.0], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [1.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    emb.write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["label"]: (r["n_nodes"], r["n_edges"], r["n_reciprocal"])
+        for r in S.embedding_knn_graph_stats(spark, d).collect()
+    }
+    assert got[0] == (2, 2, 2), got
+    assert got[1] == (3, 6, 6), got
