@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
+from ..functions.textfns import normalize_text, tokens
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -414,4 +416,93 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
+    )
+
+
+# Token budget for the planned training run and the sampling
+# temperature.  T=2 (weight ∝ share^(1/T) = sqrt(share), renormalized)
+# is the standard temperature-based mix that upsamples small sources
+# without letting any source dominate (mT5/XLM-R style).  Both are
+# compile-time constants shared with the oracle.
+MIX_TOKEN_BUDGET = 10_000_000
+MIX_TEMPERATURE = 2.0
+
+
+@register(
+    "dataset_token_budget_plan",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(trim(regexp_replace(
+                 lower(text), ' +', ' ', 'g')), ' '), t -> t <> ''))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(avail_tokens) AS total_tokens FROM per_source
+    ), weighted AS (
+      SELECT p.source, p.avail_tokens,
+             p.avail_tokens * 1.0 / t.total_tokens AS share,
+             sqrt(p.avail_tokens * 1.0 / t.total_tokens) AS w
+      FROM per_source p CROSS JOIN tot t
+    ), wsum AS (
+      SELECT sum(w) AS sum_w FROM weighted
+    )
+    SELECT w.source,
+           w.avail_tokens,
+           floor(w.share * 1000000.0 + 0.5) / 1000000.0 AS share,
+           floor((w.w / s.sum_w) * 1000000.0 + 0.5) / 1000000.0
+             AS mix_weight,
+           CAST(floor({MIX_TOKEN_BUDGET} * (w.w / s.sum_w) + 0.5) AS BIGINT)
+             AS target_tokens,
+           floor(({MIX_TOKEN_BUDGET} * (w.w / s.sum_w) / w.avail_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS epochs
+    FROM weighted w CROSS JOIN wsum s
+    """,
+    doc=f"Training-mix planning: per-source token inventory -> "
+        f"temperature-T={MIX_TEMPERATURE} sampling weights (w ∝ "
+        f"share^(1/T), renormalized — the mT5-style upsampling of small "
+        f"sources) -> target token allocation against a "
+        f"{MIX_TOKEN_BUDGET:,}-token budget and the implied epochs-per-"
+        f"source (epochs > 1 flags sources the run will repeat).  "
+        f"Plan shape: ONE corpus scan with map-side token counting "
+        f"into a |sources|-row aggregate; the two renormalization "
+        f"passes are crossJoins against 1-row broadcast totals — at "
+        f"100 TB everything after the first aggregate touches only "
+        f"|sources| rows.",
+    tags=("pipeline", "sampling"),
+)
+def dataset_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(tokens(normalize_text(F.col("text")))))
+            .cast("bigint")
+            .alias("avail_tokens")
+        )
+        # consumed twice (totals + weighting) and |sources|-sized —
+        # materialize so the corpus scan+agg runs ONCE, not per consumer
+        .localCheckpoint(eager=False)
+    )
+    tot = per_source.agg(F.sum("avail_tokens").alias("total_tokens"))
+    weighted = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        (F.col("avail_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("share"),
+        F.sqrt(F.col("avail_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("w"),
+    )
+    weighted = weighted.localCheckpoint(eager=False)
+    wsum = weighted.agg(F.sum("w").alias("sum_w"))
+    norm_w = F.col("w") / F.col("sum_w")
+    return weighted.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "avail_tokens",
+        pround("share", 6).alias("share"),
+        pround(norm_w, 6).alias("mix_weight"),
+        F.floor(F.lit(MIX_TOKEN_BUDGET) * norm_w + F.lit(0.5))
+        .cast("bigint")
+        .alias("target_tokens"),
+        pround(F.lit(MIX_TOKEN_BUDGET) * norm_w / F.col("avail_tokens"), 6).alias(
+            "epochs"
+        ),
     )

@@ -1,0 +1,124 @@
+"""Privacy / compliance operators over `events` (SURVEY.md §2.8
+extension tier).
+
+A training-data pipeline that ingests user interaction streams (the
+reference's product-view firehose, v1:15-20) cannot ship raw user ids
+into a training corpus.  This module provides the two standard
+engine-side controls:
+
+- **pseudonymization**: salted SHA-256 of the user id.  Deterministic
+  (joinable across tables and runs — the property that makes
+  pseudonymized analytics work) but not reversible without the salt.
+  The salt is a compile-time constant here; in production it comes
+  from a secret store and rotating it severs all linkage at once.
+- **k-anonymity audit**: group sizes over the quasi-identifier
+  columns an adversary could join on (event type × hour-of-day).
+  Groups with fewer than K distinct users are flagged for
+  suppression before release — the classic Sweeney k-anonymity gate.
+
+The right-to-be-forgotten scan lives in
+`curation.events_erasure_impact`; together the three form the
+privacy tier.
+
+Scale notes (the 100 TB plans): pseudonymization is map-only column
+math (sha2 is JVM-side, codegen'd) followed by ONE grouped agg with
+map-side partial combine on the pseudonym — the same shuffle any
+per-user rollup pays.  The k-anonymity audit aggregates to
+|event_types| × 24 groups: count_distinct(user_id) shuffles on the
+tiny QI key space, and the skew that implies at 100 TB is exactly
+what the salted two-phase aggregate in functions/scale.py exists
+for (distinct-count form: dedup (qi, user) first — that first
+dedup carries the salt-free key but (qi, user) is high-cardinality,
+so it spreads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+# compile-time stand-in for a secret-store salt; rotating it severs
+# every pseudonym linkage at once (GDPR art.4(5) pseudonymization)
+_SALT = "pepper-v1:"
+
+K_ANONYMITY = 5
+
+
+@register(
+    "privacy_pseudonymize_events",
+    oracle=f"""
+    SELECT sha256('{_SALT}' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           CAST(count(*) AS BIGINT)                      AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT)    AS n_event_types,
+           CAST(min(event_id) AS BIGINT)                 AS first_event,
+           CAST(max(event_id) AS BIGINT)                 AS last_event
+    FROM events
+    GROUP BY user_pseudo
+    """,
+    doc="Salted-hash pseudonymization + per-pseudonym activity summary: "
+        "user_id never appears in the output, but the pseudonym is "
+        "deterministic so downstream tables pseudonymized with the same "
+        "salt stay joinable.  sha2(256) is JVM-side column math fused "
+        "into the scan; the rollup is one grouped agg on the pseudonym "
+        "with map-side combine — at 100 TB this is the cheapest shape a "
+        "per-user pass can take.  Cites reference v1:15-20 (userid in "
+        "the wire schema) — the field this control exists for.",
+    tags=("privacy", "events"),
+)
+def privacy_pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pseudo = F.sha2(
+        F.concat(F.lit(_SALT), F.col("user_id").cast("string")), 256
+    )
+    return (
+        e.select(pseudo.alias("user_pseudo"), "event_type", "event_id")
+        .groupBy("user_pseudo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.max("event_id").cast("bigint").alias("last_event"),
+        )
+    )
+
+
+@register(
+    "privacy_k_anonymity_report",
+    oracle=f"""
+    SELECT event_type,
+           CAST(hour(ts) AS INTEGER)               AS hour_of_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_rows,
+           count(DISTINCT user_id) < {K_ANONYMITY} AS suppress
+    FROM events
+    GROUP BY event_type, hour_of_day
+    """,
+    doc=f"k-anonymity audit (k={K_ANONYMITY}) over the quasi-identifier "
+        f"pair (event_type, hour-of-day): releasing per-group rows where "
+        f"fewer than k distinct users share the QI values would let an "
+        f"adversary re-identify them, so those groups are flagged for "
+        f"suppression.  One distinct-count aggregate over a bounded QI "
+        f"key space (|types|×24 groups); Spark runs it as expand + "
+        f"two-phase agg, so the per-group distinct state is partial-"
+        f"aggregated map-side before the tiny final shuffle.",
+    tags=("privacy", "events"),
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_users",
+            "n_rows",
+            (F.col("n_users") < F.lit(K_ANONYMITY)).alias("suppress"),
+        )
+    )

@@ -747,3 +747,81 @@ def embedding_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_reciprocal",
         )
     )
+
+
+# SemDeDup keep/drop threshold.  Real text-embedding corpora use
+# 0.95+; the synthetic fixture's within-cell cosines top out near
+# 0.475 (gaussian cluster noise), so the registered query runs at a
+# fixture-calibrated 0.30 to exercise both outcomes.  The threshold is
+# a compile-time constant shared with the oracle.
+SEMDEDUP_TAU = 0.30
+
+
+@register(
+    "semantic_dedup_keep_list",
+    oracle=f"""
+    WITH prev AS (
+      SELECT q.vec_id AS vec_id, max({_DUCK_COS}) AS raw_max
+      FROM embeddings q JOIN embeddings c
+        ON c.label = q.label AND c.vec_id < q.vec_id
+      GROUP BY q.vec_id
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(e.label AS INTEGER) AS label,
+           coalesce(floor(p.raw_max * 1000000.0 + 0.5) / 1000000.0,
+                    -1.0) AS max_prev_sim,
+           coalesce(floor(p.raw_max * 1000000.0 + 0.5) / 1000000.0
+                    >= {SEMDEDUP_TAU}, false) AS dropped
+    FROM embeddings e LEFT JOIN prev p ON p.vec_id = e.vec_id
+    """,
+    doc=f"SemDeDup-style semantic dedup decision list (Abbas et al. "
+        f"2023 shape): within each cluster cell, a vector is DROPPED "
+        f"iff some earlier (lower vec_id) cell-mate has cosine >= "
+        f"tau={SEMDEDUP_TAU}.  Earlier-wins gives a deterministic, "
+        f"insertion-stable keep-list — re-running after appending docs "
+        f"never flips an old decision, which is what makes the keep-list "
+        f"joinable against downstream shards.  Scale shape: the pair "
+        f"scan is confined within cells (equi-join on the cell id, "
+        f"N^2/cells, never all-pairs), the per-vector max is ONE grouped "
+        f"agg with map-side partial combine, and the join back to the "
+        f"corpus is an equi-join on vec_id (sort-merge at scale; the "
+        f"prev side is <= N rows of two columns).",
+    tags=("similarity", "dedup"),
+)
+def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    q = e.select(
+        "label",
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = e.select(
+        F.col("label").alias("c_label"),
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    prev = (
+        q.join(
+            c,
+            (F.col("label") == F.col("c_label")) & (F.col("c_id") < F.col("q_id")),
+        )
+        .withColumn("sim", sim)
+        .groupBy("q_id")
+        .agg(F.max("sim").alias("raw_max"))
+    )
+    rounded = pround("raw_max", 6)
+    return (
+        e.select("vec_id", "label")
+        .join(prev, F.col("vec_id") == F.col("q_id"), "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.coalesce(rounded, F.lit(-1.0)).alias("max_prev_sim"),
+            F.coalesce(rounded >= F.lit(SEMDEDUP_TAU), F.lit(False)).alias("dropped"),
+        )
+    )

@@ -587,3 +587,77 @@ def text_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# Fixed-weight logistic quality model (the fastText-classifier proxy
+# stage of a curation pipeline: CCNet / GPT-3-style "quality
+# classifier" filtering, run here with interpretable hand-set weights
+# so the scoring is exactly reproducible in any engine).  Weights are
+# compile-time constants shared with the oracle; features are centered
+# near the corpus means so both keep/drop classes occur.
+_QC_W_DISTINCT = 4.0   # distinct-token ratio (vocab richness)
+_QC_W_NTOKENS = 0.03   # document length in tokens
+_QC_C_DISTINCT = 0.5   # centering constants
+_QC_C_NTOKENS = 54.0
+_QC_BIAS = -0.2
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             len(list_distinct({_DUCK_TOKENS})) * 1.0
+               / len({_DUCK_TOKENS}) AS distinct_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tokens, distinct_ratio,
+             1.0 / (1.0 + exp(-({_QC_BIAS}
+                 + {_QC_W_DISTINCT} * (distinct_ratio - {_QC_C_DISTINCT})
+                 + {_QC_W_NTOKENS} * (n_tokens - {_QC_C_NTOKENS})))) AS p
+      FROM feats
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(distinct_ratio * 1000000.0 + 0.5) / 1000000.0
+             AS distinct_ratio,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS quality_prob,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS keep
+    FROM scored
+    """,
+    doc="Model-based quality filtering (the classifier stage after the "
+        "rule-based text_quality_score gates): a fixed-weight logistic "
+        "model over vocabulary richness and document length emits a "
+        "keep probability per document.  Stands in for the fastText / "
+        "linear quality classifiers of CCNet- and GPT-3-style pipelines "
+        "with the inference expressed as pure JVM-side column math — "
+        "map-only, zero shuffle, whole-stage-codegen'd; at 100 TB this "
+        "is a single pass fused into the scan.  The decision compares "
+        "the ROUNDED probability in both engines so no document sits on "
+        "a cross-engine rounding boundary.",
+    tags=("text", "curation"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(normalize_text(F.col("text")))
+    feats = d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        (F.size(F.array_distinct(tk)) * F.lit(1.0) / F.size(tk)).alias(
+            "distinct_ratio"
+        ),
+    )
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_DISTINCT) * (F.col("distinct_ratio") - F.lit(_QC_C_DISTINCT))
+        + F.lit(_QC_W_NTOKENS) * (F.col("n_tokens") - F.lit(_QC_C_NTOKENS))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        pround("distinct_ratio", 6).alias("distinct_ratio"),
+        pround(p, 6).alias("quality_prob"),
+        (pround(p, 6) >= F.lit(0.5)).alias("keep"),
+    )

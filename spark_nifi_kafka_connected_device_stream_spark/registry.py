@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
     "spark_nifi_kafka_connected_device_stream_spark.operators.events",
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.privacy",
     "spark_nifi_kafka_connected_device_stream_spark.operators.curation",
     # udf_ops after curation: both its queries have green r2 driver rows,
     # while curation is all round-3 additions that need first rows — this
@@ -125,6 +126,13 @@ _PROMOTE: tuple[str, ...] = (
     "embedding_knn_graph_stats",
     "multimodal_modality_routing",
     "events_incident_window_attribution",
+    # round-8 second wave — never driver-checked (SemDeDup keep-list,
+    # logistic quality classifier, the privacy tier, mix planning)
+    "semantic_dedup_keep_list",
+    "text_quality_classifier",
+    "privacy_pseudonymize_events",
+    "privacy_k_anonymity_report",
+    "dataset_token_budget_plan",
 )
 _DEMOTE: tuple[str, ...] = ()
 
