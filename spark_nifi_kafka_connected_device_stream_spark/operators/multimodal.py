@@ -323,3 +323,74 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # luma is bytes-derived; excluded here so the remaining columns are
     # SQL-oracle-checkable (luma asserted in tests/test_multimodal.py)
     return feats.select("doc_id", "n_bytes", "fake_width", "fake_height")
+
+
+# byte window for payload segmentation (audio frame / video GOP /
+# image tile stand-in) — compile-time constant shared with the oracle
+PAYLOAD_CHUNK_BYTES = 256
+
+
+@register(
+    "multimodal_chunk_payloads",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT s.doc_id,
+           CAST(gs.i AS INTEGER)                          AS chunk_idx,
+           CAST(gs.i * {PAYLOAD_CHUNK_BYTES} AS BIGINT)   AS byte_offset,
+           CAST(least({PAYLOAD_CHUNK_BYTES},
+                      s.n_bytes - gs.i * {PAYLOAD_CHUNK_BYTES}) AS BIGINT)
+             AS chunk_bytes,
+           md5(substring(s.text, gs.i * {PAYLOAD_CHUNK_BYTES} + 1,
+                         {PAYLOAD_CHUNK_BYTES}))          AS chunk_md5
+    FROM sized s,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(ceil(s.n_bytes / {PAYLOAD_CHUNK_BYTES}.0) AS BIGINT) - 1))
+             AS i) gs
+    """,
+    doc=f"Payload segmentation: split each binary blob into "
+        f"{PAYLOAD_CHUNK_BYTES}-byte windows with (offset, length, md5) "
+        f"per chunk — the audio-frame / video-GOP / image-tile cutting "
+        f"step that turns one large blob row into decoder-sized work "
+        f"units, and the checksums that make per-chunk retries "
+        f"idempotent.  Pure JVM expressions (sequence+explode over the "
+        f"binary column, substring/md5 on bytes): map-only, no Python, "
+        f"no shuffle at any scale — row count grows by blob_size/"
+        f"{PAYLOAD_CHUNK_BYTES} so at 100 TB this is emitted straight "
+        f"into a partitioned write, never aggregated.  Value-checked "
+        f"end-to-end: the fixture payload is ASCII so DuckDB's char-"
+        f"level substring/md5 equal Spark's byte-level ones.",
+    tags=("multimodal",),
+)
+def multimodal_chunk_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(float(PAYLOAD_CHUNK_BYTES)))
+    e = b.select(
+        "doc_id",
+        "payload",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.substring(
+        F.col("payload"),
+        (F.col("chunk_idx") * PAYLOAD_CHUNK_BYTES + 1).cast("int"),
+        PAYLOAD_CHUNK_BYTES,
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("bigint") * PAYLOAD_CHUNK_BYTES).alias(
+            "byte_offset"
+        ),
+        F.least(
+            F.lit(PAYLOAD_CHUNK_BYTES).cast("bigint"),
+            F.col("n_bytes") - F.col("chunk_idx") * PAYLOAD_CHUNK_BYTES,
+        ).alias("chunk_bytes"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -133,6 +133,7 @@ _PROMOTE: tuple[str, ...] = (
     "privacy_pseudonymize_events",
     "privacy_k_anonymity_report",
     "dataset_token_budget_plan",
+    "multimodal_chunk_payloads",
 )
 _DEMOTE: tuple[str, ...] = ()
 

@@ -326,3 +326,115 @@ def test_knn_graph_reciprocity_hand_example(spark, tmp_path):
     }
     assert got[0] == (2, 2, 2), got
     assert got[1] == (3, 6, 6), got
+
+
+def test_semantic_dedup_insertion_stability(spark, tmp_path):
+    """The SemDeDup keep-list must be insertion-stable: appending new
+    (higher-id) vectors never flips an existing vector's decision —
+    the property that makes the keep-list joinable against shards
+    written before the append.  Hand geometry: v1 duplicates v0
+    (dropped), v2 is orthogonal (kept); appending v3 (another dup)
+    adds a dropped row without touching v0-v2."""
+    import spark_nifi_kafka_connected_device_stream_spark.operators.similarity as S
+
+    base = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),  # duplicate of v0 -> dropped
+        (2, [0.0, 1.0], 0),  # orthogonal -> kept
+    ]
+    d1 = str(tmp_path / "v1")
+    spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d1}/embeddings.parquet")
+    first = {
+        r["vec_id"]: (r["dropped"], r["max_prev_sim"])
+        for r in S.semantic_dedup_keep_list(spark, d1).collect()
+    }
+    assert first[0] == (False, -1.0), first
+    assert first[1][0] is True and first[1][1] == 1.0, first
+    assert first[2][0] is False, first
+
+    d2 = str(tmp_path / "v2")
+    spark.createDataFrame(
+        base + [(3, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d2}/embeddings.parquet")
+    second = {
+        r["vec_id"]: (r["dropped"], r["max_prev_sim"])
+        for r in S.semantic_dedup_keep_list(spark, d2).collect()
+    }
+    for vid, decision in first.items():
+        assert second[vid] == decision, (vid, decision, second[vid])
+    assert second[3][0] is True, second
+
+
+def test_quality_classifier_exercises_both_classes(spark):
+    """The logistic gate must actually separate the corpus: keep and
+    drop both occur, and every probability is a proper probability."""
+    rows = SPECS["text_quality_classifier"].fn(spark, SF_SMALL).collect()
+    kept = {r["keep"] for r in rows}
+    assert kept == {True, False}, kept
+    for r in rows:
+        assert 0.0 < r["quality_prob"] < 1.0, r
+
+
+def test_pseudonymize_hides_and_preserves_structure(spark):
+    """Pseudonymization must (a) emit no raw user ids, (b) stay
+    deterministic across runs, (c) preserve per-user cardinality —
+    one pseudonym per distinct user."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+    out = SPECS["privacy_pseudonymize_events"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    raw_ids = {
+        str(r["user_id"])
+        for r in load_table(spark, SF_SMALL, "events").select("user_id").distinct().collect()
+    }
+    pseudos = {r["user_pseudo"] for r in rows}
+    assert len(pseudos) == len(raw_ids)
+    assert not (pseudos & raw_ids)
+    for p in pseudos:
+        assert len(p) == 64 and set(p) <= set("0123456789abcdef"), p
+    rows2 = SPECS["privacy_pseudonymize_events"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_k_anonymity_flag_matches_recount(spark):
+    """The suppress flag must equal (distinct users < K) recomputed
+    independently, and sf0.001 exercises both outcomes."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.privacy import K_ANONYMITY
+
+    rows = SPECS["privacy_k_anonymity_report"].fn(spark, SF_SMALL).collect()
+    outcomes = {r["suppress"] for r in rows}
+    assert outcomes == {True, False}, outcomes
+    for r in rows:
+        assert r["suppress"] == (r["n_users"] < K_ANONYMITY), r
+
+
+def test_chunk_payloads_tile_exactly(spark):
+    """Chunks must tile each payload exactly: contiguous offsets,
+    full coverage, and every chunk except the last is full-size."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.multimodal import (
+        PAYLOAD_CHUNK_BYTES,
+        binary_documents,
+    )
+
+    chunks = SPECS["multimodal_chunk_payloads"].fn(spark, SF_SMALL)
+    per_doc = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    sizes = {
+        r["doc_id"]: r["meta"]["n_bytes"]
+        for r in binary_documents(spark, SF_SMALL).collect()
+    }
+    assert set(per_doc) == set(sizes)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        offset = 0
+        for i, r in enumerate(rows):
+            assert r["byte_offset"] == offset
+            if i < len(rows) - 1:
+                assert r["chunk_bytes"] == PAYLOAD_CHUNK_BYTES
+            offset += r["chunk_bytes"]
+        assert offset == sizes[doc_id], (doc_id, offset, sizes[doc_id])
