@@ -602,6 +602,27 @@ _QC_C_NTOKENS = 54.0
 _QC_BIAS = -0.2
 
 
+def quality_prob(distinct_ratio: F.Column, n_tokens: F.Column) -> F.Column:
+    """The classifier's scoring function as a reusable column expression
+    (shared by the batch operator and the streaming corpus-ingest job in
+    streaming/jobs.py, so the two stages can never drift)."""
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_DISTINCT) * (distinct_ratio - F.lit(_QC_C_DISTINCT))
+        + F.lit(_QC_W_NTOKENS) * (n_tokens - F.lit(_QC_C_NTOKENS))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_features(text_col: F.Column):
+    """(n_tokens, distinct_ratio) feature columns from raw text."""
+    tk = tokens(normalize_text(text_col))
+    return (
+        F.size(tk),
+        F.size(F.array_distinct(tk)) * F.lit(1.0) / F.size(tk),
+    )
+
+
 @register(
     "text_quality_classifier",
     oracle=f"""
@@ -640,20 +661,13 @@ _QC_BIAS = -0.2
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tk = tokens(normalize_text(F.col("text")))
+    n_tok, dratio = quality_features(F.col("text"))
     feats = d.select(
         "doc_id",
-        F.size(tk).alias("n_tokens"),
-        (F.size(F.array_distinct(tk)) * F.lit(1.0) / F.size(tk)).alias(
-            "distinct_ratio"
-        ),
+        n_tok.alias("n_tokens"),
+        dratio.alias("distinct_ratio"),
     )
-    z = (
-        F.lit(_QC_BIAS)
-        + F.lit(_QC_W_DISTINCT) * (F.col("distinct_ratio") - F.lit(_QC_C_DISTINCT))
-        + F.lit(_QC_W_NTOKENS) * (F.col("n_tokens") - F.lit(_QC_C_NTOKENS))
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = quality_prob(F.col("distinct_ratio"), F.col("n_tokens"))
     return feats.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

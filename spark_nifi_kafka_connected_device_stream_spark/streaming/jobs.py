@@ -102,3 +102,68 @@ def http_ingest(url: str, dest_path: str, expected_substring: str | None = "even
     with open(dest_path, "w") as f:
         f.write(body)
     return dest_path
+
+
+# wire schema for document ingestion (the curation twin of
+# PRODUCT_VIEW_SCHEMA): JSON lines {doc_id, text, source, ts}
+DOC_WIRE_SCHEMA = "doc_id long, text string, source string, ts string"
+DOC_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def run_corpus_ingest_job(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    keep_threshold: float = 0.5,
+    trigger: str | None = None,
+):
+    """Streaming corpus curation — the §2.8 training-data stages wired
+    into the reference's streaming plane as ONE continuous job:
+
+        file/Kafka JSON stream
+          → schema parse (P2 shape, full schema declared)
+          → quality-classifier gate (operators.text.quality_prob —
+            the SAME scoring expression as the batch operator, so
+            batch backfills and the live stream can never disagree)
+          → watermark-bounded exact dedup at-the-door
+            (dropDuplicatesWithinWatermark on the content fingerprint)
+          → append-mode parquet corpus shards (K3 sink)
+
+    Scale posture: every stage before the dedup is stateless map-only
+    column math; the dedup's state is bounded by the watermark horizon;
+    the sink partitions by source so downstream mix/split jobs
+    partition-prune.  Returns the StreamingQuery handle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.textfns import normalize_text
+    from ..operators.text import quality_features, quality_prob
+    from .stateful import streaming_dedup_exact
+
+    raw = json_file_stream(spark, input_dir)
+    parsed = (
+        raw.select(F.from_json("value", DOC_WIRE_SCHEMA).alias("d"))
+        .select("d.*")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn("event_ts", F.to_timestamp("ts", DOC_TS_FMT))
+        .filter(F.col("event_ts").isNotNull())
+    )
+    n_tok, dratio = quality_features(F.col("text"))
+    scored = parsed.select(
+        "doc_id",
+        "source",
+        "text",
+        "event_ts",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        n_tok.alias("n_tokens"),
+        quality_prob(dratio, n_tok).alias("quality_prob"),
+    ).filter(F.col("quality_prob") >= F.lit(keep_threshold))
+    deduped = streaming_dedup_exact(
+        scored, fingerprint_cols=("fingerprint",), ts_col="event_ts",
+        watermark=watermark,
+    )
+    w = parquet_sink(deduped, out_dir, f"{checkpoint_dir}/corpus", trigger=trigger)
+    w = w.partitionBy("source")
+    return w.start()

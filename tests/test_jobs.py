@@ -135,3 +135,74 @@ def test_full_control_plane_lifecycle_offline(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS commerce_lifecycle")
         if any(v.name == "commerce_lifecycle" for v in spark.catalog.listTables()):
             spark.catalog.dropTempView("commerce_lifecycle")
+
+
+def test_corpus_ingest_job_filters_and_dedupes(spark, tmp_path):
+    """Streaming curation capstone: the classifier gate and the
+    watermark-bounded dedup act in-stream, and the surviving corpus
+    equals the batch computation of the same stages (stream-batch
+    equivalence for the whole job)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.textfns import (
+        normalize_text,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        quality_features,
+        quality_prob,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_corpus_ingest_job,
+    )
+
+    rich = " ".join(f"tok{i}" for i in range(60))          # high distinct ratio
+    poor = "dup " * 60                                      # repetitive -> low prob
+    docs = [
+        {"doc_id": 0, "text": rich, "source": "a", "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 1, "text": poor.strip(), "source": "a", "ts": "2024-01-01 00:00:02"},
+        {"doc_id": 2, "text": rich, "source": "b", "ts": "2024-01-01 00:00:03"},  # dup of 0
+        {"doc_id": 3, "text": rich + " extra", "source": "b", "ts": "2024-01-01 00:00:04"},
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    out_dir = str(tmp_path / "corpus")
+    q = run_corpus_ingest_job(
+        spark, str(in_dir), out_dir, str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out_dir)
+    got = {r["doc_id"]: r for r in back.collect()}
+    # doc 1 fails the quality gate; docs 0 and 2 share a fingerprint ->
+    # exactly one survives (arrival order within a micro-batch is not
+    # guaranteed, so accept either); doc 3 passes
+    assert 1 not in got
+    assert 3 in got
+    assert len({0, 2} & set(got)) == 1
+    assert len(got) == 2
+
+    # stream-batch equivalence on the deterministic part: the batch
+    # recomputation of gate+dedup keeps the same fingerprint set
+    batch = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"]) for d in docs],
+        "doc_id long, text string, source string",
+    )
+    n_tok, dratio = quality_features(F.col("text"))
+    surv = (
+        batch.select(
+            "doc_id",
+            F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+            quality_prob(dratio, n_tok).alias("p"),
+        )
+        .filter(F.col("p") >= 0.5)
+        .dropDuplicates(["fingerprint"])
+    )
+    assert {r["fingerprint"] for r in surv.collect()} == {
+        r["fingerprint"] for r in back.collect()
+    }
