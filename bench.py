@@ -83,6 +83,16 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "embedding_knn_graph_stats",
     "multimodal_modality_routing",
+    # round-8 second wave: SemDeDup keep-list, classifier gate,
+    # privacy tier, mix planner, payload chunker
+    "semantic_dedup_keep_list",
+    "text_quality_classifier",
+    "privacy_pseudonymize_events",
+    "privacy_k_anonymity_report",
+    "dataset_token_budget_plan",
+    "multimodal_chunk_payloads",
+    "events_rate_anomaly",
+    "stats_correlation_by_group",
     "events_incident_window_attribution",
 ]
 

@@ -1033,3 +1033,45 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+
+
+@register(
+    "stats_correlation_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5)
+             / 1000000.0 AS corr_qty_price,
+           floor(covar_samp(l_quantity, l_extendedprice) * 100.0 + 0.5)
+             / 100.0 AS covar_qty_price,
+           floor(corr(l_extendedprice, l_discount) * 1000000.0 + 0.5)
+             / 1000000.0 AS corr_price_disc,
+           floor(stddev_samp(l_quantity) * 1000000.0 + 0.5)
+             / 1000000.0 AS std_qty,
+           floor(stddev_samp(l_extendedprice) * 100.0 + 0.5)
+             / 100.0 AS std_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Per-group correlation matrix over the fact columns "
+        "(corr / covar_samp / stddev_samp): the feature-relationship "
+        "screen run before building quality models or samplers on a "
+        "column (does quantity predict price? is the discount "
+        "independent?).  Single-pass co-moment aggregation with "
+        "map-side partial combine — one tiny shuffle at |groups|; "
+        "covariance/price stddev rounded to cents (their magnitude) "
+        "so cross-engine summation-order noise stays below the "
+        "contract.",
+    tags=("stats", "agg"),
+)
+def stats_correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        pround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        pround(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        pround(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        pround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+    )

@@ -457,3 +457,83 @@ def events_incident_window_attribution(spark: SparkSession, sf_dir: str) -> Data
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# drift-monitor parameters (compile-time, shared with the oracle):
+# trailing window size in hours, minimum history to score, z threshold
+ANOMALY_TRAIL_HOURS = 24
+ANOMALY_MIN_HISTORY = 12
+ANOMALY_Z = 3.0
+
+
+@register(
+    "events_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, h, n,
+             count(*)        OVER trail AS n_prev,
+             avg(n)          OVER trail AS trail_mean,
+             stddev_samp(n)  OVER trail AS trail_std
+      FROM hourly
+      WINDOW trail AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN {ANOMALY_TRAIL_HOURS} PRECEDING
+                                AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(n AS BIGINT) AS n,
+           floor(trail_mean * 1000000.0 + 0.5) / 1000000.0 AS trail_mean,
+           floor(trail_std * 1000000.0 + 0.5) / 1000000.0 AS trail_std,
+           floor(((n - trail_mean) / trail_std) * 1000000.0 + 0.5)
+             / 1000000.0 AS zscore,
+           abs(floor(((n - trail_mean) / trail_std) * 1000000.0 + 0.5)
+               / 1000000.0) > {ANOMALY_Z} AS is_anomaly
+    FROM scored
+    WHERE n_prev >= {ANOMALY_MIN_HISTORY} AND trail_std > 0
+    """,
+    doc=f"Ingest-rate drift monitor: hourly event counts per type scored "
+        f"against their own trailing {ANOMALY_TRAIL_HOURS}-hour history "
+        f"(mean/stddev over a ROWS frame that EXCLUDES the current hour), "
+        f"|z| > {ANOMALY_Z} flagged — the pipeline-health screen that "
+        f"catches a source going dark or a duplicate flood before it "
+        f"poisons a training snapshot.  Rows with under "
+        f"{ANOMALY_MIN_HISTORY}h of history are withheld (cold-start).  "
+        f"Scale shape: one grouped hourly rollup (map-side combine), "
+        f"then a window over (type, hour) — partition count = |types|, "
+        f"each a bounded time series, so the window never sees a "
+        f"data-sized partition.",
+    tags=("events", "window-agg", "monitoring"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOMALY_TRAIL_HOURS, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.count(F.lit(1)).over(trail).alias("n_prev"),
+        F.avg("n").over(trail).alias("trail_mean"),
+        F.stddev_samp("n").over(trail).alias("trail_std"),
+    ).filter(
+        (F.col("n_prev") >= ANOMALY_MIN_HISTORY) & (F.col("trail_std") > 0)
+    )
+    z = pround((F.col("n") - F.col("trail_mean")) / F.col("trail_std"), 6)
+    return scored.select(
+        "event_type",
+        F.date_format("h", TS_FMT_SPARK).alias("hour_start"),
+        F.col("n").cast("bigint").alias("n"),
+        pround("trail_mean", 6).alias("trail_mean"),
+        pround("trail_std", 6).alias("trail_std"),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(ANOMALY_Z)).alias("is_anomaly"),
+    )

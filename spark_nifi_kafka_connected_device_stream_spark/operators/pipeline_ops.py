@@ -18,7 +18,7 @@ These are the ops between "raw corpus" and "training shards":
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
@@ -473,28 +473,27 @@ MIX_TEMPERATURE = 2.0
 )
 def dataset_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    per_source = (
-        d.groupBy("source")
-        .agg(
-            F.sum(F.size(tokens(normalize_text(F.col("text")))))
-            .cast("bigint")
-            .alias("avail_tokens")
-        )
-        # consumed twice (totals + weighting) and |sources|-sized —
-        # materialize so the corpus scan+agg runs ONCE, not per consumer
-        .localCheckpoint(eager=False)
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(tokens(normalize_text(F.col("text")))))
+        .cast("bigint")
+        .alias("avail_tokens")
     )
-    tot = per_source.agg(F.sum("avail_tokens").alias("total_tokens"))
-    weighted = per_source.crossJoin(F.broadcast(tot)).select(
+    # the two renormalizations run as unpartitioned windows over the
+    # per-source aggregate — PROVABLY BOUNDED input (|sources| rows:
+    # 20 here, thousands at worst in production), so the single-
+    # partition window is safe and the whole plan is ONE job with one
+    # corpus shuffle, instead of the checkpoint-per-consumer chain
+    w_all = Window.partitionBy()
+    total = F.sum("avail_tokens").over(w_all)
+    share = F.col("avail_tokens") * F.lit(1.0) / total
+    weighted = per_source.select(
         "source",
         "avail_tokens",
-        (F.col("avail_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("share"),
-        F.sqrt(F.col("avail_tokens") * F.lit(1.0) / F.col("total_tokens")).alias("w"),
+        share.alias("share"),
+        F.sqrt(share).alias("w"),
     )
-    weighted = weighted.localCheckpoint(eager=False)
-    wsum = weighted.agg(F.sum("w").alias("sum_w"))
-    norm_w = F.col("w") / F.col("sum_w")
-    return weighted.crossJoin(F.broadcast(wsum)).select(
+    norm_w = F.col("w") / F.sum("w").over(w_all)
+    return weighted.select(
         "source",
         "avail_tokens",
         pround("share", 6).alias("share"),

@@ -134,6 +134,8 @@ _PROMOTE: tuple[str, ...] = (
     "privacy_k_anonymity_report",
     "dataset_token_budget_plan",
     "multimodal_chunk_payloads",
+    "events_rate_anomaly",
+    "stats_correlation_by_group",
 )
 _DEMOTE: tuple[str, ...] = ()
 
