@@ -93,6 +93,8 @@ HEADLINE = [
     "multimodal_chunk_payloads",
     "events_rate_anomaly",
     "stats_correlation_by_group",
+    "lineitem_abc_pareto",
+    "orders_basket_pairs",
     "events_incident_window_attribution",
 ]
 

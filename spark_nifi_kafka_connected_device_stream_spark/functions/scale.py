@@ -161,6 +161,58 @@ def global_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop("_pid", "_off", "_total", "_rn")
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global `SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)` without the single-task global sort an unpartitioned
+    window forces — the running-sum sibling of `global_ntile`, same
+    plan shape: range-repartition on the order key (parallel sort),
+    within-partition running sum, then add broadcast per-partition SUM
+    offsets.  The only unpartitioned window runs over num_partitions
+    metadata rows.  Also emits `_grand_total` (the all-rows sum) since
+    every Pareto/share consumer needs it and it falls out of the same
+    offsets table for free.  `order_cols` must be a total order, and
+    `value_col` SHOULD be an exact (integer/decimal) type — the
+    per-partition re-association changes float summation order.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    from pyspark.sql import Window
+
+    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sums.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(running), F.lit(0)).alias("_off"),
+        F.sum("_psum").over(everything).alias("_grand_total"),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1075,3 +1075,154 @@ def stats_correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         pround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
     )
+
+
+# Pareto class boundaries on cumulative revenue share
+_ABC_A = 0.5
+_ABC_B = 0.8
+
+_DUCK_REV_E4 = (
+    "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "lineitem_abc_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, sum({_DUCK_REV_E4}) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(rev_e4) AS t FROM rev
+    ), c AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT c.l_partkey, c.rev_e4,
+           floor((c.cum * 1.0 / t.t) * 1000000.0 + 0.5) / 1000000.0
+             AS cum_share,
+           CASE WHEN floor((c.cum * 1.0 / t.t) * 1000000.0 + 0.5)
+                     / 1000000.0 <= {_ABC_A} THEN 'A'
+                WHEN floor((c.cum * 1.0 / t.t) * 1000000.0 + 0.5)
+                     / 1000000.0 <= {_ABC_B} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot t
+    """,
+    doc=f"ABC / Pareto classification of parts by cumulative revenue "
+        f"share (A <= {_ABC_A}, B <= {_ABC_B}, else C) — the working-set "
+        f"analysis behind caching and storage tiering.  Revenue "
+        f"accumulates in EXACT integer 1e-4-dollar units so the running "
+        f"sum is order-independent across engines; the global cumulative "
+        f"sum runs through functions.scale.global_running_sum (range-"
+        f"repartitioned parallel sort + broadcast per-partition offsets "
+        f"— no single-task global window over the data; the one "
+        f"unpartitioned window touches num_partitions metadata rows).  "
+        f"Class is assigned on the ROUNDED share in both engines.",
+    tags=("stats", "window", "scale"),
+)
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    c = global_running_sum(
+        rev,
+        order_cols=[F.desc("rev_e4"), F.asc("l_partkey")],
+        value_col="rev_e4",
+        out_col="cum",
+    )
+    share = pround(F.col("cum") * F.lit(1.0) / F.col("_grand_total"), 6)
+    return c.select(
+        "l_partkey",
+        "rev_e4",
+        share.alias("cum_share"),
+        F.when(share <= F.lit(_ABC_A), F.lit("A"))
+        .when(share <= F.lit(_ABC_B), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "orders_basket_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sup AS (
+      SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+      FROM pairs GROUP BY part_a, part_b
+    ), item AS (
+      SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+    )
+    SELECT s.part_a, s.part_b, s.support,
+           floor((s.support * 1.0 * t.n / (ia.n_ord * ib.n_ord))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM sup s
+    JOIN item ia ON ia.l_partkey = s.part_a
+    JOIN item ib ON ib.l_partkey = s.part_b
+    CROSS JOIN tot t
+    WHERE s.support >= {BASKET_MIN_SUPPORT}
+    """,
+    doc=f"Market-basket association pairs: co-occurrence support of part "
+        f"pairs within an order (support >= {BASKET_MIN_SUPPORT}) plus "
+        f"lift against the independent-purchase baseline.  Scale shape: "
+        f"the pair generation is a self-equi-join on the order key, so "
+        f"the blow-up is bounded by basket size squared (~7 lines/order "
+        f"-> <=21 pairs), NEVER all-pairs over parts; per-item order "
+        f"counts are a |parts|-row table joined back (broadcastable), "
+        f"and the distinct-order total is one broadcast scalar.",
+    tags=("stats", "join"),
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    sup = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    item = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        # consumed twice (both pair sides) and |parts|-sized —
+        # materialize once instead of re-aggregating the fact table
+        .localCheckpoint(eager=False)
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    ia = item.select(F.col("l_partkey").alias("ka"), F.col("n_ord").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("kb"), F.col("n_ord").alias("n_b"))
+    return (
+        sup.join(F.broadcast(ia), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("kb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            pround(
+                F.col("support") * F.lit(1.0) * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

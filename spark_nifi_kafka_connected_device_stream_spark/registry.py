@@ -136,6 +136,8 @@ _PROMOTE: tuple[str, ...] = (
     "multimodal_chunk_payloads",
     "events_rate_anomaly",
     "stats_correlation_by_group",
+    "lineitem_abc_pareto",
+    "orders_basket_pairs",
 )
 _DEMOTE: tuple[str, ...] = ()
 

