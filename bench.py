@@ -95,6 +95,7 @@ HEADLINE = [
     "stats_correlation_by_group",
     "lineitem_abc_pareto",
     "orders_basket_pairs",
+    "events_session_window_native",
     "events_incident_window_attribution",
 ]
 

@@ -537,3 +537,58 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > F.lit(ANOMALY_Z)).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us, ts,
+             CASE WHEN us - lag(us) OVER w >= 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, us, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, seq
+    """,
+    doc="Built-in `F.session_window` (30-min gap) run in BATCH mode, "
+        "oracle-checked against the gaps-and-islands SQL formulation — "
+        "pinning that Spark's native session operator and the classic "
+        "lag+running-sum rewrite (`events_sessionize`) define the SAME "
+        "sessions (session_window's half-open [ts, ts+gap) means a gap "
+        "of exactly 30:00 starts a new session, hence `>=` in the "
+        "oracle).  This is the operator the STREAMING plane uses "
+        "(streaming/stateful.session_window_counts); proving it against "
+        "an independent SQL oracle in batch is the strongest "
+        "correctness signal available for the streaming twin.  One "
+        "shuffle on the session key.",
+    tags=("events", "session", "window-agg"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )

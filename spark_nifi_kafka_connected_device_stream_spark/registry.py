@@ -138,6 +138,7 @@ _PROMOTE: tuple[str, ...] = (
     "stats_correlation_by_group",
     "lineitem_abc_pareto",
     "orders_basket_pairs",
+    "events_session_window_native",
 )
 _DEMOTE: tuple[str, ...] = ()
 

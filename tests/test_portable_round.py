@@ -64,3 +64,52 @@ def test_pround_matches_duckdb_exactly(spark):
             if (s != d and not (s is None and d is None))
         ]
         assert not diffs, f"n={n}: {len(diffs)} diverging values, first: {diffs[:3]}"
+
+
+def test_tokenize_normalize_matches_duckdb_exactly(spark):
+    """Cross-engine fuzz of the tokenization contract: normalize_text +
+    tokens (the base of every text/dedup operator) must produce
+    IDENTICAL token arrays in Spark and DuckDB for adversarial strings
+    — space runs, leading/trailing space, tabs/newlines (NOT collapsed
+    by design: the contract collapses ' ' only), punctuation glued to
+    words, unicode letters, case mixes, and empties."""
+    import random
+    import string
+
+    import pyspark.sql.functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.textfns import (
+        normalize_text,
+        tokens,
+    )
+
+    rng = random.Random(7)
+    pieces = (
+        list(string.ascii_letters)
+        + ["  ", " ", "   ", ".", ",", "!", "-", "_", "é", "ß", "漢", "'"]
+        + ["word", "WORD", "Wórd", "a.b", "x,y", ""]
+    )
+    vals = ["", " ", "   ", "\t", "a\tb", "a\nb"]
+    for _ in range(500):
+        vals.append("".join(rng.choice(pieces) for _ in range(rng.randint(0, 30))))
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, text string"
+    ).select("i", tokens(normalize_text(F.col("text"))).alias("tk"))
+    got = {r["i"]: list(r["tk"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(vals)))
+        + ") AS v(i, text)",
+        vals,
+    )
+    duck = {
+        i: tk
+        for i, tk in con.execute(
+            "SELECT i, list_filter(string_split(trim(regexp_replace("
+            "lower(text), ' +', ' ', 'g')), ' '), t -> t <> '') FROM t"
+        ).fetchall()
+    }
+    assert got == duck
