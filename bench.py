@@ -96,6 +96,7 @@ HEADLINE = [
     "lineitem_abc_pareto",
     "orders_basket_pairs",
     "events_session_window_native",
+    "dataset_quality_expectations",
     "events_incident_window_attribution",
 ]
 

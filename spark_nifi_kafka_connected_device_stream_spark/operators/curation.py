@@ -1117,3 +1117,155 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+@register(
+    "dataset_quality_expectations",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT) AS qty_range,
+             CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                  AS BIGINT) AS disc_policy
+      FROM lineitem
+    ), o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE c.c_custkey IS NULL)
+                  AS BIGINT) AS cust_orphans,
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F'))
+                  AS BIGINT) AS status_enum
+      FROM orders LEFT JOIN customer c ON c.c_custkey = o_custkey
+    ), ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS value_neg,
+             CAST(count(*) FILTER (WHERE user_id IS NULL)
+                  AS BIGINT) AS user_null
+      FROM events
+    ), d AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+                  AS BIGINT) AS text_empty,
+             CAST(count(*) FILTER (WHERE n_chars <> length(text))
+                  AS BIGINT) AS nchars_drift
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'lineitem' AS table_name, 'quantity_in_1_50' AS check_name,
+             n_rows, qty_range AS n_violations, qty_range = 0 AS pass
+      FROM li
+      UNION ALL
+      SELECT 'lineitem', 'discount_le_5pct', n_rows, disc_policy,
+             disc_policy = 0 FROM li
+      UNION ALL
+      SELECT 'orders', 'custkey_references_customer', n_rows, cust_orphans,
+             cust_orphans = 0 FROM o
+      UNION ALL
+      SELECT 'orders', 'status_in_open_closed', n_rows, status_enum,
+             status_enum = 0 FROM o
+      UNION ALL
+      SELECT 'events', 'value_non_negative', n_rows, value_neg,
+             value_neg = 0 FROM ev
+      UNION ALL
+      SELECT 'events', 'user_id_not_null', n_rows, user_null,
+             user_null = 0 FROM ev
+      UNION ALL
+      SELECT 'documents', 'text_not_empty', n_rows, text_empty,
+             text_empty = 0 FROM d
+      UNION ALL
+      SELECT 'documents', 'n_chars_matches_text', n_rows, nchars_drift,
+             nchars_drift = 0 FROM d
+    )
+    """,
+    doc="Schema/data expectations audit (the Great-Expectations-style "
+        "gate a pipeline runs on every snapshot before training): range "
+        "checks, enum membership, null checks, referential integrity "
+        "(orders→customer as a broadcast left join counting orphans), "
+        "and a stored-vs-derived consistency check — emitted as one "
+        "(table, check, n_rows, n_violations, pass) report.  The "
+        "deliberately-tight discount-policy and status-enum checks FAIL "
+        "on this corpus, so both outcomes are exercised and hashed.  "
+        "Scale shape: ALL checks for a table fold into ONE conditional-"
+        "count aggregate over a single scan (map-side combine, no row "
+        "explosion), then the |checks|-row report is assembled from the "
+        "four 1-row summaries — at 100 TB this costs one pass per "
+        "table, the floor for any audit.",
+    tags=("curation", "quality"),
+)
+def dataset_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    li_s = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "qty_range"
+        ),
+        cnt(F.col("l_discount") > 0.05).alias("disc_policy"),
+    )
+    o_s = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            cnt(F.col("c_custkey").isNull()).alias("cust_orphans"),
+            cnt(~F.col("o_orderstatus").isin("O", "F")).alias("status_enum"),
+        )
+    )
+    ev_s = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(F.col("value") < 0).alias("value_neg"),
+        cnt(F.col("user_id").isNull()).alias("user_null"),
+    )
+    d_s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(F.col("text").isNull() | (F.length("text") == 0)).alias("text_empty"),
+        cnt(F.col("n_chars") != F.length("text")).alias("nchars_drift"),
+    )
+
+    def report(summary, table, checks):
+        rows = None
+        for check_name, viol_col in checks:
+            r = summary.select(
+                F.lit(table).alias("table_name"),
+                F.lit(check_name).alias("check_name"),
+                F.col("n_rows"),
+                F.col(viol_col).alias("n_violations"),
+                (F.col(viol_col) == 0).alias("pass"),
+            )
+            rows = r if rows is None else rows.unionAll(r)
+        return rows
+
+    li_r = report(
+        li_s.localCheckpoint(eager=False),
+        "lineitem",
+        [("quantity_in_1_50", "qty_range"), ("discount_le_5pct", "disc_policy")],
+    )
+    o_r = report(
+        o_s.localCheckpoint(eager=False),
+        "orders",
+        [
+            ("custkey_references_customer", "cust_orphans"),
+            ("status_in_open_closed", "status_enum"),
+        ],
+    )
+    ev_r = report(
+        ev_s.localCheckpoint(eager=False),
+        "events",
+        [("value_non_negative", "value_neg"), ("user_id_not_null", "user_null")],
+    )
+    d_r = report(
+        d_s.localCheckpoint(eager=False),
+        "documents",
+        [("text_not_empty", "text_empty"), ("n_chars_matches_text", "nchars_drift")],
+    )
+    return li_r.unionAll(o_r).unionAll(ev_r).unionAll(d_r)

@@ -139,6 +139,7 @@ _PROMOTE: tuple[str, ...] = (
     "lineitem_abc_pareto",
     "orders_basket_pairs",
     "events_session_window_native",
+    "dataset_quality_expectations",
 )
 _DEMOTE: tuple[str, ...] = ()
 
