@@ -97,6 +97,8 @@ HEADLINE = [
     "orders_basket_pairs",
     "events_session_window_native",
     "dataset_quality_expectations",
+    "events_markov_transitions",
+    "stats_linear_regression",
     "events_incident_window_attribution",
 ]
 

@@ -1226,3 +1226,38 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(regr_slope(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
+             / 1000000.0 AS slope,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 100.0 + 0.5)
+             / 100.0 AS intercept,
+           floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
+             / 1000000.0 AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distributed per-group OLS (price ~ quantity): slope, intercept, "
+        "and R² via the built-in regr_* aggregates — the trend screen "
+        "behind drift detection and feature pruning, computed in the "
+        "same single-pass co-moment form as stats_correlation_by_group "
+        "(map-side partial combine, one |groups|-row shuffle).  "
+        "Intercept is rounded to cents (its magnitude ~5e4); slope and "
+        "R² to 1e-6 — both engines accumulate the identical co-moments "
+        "so the rounded values agree.",
+    tags=("stats", "agg"),
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        pround(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -592,3 +592,53 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts) // 1000 ASC,
+                                             event_id ASC) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           floor((n * 1.0 / sum(n) OVER (PARTITION BY from_type))
+                 * 1000000.0 + 0.5) / 1000000.0 AS prob
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current), the behavioral model "
+        "under next-action prediction and bot/anomaly screens "
+        "(impossible-transition detection).  Ordering uses exact integer "
+        "microseconds + event_id so the sequence is engine-portable.  "
+        "Scale shape: ONE shuffle on user_id for the lead() sequencing "
+        "(each user's timeline is a bounded partition), then a "
+        "|types|²-row aggregate; the row-normalization window runs over "
+        "|types| rows per partition — metadata-sized at any corpus "
+        "scale.",
+    tags=("events", "window", "session"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        pround(F.col("n") * F.lit(1.0) / F.sum("n").over(share), 6).alias("prob"),
+    )

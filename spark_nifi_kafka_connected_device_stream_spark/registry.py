@@ -140,6 +140,8 @@ _PROMOTE: tuple[str, ...] = (
     "orders_basket_pairs",
     "events_session_window_native",
     "dataset_quality_expectations",
+    "events_markov_transitions",
+    "stats_linear_regression",
 )
 _DEMOTE: tuple[str, ...] = ()
 
