@@ -93,13 +93,18 @@ def register(
 # re-verification sweep started in round 7 — after this round every
 # registered query has a driver-green row on the CURRENT (post-round-5)
 # fixtures.  The list = the last 13 queries whose freshest green row is
-# r2/r3 (pre-regen) and the 8 round-8 additions (first driver rows:
-# the two sketch accuracy-bound queries replacing the registry's only
-# `err: no_oracle` rows, the multimodal corruption scan + modality
-# routing, the skew-demonstration pair, the BPE pair counter, and the
-# kNN-graph stats).  The remaining ~29 window slots fall to module
-# order (windows/text/similarity/... — all r5+-green), giving those a
-# free same-fixture re-check.
+# r2/r3 (pre-regen) plus every round-8 addition needing a first driver
+# row: the two sketch accuracy-bound queries (replacing the registry's
+# only `err: no_oracle` rows), the multimodal corruption scan /
+# modality routing / payload chunker, the skew-demonstration pair, the
+# BPE pair counter, kNN-graph stats, the incident-window range join,
+# the SemDeDup keep-list, the logistic quality classifier, the privacy
+# tier, mix planning, rate-drift monitoring, the co-moment correlation
+# and OLS aggregates, ABC/Pareto tiering, basket pairs, the native
+# session-window parity query, the expectations audit, and the Markov
+# transition matrix.  The remaining ~14 window slots fall to module
+# order (windows/text/... — all r5+-green), a free same-fixture
+# re-check.
 _PROMOTE: tuple[str, ...] = (
     # last green row = r2 (pre-regen fixtures)
     "histogram_price_bins",
