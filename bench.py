@@ -99,6 +99,7 @@ HEADLINE = [
     "dataset_quality_expectations",
     "events_markov_transitions",
     "stats_linear_regression",
+    "cluster_topic_terms",
     "events_incident_window_attribution",
 ]
 

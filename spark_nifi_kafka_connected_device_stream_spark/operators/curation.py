@@ -253,9 +253,38 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
 
 
-@register(
-    "embedding_kmeans_assign",
-    oracle=f"""
+def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, dist2) after the shared one-Lloyd-round k-means —
+    the Spark twin of _KMEANS_SQL_CTES, reused by both the assignment
+    query and cluster_topic_terms."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(emb, init).select("vec_id", "cid")
+    # recenter: (cluster, dim) partial agg, then assemble ordered arrays
+    dims = a1.join(emb, "vec_id").select(
+        "cid", F.posexplode(F.col("v")).alias("j", "x")
+    )
+    mean1 = dims.groupBy("cid", "j").agg(
+        pround(F.avg("x"), CENTROID_DECIMALS).alias("m")
+    )
+    cent1 = mean1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    return _assign(emb, cent1)
+
+
+
+# the deterministic one-Lloyd-round k-means CTE chain, shared between
+# the assignment query's oracle and the cluster-topic oracle so the
+# two can never disagree about what "the clustering" is
+_KMEANS_SQL_CTES = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -285,7 +314,12 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
              list_sum(list_transform(generate_series(1, len(e.v)),
                                      j -> (e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j]))) AS dist2
       FROM e CROSS JOIN cent1 c1
-    )
+    )"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""{_KMEANS_SQL_CTES}
     SELECT vec_id,
            CAST(cid AS INTEGER) AS cluster,
            floor(dist2 * 1000000.0 + 0.5) / 1000000.0 AS dist2
@@ -308,27 +342,7 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     tags=("curation", "similarity"),
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    a1 = _assign(emb, init).select("vec_id", "cid")
-    # recenter: (cluster, dim) partial agg, then assemble ordered arrays
-    dims = a1.join(emb, "vec_id").select(
-        "cid", F.posexplode(F.col("v")).alias("j", "x")
-    )
-    mean1 = dims.groupBy("cid", "j").agg(
-        pround(F.avg("x"), CENTROID_DECIMALS).alias("m")
-    )
-    cent1 = mean1.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
-        ).alias("c")
-    )
-    a2 = _assign(emb, cent1)
+    a2 = _kmeans_final_assign(spark, sf_dir)
     return a2.select(
         "vec_id",
         F.col("cid").cast("int").alias("cluster"),
@@ -1269,3 +1283,90 @@ def dataset_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("text_not_empty", "text_empty"), ("n_chars_matches_text", "nchars_drift")],
     )
     return li_r.unionAll(o_r).unionAll(ev_r).unionAll(d_r)
+
+
+TOPIC_TOP_K = 5
+
+
+@register(
+    "cluster_topic_terms",
+    oracle=f"""{_KMEANS_SQL_CTES}, assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ), ndocs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), ct AS (
+      SELECT a.cid AS cluster, t.token, CAST(count(*) AS BIGINT) AS n
+      FROM tok t JOIN assign a ON a.vec_id = t.doc_id
+      GROUP BY a.cid, t.token
+    ), scored AS (
+      SELECT ct.cluster, ct.token, ct.n,
+             ct.n * ln(nd.n * 1.0 / df.df) AS raw_score
+      FROM ct JOIN df USING (token) CROSS JOIN ndocs nd
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster, token, n,
+           floor(raw_score * 1000000.0 + 0.5) / 1000000.0 AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY raw_score DESC, token ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOPIC_TOP_K}
+    """,
+    doc=f"Cluster topic labeling — the step after semantic clustering "
+        f"that makes the clusters HUMAN-auditable: per k-means cluster "
+        f"(the SAME shared one-Lloyd-round clustering as "
+        f"embedding_kmeans_assign, CTEs shared so the two queries can "
+        f"never disagree), the top-{TOPIC_TOP_K} tokens by cluster-"
+        f"tf x idf.  Joins the embedding-space structure to the text "
+        f"space through vec_id = doc_id.  Scale shape: token explode is "
+        f"map-side; the (cluster, token) aggregate partial-combines; "
+        f"document frequency is a |vocab|-row table joined back; the "
+        f"top-k window partitions by cluster.  Scores multiply exact "
+        f"integer counts by ln of an exact ratio, so raw ordering is "
+        f"engine-identical before the rounded emit.",
+    tags=("curation", "similarity", "text"),
+)
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _kmeans_final_assign(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    d = _documents_parallel(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_total"))
+    ct = (
+        tok.join(assign, tok.doc_id == assign.vec_id)
+        .groupBy("cluster", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        ct.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "raw_score",
+            F.col("n") * F.log(F.col("n_total") * F.lit(1.0) / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("raw_score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPIC_TOP_K)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "token",
+            "n",
+            pround("raw_score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -147,6 +147,7 @@ _PROMOTE: tuple[str, ...] = (
     "dataset_quality_expectations",
     "events_markov_transitions",
     "stats_linear_regression",
+    "cluster_topic_terms",
 )
 _DEMOTE: tuple[str, ...] = ()
 
