@@ -1091,7 +1091,7 @@ _DUCK_REV_E4 = (
     "lineitem_abc_pareto",
     oracle=f"""
     WITH rev AS (
-      SELECT l_partkey, sum({_DUCK_REV_E4}) AS rev_e4
+      SELECT l_partkey, CAST(sum({_DUCK_REV_E4}) AS BIGINT) AS rev_e4
       FROM lineitem GROUP BY l_partkey
     ), tot AS (
       SELECT sum(rev_e4) AS t FROM rev
