@@ -206,3 +206,51 @@ def test_corpus_ingest_job_filters_and_dedupes(spark, tmp_path):
     assert {r["fingerprint"] for r in surv.collect()} == {
         r["fingerprint"] for r in back.collect()
     }
+
+
+def test_corpus_ingest_job_recovers_across_restart(spark, tmp_path):
+    """Kill the corpus-ingest job after batch 1, append new files, start
+    a SECOND query from the same checkpoint: no doc is written twice,
+    and the dedup store survives the restart (a duplicate arriving
+    after the restart but within the watermark is still dropped)."""
+    import json
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_corpus_ingest_job,
+    )
+
+    rich = " ".join(f"tok{i}" for i in range(60))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+
+    batch1 = [
+        {"doc_id": 0, "text": rich, "source": "a", "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 1, "text": rich + " one", "source": "a", "ts": "2024-01-01 00:00:02"},
+    ]
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(d) for d in batch1))
+    q = run_corpus_ingest_job(spark, str(in_dir), out_dir, chk)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch2 = [
+        # duplicate of doc 0's text arriving post-restart within watermark
+        {"doc_id": 2, "text": rich, "source": "b", "ts": "2024-01-01 00:00:03"},
+        {"doc_id": 3, "text": rich + " three", "source": "b", "ts": "2024-01-01 00:00:04"},
+    ]
+    (in_dir / "b2.json").write_text("\n".join(json.dumps(d) for d in batch2))
+    q2 = run_corpus_ingest_job(spark, str(in_dir), out_dir, chk)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    back = spark.read.parquet(out_dir).collect()
+    ids = sorted(r["doc_id"] for r in back)
+    # docs 0 and 1 exactly once (no reprocessing of b1 after restart);
+    # doc 2 dropped (fingerprint state recovered from checkpoint);
+    # doc 3 passes
+    assert ids == [0, 1, 3], ids
