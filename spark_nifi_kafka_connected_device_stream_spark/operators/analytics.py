@@ -1051,6 +1051,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(stddev_samp(l_extendedprice) * 100.0 + 0.5)
              / 100.0 AS std_price
     FROM lineitem GROUP BY l_returnflag
+    HAVING stddev_samp(l_quantity) > 0 AND stddev_samp(l_extendedprice) > 0
     """,
     doc="Per-group correlation matrix over the fact columns "
         "(corr / covar_samp / stddev_samp): the feature-relationship "
@@ -1060,7 +1061,9 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "map-side partial combine — one tiny shuffle at |groups|; "
         "covariance/price stddev rounded to cents (their magnitude) "
         "so cross-engine summation-order noise stays below the "
-        "contract.",
+        "contract.  Zero-variance groups are excluded in BOTH engines "
+        "(Spark corr of a constant is NaN where DuckDB gives NULL — "
+        "the degenerate-group divergence class).",
     tags=("stats", "agg"),
 )
 def stats_correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,7 +1077,7 @@ def stats_correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
         pround(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         pround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
-    )
+    ).filter((F.col("std_qty") > 0) & (F.col("std_price") > 0))
 
 
 # Pareto class boundaries on cumulative revenue share
@@ -1240,6 +1243,7 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
              / 1000000.0 AS r2
     FROM lineitem GROUP BY l_returnflag
+    HAVING stddev_samp(l_quantity) > 0 AND stddev_samp(l_extendedprice) > 0
     """,
     doc="Distributed per-group OLS (price ~ quantity): slope, intercept, "
         "and R² via the built-in regr_* aggregates — the trend screen "
@@ -1248,7 +1252,9 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(map-side partial combine, one |groups|-row shuffle).  "
         "Intercept is rounded to cents (its magnitude ~5e4); slope and "
         "R² to 1e-6 — both engines accumulate the identical co-moments "
-        "so the rounded values agree.",
+        "so the rounded values agree.  Zero-variance groups (where "
+        "Spark regr_*/corr return NaN but DuckDB returns NULL) are "
+        "excluded in both engines.",
     tags=("stats", "agg"),
 )
 def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,4 +1266,6 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
-    )
+        F.stddev_samp("l_quantity").alias("_sq"),
+        F.stddev_samp("l_extendedprice").alias("_sp"),
+    ).filter((F.col("_sq") > 0) & (F.col("_sp") > 0)).drop("_sq", "_sp")

@@ -543,26 +543,26 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     oracle="""
     WITH ev AS (
-      SELECT user_id, event_id, ts, epoch_ns(ts) // 1000 AS us FROM events
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
     ), flagged AS (
-      SELECT user_id, us, ts,
+      SELECT user_id, us,
              CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
     ), sessions AS (
-      SELECT user_id, us, ts,
+      SELECT user_id, us,
              sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY us ASC
+                                    ORDER BY us ASC, event_id ASC
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND CURRENT ROW) AS seq
       FROM flagged
     )
     SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
-             AS session_end,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
            count(*) AS n_events
     FROM sessions
     GROUP BY user_id, seq
@@ -573,22 +573,30 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag+running-sum rewrite (`events_sessionize`) define the SAME "
         "sessions (session_window's half-open [ts, ts+gap) means a gap "
         "of exactly 30:00 starts a new session, hence `>=` in the "
-        "oracle).  This is the operator the STREAMING plane uses "
-        "(streaming/stateful.session_window_counts); proving it against "
-        "an independent SQL oracle in batch is the strongest "
+        "oracle; tied timestamps are one session in both engines, with "
+        "the running sum tie-broken on event_id).  The window is built "
+        "on `timestamp_micros(ts_us)` — the STORED instant — and the "
+        "bounds are emitted as exact integer micros, so session "
+        "grouping and output are both immune to the consumer session "
+        "timezone, including DST zones where the wall-time rendering "
+        "trick would shift gaps (the sibling events_sessionize made "
+        "the same choice).  This is the operator the STREAMING plane "
+        "uses (streaming/stateful.session_window_counts); proving it "
+        "against an independent SQL oracle in batch is the strongest "
         "correctness signal available for the streaming twin.  One "
         "shuffle on the session key.",
     tags=("events", "session", "window-agg"),
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    inst = e.select("user_id", F.timestamp_micros(F.col("ts_us")).alias("t"))
     return (
-        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        inst.groupBy("user_id", F.session_window("t", "30 minutes").alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
-            F.date_format("sw.end", TS_FMT_SPARK).alias("session_end"),
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
             "n_events",
         )
     )

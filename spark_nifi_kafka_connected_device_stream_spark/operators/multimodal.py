@@ -368,6 +368,10 @@ def multimodal_chunk_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = binary_documents(spark, sf_dir).select(
         "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
+    # zero-byte payloads produce ZERO chunks (as the oracle's
+    # generate_series(0, -1) does) — without this filter
+    # F.sequence(0, -1) would default to step -1 and emit [0, -1]
+    b = b.filter(F.col("n_bytes") > 0)
     n_chunks = F.ceil(F.col("n_bytes") / F.lit(float(PAYLOAD_CHUNK_BYTES)))
     e = b.select(
         "doc_id",

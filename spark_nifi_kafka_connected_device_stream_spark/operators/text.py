@@ -615,12 +615,18 @@ def quality_prob(distinct_ratio: F.Column, n_tokens: F.Column) -> F.Column:
 
 
 def quality_features(text_col: F.Column):
-    """(n_tokens, distinct_ratio) feature columns from raw text."""
+    """(n_tokens, distinct_ratio) feature columns from raw text.
+
+    A zero-token document scores distinct_ratio 0.0 (not NULL — Spark's
+    non-ANSI x/0 would yield NULL, crash the parity harness's row sort,
+    and make the streaming gate silently DROP empty docs instead of
+    scoring them into the reject class)."""
     tk = tokens(normalize_text(text_col))
-    return (
-        F.size(tk),
-        F.size(F.array_distinct(tk)) * F.lit(1.0) / F.size(tk),
+    n = F.size(tk)
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(tk)) * F.lit(1.0) / n
     )
+    return (n, ratio)
 
 
 @register(
@@ -629,8 +635,9 @@ def quality_features(text_col: F.Column):
     WITH feats AS (
       SELECT doc_id,
              len({_DUCK_TOKENS}) AS n_tokens,
-             len(list_distinct({_DUCK_TOKENS})) * 1.0
-               / len({_DUCK_TOKENS}) AS distinct_ratio
+             CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0.0
+                  ELSE len(list_distinct({_DUCK_TOKENS})) * 1.0
+                       / len({_DUCK_TOKENS}) END AS distinct_ratio
       FROM documents
     ), scored AS (
       SELECT doc_id, n_tokens, distinct_ratio,

@@ -255,8 +255,22 @@ def test_global_running_sum_matches_unpartitioned_window(spark):
     # grand total exposed and correct
     totals = {r["_grand_total"] for r in scaled_df.collect()}
     assert totals == {sum(r[1] for r in per_part.select("l_partkey", "v").collect())}
-    # the data-side window is partitioned by _pid: formatted plan shows
-    # a windowspecdefinition over _pid for the big side; the only
-    # unpartitioned window consumes the offsets aggregate
+    # the scale property, asserted on the physical plan: every window
+    # spec is either PARTITIONED by _pid (the data-side running sum —
+    # first windowspecdefinition arg is a bare `_pid#N,` partition
+    # column) or orders by _pid ALONE (`_pid#N ASC` — the offsets
+    # window over the num_partitions-row aggregate).  A regression that
+    # routed the DATA through an unpartitioned window would order by
+    # the value/order columns without a _pid partition and fail here.
+    import re
+
     plan = explain_str(scaled_df, "formatted")
-    assert "localCheckpoint" in plan or "Scan ExistingRDD" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in plan?"
+    for spec in specs:
+        first = spec.split(",")[0].strip()
+        partitioned_by_pid = re.fullmatch(r"_pid#\d+", first)
+        offsets_only = re.fullmatch(r"_pid#\d+ ASC NULLS FIRST", first)
+        assert partitioned_by_pid or offsets_only, (
+            f"window spec neither _pid-partitioned nor offsets-only: {spec}"
+        )

@@ -31,26 +31,35 @@ TZ_SENSITIVE = [
     # with the consumer session tz
     "q9_product_type_profit",
     "q20_concentrated_suppliers",
+    # round-8: session_window over timestamp_micros(ts_us) + integer
+    # bounds, hourly z-scores, per-user sequences, k-anonymity hours
+    "events_session_window_native",
+    "events_rate_anomaly",
+    "events_markov_transitions",
+    "privacy_k_anonymity_report",
 ]
 
 
-@pytest.fixture(scope="module")
-def spark_kolkata(spark):
+# Asia/Kolkata: fixed odd offset (+05:30, catches instant-vs-wall
+# confusion); America/New_York: DST zone (catches per-timestamp-offset
+# divergence in gap/window arithmetic — the session_window class)
+@pytest.fixture(scope="module", params=["Asia/Kolkata", "America/New_York"])
+def spark_tz(request, spark):
     # reuse the shared JVM; session timezone is a runtime conf
     prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    spark.conf.set("spark.sql.session.timeZone", request.param)
     yield spark
     spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 @pytest.mark.parametrize("name", TZ_SENSITIVE)
-def test_parity_under_non_utc_session(spark_kolkata, duck, name):
+def test_parity_under_non_utc_session(spark_tz, duck, name):
     spec = registry.all_specs()[name]
-    sdf = spec.fn(spark_kolkata, SF_SMALL)
+    sdf = spec.fn(spark_tz, SF_SMALL)
     srows = [tuple(r) for r in sdf.collect()]
     rel = duck.sql(spec.oracle)
     drows = rel.fetchall()
     assert len(srows) == len(drows)
     assert _rowset(srows, sdf.columns) == _rowset(drows, rel.columns), (
-        f"{name}: mismatch under Asia/Kolkata session timezone"
+        f"{name}: mismatch under non-UTC session timezone"
     )
