@@ -650,3 +650,153 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         pround(F.col("n") * F.lit(1.0) / F.sum("n").over(share), 6).alias("prob"),
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0)
+                AS INTEGER)                                   AS k_decade,
+           CAST(count(*) AS BIGINT)                           AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS INTEGER)                                   AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS INTEGER)                                   AS k_max,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS n_no_extra
+    FROM events
+    GROUP BY event_type, k_decade
+    """,
+    doc="Semi-structured shredding through Spark 4's VARIANT type "
+        "(parse_json -> variant_get), the engine-native path for JSON "
+        "payloads at scale: VARIANT stores a parsed binary encoding, so "
+        "repeated field access skips re-parsing the JSON text per "
+        "expression — the successor to the reference's from_json "
+        "projection (v1:29-33) for schema-flexible payloads.  "
+        "try_variant_get on an absent path returns NULL (probed by "
+        "n_no_extra), matching json_extract's missing-key semantics.  "
+        "All-integer outputs; the aggregate is one grouped agg with "
+        "map-side combine over |types| x 10 decade buckets.",
+    tags=("events", "json", "variant"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "int")
+    return (
+        e.select(
+            "event_type",
+            k.alias("k"),
+            missing.alias("extra"),
+        )
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / F.lit(10.0)).cast("int").alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+            F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_extra"),
+        )
+    )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_SCHEMA = "event_type string, hour string, x double, ewma double"
+
+
+def _ewma_group(pdf):
+    """Sequential EWMA recursion per key: y_t = (1-a)*y_{t-1} + a*x_t,
+    y_0 = x_0.  Explicit loop (not pandas .ewm) so the per-step float
+    expression `0.8*y + 0.2*x` is TEXTUALLY the oracle's recursive-CTE
+    arithmetic — multiply, multiply, add, in the same order — making
+    the recursion bit-identical given bit-identical inputs (which the
+    integer-cents hourly average guarantees)."""
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    out = xs.copy()
+    for i in range(1, len(xs)):
+        out[i] = (1.0 - _EWMA_ALPHA) * out[i - 1] + _EWMA_ALPHA * xs[i]
+    pdf["ewma"] = out
+    return pdf
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+             CAST(count(*) AS BIGINT)                        AS cnt
+      FROM events GROUP BY event_type, hour
+    ), seq AS (
+      SELECT event_type, hour, cents / cnt / 100.0 AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn
+      FROM hourly
+    ), ew AS (
+      SELECT event_type, hour, x, rn, x AS ewma FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.rn,
+             {1.0 - _EWMA_ALPHA} * e.ewma + {_EWMA_ALPHA} * s.x
+      FROM ew e JOIN seq s
+        ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0    AS x,
+           floor(ewma * 10000.0 + 0.5) / 10000.0 AS ewma
+    FROM ew
+    """,
+    doc=f"Exponentially-weighted moving average (alpha={_EWMA_ALPHA}) of "
+        "the hourly mean event value per event type — the classic "
+        "smoothing pass behind rate dashboards and drift detectors.  "
+        "EWMA is inherently sequential per key, which SQL windows can't "
+        "express; the engine shape is: (1) hourly pre-aggregation in "
+        "integer cents (exact, order-independent — this is what makes "
+        "the recursion cross-engine bit-identical AND shrinks the data "
+        "from |events| to |types|x|hours| BEFORE Python), then (2) "
+        "applyInPandas per event_type running the linear recursion over "
+        "the bounded per-key timeline.  At 100 TB the Python boundary "
+        "sees only the pre-aggregated frame — thousands of rows per "
+        "key-year, not the raw stream.  Oracle: per-group recursive CTE "
+        "with the identical fp expression.  Observation-indexed (gap "
+        "hours skipped, not zero-filled; the gapfill op composes "
+        "upstream when calendar indexing is wanted).  The hour is "
+        "emitted as a formatted string: collected TimestampType values "
+        "render in the Python process tz while the driver's oracle "
+        "compares naive wall time — strings make the column "
+        "session-tz-proof (same contract as events_hourly_stats).",
+    tags=("events", "timeseries", "udf"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+            (F.col("cents") / F.col("cnt") / F.lit(100.0)).alias("x"),
+        )
+    )
+    out = hourly.groupBy("event_type").applyInPandas(
+        _ewma_group, schema=_EWMA_SCHEMA
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("ewma", 4).alias("ewma"),
+    )

@@ -122,3 +122,94 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_users") < F.lit(K_ANONYMITY)).alias("suppress"),
         )
     )
+
+
+# Portable regexes (Java regex AND RE2 — no lookaround/backrefs):
+_RE_EMAIL = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}"
+_RE_PHONE = "\\+1-555-[0-9]{4}"
+_RE_IDTAG = "ID-[0-9]{3,}"
+
+
+@register(
+    "privacy_pii_scan_documents",
+    oracle=f"""
+    WITH aug AS (
+      -- The synthetic corpus carries no PII (no digits or '@' anywhere
+      -- at any SF), so both engines append the SAME deterministic
+      -- contact line to 2 of every 3 docs; the op under test is the
+      -- detect+redact machinery, which sees realistic spans either way.
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail-' || source || '.example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ref ID-' || CAST((doc_id * 7919) % 100000 AS VARCHAR)
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_RE_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_RE_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_RE_IDTAG}')) AS INTEGER) AS n_ids,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) = 0
+             AND len(regexp_extract_all(text, '{_RE_PHONE}')) = 0
+             AND len(regexp_extract_all(text, '{_RE_IDTAG}')) = 0 AS clean,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                  text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                        '{_RE_PHONE}', '[PHONE]', 'g'),
+                        '{_RE_IDTAG}', '[ID]',    'g'))
+                AS INTEGER)                                             AS redacted_len
+    FROM aug
+    """,
+    doc="PII span detection + redaction over the document corpus — the "
+        "release gate a training-data pipeline runs before any corpus "
+        "leaves the boundary: count email / phone / id-tag spans per "
+        "document, flag clean docs, and emit the redacted length (the "
+        "redaction itself is regexp_replace to typed placeholders, so "
+        "downstream token counts stay meaningful).  Patterns are "
+        "restricted to the Java-regex/RE2 common subset (no lookaround, "
+        "no backreferences) so the scan is portable across engines.  "
+        "Map-only column math fused into the parquet scan — embarrassingly "
+        "parallel at any corpus size; composes with "
+        "privacy_pseudonymize_events and the k-anonymity audit as the "
+        "document-side member of the privacy tier.",
+    tags=("privacy", "text"),
+)
+def privacy_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0, F.col("text")
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref ID-"),
+            ((F.col("doc_id") * 7919) % 100000).cast("string"),
+        )
+    )
+    t = d.select("doc_id", aug.alias("text"))
+    n_emails = F.regexp_count("text", F.lit(_RE_EMAIL))
+    n_phones = F.regexp_count("text", F.lit(_RE_PHONE))
+    n_ids = F.regexp_count("text", F.lit(_RE_IDTAG))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_IDTAG,
+        "[ID]",
+    )
+    return t.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ids.cast("int").alias("n_ids"),
+        ((n_emails == 0) & (n_phones == 0) & (n_ids == 0)).alias("clean"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+    )

@@ -86,3 +86,54 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = e.groupBy("event_type").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
     return out.select("event_id", "event_type", pround("z", 6).alias("z"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_median_udf(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg Pandas UDF (Series -> scalar): lower weighted median.
+    Weights for duplicate prices are merged first so the cumulative walk
+    is deterministic; quantities are integral doubles, so the cumsum is
+    exact (< 2^53) and the >= comparison has no fp knife-edge."""
+    per = qty.groupby(price).sum().sort_index()
+    cum = per.cumsum()
+    total = cum.iloc[-1]
+    return float(cum.index[(cum * 2 >= total).argmax()])
+
+
+@register(
+    "grouped_agg_weighted_median",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY flag, price
+    ), cum AS (
+      SELECT flag, price,
+             sum(w) OVER (PARTITION BY flag ORDER BY price) AS cw,
+             sum(w) OVER (PARTITION BY flag)                AS tot
+      FROM per
+    )
+    SELECT flag, min(price) AS wmedian
+    FROM cum WHERE cw * 2 >= tot GROUP BY flag
+    """,
+    doc="Grouped-aggregate Pandas UDF (pandas Series in, scalar out, "
+        "used directly inside .agg()) — the third Python-boundary "
+        "surface after scalar pandas_udf and grouped-map applyInPandas: "
+        "quantity-weighted lower median of extended price per return "
+        "flag.  The lower weighted median (smallest x whose cumulative "
+        "weight reaches half the total) is exactly expressible as a "
+        "cumulative-window SQL query, so the Arrow aggregate is "
+        "value-checked end-to-end.  Scale: one shuffle on the group key; "
+        "per-group state is the (price -> weight) map, bounded by "
+        "distinct prices per group — for unbounded-cardinality keys the "
+        "two-pass window form (the oracle's own shape) is the fallback.",
+    tags=("udf", "stats", "agg"),
+)
+def grouped_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            _weighted_median_udf("l_extendedprice", "l_quantity").alias("wmedian")
+        )
+    )

@@ -148,6 +148,12 @@ _PROMOTE: tuple[str, ...] = (
     "events_markov_transitions",
     "stats_linear_regression",
     "cluster_topic_terms",
+    # round-8 third wave — never driver-checked (VARIANT shredding,
+    # sequential EWMA, document PII gate, grouped-agg pandas UDF)
+    "events_variant_props",
+    "events_ewma_hourly",
+    "privacy_pii_scan_documents",
+    "grouped_agg_weighted_median",
 )
 _DEMOTE: tuple[str, ...] = ()
 
