@@ -101,6 +101,12 @@ HEADLINE = [
     "stats_linear_regression",
     "cluster_topic_terms",
     "events_incident_window_attribution",
+    # round-8 third wave: VARIANT shredding, sequential EWMA,
+    # document PII gate, grouped-agg pandas UDF
+    "events_variant_props",
+    "events_ewma_hourly",
+    "privacy_pii_scan_documents",
+    "grouped_agg_weighted_median",
 ]
 
 

@@ -264,3 +264,33 @@ def test_source_overlap_single_scan_and_broadcast_totals(spark):
     plan = explain_str(df)
     assert plan.count("documents.parquet") <= 1
     assert broadcast_join_count(df) >= 2
+
+
+def test_round8_third_wave_plan_shapes(spark):
+    """The four round-8 third-wave ops keep their designed shapes:
+    PII scan is map-only (0 shuffles — fused into the scan); VARIANT
+    shredding is one grouped agg; the EWMA's Python boundary sits
+    AFTER the hourly pre-aggregate (exactly 2 shuffles: hourly agg +
+    per-type regroup, and no raw-events FlatMapGroupsInPandas); the
+    weighted median is one shuffle on the group key."""
+    from spark_nifi_kafka_connected_device_stream_spark.plans import explain_str
+
+    df = SPECS["privacy_pii_scan_documents"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 0
+
+    df = SPECS["events_variant_props"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 1
+
+    df = SPECS["events_ewma_hourly"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 2
+    plan = explain_str(df, "simple")
+    # the pandas stage must consume the aggregated hourly frame, not
+    # raw events: HashAggregate has to appear below the pandas node
+    pandas_at = plan.find("FlatMapGroupsInPandas")
+    assert pandas_at != -1
+    assert "HashAggregate" in plan[pandas_at:], (
+        "EWMA pandas stage is not downstream of the hourly pre-aggregate"
+    )
+
+    df = SPECS["grouped_agg_weighted_median"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 1
