@@ -113,3 +113,215 @@ def test_tokenize_normalize_matches_duckdb_exactly(spark):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_pii_regex_matches_duckdb_exactly(spark):
+    """Cross-engine fuzz of the PII patterns: Java regex (Spark) and
+    RE2 (DuckDB) must agree on match COUNTS and on the REDACTED string
+    for adversarial inputs — near-misses (no TLD, short id digits,
+    uppercase local parts — the patterns are lowercase-only by
+    contract), glued spans, span-at-start/end, and multiple spans."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.privacy import (
+        _RE_EMAIL,
+        _RE_IDTAG,
+        _RE_PHONE,
+    )
+
+    rng = random.Random(13)
+    spans = [
+        "bob@mail-src1.example.com",
+        "a@b.co",
+        "x.y_z@host-9.example.org",
+        "+1-555-0134",
+        "ID-12345",
+        "ID-999",
+    ]
+    near_misses = [
+        "bob@mail",          # no TLD dot
+        "@example.com",      # empty local part
+        "BOB@EXAMPLE.COM",   # uppercase — outside the contract
+        "+1-556-0134",       # wrong exchange
+        "+1-555-013",        # 3 digits
+        "ID-12",             # too few digits
+        "id-12345",          # lowercase tag
+        "user @example.com", # space splits the local part
+    ]
+    fillers = ["lorem", "ipsum", "data", " ", "  ", ".", ",", "--", "ID-", "@"]
+    vals = []
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            r = rng.random()
+            if r < 0.25:
+                parts.append(rng.choice(spans))
+            elif r < 0.5:
+                parts.append(rng.choice(near_misses))
+            else:
+                parts.append(rng.choice(fillers))
+        vals.append(" ".join(parts))
+    vals += ["", " ", "bob@mail-src1.example.com", "ID-123ID-456"]
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, text string"
+    ).select(
+        "i",
+        F.regexp_count("text", F.lit(_RE_EMAIL)).alias("ne"),
+        F.regexp_count("text", F.lit(_RE_PHONE)).alias("np"),
+        F.regexp_count("text", F.lit(_RE_IDTAG)).alias("ni"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _RE_EMAIL, "[EMAIL]"),
+                _RE_PHONE,
+                "[PHONE]",
+            ),
+            _RE_IDTAG,
+            "[ID]",
+        ).alias("red"),
+    )
+    got = {r["i"]: (r["ne"], r["np"], r["ni"], r["red"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(vals)))
+        + ") AS v(i, text)",
+        vals,
+    )
+    duck = {
+        i: (ne, np_, ni, red)
+        for i, ne, np_, ni, red in con.execute(
+            f"""
+            SELECT i,
+                   CAST(len(regexp_extract_all(text, '{_RE_EMAIL}')) AS INTEGER),
+                   CAST(len(regexp_extract_all(text, '{_RE_PHONE}')) AS INTEGER),
+                   CAST(len(regexp_extract_all(text, '{_RE_IDTAG}')) AS INTEGER),
+                   regexp_replace(regexp_replace(regexp_replace(
+                     text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                           '{_RE_PHONE}', '[PHONE]', 'g'),
+                           '{_RE_IDTAG}', '[ID]',    'g')
+            FROM t
+            """
+        ).fetchall()
+    }
+    diffs = {i: (got[i], duck[i]) for i in got if got[i] != duck[i]}
+    assert not diffs, f"{len(diffs)} diverging rows, first: {list(diffs.items())[:3]}"
+
+
+def test_ewma_recursion_matches_duckdb_exactly(spark):
+    """Cross-engine fuzz of the EWMA recursion on synthetic series:
+    the applyInPandas loop and the DuckDB recursive CTE must produce
+    bit-identical doubles given bit-identical inputs — constant series,
+    single points, sign flips, magnitude jumps (1e-2..1e6 cents), and
+    many keys sharing the same hour labels."""
+    import random
+
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+    rng = random.Random(29)
+    rows = []
+    for key in range(8):
+        n = rng.choice([1, 2, 3, 50, 200])
+        base = rng.choice([1, 100, 10_000, 100_000_000])
+        for t in range(n):
+            cents = rng.randint(-5 * base, 5 * base)
+            if key == 0:
+                cents = 4242  # constant series: ewma == x at every step
+            hour = f"2024-01-{1 + t // 24:02d} {t % 24:02d}:00:00"
+            rows.append((f"k{key}", hour, cents))
+
+    import pandas as pd
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        _ewma_group,
+    )
+
+    got = {}
+    for key in sorted({r[0] for r in rows}):
+        pdf = pd.DataFrame(
+            [
+                {"event_type": k, "hour": h, "x": c / 100.0}
+                for (k, h, c) in rows
+                if k == key
+            ]
+        )
+        out = _ewma_group(pdf)
+        for r in out.itertuples():
+            got[(r.event_type, r.hour)] = r.ewma
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?, ?)" for _ in rows)
+        + ") AS v(k, hour, cents)",
+        [x for r in rows for x in r],
+    )
+    duck = {
+        (k, h): e
+        for k, h, e in con.execute(
+            """
+            WITH RECURSIVE seq AS (
+              SELECT k, hour, cents / 100.0 AS x,
+                     CAST(row_number() OVER (PARTITION BY k ORDER BY hour)
+                          AS BIGINT) AS rn
+              FROM s
+            ), ew AS (
+              SELECT k, hour, x, rn, x AS ewma FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT q.k, q.hour, q.x, q.rn, 0.8 * e.ewma + 0.2 * q.x
+              FROM ew e JOIN seq q ON q.k = e.k AND q.rn = e.rn + 1
+            )
+            SELECT k, hour, ewma FROM ew
+            """
+        ).fetchall()
+    }
+    assert got == duck  # bit-identical, no rounding applied
+
+
+def test_weighted_median_udf_matches_definition():
+    """Fuzz the grouped-agg weighted-median kernel against the brute
+    definition (smallest x whose cumulative weight over ascending x
+    reaches half the total) — duplicates merged, singletons, all-equal
+    values, and weight ties landing exactly on the half boundary."""
+    import random
+
+    import pandas as pd
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.udf_ops import (
+        _weighted_median_udf,
+    )
+
+    kernel = _weighted_median_udf.func
+
+    def brute(pairs):
+        merged = {}
+        for x, w in pairs:
+            merged[x] = merged.get(x, 0) + w
+        total = sum(merged.values())
+        acc = 0
+        for x in sorted(merged):
+            acc += merged[x]
+            if 2 * acc >= total:
+                return x
+        raise AssertionError("unreachable")
+
+    rng = random.Random(71)
+    cases = [
+        [(5.0, 1.0)],
+        [(1.0, 1.0), (2.0, 1.0)],          # tie: 2*1 >= 2 → lower = 1.0
+        [(3.0, 2.0), (3.0, 5.0)],          # all-equal values
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0)],  # boundary lands on 2.0
+    ]
+    for _ in range(300):
+        n = rng.randint(1, 40)
+        xs = [rng.choice([1.0, 2.5, 2.5, 7.0, rng.randint(1, 50) / 2.0]) for _ in range(n)]
+        ws = [float(rng.randint(1, 9)) for _ in range(n)]
+        cases.append(list(zip(xs, ws)))
+
+    for pairs in cases:
+        price = pd.Series([p for p, _ in pairs])
+        qty = pd.Series([w for _, w in pairs])
+        assert kernel(price, qty) == brute(pairs), pairs
