@@ -508,3 +508,88 @@ def streaming_heavy_hitters(
     return projected.groupBy("bucket").applyInPandasWithState(
         fn, HH_OUTPUT, HH_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-key streaming EWMA
+# ---------------------------------------------------------------------------
+
+EWMA_STREAM_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("batch_events", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+EWMA_STREAM_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("ewma", T.DoubleType())]
+)
+
+EWMA_STREAM_ALPHA = 0.2
+
+
+def _streaming_ewma_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key EWMA recursion continued across micro-batches: state
+    carries (n_events, current_ewma); each batch's rows are folded in
+    event-time order with the SAME fp expression as the batch operator
+    (`operators/events._ewma_group`): y = (1-a)*y + a*x — so a stream
+    replayed in order produces bit-identical smoothed values to the
+    batch recursion over the concatenated series."""
+    a = EWMA_STREAM_ALPHA
+    if state.exists:
+        n, y = state.get
+    else:
+        n, y = 0, 0.0
+    batch_events = 0
+    for pdf in pdfs:
+        # mergesort = stable: equal timestamps keep arrival order
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        for x in pdf["value"].to_numpy():
+            y = float(x) if n == 0 else (1.0 - a) * y + a * float(x)
+            n += 1
+            batch_events += 1
+    state.update((int(n), float(y)))
+    if batch_events:
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "batch_events": [batch_events],
+                "total_events": [int(n)],
+                "ewma": [float(y)],
+            }
+        )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str = "source",
+    value_col: str = "value",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming per-key EWMA — the continuous twin of the batch
+    `events_ewma_hourly` smoother, for device-telemetry dashboards that
+    need the decayed level per source updated every micro-batch (the
+    reference's 1-event/sec product-view firehose is exactly this
+    shape).  EWMA is inherently sequential per key: no built-in
+    streaming agg expresses it, so it's applyInPandasWithState with
+    constant per-key state (n, current_ewma) — two scalars per key at
+    ANY stream length, evictable the moment a key goes quiet (add a
+    timeout when keys churn).  Within a batch rows fold in event-time
+    order; cross-batch order is the stream's delivery order, the
+    standard streaming contract (same as streaming_dedup_exact's
+    arrival-order semantics)."""
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        _streaming_ewma_fn,
+        EWMA_STREAM_OUTPUT,
+        EWMA_STREAM_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -736,3 +736,67 @@ def test_streaming_heavy_hitters_bounded_under_rocksdb(spark, tmp_path):
     assert "m-0" in ests, f"needle evicted under RocksDB: {sorted(ests)}"
     est, n_bucket = ests["m-0"]
     assert est <= 40 <= est + n_bucket // 9, (est, n_bucket)
+
+
+def test_streaming_ewma_continues_recursion_across_batches(spark, tmp_path):
+    """streaming_ewma: per-key EWMA state must continue across
+    micro-batches — the stream's final smoothed value equals the EWMA
+    of the concatenated series, checked against an independent
+    closed-form evaluation (y_n = (1-a)^n x_0 + a * sum (1-a)^(n-1-i)
+    x_i), not the operator's own recursion."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        EWMA_STREAM_ALPHA,
+        streaming_ewma,
+    )
+
+    d = str(tmp_path / "in")
+    _write_file(d, "b1.json", [e[2] for e in _mk_events(0, 30)])
+    stream = parse_product_views(json_file_stream(spark, d, max_files_per_trigger=1))
+    # deterministic varying value derived from the message id (m-<i>)
+    with_value = stream.withColumn(
+        "value", F.regexp_extract("messageid", "m-(\\d+)", 1).cast("double")
+    )
+    ewma = streaming_ewma(with_value, key_col="source", value_col="value")
+    epochs = []
+
+    def collect(df, _epoch):
+        rows = df.collect()
+        if rows:
+            epochs.append({r["key"]: (r["total_events"], r["ewma"]) for r in rows})
+
+    q = (
+        ewma.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [e[2] for e in _mk_events(10, 15, start_i=100)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(epochs) >= 2
+
+    def closed_form(xs):
+        a = EWMA_STREAM_ALPHA
+        n = len(xs) - 1
+        y = (1.0 - a) ** n * xs[0]
+        for i, x in enumerate(xs[1:], start=1):
+            y += a * (1.0 - a) ** (n - i) * x
+        return y
+
+    # source 'desktop' takes j % 3 == 0 slots: i = j in batch 1,
+    # i = 100 + j in batch 2
+    b1 = [float(j) for j in range(0, 30, 3)]
+    b2 = [float(100 + j) for j in range(0, 15, 3)]
+    n1, y1 = epochs[0]["desktop"]
+    assert n1 == len(b1)
+    assert y1 == pytest.approx(closed_form(b1), rel=1e-12)
+    n2, y2 = epochs[-1]["desktop"]
+    assert n2 == len(b1) + len(b2)
+    # continuing from state == one recursion over the concatenation
+    assert y2 == pytest.approx(closed_form(b1 + b2), rel=1e-12)
+    # and NOT a restarted recursion over batch 2 alone
+    assert y2 != pytest.approx(closed_form(b2), rel=1e-6)
