@@ -107,6 +107,7 @@ HEADLINE = [
     "events_ewma_hourly",
     "privacy_pii_scan_documents",
     "grouped_agg_weighted_median",
+    "events_rolling_distinct_users_7d",
 ]
 
 

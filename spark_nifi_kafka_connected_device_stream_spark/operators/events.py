@@ -800,3 +800,63 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("x", 4).alias("x"),
         pround("ewma", 4).alias("ewma"),
     )
+
+
+@register(
+    "events_rolling_distinct_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), contrib AS (
+      SELECT u.user_id, d.day AS window_day
+      FROM ud u JOIN days d
+        ON d.day BETWEEN u.day AND u.day + INTERVAL 6 DAY
+    )
+    SELECT strftime(window_day, '%Y-%m-%d')     AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM contrib GROUP BY window_day
+    """,
+    doc="Trailing-7-day rolling distinct users per observed day — the "
+        "classic sliding-window-distinct problem (WAU over a daily "
+        "grid).  Distinct is not decomposable over overlapping windows, "
+        "so no window function expresses this; the naive shape is an "
+        "O(|days| x corpus) range self-join.  The scale shape used "
+        "here: (1) dedup to (user, active-day) pairs — one shuffle, "
+        "map-side combine, output bounded by |users| x |days|; (2) "
+        "EXPLODE each pair to the <= 7 window-days it contributes to — "
+        "map-only, bounded x7 row expansion, no join against the "
+        "corpus; (3) semi-restrict to observed days via a broadcast of "
+        "the tiny day list; (4) one distinct-count per day.  At 100 TB "
+        "the corpus is touched once; everything after step 1 operates "
+        "on the users x days frame.  Day emitted as a formatted string "
+        "(session-tz-proof, same contract as events_hourly_stats).",
+    tags=("events", "window-agg", "scale"),
+)
+def events_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # lazily checkpointed: the day list below derives from the deduped
+    # pairs, not a second corpus scan (blocks reclaimed with the session)
+    ud = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = ud.select("day").distinct().withColumnRenamed("day", "window_day")
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+        )
+    )

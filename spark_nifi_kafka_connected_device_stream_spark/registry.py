@@ -154,6 +154,7 @@ _PROMOTE: tuple[str, ...] = (
     "events_ewma_hourly",
     "privacy_pii_scan_documents",
     "grouped_agg_weighted_median",
+    "events_rolling_distinct_users_7d",
 )
 _DEMOTE: tuple[str, ...] = ()
 
