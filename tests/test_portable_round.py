@@ -325,3 +325,76 @@ def test_weighted_median_udf_matches_definition():
         price = pd.Series([p for p, _ in pairs])
         qty = pd.Series([w for _, w in pairs])
         assert kernel(price, qty) == brute(pairs), pairs
+
+
+def test_variant_extraction_matches_duckdb_json(spark):
+    """Cross-engine fuzz of the VARIANT path (try_parse_json +
+    try_variant_get) against DuckDB's json_valid + json_extract_string
+    + try_cast on adversarial payloads: nesting, arrays, JSON nulls,
+    absent keys, numeric strings (both engines cast-coerce), non-
+    numeric strings (both engines null), int64-range values, unicode,
+    and malformed JSON (whole row nulls out in both engines)."""
+    import json as jsonlib
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(97)
+    docs = []
+    for _ in range(400):
+        d = {}
+        if rng.random() < 0.8:
+            inner = {}
+            if rng.random() < 0.7:
+                inner["b"] = rng.choice(
+                    [
+                        rng.randint(-(2**40), 2**40),
+                        str(rng.randint(0, 999)),
+                        "xyz",
+                        None,
+                    ]
+                )
+            d["a"] = inner
+        if rng.random() < 0.6:
+            d["s"] = rng.choice(["hi", "", "é漢'", None, "line\nbreak"])
+        if rng.random() < 0.5:
+            d["arr"] = [rng.randint(0, 99) for _ in range(rng.randint(0, 3))]
+        s = jsonlib.dumps(d)
+        if rng.random() < 0.1:
+            s = s[: rng.randint(0, max(1, len(s) - 1))]  # truncate → malformed
+        docs.append(s)
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, j string"
+    ).select(
+        "i",
+        F.try_variant_get(F.try_parse_json("j"), "$.a.b", "long").alias("b"),
+        F.try_variant_get(F.try_parse_json("j"), "$.s", "string").alias("s"),
+        F.try_variant_get(F.try_parse_json("j"), "$.arr[0]", "long").alias("a0"),
+    )
+    got = {r["i"]: (r["b"], r["s"], r["a0"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(docs)))
+        + ") AS v(i, j)",
+        docs,
+    )
+    duck = {
+        i: (b, s, a0)
+        for i, b, s, a0 in con.execute(
+            """
+            SELECT i,
+              CASE WHEN json_valid(j)
+                   THEN try_cast(json_extract_string(j, '$.a.b') AS BIGINT) END,
+              CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$.s') END,
+              CASE WHEN json_valid(j)
+                   THEN try_cast(json_extract_string(j, '$.arr[0]') AS BIGINT) END
+            FROM t
+            """
+        ).fetchall()
+    }
+    diffs = {i: (got[i], duck[i], docs[i]) for i in got if got[i] != duck[i]}
+    assert not diffs, f"{len(diffs)} diverging rows, first: {list(diffs.items())[:3]}"
