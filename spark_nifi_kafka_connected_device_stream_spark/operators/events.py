@@ -860,3 +860,125 @@ def events_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFr
             "users_7d",
         )
     )
+
+
+@register(
+    "events_conversion_latency",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT)                          AS user_id,
+           strftime(min(ts) FILTER (WHERE event_type = 'view'),
+                    '%Y-%m-%d %H:%M:%S')                    AS first_view,
+           strftime(min(ts) FILTER (WHERE event_type = 'purchase'),
+                    '%Y-%m-%d %H:%M:%S')                    AS first_purchase,
+           CAST(date_diff('second',
+                          min(ts) FILTER (WHERE event_type = 'view'),
+                          min(ts) FILTER (WHERE event_type = 'purchase'))
+                AS BIGINT)                                  AS latency_s
+    FROM events
+    GROUP BY user_id
+    HAVING min(ts) FILTER (WHERE event_type = 'view') IS NOT NULL
+       AND min(ts) FILTER (WHERE event_type = 'purchase')
+           > min(ts) FILTER (WHERE event_type = 'view')
+    """,
+    doc="Time-to-convert per user: first 'view' -> first LATER "
+        "'purchase', latency in whole seconds (floor-epoch difference "
+        "in both engines, so the cross-engine contract is exact "
+        "integers, not fp durations).  The funnel-latency complement "
+        "of funnel_view_click_purchase: that query counts who "
+        "converts, this one measures how long conversion takes — the "
+        "standard product-analytics pair over the reference's "
+        "view-event firehose (v1:15-20).  Scale shape: ONE grouped "
+        "aggregate over the corpus with conditional-min partial "
+        "aggregation map-side — no per-user sort, no self-join of "
+        "views against purchases (the naive shape, corpus x corpus); "
+        "the HAVING runs post-agg on |users| rows.",
+    tags=("events", "funnel", "agg"),
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        e.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            first_view.alias("fv"),
+            first_purchase.alias("fp"),
+        )
+        .filter(F.col("fv").isNotNull() & (F.col("fp") > F.col("fv")))
+        .select(
+            "user_id",
+            F.date_format("fv", TS_FMT_SPARK).alias("first_view"),
+            F.date_format("fp", TS_FMT_SPARK).alias("first_purchase"),
+            (F.unix_timestamp("fp") - F.unix_timestamp("fv"))
+            .cast("bigint")
+            .alias("latency_s"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(hour(ts) AS INTEGER)           AS hour_of_day,
+             CAST(count(*) AS BIGINT)            AS n_events
+      FROM events GROUP BY day, hour_of_day
+    ), baseline AS (
+      SELECT hour_of_day,
+             avg(n_events)         AS mu,
+             stddev_samp(n_events) AS sigma
+      FROM hourly GROUP BY hour_of_day
+    )
+    SELECT strftime(h.day, '%Y-%m-%d') AS day,
+           h.hour_of_day,
+           h.n_events,
+           floor(b.mu * 1000000.0 + 0.5) / 1000000.0 AS baseline_mu,
+           floor((h.n_events - b.mu) / b.sigma * 1000000.0 + 0.5) / 1000000.0
+             AS zscore,
+           abs(h.n_events - b.mu) > 3.0 * b.sigma AS is_anomaly
+    FROM hourly h JOIN baseline b USING (hour_of_day)
+    """,
+    doc="Seasonal (hour-of-day) ingest-volume anomaly screen: each "
+        "(day, hour) bucket's event count z-scored against the "
+        "baseline built from the SAME hour-of-day across all observed "
+        "days — the diurnal-pattern-aware sibling of "
+        "events_rate_anomaly (which uses a trailing window and so "
+        "flags every morning ramp-up).  Scale shape: corpus -> hourly "
+        "counts is ONE grouped agg with map-side combine (|days|x24 "
+        "rows out); the baseline aggregates those to 24 rows and "
+        "joins back via broadcast — the corpus is scanned once and "
+        "nothing downstream exceeds |days|x24.  Buckets with zero "
+        "events are absent (not zero-counted): the baseline describes "
+        "observed traffic, and a silent-hour detector belongs to the "
+        "rate monitor.  z/mu rounded to 6dp in both engines; the "
+        "inputs are exact integer counts so the doubles agree "
+        "bit-for-bit cross-engine.",
+    tags=("events", "anomaly", "agg"),
+)
+def events_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = hourly.groupBy("hour_of_day").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+    return (
+        hourly.join(F.broadcast(baseline), "hour_of_day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hour_of_day",
+            "n_events",
+            pround("mu", 6).alias("baseline_mu"),
+            pround((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+            (
+                F.abs(F.col("n_events") - F.col("mu"))
+                > F.lit(3.0) * F.col("sigma")
+            ).alias("is_anomaly"),
+        )
+    )
