@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.cohorts",
     "spark_nifi_kafka_connected_device_stream_spark.operators.analytics",
     "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.scd",
 )
 
 
