@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import pround
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -397,4 +398,108 @@ def multimodal_chunk_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes") - F.col("chunk_idx") * PAYLOAD_CHUNK_BYTES,
         ).alias("chunk_bytes"),
         F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    SELECT md5(text)                          AS content_md5,
+           CAST(count(*) AS BIGINT)           AS n_copies,
+           CAST(min(doc_id) AS BIGINT)        AS keeper_doc_id,
+           CAST(min(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+             AS wasted_bytes
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+    doc="Exact BINARY dedup over the payload column: group by raw-byte "
+        "md5, keep the lowest doc_id, account the storage the copies "
+        "waste.  The multimodal sibling of dedup_exact — that op "
+        "normalizes TEXT before hashing; media blobs have no "
+        "normalization, so the checksum is over the raw bytes (the "
+        "same content_md5 the at-rest metadata struct already carries, "
+        "so at 100 TB this never re-reads the blobs: it aggregates the "
+        "metadata column).  ONE grouped agg on the checksum with "
+        "map-side combine; the HAVING keeps only duplicate groups, so "
+        "output is bounded by the dup count, not the corpus.",
+    tags=("multimodal", "dedup", "agg"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir)
+    return (
+        b.select(
+            F.col("meta.content_md5").alias("content_md5"),
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.min("n_bytes").cast("bigint").alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "content_md5",
+            "n_copies",
+            "keeper_doc_id",
+            "payload_bytes",
+            ((F.col("n_copies") - 1) * F.col("payload_bytes"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+    )
+
+
+@register(
+    "multimodal_caption_audit",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, source,
+             trim(split_part(text, '.', 1)) AS caption
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                  AS n_pairs,
+           CAST(count(DISTINCT caption) AS BIGINT)   AS n_distinct_captions,
+           floor((1.0 - count(DISTINCT caption) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0      AS dup_caption_rate,
+           floor(avg(length(caption)) * 1000000.0 + 0.5) / 1000000.0
+                                                     AS mean_caption_chars,
+           (1.0 - count(DISTINCT caption) * 1.0 / count(*)) > 0.5
+                                                     AS boilerplate_flag
+    FROM pairs GROUP BY source
+    """,
+    doc="Caption-pair quality audit for (media payload, caption) "
+        "training pairs, CLIP-style: the caption is the payload's "
+        "leading sentence (first '.'-delimited span — the alt-text "
+        "stand-in), and the audit flags SOURCES whose captions are "
+        "mostly duplicated — boilerplate alt-text ('image', 'photo') "
+        "is the dominant failure mode of web-scraped image-text data "
+        "and poisons contrastive training.  Per-source: pair count, "
+        "distinct captions, duplication rate, mean caption length, "
+        "boilerplate flag (>50% dup).  Scale shape: caption extraction "
+        "is map-only string math fused into the scan; then ONE grouped "
+        "agg per source (count_distinct partial-aggregated map-side).  "
+        "Both engines trim the identical first-span expression "
+        "(substring_index == split_part on the no-separator edge: both "
+        "return the whole string).",
+    tags=("multimodal", "text", "agg"),
+)
+def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    caption = F.trim(F.substring_index(F.col("text"), ".", 1))
+    pairs = d.select("doc_id", "source", caption.alias("caption"))
+    dup_rate = F.lit(1.0) - F.countDistinct("caption") / F.count(F.lit(1))
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("caption").alias("n_distinct_captions"),
+            pround(dup_rate, 6).alias("dup_caption_rate"),
+            pround(F.avg(F.length("caption")), 6).alias("mean_caption_chars"),
+            (dup_rate > F.lit(0.5)).alias("boilerplate_flag"),
+        )
     )
