@@ -653,6 +653,42 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell kNN edge list (label, src, dst, sim) — shared by the
+    graph-stats and PageRank queries so the two can never disagree on
+    the graph.  Lazily checkpointed: every consumer re-uses the k·N-row
+    materialization instead of re-running the pair scan."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    q = e.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = e.select(
+        F.col("label").alias("c_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        q.join(c, (F.col("label") == F.col("c_label")) & (F.col("src") != F.col("dst")))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("label", "src", "dst", "sim")
+        # consumed repeatedly (stats + reciprocity probe / PR rounds):
+        # k·N rows, tiny next to the pair scan that produced them —
+        # materialize once
+        .localCheckpoint(eager=False)
+    )
+
+
+
 @register(
     "embedding_knn_graph_stats",
     oracle=f"""
@@ -690,33 +726,7 @@ KNN_GRAPH_K = 3
     tags=("similarity", "ann", "agg"),
 )
 def embedding_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        plan_parallelism(spark), "vec_id"
-    )
-    q = e.select(
-        "label",
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
-    )
-    c = e.select(
-        F.col("label").alias("c_label"),
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    edges = (
-        q.join(c, (F.col("label") == F.col("c_label")) & (F.col("src") != F.col("dst")))
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_GRAPH_K)
-        .select("label", "src", "dst", "sim")
-        # consumed twice (stats + reciprocity probe): k·N rows, tiny next
-        # to the pair scan that produced them — materialize once
-        .localCheckpoint(eager=False)
-    )
+    edges = _knn_edges(spark, sf_dir)
     rev = edges.select(
         F.col("label").alias("r_label"),
         F.col("src").alias("r_src"),
@@ -824,4 +834,149 @@ def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(rounded, F.lit(-1.0)).alias("max_prev_sim"),
             F.coalesce(rounded >= F.lit(SEMDEDUP_TAU), F.lit(False)).alias("dropped"),
         )
+    )
+
+
+# PageRank over the within-cell kNN graph.  All arithmetic is EXACT
+# integer fixed-point (ranks scaled by 1e12, damping 0.85 applied as
+# (85*r) div (100*outdeg)): integer sums are associative, so the
+# result is bit-identical regardless of either engine's aggregation
+# order — the same exactness trick the revenue queries use with cents.
+PAGERANK_SCALE = 10**12
+PAGERANK_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+    r{i} AS (
+      SELECT p.label, p.vec_id,
+             CAST((15 * {PAGERANK_SCALE}) // (100 * nc.n)
+                  + coalesce(c.s, 0) AS BIGINT) AS r
+      FROM {prev} p
+      JOIN ncell nc ON nc.label = p.label
+      LEFT JOIN (
+        SELECT e.label, e.dst,
+               CAST(sum((85 * p2.r) // (100 * d.k)) AS BIGINT) AS s
+        FROM edges e
+        JOIN {prev} p2 ON p2.label = e.label AND p2.vec_id = e.src
+        JOIN deg d ON d.label = e.label AND d.src = e.src
+        GROUP BY e.label, e.dst
+      ) c ON c.label = p.label AND c.dst = p.vec_id
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS (
+      SELECT label, src, dst FROM (
+        SELECT q.label, q.vec_id AS src, c.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {KNN_GRAPH_K}
+    ),
+    deg AS (
+      SELECT label, src, CAST(count(*) AS BIGINT) AS k
+      FROM edges GROUP BY label, src
+    ),
+    ncell AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM deg GROUP BY label
+    ),
+    r0 AS (
+      SELECT d.label, d.src AS vec_id,
+             CAST({PAGERANK_SCALE} // n.n AS BIGINT) AS r
+      FROM deg d JOIN ncell n ON n.label = d.label
+    ),{",".join(iters)}
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           r AS rank_e12
+    FROM {prev}
+    """
+
+
+@register(
+    "embedding_pagerank_centrality",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank centrality over the within-cell kNN graph "
+        f"(k={KNN_GRAPH_K}, damping 0.85, {PAGERANK_ITERS} power "
+        f"iterations) — the graph-centrality signal used to pick the "
+        f"canonical document inside a near-duplicate neighborhood "
+        f"(highest-rank node = best-connected exemplar) and to weight "
+        f"coreset sampling.  The iterative-algorithm showcase: Spark "
+        f"runs a driver-side LOOP of DataFrame joins with an eager "
+        f"localCheckpoint per round (lineage stays O(1); the edge "
+        f"list, out-degrees, and cell sizes are materialized ONCE "
+        f"before the loop, and every node has out-degree >= 1 by "
+        f"construction so there is no dangling-mass term).  Arithmetic "
+        f"is exact integer fixed-point (rank x 1e12; contribution = "
+        f"(85*r) div (100*outdeg)) so both engines agree bit-for-bit "
+        f"after {PAGERANK_ITERS} rounds — no fp summation-order drift.  "
+        f"The oracle unrolls the {PAGERANK_ITERS} iterations as chained "
+        f"CTEs over the SAME edge derivation the kNN-stats oracle "
+        f"uses.  Scale shape: per round ONE co-partitioned edge-rank "
+        f"join + ONE grouped sum on (label, dst) — state is k·N edge "
+        f"rows and N rank rows, never corpus-sized; the pair scan that "
+        f"builds the graph is cell-confined (the IVF restriction).",
+    tags=("similarity", "graph", "iterative"),
+)
+def embedding_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        _knn_edges(spark, sf_dir)
+        .select("label", "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("label", "src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    ncell = deg.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # (label, src, k, n): the loop's static node table — materialized once
+    nodes = deg.join(F.broadcast(ncell), "label").localCheckpoint(eager=True)
+    ew = (
+        edges.join(nodes.select("label", "src", "k"), ["label", "src"])
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "label",
+        F.col("src").alias("vec_id"),
+        F.expr(f"CAST({PAGERANK_SCALE} div n AS BIGINT)").alias("r"),
+    )
+    base = F.expr(f"CAST((15 * {PAGERANK_SCALE}) div (100 * n) AS BIGINT)")
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ew.join(
+                ranks.select("label", F.col("vec_id").alias("src"), "r"),
+                ["label", "src"],
+            )
+            .select(
+                "label",
+                "dst",
+                F.expr("CAST((85 * r) div (100 * k) AS BIGINT)").alias("c"),
+            )
+            .groupBy("label", "dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.select("label", F.col("src").alias("vec_id"), "n")
+            .join(
+                contrib.withColumnRenamed("dst", "vec_id"),
+                ["label", "vec_id"],
+                "left",
+            )
+            .select(
+                "label",
+                "vec_id",
+                (base + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+            # eager: truncate lineage so round R's plan does not replay
+            # rounds 1..R-1 (the dedup_clusters CC-loop discipline)
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("r").alias("rank_e12"),
     )
