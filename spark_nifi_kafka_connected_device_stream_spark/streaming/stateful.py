@@ -69,10 +69,18 @@ def stream_stream_interval_join(
     right_ts: str,
     interval: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval: right event must
+    """Stream-stream join within a time interval: right event must
     follow the left event by at most `interval`.  Both sides buffered in
-    state, bounded by their watermarks + the join range condition."""
+    state, bounded by their watermarks + the join range condition.
+
+    `how="left_outer"` adds null-padded rows for left events that never
+    matched: the row is emitted only once the watermark proves no match
+    can still arrive (left ts + interval < watermark) — the
+    abandoned-funnel / unanswered-request detector.  Outer stream-stream
+    joins REQUIRE both the watermarks and the range condition (Spark
+    refuses the plan otherwise, because state could never be evicted)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -80,7 +88,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {interval}"))
     )
-    return lw.join(rw, cond).drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def streaming_dedup_exact(

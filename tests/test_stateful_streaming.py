@@ -800,3 +800,61 @@ def test_streaming_ewma_continues_recursion_across_batches(spark, tmp_path):
     assert y2 == pytest.approx(closed_form(b1 + b2), rel=1e-12)
     # and NOT a restarted recursion over batch 2 alone
     assert y2 != pytest.approx(closed_form(b2), rel=1e-6)
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    # user-0 converts within the interval; user-1 never does — the outer
+    # join must null-pad user-1's row, but only AFTER the watermark
+    # proves no match can still arrive
+    _write_file(
+        dl,
+        "l.json",
+        [
+            _event("2021-03-06 10:00:00.000", 0, "desktop"),   # user-0
+            _event("2021-03-06 10:01:00.000", 1, "desktop"),   # user-1
+        ],
+    )
+    _write_file(dr, "r.json", [_event("2021-03-06 10:02:00.000", 7, "desktop")])
+    left = parse_product_views(json_file_stream(spark, dl)).select(
+        F.col("userid").alias("key"), F.col("timestamp").alias("view_ts")
+    )
+    right = parse_product_views(json_file_stream(spark, dr)).select(
+        F.col("userid").alias("key"), F.col("timestamp").alias("buy_ts")
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key="key",
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        interval="10 minutes",
+        how="left_outer",
+    ).select("key", "view_ts", "buy_ts")
+    q = memory_sink(joined, "vp_outer", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        # before any watermark movement only the matched row can exist
+        early = {r["key"] for r in spark.sql("SELECT * FROM vp_outer").collect()}
+        assert "user-1" not in early
+        # advance BOTH watermarks far past view_ts + interval + watermark
+        _write_file(dl, "flush_l.json", [_event("2021-03-06 13:00:00.000", 0, "desktop")])
+        _write_file(dr, "flush_r.json", [_event("2021-03-06 13:00:00.000", 7, "desktop")])
+        q.processAllAvailable()
+        # one more cycle: outer-null emission happens on the batch AFTER
+        # the watermark update that expired the state
+        _write_file(dl, "flush_l2.json", [_event("2021-03-06 14:00:00.000", 0, "desktop")])
+        _write_file(dr, "flush_r2.json", [_event("2021-03-06 14:00:00.000", 7, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["key"]: r
+        for r in spark.sql(
+            "SELECT * FROM vp_outer WHERE view_ts < timestamp'2021-03-06 11:00:00'"
+        ).collect()
+    }
+    assert rows["user-0"]["buy_ts"].strftime("%H:%M") == "10:02"
+    assert rows["user-1"]["buy_ts"] is None
