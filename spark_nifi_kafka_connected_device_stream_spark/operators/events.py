@@ -958,10 +958,16 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
-        F.hour("ts").cast("int").alias("hour_of_day"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # consumed twice (baseline + join back): |days|x24 rows — materialize
+    # lazily so the corpus is scanned ONCE, not once per consumer
+    hourly = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
     baseline = hourly.groupBy("hour_of_day").agg(
         F.avg("n_events").alias("mu"),
         F.stddev_samp("n_events").alias("sigma"),
