@@ -505,3 +505,74 @@ def dataset_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     )
+
+
+# 32-bit uniform from the md5 of the doc id (nibble-summed — DuckDB has
+# no hex→int conv); +1 below keeps it in [1, 2^32] so the priority
+# division never sees zero.
+_DUCK_U32 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "dataset_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, priority FROM (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST((CAST(n_chars AS BIGINT) * 4294967296)
+                  // ({_DUCK_U32} + 1) AS BIGINT) AS priority,
+             row_number() OVER (
+               ORDER BY (CAST(n_chars AS BIGINT) * 4294967296)
+                        // ({_DUCK_U32} + 1) DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= {WEIGHTED_SAMPLE_K}
+    """,
+    doc=f"Weight-proportional sampling without replacement (priority / "
+        f"sequential-Poisson sampling, the distributed analogue of the "
+        f"Efraimidis-Spirakis reservoir): each doc gets priority = "
+        f"weight / u with u ~ U(0,1] hashed deterministically from its "
+        f"id, and the global top-{WEIGHTED_SAMPLE_K} by priority IS the "
+        f"weighted sample — longer docs (weight = n_chars) "
+        f"proportionally more likely, yet fully reproducible across "
+        f"runs, engines, and cluster sizes.  The arithmetic is EXACT "
+        f"integer (weight * 2^32 div u32) — no float pow/log whose "
+        f"last-ulp could differ between libms and flip a rank at the "
+        f"selection boundary.  Scale shape: priority is map-only "
+        f"column math; the global top-k is TakeOrdered (per-partition "
+        f"top-k then a k-row driver merge) — no full sort, no single-"
+        f"partition window, the same shape as sort_topk_global.",
+    tags=("pipeline", "sampling"),
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u32 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    prio = F.expr(
+        "CAST((CAST(n_chars AS BIGINT) * 4294967296) div u32v AS BIGINT)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            u32.alias("u32v"),
+        )
+        .select("doc_id", "source", "n_chars", prio.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
