@@ -229,3 +229,24 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of the low `bits` bits of each
+    column — the multi-dimensional clustering key for data skipping.
+
+    Sorting a table by this key before writing parquet makes row
+    groups simultaneously tight in EVERY interleaved dimension (a
+    bucket of 2^(n*b') consecutive codes confines each dimension to an
+    aligned 2^b'-value range), so min/max row-group statistics prune
+    scans filtered on ANY of the dimensions — the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, here as a plain column expression
+    (pure JVM bit math, codegen'd, map-only).  Columns must already be
+    non-negative and < 2^bits (callers bucket/modulo them first)."""
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z

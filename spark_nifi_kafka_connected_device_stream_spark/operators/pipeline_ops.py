@@ -576,3 +576,67 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+# Morton interleave as portable SQL: bits are disjoint, so plain
+# addition replaces bitwise OR and the expression runs anywhere.
+def _duck_zkey(xcol: str, ycol: str, bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "lineitem_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+             {_duck_zkey("(l_partkey % 256)", "(l_suppkey % 256)")} AS zkey
+      FROM lineitem
+    )
+    SELECT CAST(zkey >> 10 AS BIGINT)  AS zbucket,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           CAST(min(px) AS BIGINT)     AS min_part,
+           CAST(max(px) AS BIGINT)     AS max_part,
+           CAST(min(sx) AS BIGINT)     AS min_supp,
+           CAST(max(sx) AS BIGINT)     AS max_supp
+    FROM keyed GROUP BY zbucket
+    """,
+    doc="Z-order (Morton) clustering-key layout report over lineitem: "
+        "interleave the low 8 bits of the part and supplier bucket "
+        "ids, then summarize each run of 1024 consecutive codes (a "
+        "row-group stand-in).  The min/max columns PROVE the locality "
+        "property the layout exists for: every bucket confines BOTH "
+        "dimensions to an aligned 32-value range (asserted in "
+        "test_scale_primitives), so a parquet file sorted by zkey "
+        "prunes row groups for predicates on EITHER key — the "
+        "multi-dimension data-skipping layout (Delta/Iceberg OPTIMIZE "
+        "ZORDER) as a plain column expression.  Scale shape: the key "
+        "is map-only JVM bit math fused into the scan; the report is "
+        "ONE grouped agg on a 64-value key.  At 100 TB the real write "
+        "is df.repartitionByRange(zkey).sortWithinPartitions(zkey) — "
+        "this query is the audit that the layout holds.",
+    tags=("pipeline", "layout", "scale"),
+)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    ).withColumn("zkey", zorder_key([F.col("px"), F.col("sx")]))
+    return (
+        keyed.groupBy(
+            F.shiftright("zkey", 10).cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("px").cast("bigint").alias("min_part"),
+            F.max("px").cast("bigint").alias("max_part"),
+            F.min("sx").cast("bigint").alias("min_supp"),
+            F.max("sx").cast("bigint").alias("max_supp"),
+        )
+    )

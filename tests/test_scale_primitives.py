@@ -274,3 +274,40 @@ def test_global_running_sum_matches_unpartitioned_window(spark):
         assert partitioned_by_pid or offsets_only, (
             f"window spec neither _pid-partitioned nor offsets-only: {spec}"
         )
+
+
+def test_zorder_key_matches_reference_morton(spark):
+    from pyspark.sql import functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)], ["x", "y"]
+    )
+    rows = df.withColumn("z", zorder_key([F.col("x"), F.col("y")])).collect()
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(r["z"] == morton(r["x"], r["y"]) for r in rows)
+
+
+def test_zorder_bucket_confines_both_dimensions(spark):
+    """The data-skipping property: every run of 1024 consecutive Morton
+    codes confines EACH interleaved dimension to one aligned 32-value
+    window — so row groups written in zkey order carry tight min/max
+    stats for predicates on either column."""
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+    rows = all_specs()["lineitem_zorder_layout"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["max_part"] - r["min_part"] <= 31, r
+        assert r["max_supp"] - r["min_supp"] <= 31, r
+        # aligned windows, not just narrow ones
+        assert r["min_part"] // 32 == r["max_part"] // 32, r
+        assert r["min_supp"] // 32 == r["max_supp"] // 32, r
