@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from spark_nifi_kafka_connected_device_stream_spark.plans import (
     broadcast_join_count,
+    explain_str,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -294,3 +295,47 @@ def test_round8_third_wave_plan_shapes(spark):
 
     df = SPECS["grouped_agg_weighted_median"].fn(spark, SF_SMALL)
     assert shuffle_count(df) == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: when a selective dim filter feeds a
+    shuffle join, the optimizer builds a bloom filter from the dim keys
+    and pushes a might_contain probe onto the FACT side — rows that
+    cannot join die at the scan instead of riding the shuffle.  At
+    100 TB this is the difference between shuffling the full fact table
+    and shuffling the ~matching fraction; the conf knobs are the
+    thresholds that gate injection (the application-side default of
+    10 GB is tuned for real clusters, so the test lowers it)."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem")
+        p = load_table(spark, SF_SMALL, "part").filter(
+            F.col("p_type").startswith("PROMO")
+        )
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        txt = explain_str(j, "simple")
+        assert "might_contain" in txt, txt
+        assert "bloom_filter_agg" in txt, txt
+        # and the probe sits on the lineitem side, keyed by l_partkey
+        probe = [l for l in txt.splitlines() if "might_contain" in l]
+        assert any("l_partkey" in l for l in probe), probe
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
