@@ -916,6 +916,34 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_baseline(hourly: DataFrame) -> DataFrame:
+    """hour-of-day baseline (mu, sigma) from a (day, hour_of_day,
+    n_events) frame — shared by the batch query and the streaming
+    enrichment job so live scoring and backfill cannot drift."""
+    return hourly.groupBy("hour_of_day").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+
+
+def seasonal_score(hourly: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Score (day, hour_of_day, n_events) rows against a broadcast
+    hour-of-day baseline — the SAME select for the batch query and each
+    streaming micro-batch (streaming/jobs.run_seasonal_anomaly_job)."""
+    return hourly.join(F.broadcast(baseline), "hour_of_day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hour_of_day",
+        "n_events",
+        pround("mu", 6).alias("baseline_mu"),
+        pround((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias(
+            "zscore"
+        ),
+        (
+            F.abs(F.col("n_events") - F.col("mu")) > F.lit(3.0) * F.col("sigma")
+        ).alias("is_anomaly"),
+    )
+
+
 @register(
     "events_seasonal_hourly_anomaly",
     oracle="""
@@ -968,23 +996,4 @@ def events_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
         .localCheckpoint(eager=False)
     )
-    baseline = hourly.groupBy("hour_of_day").agg(
-        F.avg("n_events").alias("mu"),
-        F.stddev_samp("n_events").alias("sigma"),
-    )
-    return (
-        hourly.join(F.broadcast(baseline), "hour_of_day")
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "hour_of_day",
-            "n_events",
-            pround("mu", 6).alias("baseline_mu"),
-            pround((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias(
-                "zscore"
-            ),
-            (
-                F.abs(F.col("n_events") - F.col("mu"))
-                > F.lit(3.0) * F.col("sigma")
-            ).alias("is_anomaly"),
-        )
-    )
+    return seasonal_score(hourly, seasonal_baseline(hourly))

@@ -167,3 +167,59 @@ def run_corpus_ingest_job(
     w = parquet_sink(deduped, out_dir, f"{checkpoint_dir}/corpus", trigger=trigger)
     w = w.partitionBy("source")
     return w.start()
+
+
+def run_seasonal_anomaly_job(
+    spark: SparkSession,
+    input_dir: str,
+    baseline: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    trigger: str | None = None,
+):
+    """Lambda-style seasonal anomaly monitor: LIVE hourly event counts
+    scored against the BATCH-computed hour-of-day baseline
+    (operators.events.seasonal_baseline over history) — the streaming
+    half of events_seasonal_hourly_anomaly, sharing its
+    `seasonal_score` select verbatim so live flags and the batch
+    backfill can never disagree on what "anomalous" means.
+
+    Plan: stream → watermark → 1-hour tumbling count (append mode:
+    only watermark-finalized hours are scored — a half-full hour would
+    z-score as a false dip) → foreachBatch joins the tiny broadcast
+    baseline and appends scored rows to parquet.  Streaming state is
+    one count per open hour; the baseline is |24| rows refreshed by
+    re-running the batch job and restarting (or swapping a Delta table
+    in production).  Returns the StreamingQuery handle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.events import seasonal_score
+    from .pipeline import parse_product_views
+
+    views = parse_product_views(json_file_stream(spark, input_dir))
+    hourly = (
+        views.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.to_date("window.start").alias("day"),
+            F.hour("window.start").cast("int").alias("hour_of_day"),
+            "n_events",
+        )
+    )
+
+    def score(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seasonal_score(batch_df, baseline).write.mode("append").parquet(out_dir)
+
+    w = (
+        hourly.writeStream.outputMode("append")
+        .foreachBatch(score)
+        .option("checkpointLocation", f"{checkpoint_dir}/seasonal")
+    )
+    if trigger:
+        w = w.trigger(processingTime=trigger)
+    return w.start()

@@ -15,7 +15,7 @@ from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
     run_product_view_job,
 )
 
-from .test_streaming import _mk_events, _write_file
+from .test_streaming import _event, _mk_events, _write_file
 
 
 def test_product_view_job_dual_sink(spark, tmp_path):
@@ -254,3 +254,48 @@ def test_corpus_ingest_job_recovers_across_restart(spark, tmp_path):
     # doc 2 dropped (fingerprint state recovered from checkpoint);
     # doc 3 passes
     assert ids == [0, 1, 3], ids
+
+
+def test_seasonal_anomaly_job_scores_finalized_hours(spark, tmp_path):
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_seasonal_anomaly_job,
+    )
+
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    # hour 10: three events (z = +1 vs baseline mu=2 sigma=1);
+    # hour 11: one event (z = -1); next-day flush finalizes both
+    _write_file(
+        d,
+        "b1.json",
+        [
+            _event("2021-03-06 10:05:00.000", 0, "desktop"),
+            _event("2021-03-06 10:15:00.000", 1, "desktop"),
+            _event("2021-03-06 10:25:00.000", 2, "desktop"),
+            _event("2021-03-06 11:30:00.000", 3, "desktop"),
+        ],
+    )
+    baseline = spark.createDataFrame(
+        [(10, 2.0, 1.0), (11, 2.0, 1.0)],
+        "hour_of_day int, mu double, sigma double",
+    )
+    q = run_seasonal_anomaly_job(
+        spark, d, baseline, out, str(tmp_path / "chk"), watermark="2 hours"
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [_event("2021-03-07 10:00:00.000", 0, "desktop")])
+        q.processAllAvailable()
+        # emission happens on the cycle after the watermark update
+        _write_file(d, "b3.json", [_event("2021-03-07 11:00:00.000", 0, "desktop")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["day"], r["hour_of_day"]): r for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("2021-03-06", 10)]["n_events"] == 3
+    assert rows[("2021-03-06", 10)]["zscore"] == 1.0
+    assert rows[("2021-03-06", 10)]["is_anomaly"] is False
+    assert rows[("2021-03-06", 11)]["n_events"] == 1
+    assert rows[("2021-03-06", 11)]["zscore"] == -1.0
