@@ -108,6 +108,18 @@ HEADLINE = [
     "privacy_pii_scan_documents",
     "grouped_agg_weighted_median",
     "events_rolling_distinct_users_7d",
+    # round-8 fourth wave: change-data tier, kNN PageRank, multimodal
+    # dedup/caption audit, Z-order layout, priority sampling, seasonal
+    # anomaly + conversion latency
+    "scd2_customer_batch",
+    "orders_snapshot_diff",
+    "embedding_pagerank_centrality",
+    "multimodal_payload_dedup",
+    "multimodal_caption_audit",
+    "lineitem_zorder_layout",
+    "dataset_weighted_sample",
+    "events_seasonal_hourly_anomaly",
+    "events_conversion_latency",
 ]
 
 

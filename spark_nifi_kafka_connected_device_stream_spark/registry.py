@@ -156,6 +156,20 @@ _PROMOTE: tuple[str, ...] = (
     "privacy_pii_scan_documents",
     "grouped_agg_weighted_median",
     "events_rolling_distinct_users_7d",
+    # round-8 fourth wave — never driver-checked (SCD2 merge, snapshot
+    # reconciliation, kNN PageRank, multimodal dedup/caption audit,
+    # Z-order layout, priority sampling, seasonal anomaly).  This list
+    # is now 51 long: the last entry falls OUTSIDE the driver's
+    # 50-entry window and rides to the next round's rotation.
+    "scd2_customer_batch",
+    "orders_snapshot_diff",
+    "embedding_pagerank_centrality",
+    "multimodal_payload_dedup",
+    "multimodal_caption_audit",
+    "lineitem_zorder_layout",
+    "dataset_weighted_sample",
+    "events_seasonal_hourly_anomaly",
+    "events_conversion_latency",
 )
 _DEMOTE: tuple[str, ...] = ()
 
