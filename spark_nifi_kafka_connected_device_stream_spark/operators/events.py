@@ -997,3 +997,145 @@ def events_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
         .localCheckpoint(eager=False)
     )
     return seasonal_score(hourly, seasonal_baseline(hourly))
+
+
+GAP_TIMEOUT_US = 3_600_000_000  # 1 hour: a device is "down" past this
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_ns(ts) // 1000 AS us,
+             lead(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS next_us
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)  AS n_intervals,
+           floor(CAST(sum(cents * (next_us - us)) AS DOUBLE)
+                 / sum(next_us - us) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS twa_value
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+    doc="Time-weighted average of the reading per (device, day) — THE "
+        "correct daily mean for irregularly-sampled device telemetry "
+        "(the reference's connected-device stream, v1:15-20): each "
+        "reading holds until the next one, so its weight is the "
+        "interval length, not 1 (a plain avg over-counts burst "
+        "periods).  Last-of-day readings carry no interval "
+        "(left-constant hold, standard TWA convention); single-reading "
+        "days drop out.  Exact arithmetic: integer cents x integer "
+        "microseconds summed as bigint, ONE double division at the "
+        "end (rounded 6dp in both engines).  Scale shape: one shuffle "
+        "on (user, day), lead() and the grouped agg share the sort — "
+        "Catalyst plans a single exchange; nothing downstream exceeds "
+        "|devices| x |days|.",
+    tags=("events", "timeseries", "window"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("ts_us").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(F.asc("us"), F.asc("event_id"))
+    seq = e.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dt = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("cents") * dt).alias("wsum"),
+            F.sum(dt).alias("tsum"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_intervals",
+            pround(F.col("wsum").cast("double") / F.col("tsum") / F.lit(100.0), 6)
+            .alias("twa_value"),
+        )
+    )
+
+
+@register(
+    "events_device_uptime",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 AS us,
+             lead(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS next_us
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) + 1 AS BIGINT)            AS n_readings,
+           CAST(max(next_us) - min(us) AS BIGINT)  AS span_us,
+           CAST(max(next_us - us) AS BIGINT)       AS max_gap_us,
+           CAST(count(*) FILTER (WHERE next_us - us > {GAP_TIMEOUT_US})
+                AS BIGINT)                         AS n_outages,
+           floor(CAST(sum(least(next_us - us, {GAP_TIMEOUT_US})) AS DOUBLE)
+                 / (max(next_us) - min(us)) * 1000000.0 + 0.5) / 1000000.0
+             AS uptime_fraction
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Device uptime / outage report per device: heartbeat-style "
+        "coverage where each reading keeps the device 'up' for at most "
+        "1 hour (GAP_TIMEOUT_US), so uptime_fraction = covered time / "
+        "observed span, plus the outage count and worst gap — the "
+        "fleet-health screen for the reference's device stream.  All "
+        "interval math is exact integer microseconds; one double "
+        "division at the end (6dp, engine-portable).  Scale shape: "
+        "ONE shuffle on user_id shared by the lead() window and the "
+        "grouped agg (same partitioning), output |devices| rows.",
+    tags=("events", "timeseries", "window"),
+)
+def events_device_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    seq = e.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    gap = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_readings"),
+            (F.max("next_us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.max(gap).cast("bigint").alias("max_gap_us"),
+            F.sum((gap > GAP_TIMEOUT_US).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outages"),
+            F.sum(F.least(gap, F.lit(GAP_TIMEOUT_US))).alias("covered_us"),
+        )
+        .select(
+            "user_id",
+            "n_readings",
+            "span_us",
+            "max_gap_us",
+            "n_outages",
+            pround(
+                F.col("covered_us").cast("double") / F.col("span_us"), 6
+            ).alias("uptime_fraction"),
+        )
+    )
