@@ -120,6 +120,9 @@ HEADLINE = [
     "dataset_weighted_sample",
     "events_seasonal_hourly_anomaly",
     "events_conversion_latency",
+    # device-health tier
+    "events_time_weighted_value",
+    "events_device_uptime",
 ]
 
 

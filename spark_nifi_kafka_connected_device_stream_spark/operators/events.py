@@ -1054,18 +1054,18 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = F.col("next_us") - F.col("us")
     return (
-        seq.groupBy(
-            F.col("user_id").cast("bigint").alias("user_id"),
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-        )
+        # group on the RAW window keys so the agg reuses the window's
+        # hash partitioning (casting/formatting in the keys would force
+        # a second exchange); project the display forms afterwards
+        seq.groupBy("user_id", "day")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
             F.sum(F.col("cents") * dt).alias("wsum"),
             F.sum(dt).alias("tsum"),
         )
         .select(
-            "user_id",
-            "day",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_intervals",
             pround(F.col("wsum").cast("double") / F.col("tsum") / F.lit(100.0), 6)
             .alias("twa_value"),
