@@ -123,6 +123,7 @@ HEADLINE = [
     # device-health tier
     "events_time_weighted_value",
     "events_device_uptime",
+    "events_linear_attribution",
 ]
 
 

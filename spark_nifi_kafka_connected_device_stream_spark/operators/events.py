@@ -1139,3 +1139,72 @@ def events_device_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uptime_fraction"),
         )
     )
+
+
+ATTRIBUTION_LOOKBACK_US = 3_600_000_000  # credit clicks from the prior hour
+
+
+@register(
+    "events_linear_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS p_event, epoch_ns(ts) // 1000 AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS c_us,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign
+      FROM events WHERE event_type = 'click'
+    ), touches AS (
+      SELECT p.p_event, c.campaign,
+             count(*) OVER (PARTITION BY p.p_event) AS n_touches
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_us >= p.p_us - {ATTRIBUTION_LOOKBACK_US} AND c.c_us < p.p_us
+    )
+    SELECT campaign,
+           CAST(count(*) AS BIGINT)                  AS n_touches,
+           CAST(count(DISTINCT p_event) AS BIGINT)   AS n_purchases,
+           CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_ppm
+    FROM touches GROUP BY campaign
+    """,
+    doc="Multi-touch LINEAR attribution: every click by the purchasing "
+        "user in the hour before a purchase shares that purchase's "
+        "credit equally (the complement of asof_join_last_click's "
+        "last-touch model).  Credit is EXACT integer parts-per-million "
+        "(1e6 div n_touches) so cross-engine sums cannot drift the way "
+        "float 1/n summation order would.  Scale shape: the touch join "
+        "is an equi-join on user_id with the time-range predicate "
+        "applied inside the match — pair blow-up bounded per user, "
+        "never |clicks| x |purchases|; per-purchase touch counts come "
+        "from one window over the joined frame; the campaign roll-up "
+        "aggregates |campaigns| rows.  The campaign stand-in is the "
+        "props.k bucket (the reference wire's payload field, v1:15-20).",
+    tags=("events", "attribution", "range-join"),
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), F.col("ts_us").alias("p_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_us"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("campaign"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_us") >= F.col("p_us") - ATTRIBUTION_LOOKBACK_US)
+        & (F.col("c_us") < F.col("p_us")),
+    )
+    w = Window.partitionBy("p_event")
+    credited = touches.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return (
+        credited.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("p_event").alias("n_purchases"),
+            F.sum(F.expr("CAST(1000000 div n_touches AS BIGINT)"))
+            .cast("bigint")
+            .alias("credit_ppm"),
+        )
+    )
