@@ -124,6 +124,7 @@ HEADLINE = [
     "events_time_weighted_value",
     "events_device_uptime",
     "events_linear_attribution",
+    "events_hll_partial_merge_bound",
 ]
 
 

@@ -1208,3 +1208,52 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credit_ppm"),
         )
     )
+
+
+@register(
+    "events_hll_partial_merge_bound",
+    oracle="""
+    SELECT DISTINCT event_type, true AS within_tolerance
+    FROM events
+    """,
+    doc="Mergeable-sketch workflow (Apache DataSketches HLL, the Spark "
+        "3.5+ hll_* surface): build ONE HLL sketch per (day, "
+        "event_type) partial, then answer the monthly distinct-user "
+        "question by hll_union_agg over the 30 partials — the corpus "
+        "is scanned once and the daily sketch table answers ANY "
+        "date-range distinct query afterwards, which is the production "
+        "incremental pattern at 100 TB (approx_count_distinct's "
+        "internal HLL++ state is not storable; DataSketches partials "
+        "are bytes in a table).  The estimate is engine-specific, so "
+        "— like agg_approx_distinct_bound — the driver-checked "
+        "contract is the BOUND: merged estimate within 5% of the "
+        "exact per-type distinct count, oracle = constant-true table.  "
+        "Scale shape: one grouped sketch-agg (map-side partial "
+        "merge), a |days|x|types|-row union-agg; the exact reference "
+        "count is a second corpus scan that exists only for this "
+        "accuracy gate — production keeps just the sketch path.",
+    tags=("events", "approx", "sketch"),
+)
+def events_hll_partial_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    # the stored daily-partial table: (day, type) -> sketch bytes
+    daily = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_tolerance"),
+    )
