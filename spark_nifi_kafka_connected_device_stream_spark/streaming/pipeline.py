@@ -73,7 +73,14 @@ def parse_product_views(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.col("value.userid").alias("userid"),
             F.col("value.properties.productid").alias("productid"),
             F.col("value.context.source").alias("source"),
-            F.to_timestamp(F.col("value.timestamp"), TIMESTAMP_FORMAT).alias("timestamp"),
+            # try_to_timestamp, NOT to_timestamp: under ANSI mode
+            # (Spark 4 default) to_timestamp THROWS on a malformed
+            # value and one bad record kills the stream — try_ yields
+            # NULL and the filter below implements the documented
+            # drop-malformed semantics
+            F.try_to_timestamp(
+                F.col("value.timestamp"), F.lit(TIMESTAMP_FORMAT)
+            ).alias("timestamp"),
         )
         .filter(F.col("timestamp").isNotNull())
     )
@@ -131,4 +138,46 @@ def windowed_source_counts(
             F.col(key_col),
             F.col("source_number"),
         )
+    )
+
+
+def observe_parse_quality(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """parse_product_views with an `observe()` data-quality counter
+    attached BEFORE the drop-filters: per micro-batch (or per batch
+    action) the observation reports rows seen, rows whose JSON failed
+    the declared schema, and rows whose timestamp failed the explicit
+    format — the silently-dropped rows the parse chain would otherwise
+    hide.  `observe` is an accumulator piggybacked on the existing
+    scan: NO second pass, no extra shuffle, identical output rows to
+    parse_product_views.  Streaming: read the numbers from
+    StreamingQueryProgress.observedMetrics['parse_dq']; batch: via
+    the QueryExecutionListener.  The operational twin of the
+    reference's silent PERMISSIVE drop (v1:29-33)."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), PRODUCT_VIEW_SCHEMA).alias("value")
+    )
+    ts = F.try_to_timestamp(F.col("value.timestamp"), F.lit(TIMESTAMP_FORMAT))
+    # Spark 4 from_json yields an ALL-NULL struct (not a NULL struct)
+    # for malformed input, so "bad json" is detected through the
+    # required timestamp field being absent; "bad ts" is the field
+    # present but unparseable under the declared format
+    bad_json = F.col("value").isNull() | F.col("value.timestamp").isNull()
+    observed = parsed.observe(
+        "parse_dq",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(bad_json.cast("bigint")).alias("rows_bad_json"),
+        F.sum(
+            (F.col("value.timestamp").isNotNull() & ts.isNull()).cast("bigint")
+        ).alias("rows_bad_ts"),
+    )
+    return (
+        observed.filter(F.col("value").isNotNull())
+        .select(
+            F.col("value.messageid").alias("messageid"),
+            F.col("value.userid").alias("userid"),
+            F.col("value.properties.productid").alias("productid"),
+            F.col("value.context.source").alias("source"),
+            ts.alias("timestamp"),
+        )
+        .filter(F.col("timestamp").isNotNull())
     )

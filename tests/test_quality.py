@@ -438,3 +438,36 @@ def test_chunk_payloads_tile_exactly(spark):
                 assert r["chunk_bytes"] == PAYLOAD_CHUNK_BYTES
             offset += r["chunk_bytes"]
         assert offset == sizes[doc_id], (doc_id, offset, sizes[doc_id])
+
+
+def test_hll_partials_survive_parquet_round_trip(spark, tmp_path):
+    """The claim behind events_hll_partial_merge_bound: DataSketches
+    HLL partials are STORABLE bytes — persist the daily sketch table
+    to parquet, read it back in a fresh frame, union-merge, and the
+    estimate must still satisfy the 5% bound vs the exact count."""
+    e = load_table(spark, SF_MEDIUM, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+        "user_id",
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+    reread = spark.read.parquet(path)
+    merged = {
+        r["event_type"]: r["est"]
+        for r in reread.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= 0.05 * n, (t, merged[t], n)

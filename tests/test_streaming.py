@@ -334,3 +334,41 @@ def test_available_now_catch_up_exactly_once(spark, replay_dir, tmp_path):
     df = spark.read.parquet(out_dir)
     assert df.count() == 95
     assert df.select("userid", "productid", "timestamp").distinct().count() == 95
+
+
+def test_observe_parse_quality_reports_dropped_rows(spark, tmp_path):
+    """observe() piggybacks DQ counters on the parse scan: malformed
+    JSON and bad timestamps are counted per micro-batch in
+    observedMetrics while the output rows stay identical to
+    parse_product_views — no second pass over the stream."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+        observe_parse_quality,
+    )
+
+    d = str(tmp_path / "in")
+    good = [e[2] for e in _mk_events(0, 3)]
+    bad_json = ["{not json at all"]
+    bad_ts = ['{"messageid":"m-x","userid":"user-0","properties":{"productid":"p"},'
+              '"context":{"source":"desktop"},"timestamp":"not-a-date"}']
+    _write_file(d, "b1.json", good + bad_json + bad_ts)
+    out = observe_parse_quality(json_file_stream(spark, d))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dq_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [
+            p for p in (q.recentProgress or []) if p.get("observedMetrics", {}).get("parse_dq")
+        ]
+    finally:
+        q.stop()
+    assert spark.sql("SELECT count(*) c FROM dq_rows").collect()[0]["c"] == 3
+    m = [p["observedMetrics"]["parse_dq"] for p in progress]
+    total = {
+        k: sum(x[k] for x in m) for k in ("rows_seen", "rows_bad_json", "rows_bad_ts")
+    }
+    assert total == {"rows_seen": 5, "rows_bad_json": 1, "rows_bad_ts": 1}
