@@ -127,10 +127,16 @@ def test_driver_window_contains_all_first_time_queries():
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as f:
             checked.update(json.load(f).keys())
+    from spark_nifi_kafka_connected_device_stream_spark.registry import DEFERRED
+
     window = set(list(SPECS)[:50])
     never = set(SPECS) - checked
-    missing = never - window
+    missing = never - window - set(DEFERRED)
     assert not missing, f"never-driver-checked queries outside the 50-entry window: {sorted(missing)}"
+    # the deferred queue is for window OVERFLOW only: a deferred name
+    # that is checked, unknown, or already inside the window is stale
+    assert set(DEFERRED) <= never, sorted(set(DEFERRED) - never)
+    assert not set(DEFERRED) & window, sorted(set(DEFERRED) & window)
 
 
 def test_bad_sf_dir_raises_clean_error(spark):
