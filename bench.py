@@ -125,6 +125,7 @@ HEADLINE = [
     "events_device_uptime",
     "events_linear_attribution",
     "events_hll_partial_merge_bound",
+    "device_registry_models",
 ]
 
 

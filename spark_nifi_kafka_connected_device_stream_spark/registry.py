@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.analytics",
     "spark_nifi_kafka_connected_device_stream_spark.operators.relational",
     "spark_nifi_kafka_connected_device_stream_spark.operators.scd",
+    "spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource",
 )
 
 
@@ -187,6 +188,7 @@ DEFERRED: tuple[str, ...] = (
     "events_device_uptime",
     "events_linear_attribution",
     "events_hll_partial_merge_bound",
+    "device_registry_models",
 )
 
 

@@ -1,0 +1,112 @@
+"""Custom Python Data Source (Spark 4 connector tier): batch read
+parity with the reference generator, filter pushdown absorption,
+partition planning, and the streaming source's exactly-once /
+deterministic-replay contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+    _RegistryReader,
+    event_row,
+    register_python_sources,
+    registry_row,
+)
+
+
+def test_registry_batch_read_matches_generator(spark):
+    register_python_sources(spark)
+    df = (
+        spark.read.format("device_registry")
+        .option("n_devices", 300)
+        .option("n_partitions", 5)
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(registry_row(i) for i in range(300))
+
+
+def test_registry_pushdown_absorbs_region_filters():
+    r = _RegistryReader({"n_devices": "100", "n_partitions": "4"})
+    # region filters absorbed (nothing yielded back); others returned
+    leftover = list(
+        r.pushFilters([In(("region",), ("eu", "na")), GreaterThan(("firmware",), 5)])
+    )
+    assert r.regions == {"eu", "na"}
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    # generation-side pruning: only matching regions materialize
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert rows and all(row[1] in {"eu", "na"} for row in rows)
+
+    r2 = _RegistryReader({"n_devices": "100"})
+    assert list(r2.pushFilters([EqualTo(("region",), "mea")])) == []
+    assert r2.regions == {"mea"}
+
+
+def test_registry_partition_planning(spark):
+    register_python_sources(spark)
+    df = (
+        spark.read.format("device_registry")
+        .option("n_devices", 1000)
+        .option("n_partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+
+
+def test_registry_filtered_scan_agrees_with_unfiltered(spark):
+    """Pushdown must be transparent: filter(region='eu') with pushdown
+    == the client-side filter of the full scan."""
+    register_python_sources(spark)
+
+    def load():
+        return (
+            spark.read.format("device_registry").option("n_devices", 500).load()
+        )
+
+    pushed = sorted(tuple(r) for r in load().filter(F.col("region") == "eu").collect())
+    manual = sorted(
+        tuple(r) for r in load().collect() if r["region"] == "eu"
+    )
+    assert pushed == manual and pushed
+
+
+def test_stream_source_delivers_all_events_exactly_once(spark, tmp_path):
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("device_events")
+        .option("total_events", 100)
+        .option("events_per_batch", 33)
+        .option("n_partitions", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dev_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        # latestOffset advances 33/batch: drain until the cap is reached
+        for _ in range(6):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM dev_events").collect())
+    assert rows == sorted(event_row(i) for i in range(100))  # all, no dupes
+
+
+def test_stream_source_replay_is_deterministic():
+    """The exactly-once prerequisite: re-reading the same offset range
+    yields identical rows."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        _EventsStreamReader,
+    )
+
+    r = _EventsStreamReader({"total_events": "50", "n_partitions": "2"})
+    first = [row for p in r.partitions({"offset": 10}, {"offset": 40}) for row in r.read(p)]
+    second = [row for p in r.partitions({"offset": 10}, {"offset": 40}) for row in r.read(p)]
+    assert first == second == [event_row(i) for i in range(10, 40)]
