@@ -126,6 +126,7 @@ HEADLINE = [
     "events_linear_attribution",
     "events_hll_partial_merge_bound",
     "device_registry_models",
+    "orders_pointintime_segment",
 ]
 
 

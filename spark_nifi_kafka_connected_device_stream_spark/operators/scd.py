@@ -305,3 +305,82 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.price_cents").alias("old_price_cents"),
         F.col("b.price_cents").alias("new_price_cents"),
     )
+
+
+@register(
+    "orders_pointintime_segment",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN DATE '1997-01-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED', DATE '1997-01-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT d.segment,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(count(*) AS BIGINT)             AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)                      AS revenue_cents
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.segment, o_year
+    """,
+    doc="Point-in-time (temporal) join — HOW an SCD2 dimension is "
+        "consumed: every order joins to the customer-segment row that "
+        "was VALID ON the order date (custkey%7 customers switch to "
+        "'MOVED' on 1997-01-01, so the same customer's 1996 and 1997 "
+        "orders land in different segments — the as-was report a "
+        "current-state join silently gets wrong).  The match is an "
+        "equi-join on the business key with the validity-range "
+        "predicate inside the join condition: per-key candidates = "
+        "that key's version count (~1-2), so the non-equi part never "
+        "multiplies — the standard warehouse shape at any scale, and "
+        "with both sides bucketed on the key the exchange disappears.  "
+        "Revenue in exact integer cents.",
+    tags=("scd", "change-data", "join", "temporal"),
+)
+def orders_pointintime_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        c.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1995-01-01").cast("date").alias("valid_from"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.lit("1997-01-01").cast("date")
+            ).alias("valid_to"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                "c_custkey",
+                F.lit("MOVED").alias("segment"),
+                F.lit("1997-01-01").cast("date").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+        )
+    )
+    j = o.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(
+            "segment", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

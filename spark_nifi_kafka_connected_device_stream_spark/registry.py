@@ -189,6 +189,7 @@ DEFERRED: tuple[str, ...] = (
     "events_linear_attribution",
     "events_hll_partial_merge_bound",
     "device_registry_models",
+    "orders_pointintime_segment",
 )
 
 
