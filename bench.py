@@ -127,6 +127,7 @@ HEADLINE = [
     "events_hll_partial_merge_bound",
     "device_registry_models",
     "orders_pointintime_segment",
+    "text_sentences_udtf",
 ]
 
 

@@ -137,3 +137,63 @@ def grouped_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             _weighted_median_udf("l_extendedprice", "l_quantity").alias("wmedian")
         )
     )
+
+
+@register(
+    "text_sentences_udtf",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             trim(u.part) AS sentence,
+             u.i
+      FROM documents,
+           UNNEST(list_transform(split(text, '.'),
+                                 (x, i) -> struct_pack(part := x, i := i))) AS t(u)
+      WHERE doc_id < 50
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS INTEGER)       AS sentence_id,
+           sentence,
+           CAST(length(sentence) AS INTEGER) AS n_chars
+    FROM parts WHERE sentence <> ''
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function) applied via "
+        "LATERAL: one document row expands to one row per non-empty "
+        "'.'-delimited sentence with a per-doc ordinal — the fourth "
+        "and last Python-boundary surface (after scalar pandas_udf, "
+        "grouped-agg pandas UDF, and applyInPandas/mapInPandas), "
+        "value-checked against a pure-SQL unnest.  HONEST perf note: "
+        "a Python UDTF evals row-at-a-time, the documented slow path "
+        "— the JVM-native form of this exact expansion is "
+        "text_token_positions / text_chunk_documents "
+        "(explode(split(...))), which is what the hot path uses; this "
+        "op exists to pin the UDTF API surface and is bounded to 50 "
+        "docs.  The predicate doc_id < 50 is pushed to the scan "
+        "BEFORE the Python stage, so the UDTF only ever sees "
+        "surviving rows — the filter-before-Python rule.",
+    tags=("udf", "udtf", "text"),
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_id int, sentence string, n_chars int")
+    class _SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001
+            sid = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield (sid, s, len(s))
+                    sid += 1
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("split_sentences", _SplitSentences)
+    return spark.sql(
+        """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               s.sentence_id, s.sentence, s.n_chars
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -190,6 +190,7 @@ DEFERRED: tuple[str, ...] = (
     "events_hll_partial_merge_bound",
     "device_registry_models",
     "orders_pointintime_segment",
+    "text_sentences_udtf",
 )
 
 
