@@ -118,3 +118,38 @@ def compact_parquet(
     df.write.mode("overwrite").parquet(dst_dir)
     files_after = len(_parquet_files(dst_dir))
     return files_before, files_after
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    location: str,
+    contract_ddl: str | None = None,
+) -> DataFrame:
+    """Schema-evolution read for long-lived datasets: a 100 TB parquet
+    directory written over months mixes file schemas (columns added,
+    columns absent in old files).  `mergeSchema=true` unions the file
+    footers (default reads sample ONE footer and silently drop newer
+    columns); rows from files lacking a column read as NULL.
+
+    `contract_ddl` additionally enforces a declared schema contract —
+    the consumer-side pin that makes readers independent of write
+    order: every contract column is selected with an explicit cast
+    (type widening like int→bigint included), a column missing from
+    EVERY file materializes as typed NULL, and columns outside the
+    contract are dropped (accidental writer additions don't leak into
+    downstream jobs until the contract says so)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.option("mergeSchema", "true").parquet(location)
+    if contract_ddl is None:
+        return df
+    target = T.StructType.fromDDL(contract_ddl)
+    present = {f.lower() for f in df.columns}
+    cols = [
+        (F.col(f.name) if f.name.lower() in present else F.lit(None))
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(cols)

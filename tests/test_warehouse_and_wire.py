@@ -122,3 +122,35 @@ def test_compact_parquet_sorted_rowgroups(spark, tmp_path):
         assert hi1 < lo2  # disjoint, ordered ranges across files
     total = spark.read.parquet(dst).count()
     assert total == 1000
+
+
+def test_read_evolving_parquet_merges_and_enforces_contract(spark, tmp_path):
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, val double").write.parquet(
+        d + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(3, 30.0, "x")], "id int, val double, extra string"
+    ).write.parquet(d + "/batch=2")
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        read_evolving_parquet,
+    )
+
+    merged = read_evolving_parquet(spark, d)
+    assert set(merged.columns) >= {"id", "val", "extra"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["extra"] is None and rows[3]["extra"] == "x"
+
+    # contract: widen id to bigint, add a not-yet-written column,
+    # drop 'extra' until the contract admits it
+    c = read_evolving_parquet(
+        spark, d, contract_ddl="id bigint, val double, region string"
+    )
+    assert [f.simpleString() for f in c.schema.fields] == [
+        "id:bigint",
+        "val:double",
+        "region:string",
+    ]
+    got = {r["id"]: r for r in c.collect()}
+    assert got[3]["region"] is None and len(got) == 3
