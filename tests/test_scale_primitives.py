@@ -311,3 +311,51 @@ def test_zorder_bucket_confines_both_dimensions(spark):
         # aligned windows, not just narrow ones
         assert r["min_part"] // 32 == r["max_part"] // 32, r
         assert r["min_supp"] // 32 == r["max_supp"] // 32, r
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
+    """Cost-based optimization needs catalog statistics: ANALYZE TABLE
+    COMPUTE STATISTICS records row counts / sizes (and per-column NDV)
+    that the planner's estimates consume — at 100 TB the difference
+    between a stats-informed broadcast decision and the 10 MB default
+    guess.  Pins that the stats round-trip through the catalog and
+    surface in the optimized plan's estimates."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.write.mode("overwrite").saveAsTable("cbo_lineitem")
+    try:
+        spark.sql("ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS FOR COLUMNS l_partkey"
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_lineitem").collect()
+        }
+        assert "Statistics" in desc and "rows" in desc["Statistics"], desc.get("Statistics")
+        n = li.count()
+        assert f"{n} rows" in desc["Statistics"]
+        # the planner's estimate consumes the catalog stats (rowCount
+        # propagates into plan estimates only under CBO)
+        prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            plan_stats = (
+                spark.table("cbo_lineitem")._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+            )
+            assert plan_stats.rowCount().get() == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        # per-column NDV recorded
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED cbo_lineitem l_partkey"
+            ).collect()
+        }
+        assert int(col["distinct_count"]) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
