@@ -128,6 +128,7 @@ HEADLINE = [
     "device_registry_models",
     "orders_pointintime_segment",
     "text_sentences_udtf",
+    "events_holt_forecast_hourly",
 ]
 
 

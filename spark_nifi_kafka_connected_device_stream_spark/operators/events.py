@@ -1257,3 +1257,106 @@ def events_hll_partial_merge_bound(spark: SparkSession, sf_dir: str) -> DataFram
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("within_tolerance"),
     )
+
+
+# Holt double-exponential smoothing: binary-exact constants (0.5, 0.25)
+# so (1-alpha)/(1-beta) are exactly representable and the cross-engine
+# fp recursion cannot drift on constant rounding.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+_HOLT_SCHEMA = (
+    "event_type string, hour string, x double, level double, trend double, "
+    "forecast_next double"
+)
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    level = xs.copy()
+    trend = xs * 0.0
+    for i in range(1, len(xs)):
+        lp, bp = level[i - 1], trend[i - 1]
+        level[i] = HOLT_ALPHA * xs[i] + (1.0 - HOLT_ALPHA) * (lp + bp)
+        trend[i] = HOLT_BETA * (level[i] - lp) + (1.0 - HOLT_BETA) * bp
+    pdf["level"] = level
+    pdf["trend"] = trend
+    pdf["forecast_next"] = level + trend
+    return pdf
+
+
+@register(
+    "events_holt_forecast_hourly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+             CAST(count(*) AS BIGINT)                        AS cnt
+      FROM events GROUP BY event_type, hour
+    ), seq AS (
+      SELECT event_type, hour, cents / cnt / 100.0 AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn
+      FROM hourly
+    ), holt AS (
+      SELECT event_type, hour, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.rn,
+             {HOLT_ALPHA} * s.x + {1.0 - HOLT_ALPHA} * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * s.x + {1.0 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {1.0 - HOLT_BETA} * h.b
+      FROM holt h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0       AS x,
+           floor(l * 10000.0 + 0.5) / 10000.0       AS level,
+           floor(b * 10000.0 + 0.5) / 10000.0       AS trend,
+           floor((l + b) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+    FROM holt
+    """,
+    doc=f"Holt double-exponential smoothing (alpha={HOLT_ALPHA}, "
+        f"beta={HOLT_BETA}) over the hourly mean value per event type: "
+        f"level + trend state with a one-step-ahead forecast — the "
+        f"capacity-planning / drift-forecast extension of "
+        f"events_ewma_hourly (same engine shape: exact integer-cents "
+        f"hourly pre-aggregate BEFORE Python, then applyInPandas "
+        f"running the 2-state linear recursion per bounded key "
+        f"timeline; the Python boundary sees |types|x|hours| rows, "
+        f"never the raw stream).  Initialization l1=x1, b1=0 "
+        f"(trend warms up from the second point).  Both smoothing "
+        f"constants are binary-exact so the coupled recursion is "
+        f"bit-identical to the oracle's recursive CTE carrying (l, b) "
+        f"— the 2-state proof that the sequential-recursion pattern "
+        f"generalizes beyond single-state EWMA.",
+    tags=("events", "timeseries", "udf", "forecast"),
+)
+def events_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+            (F.col("cents") / F.col("cnt") / F.lit(100.0)).alias("x"),
+        )
+    )
+    out = hourly.groupBy("event_type").applyInPandas(
+        _holt_group, schema=_HOLT_SCHEMA
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("level", 4).alias("level"),
+        pround("trend", 4).alias("trend"),
+        pround("forecast_next", 4).alias("forecast_next"),
+    )

@@ -191,6 +191,7 @@ DEFERRED: tuple[str, ...] = (
     "device_registry_models",
     "orders_pointintime_segment",
     "text_sentences_udtf",
+    "events_holt_forecast_hourly",
 )
 
 
