@@ -129,6 +129,7 @@ HEADLINE = [
     "orders_pointintime_segment",
     "text_sentences_udtf",
     "events_holt_forecast_hourly",
+    "documents_ks_drift_by_source",
 ]
 
 

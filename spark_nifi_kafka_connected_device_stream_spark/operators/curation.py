@@ -1370,3 +1370,117 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+KS_DRIFT_THRESHOLD = 0.15
+
+
+@register(
+    "documents_ks_drift_by_source",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ), grid AS (
+      SELECT s.source, x.n_chars
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN (SELECT DISTINCT n_chars FROM counts) x
+    ), cum AS (
+      SELECT g.source, g.n_chars,
+             CAST(sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_s
+      FROM grid g LEFT JOIN counts c
+        ON c.source = g.source AND c.n_chars = g.n_chars
+    ), gcum AS (
+      SELECT n_chars,
+             CAST(sum(c) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_g
+      FROM (SELECT n_chars, sum(c) AS c FROM counts GROUP BY n_chars)
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM counts GROUP BY source
+    ), gtotal AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_g FROM counts
+    )
+    SELECT cum.source,
+           t.n_s AS n_docs,
+           floor(max(abs(
+             CAST(cum.cum_s AS DOUBLE) / t.n_s
+             - CAST(g.cum_g - cum.cum_s AS DOUBLE) / (gt.n_g - t.n_s)
+           )) * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+           max(abs(
+             CAST(cum.cum_s AS DOUBLE) / t.n_s
+             - CAST(g.cum_g - cum.cum_s AS DOUBLE) / (gt.n_g - t.n_s)
+           )) > {KS_DRIFT_THRESHOLD} AS drift_flag
+    FROM cum
+    JOIN gcum g ON g.n_chars = cum.n_chars
+    JOIN totals t ON t.source = cum.source
+    CROSS JOIN gtotal gt
+    GROUP BY cum.source, t.n_s
+    """,
+    doc=f"Two-sample Kolmogorov-Smirnov drift screen: for every source, "
+        f"the KS statistic between ITS document-length distribution and "
+        f"the rest of the corpus (sup over observed lengths of the "
+        f"empirical-CDF gap), flagged at {KS_DRIFT_THRESHOLD} — the "
+        f"standard detector for a source whose content shifted between "
+        f"corpus versions (scraper broke, boilerplate changed) before "
+        f"retraining on it.  Scale shape: the corpus collapses to "
+        f"(source, length) counts in ONE shuffle with map-side combine; "
+        f"everything after runs on the |sources| x |distinct lengths| "
+        f"grid (cross join of two tiny dims, running-sum windows "
+        f"partitioned by source) — the corpus is scanned once and no "
+        f"per-document data crosses a second shuffle.  The rest-of-"
+        f"corpus CDF is derived by subtraction (cum_g - cum_s), so no "
+        f"second pass per source exists.  Exact integer cumulative "
+        f"counts; ONE double division pair per grid cell, rounded 6dp.",
+    tags=("curation", "drift", "stats"),
+)
+def documents_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sources = counts.select("source").distinct()
+    xs = counts.select("n_chars").distinct()
+    grid = sources.crossJoin(F.broadcast(xs))
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(counts, ["source", "n_chars"], "left")
+        .withColumn("cum_s", F.sum(F.coalesce("c", F.lit(0))).over(w_s).cast("bigint"))
+        .select("source", "n_chars", "cum_s")
+    )
+    # bounded unpartitioned window: |distinct lengths| rows only
+    w_g = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gcum = (
+        counts.groupBy("n_chars")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("cum_g", F.sum("c").over(w_g).cast("bigint"))
+        .select("n_chars", "cum_g")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    gtotal = counts.agg(F.sum("c").cast("bigint").alias("n_g"))
+    gap = F.abs(
+        F.col("cum_s").cast("double") / F.col("n_s")
+        - (F.col("cum_g") - F.col("cum_s")).cast("double")
+        / (F.col("n_g") - F.col("n_s"))
+    )
+    return (
+        cum.join(F.broadcast(gcum), "n_chars")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(gtotal))
+        .groupBy("source", F.col("n_s").alias("n_docs"))
+        .agg(
+            pround(F.max(gap), 6).alias("ks_stat"),
+            (F.max(gap) > F.lit(KS_DRIFT_THRESHOLD)).alias("drift_flag"),
+        )
+    )
