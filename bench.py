@@ -130,6 +130,7 @@ HEADLINE = [
     "text_sentences_udtf",
     "events_holt_forecast_hourly",
     "documents_ks_drift_by_source",
+    "events_chi2_mix_drift_daily",
 ]
 
 

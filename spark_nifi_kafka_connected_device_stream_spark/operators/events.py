@@ -1360,3 +1360,80 @@ def events_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("trend", 4).alias("trend"),
         pround("forecast_next", 4).alias("forecast_next"),
     )
+
+
+CHI2_DRIFT_THRESHOLD = 9.488  # chi-square 95th pct, dof=4 (5 event types)
+
+
+@register(
+    "events_chi2_mix_drift_daily",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY day, event_type
+    ), day_tot AS (
+      SELECT day, CAST(sum(obs) AS BIGINT) AS n_d FROM cell GROUP BY day
+    ), type_tot AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS c_t FROM cell GROUP BY event_type
+    ), grand AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell
+    ), terms AS (
+      SELECT c.day,
+             pow(c.obs - CAST(d.n_d AS DOUBLE) * t.c_t / g.n, 2)
+               / (CAST(d.n_d AS DOUBLE) * t.c_t / g.n) AS term
+      FROM cell c
+      JOIN day_tot d ON d.day = c.day
+      JOIN type_tot t ON t.event_type = c.event_type
+      CROSS JOIN grand g
+    )
+    SELECT strftime(day, '%Y-%m-%d')           AS day,
+           CAST(count(*) - 1 AS INTEGER)       AS dof,
+           floor(sum(term) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           sum(term) > {CHI2_DRIFT_THRESHOLD}  AS drift_flag
+    FROM terms GROUP BY day
+    """,
+    doc=f"Categorical mix-drift screen (the chi-square complement of "
+        f"the KS length-drift op): each day's event-type mix tested "
+        f"against the all-time mix — expected cell count = day total x "
+        f"global type share, chi2 = sum (obs-exp)^2/exp, flagged past "
+        f"the 95th-percentile critical value for dof=4 "
+        f"({CHI2_DRIFT_THRESHOLD}).  Catches a day where the TYPE "
+        f"composition shifted (error spike, signup flood) even when "
+        f"total volume looks normal — the companion to "
+        f"events_rate_anomaly, which sees volume but not composition.  "
+        f"Scale shape: ONE grouped agg collapses the corpus to "
+        f"|days|x|types| cells; margins derive from the cells (corpus "
+        f"scanned once, cell table checkpointed); everything after is "
+        f"grid math with broadcast margins.  Exact integer counts; "
+        f"per-cell double terms rounded post-sum at 6dp.",
+    tags=("events", "drift", "stats"),
+)
+def events_chi2_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cell = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    day_tot = cell.groupBy("day").agg(F.sum("obs").cast("bigint").alias("n_d"))
+    type_tot = cell.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("c_t")
+    )
+    grand = cell.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp = F.col("n_d").cast("double") * F.col("c_t") / F.col("n")
+    term = F.pow(F.col("obs") - exp, F.lit(2)) / exp
+    return (
+        cell.join(F.broadcast(day_tot), "day")
+        .join(F.broadcast(type_tot), "event_type")
+        .crossJoin(F.broadcast(grand))
+        .select("day", term.alias("term"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+            pround(F.sum("term"), 6).alias("chi2"),
+            (F.sum("term") > F.lit(CHI2_DRIFT_THRESHOLD)).alias("drift_flag"),
+        )
+    )

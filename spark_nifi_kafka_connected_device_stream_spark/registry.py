@@ -193,6 +193,7 @@ DEFERRED: tuple[str, ...] = (
     "text_sentences_udtf",
     "events_holt_forecast_hourly",
     "documents_ks_drift_by_source",
+    "events_chi2_mix_drift_daily",
 )
 
 
