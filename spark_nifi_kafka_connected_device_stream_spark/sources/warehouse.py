@@ -153,3 +153,68 @@ def read_evolving_parquet(
         for f in target.fields
     ]
     return df.select(cols)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    n_shards: int = 16,
+) -> list[dict]:
+    """Final export stage: write the curated dataset as `n_shards`
+    deterministic shards plus a verification manifest — the handoff
+    artifact a training job consumes (shard = md5-bucket of the key,
+    so re-running the export after an append only changes the shards
+    whose keys changed, and a given row always lands in the same
+    shard regardless of cluster size or input order).
+
+    The manifest carries per-shard row counts and an ORDER-INDEPENDENT
+    content checksum (sum of xxhash64 over the key column, exact
+    integer arithmetic) so the consumer can verify every shard it
+    downloaded without re-reading the source — the 100 TB equivalent
+    of a checksum file next to a tarball.  Returns the manifest
+    (also written as `_manifest.json` in `out_dir` — the leading underscore keeps parquet readers from treating it as data, like `_SUCCESS`)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    tagged = df.withColumn("shard", shard)
+    (
+        tagged.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    stats = (
+        tagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
+            # overflows under ANSI after ~2^31 rows
+            F.sum(
+                F.xxhash64(F.col(key_col).cast("string")).cast("decimal(38,0)")
+            ).alias("key_checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = [
+        {
+            "shard": r["shard"],
+            "n_rows": r["n_rows"],
+            "key_checksum": int(r["key_checksum"]),
+        }
+        for r in stats
+    ]
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -858,3 +858,55 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     }
     assert rows["user-0"]["buy_ts"].strftime("%H:%M") == "10:02"
     assert rows["user-1"]["buy_ts"] is None
+
+
+def test_interval_join_state_evicted_by_watermark(spark, tmp_path):
+    """The join buffers both sides in state bounded by watermark +
+    range condition — prove rows actually LEAVE the store once the
+    watermark passes them (the unbounded-state trap this operator
+    exists to avoid)."""
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_file(
+        dl,
+        "l.json",
+        [_event(f"2021-03-06 10:0{i}:00.000", 0, "desktop") for i in range(5)],
+    )
+    _write_file(dr, "r.json", [_event("2021-03-06 10:02:00.000", 7, "desktop")])
+    left = parse_product_views(json_file_stream(spark, dl)).select(
+        F.col("userid").alias("key"), F.col("timestamp").alias("view_ts")
+    )
+    right = parse_product_views(json_file_stream(spark, dr)).select(
+        F.col("userid").alias("key"), F.col("timestamp").alias("buy_ts")
+    )
+    joined = stream_stream_interval_join(
+        left, right, key="key", left_ts="view_ts", right_ts="buy_ts",
+        interval="10 minutes", watermark="10 minutes",
+    )
+    q = memory_sink(joined, "evict_join", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk")
+    ).start()
+    try:
+        q.processAllAvailable()
+        peak = max(
+            op["numRowsTotal"]
+            for p in q.recentProgress if p.get("stateOperators")
+            for op in p["stateOperators"]
+        )
+        assert peak >= 6  # both sides buffered
+        # advance both watermarks far past every buffered row
+        _write_file(dl, "fl.json", [_event("2021-03-06 14:00:00.000", 0, "desktop")])
+        _write_file(dr, "fr.json", [_event("2021-03-06 14:00:00.000", 7, "desktop")])
+        q.processAllAvailable()
+        _write_file(dl, "fl2.json", [_event("2021-03-06 15:00:00.000", 0, "desktop")])
+        _write_file(dr, "fr2.json", [_event("2021-03-06 15:00:00.000", 7, "desktop")])
+        q.processAllAvailable()
+        last = [
+            op["numRowsTotal"]
+            for p in q.recentProgress if p.get("stateOperators")
+            for op in p["stateOperators"]
+        ][-1]
+        # everything from the 10:0x burst evicted; only the recent
+        # flush rows may remain buffered
+        assert last <= 4, (peak, last)
+    finally:
+        q.stop()
