@@ -299,3 +299,47 @@ def test_seasonal_anomaly_job_scores_finalized_hours(spark, tmp_path):
     assert rows[("2021-03-06", 10)]["is_anomaly"] is False
     assert rows[("2021-03-06", 11)]["n_events"] == 1
     assert rows[("2021-03-06", 11)]["zscore"] == -1.0
+
+
+def test_corpus_ingest_to_training_shards_end_to_end(spark, tmp_path):
+    """The full lifecycle: JSON document stream → in-stream curation
+    (classifier gate + dedup) → parquet corpus → sharded training
+    export with a verifiable manifest.  The manifest's totals must
+    equal the curated corpus — the artifact chain a training run
+    actually consumes."""
+    import json
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        write_training_shards,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_corpus_ingest_job,
+    )
+
+    rich = " ".join(f"tok{i}" for i in range(60))
+    docs = [
+        {"doc_id": i, "text": f"{rich} v{i}", "source": f"s{i % 3}",
+         "ts": f"2024-01-01 00:00:{i:02d}"}
+        for i in range(12)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    corpus_dir = str(tmp_path / "corpus")
+    q = run_corpus_ingest_job(spark, str(in_dir), corpus_dir, str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    corpus = spark.read.parquet(corpus_dir)
+    n_curated = corpus.count()
+    assert n_curated == 12  # all docs are rich and distinct
+
+    shard_dir = str(tmp_path / "shards")
+    manifest = write_training_shards(corpus, shard_dir, key_col="doc_id", n_shards=4)
+    assert sum(s["n_rows"] for s in manifest) == n_curated
+    back = spark.read.parquet(shard_dir)
+    assert back.count() == n_curated
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(12))
+    with open(f"{shard_dir}/_manifest.json") as f:
+        assert json.load(f) == manifest
