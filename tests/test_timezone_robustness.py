@@ -37,6 +37,17 @@ TZ_SENSITIVE = [
     "events_rate_anomaly",
     "events_markov_transitions",
     "privacy_k_anonymity_report",
+    # round-8 fourth wave+: day/hour bucketing and second-granularity
+    # timestamp strings — every one emits formatted wall time and must
+    # not shift with the consumer session tz
+    "events_seasonal_hourly_anomaly",
+    "events_conversion_latency",
+    "events_time_weighted_value",
+    "events_device_uptime",
+    "events_linear_attribution",
+    "events_chi2_mix_drift_daily",
+    "events_holt_forecast_hourly",
+    "events_rolling_distinct_users_7d",
 ]
 
 
