@@ -131,6 +131,8 @@ HEADLINE = [
     "events_holt_forecast_hourly",
     "documents_ks_drift_by_source",
     "events_chi2_mix_drift_daily",
+    "events_cusum_level_shift",
+    "supplier_hhi_concentration",
 ]
 
 

@@ -1269,3 +1269,78 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("l_quantity").alias("_sq"),
         F.stddev_samp("l_extendedprice").alias("_sp"),
     ).filter((F.col("_sq") > 0) & (F.col("_sp") > 0)).drop("_sq", "_sp")
+
+
+@register(
+    "supplier_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), nat AS (
+      SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           a.n_suppliers,
+           floor(sum(pow(CAST(r.cents AS DOUBLE) / a.tot, 2))
+                 * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+           CASE WHEN sum(pow(CAST(r.cents AS DOUBLE) / a.tot, 2)) > 0.25
+                  THEN 'concentrated'
+                WHEN sum(pow(CAST(r.cents AS DOUBLE) / a.tot, 2)) > 0.15
+                  THEN 'moderate'
+                ELSE 'competitive' END AS tier
+    FROM rev r
+    JOIN nat a ON a.s_nationkey = r.s_nationkey
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY n.n_name, a.n_suppliers
+    """,
+    doc="Herfindahl-Hirschman supply-concentration index per nation: "
+        "each supplier's share of its nation's lineitem revenue, "
+        "squared and summed — the standard dependence screen (DOJ "
+        "bands: >0.25 concentrated, >0.15 moderate) for 'how exposed "
+        "is this market to one supplier failing'.  Scale shape: ONE "
+        "fact shuffle to (nation, supplier) revenue in exact integer "
+        "cents, nation totals derived from that |suppliers|-row frame "
+        "(corpus never rescanned), nation dim broadcast; the squared-"
+        "share sum runs over the supplier frame only.  Shares are the "
+        "only doubles and they derive from exact integers, so both "
+        "engines square the identical values.",
+    tags=("stats", "agg", "join"),
+)
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share2 = F.pow(F.col("cents").cast("double") / F.col("tot"), F.lit(2))
+    hhi = F.sum(share2)
+    return (
+        rev.join(F.broadcast(nat), "s_nationkey")
+        .join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            pround(hhi, 6).alias("hhi"),
+            F.when(hhi > 0.25, F.lit("concentrated"))
+            .when(hhi > 0.15, F.lit("moderate"))
+            .otherwise(F.lit("competitive"))
+            .alias("tier"),
+        )
+        .select("nation", "n_suppliers", "hhi", "tier")
+    )

@@ -1437,3 +1437,115 @@ def events_chi2_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term") > F.lit(CHI2_DRIFT_THRESHOLD)).alias("drift_flag"),
         )
     )
+
+
+# CUSUM: binary-exact constants again (target mu learned as the global
+# hourly mean would couple the oracle to a double aggregate; a fixed
+# reference + slack keeps the recursion cross-engine exact)
+CUSUM_K = 0.5      # slack, in units of the standardized series
+CUSUM_H = 4.0      # alarm threshold
+
+_CUSUM_SCHEMA = (
+    "event_type string, hour string, x double, cusum_pos double, "
+    "cusum_neg double, alarm boolean"
+)
+
+
+def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    pos = xs * 0.0
+    neg = xs * 0.0
+    mu = pdf["mu"].iloc[0]
+    sd = pdf["sd"].iloc[0]
+    for i in range(len(xs)):
+        z = (xs[i] - mu) / sd
+        pp = pos[i - 1] if i else 0.0
+        np_ = neg[i - 1] if i else 0.0
+        pos[i] = max(0.0, pp + z - CUSUM_K)
+        neg[i] = max(0.0, np_ - z - CUSUM_K)
+    pdf["cusum_pos"] = pos
+    pdf["cusum_neg"] = neg
+    pdf["alarm"] = (pos > CUSUM_H) | (neg > CUSUM_H)
+    return pdf[["event_type", "hour", "x", "cusum_pos", "cusum_neg", "alarm"]]
+
+
+@register(
+    "events_cusum_level_shift",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM hourly GROUP BY event_type
+    ), seq AS (
+      SELECT h.event_type, h.hour, CAST(h.n AS DOUBLE) AS x, s.mu, s.sd,
+             CAST(row_number() OVER (PARTITION BY h.event_type
+                                     ORDER BY h.hour) AS BIGINT) AS rn
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    ), cs AS (
+      SELECT event_type, hour, x, mu, sd, rn,
+             greatest(0.0, (x - mu) / sd - {CUSUM_K}) AS cp,
+             greatest(0.0, -((x - mu) / sd) - {CUSUM_K}) AS cn
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.mu, s.sd, s.rn,
+             greatest(0.0, c.cp + (s.x - s.mu) / s.sd - {CUSUM_K}),
+             greatest(0.0, c.cn - ((s.x - s.mu) / s.sd) - {CUSUM_K})
+      FROM cs c JOIN seq s
+        ON s.event_type = c.event_type AND s.rn = c.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0  AS x,
+           floor(cp * 10000.0 + 0.5) / 10000.0 AS cusum_pos,
+           floor(cn * 10000.0 + 0.5) / 10000.0 AS cusum_neg,
+           (cp > {CUSUM_H} OR cn > {CUSUM_H})  AS alarm
+    FROM cs
+    """,
+    doc=f"Two-sided CUSUM change-point detector over hourly event "
+        f"counts per type (slack k={CUSUM_K}, alarm h={CUSUM_H}, "
+        f"series standardized by the per-type mean/stddev): "
+        f"accumulates small persistent deviations that per-point "
+        f"z-scores (events_rate_anomaly) never flag individually — "
+        f"the fastest detector of a sustained small level shift, "
+        f"completing the monitoring family (z-score for spikes, "
+        f"seasonal for diurnal shape, chi2 for composition, KS for "
+        f"distributions, EWMA/Holt for smoothing/trend, CUSUM for "
+        f"persistent shifts).  Same engine shape as the other "
+        f"sequential recursions: hourly pre-aggregate (exact integer "
+        f"counts) collapses the corpus BEFORE Python, applyInPandas "
+        f"runs the max(0, prev + z - k) recursion per bounded key "
+        f"timeline, and the oracle's recursive CTE carries both "
+        f"cusum states.  The standardization constants (mu, sd) come "
+        f"from exact integer counts, so both engines derive the "
+        f"identical doubles.",
+    tags=("events", "anomaly", "timeseries", "udf"),
+)
+def events_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    seq = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+        F.col("n").cast("double").alias("x"),
+        "mu",
+        "sd",
+    )
+    out = seq.groupBy("event_type").applyInPandas(_cusum_group, schema=_CUSUM_SCHEMA)
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("cusum_pos", 4).alias("cusum_pos"),
+        pround("cusum_neg", 4).alias("cusum_neg"),
+        "alarm",
+    )
