@@ -48,6 +48,7 @@ TZ_SENSITIVE = [
     "events_chi2_mix_drift_daily",
     "events_holt_forecast_hourly",
     "events_rolling_distinct_users_7d",
+    "events_cusum_level_shift",
 ]
 
 
