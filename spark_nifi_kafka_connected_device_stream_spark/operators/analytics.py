@@ -1344,3 +1344,85 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nation", "n_suppliers", "hhi", "tier")
     )
+
+
+@register(
+    "events_abtest_purchase_rate",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2
+                  AS INTEGER)                                    AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT)                                     AS purchases
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             avg(CAST(purchases AS DOUBLE))      AS mean_p,
+             var_samp(CAST(purchases AS DOUBLE)) AS var_p
+      FROM assign GROUP BY arm
+    )
+    SELECT a.n_users AS n_a,
+           floor(a.mean_p * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           b.n_users AS n_b,
+           floor(b.mean_p * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+           floor((a.mean_p - b.mean_p)
+                 / sqrt(a.var_p / a.n_users + b.var_p / b.n_users)
+                 * 1000000.0 + 0.5) / 1000000.0 AS tstat,
+           abs((a.mean_p - b.mean_p)
+               / sqrt(a.var_p / a.n_users + b.var_p / b.n_users)) > 1.96
+             AS significant
+    FROM (SELECT * FROM arms WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+    """,
+    doc="Welch two-sample t-test for an A/B experiment on per-user "
+        "purchase counts: users assigned to arms by the parity of "
+        "their first payload key (deterministic assignment stand-in), "
+        "metric = purchases per user, unequal-variance t statistic "
+        "and the |t|>1.96 verdict — the experimentation readout for a "
+        "rate metric (a two-PROPORTION z-test degenerates when nearly "
+        "every user converts, as in this corpus; Welch on the count "
+        "is the robust default).  Scale shape: ONE per-user grouped "
+        "agg with map-side combine, a 2-row arm rollup "
+        "(avg/var_samp co-moments partial-aggregated), statistic "
+        "computed on 2 rows.  Inputs are exact integer counts, so "
+        "both engines derive identical doubles.",
+    tags=("events", "stats", "abtest"),
+)
+def events_abtest_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (F.min(F.get_json_object("props", "$.k").cast("bigint")) % 2)
+        .cast("int")
+        .alias("arm"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("purchases"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg(F.col("purchases").cast("double")).alias("mean_p"),
+        F.var_samp(F.col("purchases").cast("double")).alias("var_p"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("mean_p").alias("ma"),
+        F.col("var_p").alias("va"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("mean_p").alias("mb"),
+        F.col("var_p").alias("vb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        pround("ma", 6).alias("mean_a"),
+        "n_b",
+        pround("mb", 6).alias("mean_b"),
+        pround(t, 6).alias("tstat"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )

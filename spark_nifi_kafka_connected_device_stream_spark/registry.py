@@ -196,6 +196,8 @@ DEFERRED: tuple[str, ...] = (
     "events_chi2_mix_drift_daily",
     "events_cusum_level_shift",
     "supplier_hhi_concentration",
+    "events_abtest_purchase_rate",
+    "events_survival_kaplan_meier",
 )
 
 
