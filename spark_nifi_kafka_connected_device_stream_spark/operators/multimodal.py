@@ -503,3 +503,55 @@ def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup_rate > F.lit(0.5)).alias("boilerplate_flag"),
         )
     )
+
+
+def _arrow_payload_stats(batches):
+    """pyarrow.compute over raw Arrow RecordBatches — no pandas
+    materialization at all (mapInPandas converts every batch to/from
+    pandas; for fixed-width byte math that conversion IS the cost)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        payload = batch.column(1)
+        n_bytes = pc.binary_length(payload)
+        first_byte = pc.if_else(
+            pc.greater(n_bytes, 0),
+            pc.utf8_slice_codeunits(pc.cast(payload, pa.string()), 0, 1),
+            pa.scalar(None, pa.string()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(0),
+                pc.cast(n_bytes, pa.int64()),
+                first_byte,
+            ],
+            ["doc_id", "n_bytes", "first_char"],
+        )
+
+
+@register(
+    "multimodal_payload_stats_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN substr(text, 1, 1) END AS first_char
+    FROM documents
+    """,
+    doc="mapInArrow over the binary payload column — the FIFTH and "
+        "lowest-level Python boundary (after scalar pandas_udf, "
+        "grouped-agg pandas UDF, applyInPandas/mapInPandas, and the "
+        "UDTF): the generator receives raw Arrow RecordBatches and "
+        "answers with pyarrow.compute kernels, skipping the "
+        "pandas conversion entirely — for fixed-width byte math on "
+        "blobs the conversion IS most of mapInPandas' cost, so this "
+        "is the shape a production byte-screen uses.  Map-only, "
+        "value-checked cross-engine (the payload is UTF-8 text, so "
+        "DuckDB's octet_length/substr mirror the Arrow kernels).",
+    tags=("multimodal", "pandas-udf", "arrow"),
+)
+def multimodal_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.mapInArrow(
+        _arrow_payload_stats, schema="doc_id bigint, n_bytes bigint, first_char string"
+    )

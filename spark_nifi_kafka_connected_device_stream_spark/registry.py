@@ -198,6 +198,7 @@ DEFERRED: tuple[str, ...] = (
     "supplier_hhi_concentration",
     "events_abtest_purchase_rate",
     "events_survival_kaplan_meier",
+    "multimodal_payload_stats_arrow",
 )
 
 
