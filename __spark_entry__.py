@@ -32,8 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference pipeline's
     core computation (event-time 5-min tumbling window × source → count,
     `nifi_spark_kafka_product_view_platform.py:48-55`) in batch form."""
-    specs = registry.all_specs()
-    return specs["product_view_counts"].fn(spark, SF0001)
+    return registry.queries()["product_view_counts"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

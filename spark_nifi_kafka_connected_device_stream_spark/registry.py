@@ -225,8 +225,26 @@ def all_specs() -> dict[str, QuerySpec]:
     return ordered
 
 
+def _worker_safe(fn: QueryFn) -> QueryFn:
+    """Exported query callables ship the package to Python workers on
+    first use: the driver harness imports `__spark_entry__` by absolute
+    path from an arbitrary cwd, so nothing guarantees the workers can
+    re-import this package when unpickling a pandas UDF / mapInPandas
+    function — addPyFile (session.ensure_workers_importable) does."""
+    import functools
+
+    from .session import ensure_workers_importable
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_importable(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_specs().items()}
+    return {name: _worker_safe(spec.fn) for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -64,4 +64,46 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_workers_importable(spark)
     return spark
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_workers_importable(spark: SparkSession) -> None:
+    """Make this package importable inside PYTHON WORKERS regardless of
+    the driver's working directory.
+
+    Pandas UDFs / mapInPandas / applyInPandas / UDTFs / Python data
+    sources are pickled BY REFERENCE: the worker re-imports
+    `spark_nifi_kafka_connected_device_stream_spark.<module>` to find
+    the function.  Workers inherit PYTHONPATH from the JVM launch, not
+    the driver's later sys.path edits — so a driver that imported this
+    package via an absolute path from some other cwd (exactly what the
+    correctness harness does with `__spark_entry__.py`) gets a worker
+    ImportError on every Python-boundary operator.  Shipping the
+    package once per application via `addPyFile` (a zip built from the
+    installed sources) closes the gap for ANY session, local or
+    cluster — the same mechanism used to deploy application eggs."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)

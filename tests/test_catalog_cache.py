@@ -145,3 +145,39 @@ def test_registry_counts_match_readme():
             assert m.group(1) in specs, line
             cells = [c.strip() for c in m.group(2).split("|")]
             assert len(cells) == 1 and float(cells[0]) >= 0, line
+
+
+def test_driver_contract_survives_foreign_cwd():
+    """The correctness harness imports __spark_entry__ by absolute path
+    from ITS OWN cwd — nothing guarantees /root/repo is on the Python
+    workers' import path, so every pandas-UDF / mapInPandas / Python-
+    data-source query used to die with a worker ImportError when the
+    driver ran from anywhere else.  registry.queries() now ships the
+    package via addPyFile on first use; this pins it by running a
+    Python-boundary query in a subprocess whose cwd is a temp dir."""
+    import subprocess
+    import sys
+    import tempfile
+
+    script = """
+import sys; sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n = e.queries()["pandas_udf_charge"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("OK", n)
+"""
+    with tempfile.TemporaryDirectory() as d:
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            cwd=d,
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env={k: v for k, v in __import__("os").environ.items()},
+        )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-2000:]
