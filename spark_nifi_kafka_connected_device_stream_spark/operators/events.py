@@ -1477,14 +1477,18 @@ def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, hour
+    ), ordered AS (
+      SELECT event_type, hour, CAST(n AS DOUBLE) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_obs
+      FROM hourly
     ), stats AS (
-      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
-      FROM hourly GROUP BY event_type
+      SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+      FROM ordered WHERE rn <= n_obs // 2 GROUP BY event_type
     ), seq AS (
-      SELECT h.event_type, h.hour, CAST(h.n AS DOUBLE) AS x, s.mu, s.sd,
-             CAST(row_number() OVER (PARTITION BY h.event_type
-                                     ORDER BY h.hour) AS BIGINT) AS rn
-      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+      SELECT o.event_type, o.hour, o.x, s.mu, s.sd, o.rn
+      FROM ordered o JOIN stats s ON s.event_type = o.event_type
     ), cs AS (
       SELECT event_type, hour, x, mu, sd, rn,
              greatest(0.0, (x - mu) / sd - {CUSUM_K}) AS cp,
@@ -1506,7 +1510,7 @@ def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
     doc=f"Two-sided CUSUM change-point detector over hourly event "
         f"counts per type (slack k={CUSUM_K}, alarm h={CUSUM_H}, "
-        f"series standardized by the per-type mean/stddev): "
+        f"series standardized by IN-CONTROL mean/stddev learned from the burn-in first half of each type's timeline — whole-series stats would let a shift contaminate its own reference): "
         f"accumulates small persistent deviations that per-point "
         f"z-scores (events_rate_anomaly) never flag individually — "
         f"the fastest detector of a sustained small level shift, "
@@ -1530,13 +1534,28 @@ def events_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=False)
     )
-    stats = hourly.groupBy("event_type").agg(
-        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_all = Window.partitionBy("event_type")
+    ordered = hourly.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("double").alias("x"),
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_obs"),
+    ).localCheckpoint(eager=False)
+    # in-control parameters from the burn-in PREFIX (first half of the
+    # timeline), not the whole series: a level shift inside the window
+    # would otherwise contaminate its own reference and halve the
+    # detector's sensitivity (the mixture-mean trap)
+    stats = (
+        ordered.filter(F.col("rn") <= F.expr("n_obs div 2"))
+        .groupBy("event_type")
+        .agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
     )
-    seq = hourly.join(F.broadcast(stats), "event_type").select(
+    seq = ordered.join(F.broadcast(stats), "event_type").select(
         "event_type",
         F.date_format("hour", TS_FMT_SPARK).alias("hour"),
-        F.col("n").cast("double").alias("x"),
+        "x",
         "mu",
         "sd",
     )
