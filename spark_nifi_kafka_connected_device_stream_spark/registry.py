@@ -199,6 +199,7 @@ DEFERRED: tuple[str, ...] = (
     "events_abtest_purchase_rate",
     "events_survival_kaplan_meier",
     "multimodal_payload_stats_arrow",
+    "orders_open_backlog_daily",
 )
 
 
