@@ -137,6 +137,7 @@ HEADLINE = [
     "events_survival_kaplan_meier",
     "multimodal_payload_stats_arrow",
     "orders_open_backlog_daily",
+    "text_langid_confusion",
 ]
 
 

@@ -682,3 +682,60 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(p, 6).alias("quality_prob"),
         (pround(p, 6) >= F.lit(0.5)).alias("keep"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             {", ".join(
+                 f"count(*) FILTER (WHERE tok IN ({', '.join(repr(w) for w in ws)})) AS hits_{lg}"
+                 for lg, ws in _MARKERS.items()
+             )}
+      FROM toks GROUP BY doc_id, lang
+    ), guessed AS (
+      SELECT lang AS lang_label,
+             CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                  WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+                  WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+                  WHEN hits_fr >= hits_es THEN 'fr'
+                  ELSE 'es' END AS lang_guess
+      FROM hits
+    )
+    SELECT lang_label, lang_guess,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY lang_label)
+                 * 1000000.0 + 0.5) / 1000000.0 AS label_share
+    FROM guessed GROUP BY lang_label, lang_guess
+    """,
+    doc="Classifier-evaluation confusion matrix for the language-ID "
+        "heuristic against the corpus's ground-truth lang column: per "
+        "(true, predicted) pair, doc count and the share of the true "
+        "label it represents (the diagonal shares ARE per-class "
+        "recall) — the QA readout run before trusting any model-based "
+        "curation gate, here exercised on the one labeled signal the "
+        "fixtures carry.  Scale shape: same single doc-id hash-agg as "
+        "text_language_id, then a |langs|^2-row matrix aggregate; the "
+        "share window runs over that bounded matrix, never the "
+        "corpus.  Exact integer counts; one rounded division.",
+    tags=("text", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_doc = text_language_id(spark, sf_dir)
+    w = Window.partitionBy("lang_label")
+    return (
+        per_doc.groupBy("lang_label", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "label_share",
+            pround(
+                F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+            ),
+        )
+    )

@@ -200,6 +200,7 @@ DEFERRED: tuple[str, ...] = (
     "events_survival_kaplan_meier",
     "multimodal_payload_stats_arrow",
     "orders_open_backlog_daily",
+    "text_langid_confusion",
 )
 
 
