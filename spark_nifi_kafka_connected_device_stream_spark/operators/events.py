@@ -1568,3 +1568,76 @@ def events_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("cusum_neg", 4).alias("cusum_neg"),
         "alarm",
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), contrib AS (
+      SELECT u.user_id, d.day AS window_day
+      FROM ud u JOIN days d
+        ON d.day BETWEEN u.day AND u.day + INTERVAL 29 DAY
+    ), mau AS (
+      SELECT window_day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM contrib GROUP BY window_day
+    ), dau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.dau,
+           m.mau,
+           floor(CAST(d.dau AS DOUBLE) / m.mau * 1000000.0 + 0.5) / 1000000.0
+             AS stickiness
+    FROM dau d JOIN mau m ON m.window_day = d.day
+    """,
+    doc="DAU/MAU stickiness per day: daily actives over trailing-30-day "
+        "actives — the engagement ratio product teams track beside raw "
+        "counts (a DAU spike with flat MAU = reactivation burst, both "
+        "rising = real growth).  Same scale shape as the 7-day rolling "
+        "op it extends: dedup the corpus to (user, active-day) pairs "
+        "ONCE, explode each pair into the <=30 window-days it "
+        "contributes to (bounded x30 map-only expansion — never a "
+        "|days| x corpus range self-join), distinct-count per day; "
+        "DAU falls out of the same pair frame.  The ratio is one "
+        "rounded division of exact integers.",
+    tags=("events", "window-agg", "scale"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    days = ud.select("day").distinct().withColumnRenamed("day", "window_day")
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 29))).alias(
+            "window_day"
+        ),
+    )
+    mau = (
+        contrib.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(mau, dau.day == mau.window_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            pround(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

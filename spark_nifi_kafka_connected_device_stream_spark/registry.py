@@ -201,6 +201,7 @@ DEFERRED: tuple[str, ...] = (
     "multimodal_payload_stats_arrow",
     "orders_open_backlog_daily",
     "text_langid_confusion",
+    "events_dau_mau_stickiness",
 )
 
 
