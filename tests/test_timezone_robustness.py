@@ -49,6 +49,8 @@ TZ_SENSITIVE = [
     "events_holt_forecast_hourly",
     "events_rolling_distinct_users_7d",
     "events_cusum_level_shift",
+    "events_dau_mau_stickiness",
+    "orders_open_backlog_daily",
 ]
 
 
