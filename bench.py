@@ -139,6 +139,7 @@ HEADLINE = [
     "orders_open_backlog_daily",
     "text_langid_confusion",
     "events_dau_mau_stickiness",
+    "embedding_knn_triangles",
 ]
 
 

@@ -980,3 +980,105 @@ def embedding_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("r").alias("rank_e12"),
     )
+
+
+@register(
+    "embedding_knn_triangles",
+    oracle=f"""
+    WITH dedges AS (
+      SELECT label, src, dst FROM (
+        SELECT q.label, q.vec_id AS src, c.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {KNN_GRAPH_K}
+    ), u AS (
+      SELECT DISTINCT label, least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dedges
+    ), deg AS (
+      SELECT label, v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT label, a AS v FROM u UNION ALL SELECT label, b FROM u)
+      GROUP BY label, v
+    ), tri AS (
+      SELECT e1.label, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM u e1
+      JOIN u e2 ON e2.label = e1.label AND e2.a = e1.b
+      JOIN u e3 ON e3.label = e1.label AND e3.a = e1.a AND e3.b = e2.b
+      GROUP BY e1.label
+    )
+    SELECT d.label,
+           CAST(count(*) AS BIGINT)                    AS n_nodes,
+           CAST(sum(d.d) / 2 AS BIGINT)                AS n_edges,
+           CAST(coalesce(any_value(t.n_triangles), 0) AS BIGINT) AS n_triangles,
+           floor(3.0 * coalesce(any_value(t.n_triangles), 0)
+                 / sum(d.d * (d.d - 1) / 2)
+                 * 1000000.0 + 0.5) / 1000000.0        AS clustering_coeff
+    FROM deg d LEFT JOIN tri t ON t.label = d.label
+    GROUP BY d.label
+    """,
+    doc=f"Triangle count + global clustering coefficient per kNN cell "
+        f"(k={KNN_GRAPH_K}, undirected edge set): 3×triangles / "
+        f"wedges, the transitivity measure that separates a tight "
+        f"near-duplicate clique (coefficient → 1) from a chain of "
+        f"merely-adjacent points (→ 0) — the signal SemDeDup-style "
+        f"graph dedup uses to decide whether a neighborhood is one "
+        f"duplicate cluster or a thread of distinct documents.  "
+        f"Scale shape: the canonical a<b edge-ordering triangle join "
+        f"(e1.b=e2.a, close with e3=(e1.a, e2.b)) counts each "
+        f"triangle EXACTLY once and keeps every join equi-keyed "
+        f"within the cell; the edge set is k·N rows so the two-hop "
+        f"join is bounded by degree, never corpus-sized; wedges come "
+        f"from the degree table.  All-integer counts, one rounded "
+        f"division.",
+    tags=("similarity", "graph", "agg"),
+)
+def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir).select("label", "src", "dst")
+    u = (
+        edges.select(
+            "label",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        u.select("label", F.col("a").alias("v"))
+        .unionByName(u.select("label", F.col("b").alias("v")))
+        .groupBy("label", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1 = u.select("label", F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = u.select(F.col("label").alias("l2"), F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = u.select(F.col("label").alias("l3"), F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, (F.col("l2") == F.col("label")) & (F.col("y2") == F.col("y")))
+        .join(
+            e3,
+            (F.col("l3") == F.col("label"))
+            & (F.col("x3") == F.col("x"))
+            & (F.col("z3") == F.col("z")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    wedges = F.sum(F.col("d") * (F.col("d") - 1) / 2)
+    return (
+        deg.join(F.broadcast(tri), "label", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+            F.coalesce(F.first("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            pround(
+                F.lit(3.0)
+                * F.coalesce(F.first("n_triangles"), F.lit(0))
+                / wedges,
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

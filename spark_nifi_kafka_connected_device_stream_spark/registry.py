@@ -202,6 +202,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_open_backlog_daily",
     "text_langid_confusion",
     "events_dau_mau_stickiness",
+    "embedding_knn_triangles",
 )
 
 
