@@ -140,6 +140,7 @@ HEADLINE = [
     "text_langid_confusion",
     "events_dau_mau_stickiness",
     "embedding_knn_triangles",
+    "orders_benford_screen",
 ]
 
 

@@ -1497,3 +1497,69 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.col("open_orders").cast("bigint").alias("open_orders"),
     )
+
+
+# Benford first-digit shares log10(1 + 1/d), pre-rounded to ONE literal
+# per digit: computing log10 in-engine would hand the constant to two
+# different libms (the ULP trap the MAD op documented for 3.0*1.4826)
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@register(
+    "orders_benford_screen",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+    SELECT o.digit, o.n,
+           floor(CAST(o.n AS DOUBLE) / t.t * 1000000.0 + 0.5) / 1000000.0
+             AS observed_share,
+           CASE o.digit {' '.join(f'WHEN {d} THEN CAST({s} AS DOUBLE)' for d, s in _BENFORD.items())} END
+             AS benford_share,
+           floor(pow(o.n - t.t * (CASE o.digit
+                 {' '.join(f'WHEN {d} THEN CAST({s} AS DOUBLE)' for d, s in _BENFORD.items())} END), 2)
+                 / (t.t * (CASE o.digit
+                 {' '.join(f'WHEN {d} THEN CAST({s} AS DOUBLE)' for d, s in _BENFORD.items())} END))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+    doc="Benford's-law first-digit screen over order totals: observed "
+        "first-significant-digit shares vs log10(1+1/d), with the "
+        "per-digit chi-square contribution — the classic forensic / "
+        "data-generation sanity check (fabricated or unit-mangled "
+        "amounts flunk the 30%-starts-with-1 law; a synthetic uniform "
+        "price generator flunks it too, which is itself a useful "
+        "fixture diagnostic).  The Benford constants are pre-rounded "
+        "single literals in BOTH engines — computing log10 in-engine "
+        "would diverge by ULP across libms.  Scale shape: digit "
+        "extraction is map-only string math on exact integers, one "
+        "9-row aggregate, total broadcast.",
+    tags=("stats", "dq", "agg"),
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    bshare = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    exp = F.col("t") * bshare
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        pround(F.col("n").cast("double") / F.col("t"), 6).alias("observed_share"),
+        bshare.alias("benford_share"),
+        pround(F.pow(F.col("n") - exp, F.lit(2)) / exp, 6).alias("chi2_term"),
+    )

@@ -203,6 +203,7 @@ DEFERRED: tuple[str, ...] = (
     "text_langid_confusion",
     "events_dau_mau_stickiness",
     "embedding_knn_triangles",
+    "orders_benford_screen",
 )
 
 
