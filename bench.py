@@ -141,6 +141,7 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "embedding_knn_triangles",
     "orders_benford_screen",
+    "document_embedding_coverage",
 ]
 
 

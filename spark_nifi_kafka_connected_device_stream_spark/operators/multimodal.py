@@ -555,3 +555,78 @@ def multimodal_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFram
     return b.mapInArrow(
         _arrow_payload_stats, schema="doc_id bigint, n_bytes bigint, first_char string"
     )
+
+
+@register(
+    "document_embedding_coverage",
+    oracle="""
+    WITH idx AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0
+      UNION ALL
+      SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 19 = 0
+    ), joined AS (
+      SELECT d.doc_id, d.source, i.vec_id
+      FROM documents d FULL OUTER JOIN idx i ON i.vec_id = d.doc_id
+    )
+    SELECT coalesce(source, '_dangling_vectors') AS source,
+           CAST(count(doc_id) AS BIGINT)  AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id IS NOT NULL AND vec_id IS NOT NULL)
+                AS BIGINT)                AS n_indexed,
+           CAST(count(*) FILTER (WHERE doc_id IS NOT NULL AND vec_id IS NULL)
+                AS BIGINT)                AS n_missing_embedding,
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_dangling
+    FROM joined GROUP BY 1
+    """,
+    doc="Corpus-to-vector-store referential audit: which documents "
+        "lack an embedding (index lag — they silently drop out of "
+        "semantic dedup and retrieval) and which vectors have no "
+        "backing document (stale index entries that resurrect deleted "
+        "docs — a right-to-be-forgotten liability).  The index side "
+        "is a deterministic perturbation of the embeddings table "
+        "(every 17th id unindexed, every 19th shifted to a dangling "
+        "key) so both orphan classes are actually exercised and the "
+        "oracle rebuilds the same inputs — the snapshot_diff trick.  "
+        "Scale shape: ONE co-partitioned full-outer join on the id "
+        "(embedding PAYLOADS never move — only ids), grouped to "
+        "|sources|+1 rows.  This is the nightly sync gate between a "
+        "100 TB corpus and its vector index.",
+    tags=("multimodal", "dq", "join"),
+)
+def document_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = (
+        e.filter(F.col("vec_id") % 17 != 0)
+        .select("vec_id")
+        .unionByName(
+            e.filter(F.col("vec_id") % 19 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id")
+            )
+        )
+    )
+    j = d.join(idx, d.doc_id == idx.vec_id, "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce(F.col("source"), F.lit("_dangling_vectors")).alias("source")
+        )
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("n_indexed"),
+            F.sum(
+                (F.col("doc_id").isNotNull() & F.col("vec_id").isNull()).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("n_missing_embedding"),
+            F.sum(F.col("doc_id").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_dangling"),
+        )
+    )

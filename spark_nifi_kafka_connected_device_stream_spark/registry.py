@@ -204,6 +204,7 @@ DEFERRED: tuple[str, ...] = (
     "events_dau_mau_stickiness",
     "embedding_knn_triangles",
     "orders_benford_screen",
+    "document_embedding_coverage",
 )
 
 
