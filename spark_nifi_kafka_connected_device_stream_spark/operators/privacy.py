@@ -130,6 +130,30 @@ _RE_PHONE = "\\+1-555-[0-9]{4}"
 _RE_IDTAG = "ID-[0-9]{3,}"
 
 
+def pii_counts(col):
+    """Per-span-class PII match counts — the SAME three portable
+    regexes for the batch scan and the streaming gate (a gate that
+    drifts from its audit is worse than no gate)."""
+    return (
+        F.regexp_count(col, F.lit(_RE_EMAIL)),
+        F.regexp_count(col, F.lit(_RE_PHONE)),
+        F.regexp_count(col, F.lit(_RE_IDTAG)),
+    )
+
+
+def pii_redact(col):
+    """Placeholder redaction, fused into whatever scan carries it."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _RE_EMAIL, "[EMAIL]"),
+            _RE_PHONE,
+            "[PHONE]",
+        ),
+        _RE_IDTAG,
+        "[ID]",
+    )
+
+
 @register(
     "privacy_pii_scan_documents",
     oracle=f"""
@@ -193,18 +217,8 @@ def privacy_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = d.select("doc_id", aug.alias("text"))
-    n_emails = F.regexp_count("text", F.lit(_RE_EMAIL))
-    n_phones = F.regexp_count("text", F.lit(_RE_PHONE))
-    n_ids = F.regexp_count("text", F.lit(_RE_IDTAG))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", _RE_EMAIL, "[EMAIL]"),
-            _RE_PHONE,
-            "[PHONE]",
-        ),
-        _RE_IDTAG,
-        "[ID]",
-    )
+    n_emails, n_phones, n_ids = pii_counts(F.col("text"))
+    redacted = pii_redact(F.col("text"))
     return t.select(
         "doc_id",
         n_emails.cast("int").alias("n_emails"),

@@ -223,3 +223,60 @@ def run_seasonal_anomaly_job(
     if trigger:
         w = w.trigger(processingTime=trigger)
     return w.start()
+
+
+def run_pii_gate_job(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    trigger: str | None = None,
+):
+    """In-flight PII gate: ONE parsed document lineage fanned out to
+    TWO sinks (the reference's dual-sink pattern, v2:77-89):
+
+    - **corpus sink**: every document with the SAME redaction
+      expression the batch audit uses (`operators.privacy.pii_redact`)
+      applied before anything touches disk — raw spans never land in
+      the training corpus;
+    - **quarantine sink**: only documents where PII was detected, with
+      per-class counts (`pii_counts`) and the ORIGINAL text retained
+      under restricted storage — the audit trail compliance review
+      needs (what was found, where, how much).
+
+    Sharing the expressions with the batch operator means the live
+    gate and the batch backfill cannot disagree about what counts as
+    PII.  Both stages are map-only regex over the stream; each sink
+    has its own checkpoint.  Returns (corpus_query, quarantine_query).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.privacy import pii_counts, pii_redact
+
+    raw = json_file_stream(spark, input_dir)
+    parsed = (
+        raw.select(F.from_json("value", DOC_WIRE_SCHEMA).alias("d"))
+        .select("d.*")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    n_em, n_ph, n_id = pii_counts(F.col("text"))
+    scanned = parsed.select(
+        "doc_id",
+        "source",
+        "text",
+        n_em.cast("int").alias("n_emails"),
+        n_ph.cast("int").alias("n_phones"),
+        n_id.cast("int").alias("n_ids"),
+    )
+    clean_out = scanned.select(
+        "doc_id", "source", pii_redact(F.col("text")).alias("text")
+    )
+    dirty = scanned.filter(
+        (F.col("n_emails") > 0) | (F.col("n_phones") > 0) | (F.col("n_ids") > 0)
+    )
+    w1 = parquet_sink(clean_out, corpus_dir, f"{checkpoint_dir}/corpus", trigger=trigger)
+    w2 = parquet_sink(
+        dirty, quarantine_dir, f"{checkpoint_dir}/quarantine", trigger=trigger
+    )
+    return w1.start(), w2.start()

@@ -343,3 +343,39 @@ def test_corpus_ingest_to_training_shards_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(12))
     with open(f"{shard_dir}/_manifest.json") as f:
         assert json.load(f) == manifest
+
+
+def test_pii_gate_job_redacts_and_quarantines(spark, tmp_path):
+    import json
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_pii_gate_job,
+    )
+
+    docs = [
+        {"doc_id": 0, "text": "clean document body", "source": "a",
+         "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 1, "text": "reach me at alice@corp.example.com today",
+         "source": "a", "ts": "2024-01-01 00:00:02"},
+        {"doc_id": 2, "text": "call +1-555-0199 ref ID-4821", "source": "b",
+         "ts": "2024-01-01 00:00:03"},
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    corpus, quarantine = str(tmp_path / "corpus"), str(tmp_path / "quarantine")
+    q1, q2 = run_pii_gate_job(spark, str(in_dir), corpus, quarantine, str(tmp_path / "chk"))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    out = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert out[0] == "clean document body"                      # untouched
+    assert "[EMAIL]" in out[1] and "@" not in out[1]            # redacted
+    assert "[PHONE]" in out[2] and "[ID]" in out[2]
+    quar = {r["doc_id"]: r for r in spark.read.parquet(quarantine).collect()}
+    assert set(quar) == {1, 2}                                  # clean doc excluded
+    assert quar[1]["n_emails"] == 1 and "alice@corp.example.com" in quar[1]["text"]
+    assert quar[2]["n_phones"] == 1 and quar[2]["n_ids"] == 1
