@@ -51,10 +51,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 REGIONS = ("na", "eu", "apac", "latam", "mea")
@@ -273,3 +275,91 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+# ---------------------------------------------------------------------------
+# custom Python WRITE path: the commit protocol without JVM code
+# ---------------------------------------------------------------------------
+
+
+class _AuditCommit(WriterCommitMessage):
+    """Per-task commit message (must be picklable): which staged file
+    this task wrote and how many rows it holds."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _AuditWriter(DataSourceWriter):
+    """JSON-lines audit sink demonstrating the two-phase commit every
+    real sink needs: tasks stage part files under unique names and
+    report them via commit messages; only the DRIVER's commit() makes
+    the write visible by writing the `_manifest.json` naming the
+    staged parts — a reader that trusts only manifested files never
+    sees a partial job.  abort() removes the staged files, so a failed
+    or speculatively-duplicated task leaves nothing visible."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("device_audit writer requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        # uuid suffix: a retried/speculative task must never clobber
+        # another attempt's staged file
+        fname = f"part-{part:05d}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _AuditCommit(fname, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = sorted(
+            ({"file": m.filename, "n_rows": m.n_rows} for m in messages if m),
+            key=lambda d: d["file"],
+        )
+        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+            _json.dump(manifest, f, indent=1)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class DeviceAuditDataSource(DataSource):
+    """df.write.format("device_audit").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "device_audit"
+
+    def schema(self) -> str:  # writer: schema comes from the DataFrame
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool):
+        return _AuditWriter(self.options)
+
+
+def register_audit_sink(spark) -> None:
+    spark.dataSource.register(DeviceAuditDataSource)

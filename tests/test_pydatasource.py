@@ -110,3 +110,34 @@ def test_stream_source_replay_is_deterministic():
     first = [row for p in r.partitions({"offset": 10}, {"offset": 40}) for row in r.read(p)]
     second = [row for p in r.partitions({"offset": 10}, {"offset": 40}) for row in r.read(p)]
     assert first == second == [event_row(i) for i in range(10, 40)]
+
+
+def test_audit_writer_commit_protocol(spark, tmp_path):
+    """The Python WRITE path: tasks stage uniquely-named part files
+    and report commit messages; the driver-side commit() writes the
+    manifest that makes the job's output visible; a reader trusting
+    only manifested files sees every row exactly once."""
+    import json
+    import os
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        register_audit_sink,
+    )
+
+    register_audit_sink(spark)
+    d = str(tmp_path / "audit")
+    df = spark.range(60).selectExpr("id", "id % 7 AS bucket").repartition(3)
+    df.write.format("device_audit").option("path", d).mode("append").save()
+    man = json.load(open(os.path.join(d, "_manifest.json")))
+    assert sum(m["n_rows"] for m in man) == 60
+    assert len(man) == 3
+    ids = []
+    for m in man:
+        with open(os.path.join(d, m["file"])) as f:
+            part = [json.loads(line) for line in f]
+        assert len(part) == m["n_rows"]
+        ids += [r["id"] for r in part]
+    assert sorted(ids) == list(range(60))  # exactly once, via manifest
+    # staged-but-unmanifested files would mean a broken commit protocol
+    staged = {f for f in os.listdir(d) if f.endswith(".jsonl")}
+    assert staged == {m["file"] for m in man}
