@@ -181,11 +181,14 @@ class DeviceEventsDataSource(DataSource):
 
 
 def register_python_sources(spark) -> None:
-    """Idempotent registration of both formats on a session."""
+    """Idempotent registration of all three formats on a session
+    (batch reader, stream reader, and — once defined below — the
+    audit writer)."""
     # gate for the pushFilters API (off by default in Spark 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeviceRegistryDataSource)
     spark.dataSource.register(DeviceEventsDataSource)
+    spark.dataSource.register(DeviceAuditDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -362,4 +365,5 @@ class DeviceAuditDataSource(DataSource):
 
 
 def register_audit_sink(spark) -> None:
+    """Back-compat alias: register_python_sources covers all formats."""
     spark.dataSource.register(DeviceAuditDataSource)
