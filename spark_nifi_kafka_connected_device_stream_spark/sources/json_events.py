@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.pipeline import PRODUCT_VIEW_SCHEMA
-
 DEFAULT_TOPIC = "platform"
 
 
