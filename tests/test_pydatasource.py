@@ -141,3 +141,60 @@ def test_audit_writer_commit_protocol(spark, tmp_path):
     # staged-but-unmanifested files would mean a broken commit protocol
     staged = {f for f in os.listdir(d) if f.endswith(".jsonl")}
     assert staged == {m["file"] for m in man}
+
+
+def test_custom_connector_pipeline_end_to_end(spark, tmp_path):
+    """Flagship connector composition: the Python STREAM source feeds
+    a stream-static join against the Python BATCH source (device →
+    registry enrichment), aggregates per region, and lands in parquet
+    — an end-to-end pipeline where every external touchpoint is a
+    Python connector."""
+    import pyspark.sql.functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        event_row,
+        register_python_sources,
+        registry_row,
+    )
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("device_events")
+        .option("total_events", 80)
+        .option("events_per_batch", 40)
+        .load()
+    )
+    dim = (
+        spark.read.format("device_registry").option("n_devices", 100).load()
+    )
+    enriched = stream.join(F.broadcast(dim), "device_id")
+    agg_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", agg_dir)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for _ in range(4):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(agg_dir)
+    got = (
+        out.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("cents"),
+        )
+        .collect()
+    )
+    # independent ground truth from the two deterministic generators
+    expect = {}
+    for i in range(80):
+        _, dev, cents = event_row(i)
+        region = registry_row(dev)[1]
+        n, c = expect.get(region, (0, 0))
+        expect[region] = (n + 1, c + cents)
+    assert {r["region"]: (r["n"], r["cents"]) for r in got} == expect
