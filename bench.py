@@ -142,6 +142,7 @@ HEADLINE = [
     "embedding_knn_triangles",
     "orders_benford_screen",
     "document_embedding_coverage",
+    "part_bom_explosion",
 ]
 
 

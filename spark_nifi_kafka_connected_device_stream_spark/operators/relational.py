@@ -1268,3 +1268,103 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# BOM hierarchy derived deterministically from the part key: parts 0-6
+# are root assemblies, everything else hangs under key div 7 with an
+# edge quantity of 1 + key % 3 (forest depth ~ log7 |parts|).  Both
+# engines rebuild the same forest, so the full traversal is
+# value-checked — the dedup-tier synthetic-input trick applied to
+# recursive queries.
+BOM_FANOUT = 7
+BOM_MAX_DEPTH = 12  # covers 7^12 parts — far past any fixture SF
+
+
+@register(
+    "part_bom_explosion",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT p_partkey AS part, p_partkey AS cur,
+             0 AS depth, CAST(1 AS BIGINT) AS total
+      FROM part
+      UNION ALL
+      SELECT c.part, c.cur // {BOM_FANOUT}, c.depth + 1,
+             c.total * (1 + c.cur % 3)
+      FROM chain c WHERE c.cur >= {BOM_FANOUT}
+    )
+    SELECT CAST(part AS BIGINT)     AS part,
+           CAST(cur AS BIGINT)      AS root,
+           CAST(depth AS INTEGER)   AS depth,
+           total                    AS total_qty
+    FROM chain WHERE cur < {BOM_FANOUT}
+    """,
+    doc=f"Bill-of-materials explosion — the recursive-hierarchy query "
+        f"class (org charts, category trees, BOM rollups) Spark has no "
+        f"WITH RECURSIVE for: every part resolves to its ROOT "
+        f"assembly, its depth, and the cumulative quantity (product "
+        f"of per-edge quantities along the path — the 'how many "
+        f"screws per tractor' number).  Engine shape: a driver-side "
+        f"loop of at most {BOM_MAX_DEPTH} pointer-chasing rounds over "
+        f"a materialized EDGE TABLE (parent read as DATA via a "
+        f"co-partitioned join, exactly as a real BOM table would be "
+        f"— not re-derived arithmetically), resolved rows passing "
+        f"through untouched, lineage cut per round with "
+        f"localCheckpoint; rounds needed = tree DEPTH (log-bounded), "
+        f"not tree size, and each round is ONE equi-join on the "
+        f"current pointer.  For pathological depths the rewrite is "
+        f"pointer DOUBLING (join state with itself: depth halves per "
+        f"round, O(log log) rounds) at the cost of quadratic total "
+        f"join work — depth-bounded chasing is the right default for "
+        f"real hierarchies.  All-integer arithmetic; the oracle runs "
+        f"the same traversal as a recursive CTE.",
+    tags=("relational", "hierarchy", "iterative"),
+)
+def part_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    edges = (
+        p.select(
+            F.col("p_partkey").alias("node"),
+            F.when(
+                F.col("p_partkey") >= BOM_FANOUT,
+                F.expr(f"p_partkey div {BOM_FANOUT}"),
+            ).alias("parent"),
+            (1 + F.col("p_partkey") % 3).cast("bigint").alias("qty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = edges.select(
+        F.col("node").alias("part"),
+        F.col("node").alias("cur"),
+        F.lit(0).alias("depth"),
+        F.lit(1).cast("bigint").alias("total"),
+    )
+    e2 = edges.select(
+        F.col("node").alias("cur"),
+        F.col("parent").alias("nxt"),
+        F.col("qty").alias("step_qty"),
+    )
+    for _ in range(BOM_MAX_DEPTH):
+        state = (
+            state.join(e2, "cur")
+            .select(
+                "part",
+                F.when(F.col("nxt").isNotNull(), F.col("nxt"))
+                .otherwise(F.col("cur"))
+                .alias("cur"),
+                F.when(F.col("nxt").isNotNull(), F.col("depth") + 1)
+                .otherwise(F.col("depth"))
+                .alias("depth"),
+                F.when(
+                    F.col("nxt").isNotNull(), F.col("total") * F.col("step_qty")
+                )
+                .otherwise(F.col("total"))
+                .alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("part").cast("bigint").alias("part"),
+        F.col("cur").cast("bigint").alias("root"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("total").alias("total_qty"),
+    )

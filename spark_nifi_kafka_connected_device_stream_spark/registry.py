@@ -205,6 +205,7 @@ DEFERRED: tuple[str, ...] = (
     "embedding_knn_triangles",
     "orders_benford_screen",
     "document_embedding_coverage",
+    "part_bom_explosion",
 )
 
 
