@@ -1344,6 +1344,12 @@ def part_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty").alias("step_qty"),
     )
     for _ in range(BOM_MAX_DEPTH):
+        # converged when every chain sits at a root (keys < BOM_FANOUT
+        # by construction): a cheap filter on the checkpointed state
+        # replaces the wasted no-op rounds between actual depth and
+        # the worst-case bound
+        if state.filter(F.col("cur") >= BOM_FANOUT).isEmpty():
+            break
         state = (
             state.join(e2, "cur")
             .select(
