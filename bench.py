@@ -143,6 +143,7 @@ HEADLINE = [
     "orders_benford_screen",
     "document_embedding_coverage",
     "part_bom_explosion",
+    "events_session_paths",
 ]
 
 

@@ -1641,3 +1641,104 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PATH_LEN = 3  # entry-path prefix length
+
+
+@register(
+    "events_session_paths",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, event_type, us, event_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_seq, event_type,
+             row_number() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY us ASC, event_id ASC) AS rn
+      FROM sessions
+    ), paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, session_seq
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           floor(count(*) * 1.0 / sum(count(*)) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM paths GROUP BY path
+    """,
+    doc=f"Behavioral path mining: the first {PATH_LEN} event types of "
+        f"every session (30-min gap sessionization, same contract as "
+        f"events_sessionize) aggregated into entry-path frequencies — "
+        f"the sequence-discovery complement of the Markov transition "
+        f"matrix (that op models one step; this surfaces the actual "
+        f"multi-step journeys users start with, the input to funnel "
+        f"DESIGN rather than funnel measurement).  Scale shape: ONE "
+        f"user-key shuffle carries sessionization, the within-session "
+        f"ranking, and the per-session path assembly (all three "
+        f"windows share the partitioning); the path table is "
+        f"|sessions| rows and the final rollup is |distinct paths| "
+        f"(<= |types|^{PATH_LEN}); the share window runs over that "
+        f"bounded frame.  Path assembly is ORDER-PINNED ((us, "
+        f"event_id) tie-break) in both engines.",
+    tags=("events", "session", "sequence"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+    wses = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    ranked = sessions.withColumn("rn", F.row_number().over(wses)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = (
+        ranked.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .withColumn(
+            "share",
+            pround(
+                F.col("n_sessions") * F.lit(1.0)
+                / F.sum("n_sessions").over(wall),
+                6,
+            ),
+        )
+    )

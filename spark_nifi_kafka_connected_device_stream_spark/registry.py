@@ -206,6 +206,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_benford_screen",
     "document_embedding_coverage",
     "part_bom_explosion",
+    "events_session_paths",
 )
 
 
