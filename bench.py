@@ -6,7 +6,13 @@ Each query executes end-to-end via the noop sink (full plan runs on
 the executors, nothing collected to Python — measures the engine, not
 the driver round-trip).
 
-Usage: python bench.py            # one JSON line on stdout
+Output contract (round 9): the COMPLETE per-query map is written to
+BENCH_FULL.json beside this script; the final stdout line is a compact
+JSON headline (total / n_queries / sf / slowest queries) guaranteed to
+fit the driver's 2000-char stdout-tail capture — BENCH_r08.json came
+back `parsed: null` because the 103-query map outgrew that window.
+
+Usage: python bench.py            # compact JSON headline on stdout
 """
 
 from __future__ import annotations
@@ -192,7 +198,7 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
@@ -204,9 +210,33 @@ def main() -> None:
     if errors:
         # a crashed query drops out of the sum — flag the total so a
         # partial round can't be misread as faster than a clean one
-        out["errors"] = errors
-        out["partial"] = True
-    print(json.dumps(out))
+        full["errors"] = errors
+        full["partial"] = True
+    # The driver records only a 2000-char TAIL of stdout; with 100+
+    # queries the full per-query map no longer fits (BENCH_r08.json
+    # came back `parsed: null`).  So: the COMPLETE result goes to
+    # BENCH_FULL.json beside this script (PERF.md's source of truth),
+    # and the LAST stdout line is a compact headline — total, count,
+    # sf, plus the slowest queries, truncated to stay parseable inside
+    # the tail window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    compact = dict(full)
+    compact["n_queries"] = len(timings)
+    compact["full_results"] = "BENCH_FULL.json"
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in errors.items()}
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    n_keep = len(slowest)
+    while True:
+        compact["queries"] = dict(sorted(slowest[:n_keep], key=lambda kv: kv[0]))
+        if n_keep < len(slowest):
+            compact["queries_truncated_to_slowest"] = n_keep
+        if len(json.dumps(compact)) <= 1500 or n_keep <= 1:
+            break
+        n_keep = max(1, n_keep - 5)
+    print(json.dumps(compact))
     spark.stop()
 
 

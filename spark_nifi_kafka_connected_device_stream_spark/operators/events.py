@@ -1729,16 +1729,22 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    wall = Window.partitionBy()
-    return (
+    # |distinct paths| grows with data, so the global share comes from a
+    # 1-row broadcast total (the chi2-drift pattern above), not an
+    # unpartitioned WindowExec over the grouped table
+    counted = (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-        .withColumn(
-            "share",
+        .localCheckpoint(eager=False)
+    )
+    total = counted.agg(F.sum("n_sessions").cast("bigint").alias("total_sessions"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
             pround(
-                F.col("n_sessions") * F.lit(1.0)
-                / F.sum("n_sessions").over(wall),
-                6,
-            ),
+                F.col("n_sessions") * F.lit(1.0) / F.col("total_sessions"), 6
+            ).alias("share"),
         )
     )

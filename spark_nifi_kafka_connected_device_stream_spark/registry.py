@@ -91,98 +91,16 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 8 (VERDICT r7 top-next): this closes the driver
-# re-verification sweep started in round 7 — after this round every
-# registered query has a driver-green row on the CURRENT (post-round-5)
-# fixtures.  The list = the last 13 queries whose freshest green row is
-# r2/r3 (pre-regen) plus every round-8 addition needing a first driver
-# row: the two sketch accuracy-bound queries (replacing the registry's
-# only `err: no_oracle` rows), the multimodal corruption scan /
-# modality routing / payload chunker, the skew-demonstration pair, the
-# BPE pair counter, kNN-graph stats, the incident-window range join,
-# the SemDeDup keep-list, the logistic quality classifier, the privacy
-# tier, mix planning, rate-drift monitoring, the co-moment correlation
-# and OLS aggregates, ABC/Pareto tiering, basket pairs, the native
-# session-window parity query, the expectations audit, and the Markov
-# transition matrix.  The remaining ~14 window slots fall to module
-# order (windows/text/... — all r5+-green), a free same-fixture
-# re-check.
+# modules.  Round 9 (VERDICT r8 top-next): drain the DEFERRED queue —
+# the 24 queries registered after round 8's window filled, each locally
+# oracle-green on every pytest run but never driver-checked.  They take
+# the first 24 slots; the remaining 26 go to the stalest re-checks:
+# text_top_bigrams (freshest green row r2), the 11 r5-era rows, and the
+# 14 alphabetically-first r6-era rows (the rest of the r6 cohort
+# rotates in round 10).  After this round every query registered
+# through round 8 has a driver-green row on current fixtures.
 _PROMOTE: tuple[str, ...] = (
-    # last green row = r2 (pre-regen fixtures)
-    "histogram_price_bins",
-    "q13_customer_order_distribution",
-    "stats_percentiles",
-    "stats_moments",
-    "array_collect_ops",
-    "grouping_sets_explicit",
-    "q4_order_priority_exists",
-    # last green row = r3 (pre-regen fixtures)
-    "q7_volume_shipping",
-    "q8_market_share",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_positions",
-    "text_winnowing_fingerprints",
-    # round-8 additions — never driver-checked
-    "agg_approx_distinct_bound",
-    "stats_percentiles_approx_bound",
-    "multimodal_byte_stats",
-    "skew_hot_key_plain",
-    "skew_hot_key_salted",
-    "text_bpe_pair_counts",
-    "embedding_knn_graph_stats",
-    "multimodal_modality_routing",
-    "events_incident_window_attribution",
-    # round-8 second wave — never driver-checked (SemDeDup keep-list,
-    # logistic quality classifier, the privacy tier, mix planning)
-    "semantic_dedup_keep_list",
-    "text_quality_classifier",
-    "privacy_pseudonymize_events",
-    "privacy_k_anonymity_report",
-    "dataset_token_budget_plan",
-    "multimodal_chunk_payloads",
-    "events_rate_anomaly",
-    "stats_correlation_by_group",
-    "lineitem_abc_pareto",
-    "orders_basket_pairs",
-    "events_session_window_native",
-    "dataset_quality_expectations",
-    "events_markov_transitions",
-    "stats_linear_regression",
-    "cluster_topic_terms",
-    # round-8 third wave — never driver-checked (VARIANT shredding,
-    # sequential EWMA, document PII gate, grouped-agg pandas UDF)
-    "events_variant_props",
-    "events_ewma_hourly",
-    "privacy_pii_scan_documents",
-    "grouped_agg_weighted_median",
-    "events_rolling_distinct_users_7d",
-    # round-8 fourth wave — never driver-checked (SCD2 merge, snapshot
-    # reconciliation, kNN PageRank, multimodal dedup/caption audit,
-    # Z-order layout, priority sampling, seasonal anomaly).  This list
-    # is now 51 long: the last entry falls OUTSIDE the driver's
-    # 50-entry window and rides to the next round's rotation.
-    "scd2_customer_batch",
-    "orders_snapshot_diff",
-    "embedding_pagerank_centrality",
-    "multimodal_payload_dedup",
-    "multimodal_caption_audit",
-    "lineitem_zorder_layout",
-    "dataset_weighted_sample",
-    "events_seasonal_hourly_anomaly",
-    "events_conversion_latency",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled
-# (the window must carry the 13 stale re-verification rows — the r7
-# verdict's top ask — plus the round-8 waves 1-4, which together take
-# all 50 slots).  Every name here is oracle-parity-green locally every
-# pytest run; they are FIRST in line for the next round's _PROMOTE
-# rotation, and tests/test_oracle_parity.py asserts that any
-# never-driver-checked query is either inside the window or on this
-# explicit queue — a silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = (
+    # ex-DEFERRED: never driver-checked (registered after the r8 window filled)
     "events_conversion_latency",
     "events_time_weighted_value",
     "events_device_uptime",
@@ -207,6 +125,47 @@ DEFERRED: tuple[str, ...] = (
     "document_embedding_coverage",
     "part_bom_explosion",
     "events_session_paths",
+    # freshest green row = r2
+    "text_top_bigrams",
+    # freshest green rows = r5
+    "applyinpandas_zscore",
+    "curation_funnel_report",
+    "dedup_cluster_stats",
+    "documents_quality_deciles",
+    "events_erasure_impact",
+    "events_user_activity_percentiles",
+    "events_value_outliers_mad",
+    "pandas_udf_charge",
+    "text_repetition_stats",
+    "text_sentiment_lexicon",
+    "text_vocab_coverage",
+    # freshest green rows = r6 (first 14 of the cohort; rest rotate r10)
+    "asof_join_last_click",
+    "benchmark_contamination",
+    "dataset_mix_sample",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "embedding_kmeans_assign",
+    "embedding_near_dup_bucketed",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 9's window is exactly consumed by the 24 ex-DEFERRED first-time
+# checks plus 26 stale re-checks, so any query ADDED in round 9 lands
+# here and is first in line for the round-10 rotation.  Every name here
+# must be oracle-parity-green locally on every pytest run;
+# tests/test_oracle_parity.py asserts that any never-driver-checked
+# query is either inside the window or on this explicit queue — a
+# silent backlog stays impossible.
+DEFERRED: tuple[str, ...] = (
 )
 
 
