@@ -150,6 +150,11 @@ HEADLINE = [
     "document_embedding_coverage",
     "part_bom_explosion",
     "events_session_paths",
+    # round-9: batch twins of the streaming corpus-ingest / PII-gate
+    # jobs (VERDICT r8 item 8) — the seasonal-anomaly twin
+    # (events_seasonal_hourly_anomaly) is benched above already
+    "corpus_ingest_batch",
+    "privacy_pii_gate_batch",
 ]
 
 

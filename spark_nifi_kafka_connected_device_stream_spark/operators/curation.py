@@ -1484,3 +1484,114 @@ def documents_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(gap) > F.lit(KS_DRIFT_THRESHOLD)).alias("drift_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the streaming corpus-ingest job (streaming/jobs.py
+# run_corpus_ingest_job) — same scoring + gate + dedup expressions, so
+# the live stream and this backfill can never disagree on what enters
+# the corpus.  Registered so the shared expressions have a tracked
+# bench row (round-8 verdict item 8).
+# ---------------------------------------------------------------------------
+
+from .text import (  # noqa: E402  (late import: registry loads text first)
+    _QC_BIAS,
+    _QC_C_DISTINCT,
+    _QC_C_NTOKENS,
+    _QC_W_DISTINCT,
+    _QC_W_NTOKENS,
+    quality_features,
+    quality_prob,
+)
+
+
+@register(
+    "corpus_ingest_batch",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS fingerprint,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             CASE WHEN len({_DUCK_TOKENS}) = 0 THEN 0.0
+                  ELSE len(list_distinct({_DUCK_TOKENS})) * 1.0
+                       / len({_DUCK_TOKENS}) END AS distinct_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, fingerprint, n_tokens,
+             floor(1.0 / (1.0 + exp(-({_QC_BIAS}
+                 + {_QC_W_DISTINCT} * (distinct_ratio - {_QC_C_DISTINCT})
+                 + {_QC_W_NTOKENS} * (n_tokens - {_QC_C_NTOKENS}))))
+               * 1000000.0 + 0.5) / 1000000.0 AS p
+      FROM feats
+    ), gated AS (
+      SELECT * FROM scored WHERE p >= 0.5
+    ), winners AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ), in_stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE p >= 0.5) AS BIGINT) AS n_quality_pass
+      FROM scored GROUP BY source
+    ), kept AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+             floor(avg(p) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
+      FROM winners GROUP BY source
+    )
+    SELECT i.source, i.n_docs, i.n_quality_pass,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT)      AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           COALESCE(k.avg_quality, -1.0)              AS avg_quality
+    FROM in_stats i LEFT JOIN kept k USING (source)
+    """,
+    doc="Batch twin of streaming/jobs.py run_corpus_ingest_job: the "
+        "SAME quality_prob gate (operators.text, rounded decision so no "
+        "doc sits on a cross-engine boundary) and the SAME md5-of-"
+        "normalized-text fingerprint dedup (min-doc_id winner, exactly "
+        "dedup_exact's keep rule), rolled up per source: input docs, "
+        "quality passes, surviving corpus docs/tokens, mean kept "
+        "quality (-1.0 sentinel when a source keeps nothing).  Scale: "
+        "scoring is map-only column math fused into the scan; the "
+        "dedup is ONE fingerprint-keyed shuffle with min_by partial "
+        "aggregation (never a window over the corpus); the per-source "
+        "rollups shuffle |sources| groups.  The scored relation feeds "
+        "both the gate and the input stats — two scan passes, same "
+        "dual-consumer shape as the job's two sinks.",
+    tags=("curation", "dedup", "text"),
+)
+def corpus_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok, dratio = quality_features(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fingerprint"),
+        n_tok.alias("n_tokens"),
+        pround(quality_prob(dratio, n_tok), 6).alias("p"),
+    )
+    in_stats = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("p") >= 0.5, 1)).cast("bigint").alias("n_quality_pass"),
+    )
+    winners = (
+        scored.filter(F.col("p") >= 0.5)
+        .groupBy("fingerprint")
+        .agg(F.min_by(F.struct("source", "n_tokens", "p"), "doc_id").alias("w"))
+        .select("w.*")
+    )
+    kept = winners.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        pround(F.avg("p"), 6).alias("avg_quality"),
+    )
+    return in_stats.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_quality_pass",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+        F.coalesce("avg_quality", F.lit(-1.0)).alias("avg_quality"),
+    )

@@ -154,6 +154,36 @@ def pii_redact(col):
     )
 
 
+def _aug_pii_text():
+    """Deterministic PII-injection expression shared by the scan and the
+    gate twin: the synthetic corpus carries no PII (no digits or '@'
+    anywhere at any SF), so both engines append the SAME contact line
+    to 2 of every 3 docs — the machinery under test sees realistic
+    spans either way.  The oracle-side SQL form lives in
+    `_DUCK_AUG_PII` below; they must change together."""
+    return F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ref ID-"),
+            ((F.col("doc_id") * 7919) % 100000).cast("string"),
+        )
+    )
+
+
+_DUCK_AUG_PII = """CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail-' || source || '.example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ref ID-' || CAST((doc_id * 7919) % 100000 AS VARCHAR)
+             END"""
+
+
 @register(
     "privacy_pii_scan_documents",
     oracle=f"""
@@ -201,22 +231,7 @@ def pii_redact(col):
 )
 def privacy_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    aug = F.when(
-        F.col("doc_id") % 3 == 0, F.col("text")
-    ).otherwise(
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail-"),
-            F.col("source"),
-            F.lit(".example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" ref ID-"),
-            ((F.col("doc_id") * 7919) % 100000).cast("string"),
-        )
-    )
-    t = d.select("doc_id", aug.alias("text"))
+    t = d.select("doc_id", _aug_pii_text().alias("text"))
     n_emails, n_phones, n_ids = pii_counts(F.col("text"))
     redacted = pii_redact(F.col("text"))
     return t.select(
@@ -226,4 +241,78 @@ def privacy_pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ids.cast("int").alias("n_ids"),
         ((n_emails == 0) & (n_phones == 0) & (n_ids == 0)).alias("clean"),
         F.length(redacted).cast("int").alias("redacted_len"),
+    )
+
+
+@register(
+    "privacy_pii_gate_batch",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_DUCK_AUG_PII} AS text
+      FROM documents
+    ), scanned AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_RE_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text, '{_RE_IDTAG}')) AS n_ids,
+             length(text) AS raw_len,
+             length(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                       '{_RE_PHONE}', '[PHONE]', 'g'),
+                       '{_RE_IDTAG}', '[ID]',    'g')) AS redacted_len
+      FROM aug
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_emails > 0 OR n_phones > 0
+                                    OR n_ids > 0) AS BIGINT) AS n_quarantined,
+           CAST(sum(n_emails) AS BIGINT)                AS total_emails,
+           CAST(sum(n_phones) AS BIGINT)                AS total_phones,
+           CAST(sum(n_ids) AS BIGINT)                   AS total_ids,
+           CAST(sum(raw_len - redacted_len) AS BIGINT)  AS chars_redacted,
+           CAST(sum(redacted_len) AS BIGINT)            AS corpus_chars
+    FROM scanned GROUP BY source
+    """,
+    doc="Batch twin of streaming/jobs.py run_pii_gate_job: the SAME "
+        "pii_counts detection and pii_redact redaction expressions the "
+        "live dual-sink gate applies, rolled up per source into the "
+        "release-review summary: corpus size, quarantine volume, span "
+        "counts per PII class, and how many characters redaction "
+        "removed (the audit number proving raw spans never reached the "
+        "corpus sink).  Uses the scan query's deterministic PII "
+        "injection (_aug_pii_text) since the synthetic corpus is "
+        "PII-free.  Scale: map-only regex column math fused into the "
+        "scan, then ONE per-source grouped agg with map-side combine — "
+        "the cheapest shape a corpus-wide compliance pass can take.",
+    tags=("privacy", "text"),
+)
+def privacy_pii_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", _aug_pii_text().alias("text"))
+    n_em, n_ph, n_id = pii_counts(F.col("text"))
+    scanned = t.select(
+        "source",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        n_id.alias("n_ids"),
+        F.length("text").alias("raw_len"),
+        F.length(pii_redact(F.col("text"))).alias("redacted_len"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("n_emails") > 0)
+                | (F.col("n_phones") > 0)
+                | (F.col("n_ids") > 0),
+                1,
+            )
+        ).cast("bigint").alias("n_quarantined"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum("n_ids").cast("bigint").alias("total_ids"),
+        F.sum(F.col("raw_len") - F.col("redacted_len"))
+        .cast("bigint")
+        .alias("chars_redacted"),
+        F.sum("redacted_len").cast("bigint").alias("corpus_chars"),
     )

@@ -166,6 +166,11 @@ _DEMOTE: tuple[str, ...] = ()
 # query is either inside the window or on this explicit queue — a
 # silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
+    # round-9 additions: batch twins of the streaming corpus-ingest and
+    # PII-gate jobs (VERDICT r8 item 8) — benched this round, first in
+    # line for the round-10 driver window
+    "corpus_ingest_batch",
+    "privacy_pii_gate_batch",
 )
 
 
