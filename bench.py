@@ -155,6 +155,11 @@ HEADLINE = [
     # (events_seasonal_hourly_anomaly) is benched above already
     "corpus_ingest_batch",
     "privacy_pii_gate_batch",
+    # round-9 analytics additions
+    "text_collocation_lift",
+    "text_bm25_search",
+    "events_hourly_acf",
+    "part_fuzzy_linkage_blocked",
 ]
 
 

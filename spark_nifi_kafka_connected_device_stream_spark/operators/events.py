@@ -1748,3 +1748,146 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (round 9): sample ACF of the zero-filled hourly
+# volume series per event type — the seasonality detector that tells a
+# monitoring pipeline WHICH period its baseline should use (a 24h ACF
+# spike is what justifies events_seasonal_hourly_anomaly's
+# hour-of-day grouping).  Exactness: with S = Σx and n the grid
+# length, centered deviations are scaled to INTEGERS d = n·x − S, so
+# every numerator/denominator is an integer sum (associative →
+# order-free → bit-identical cross-engine) and the only float op is
+# the final num/den division.  The n² scale factors cancel in the
+# ratio.  Headroom: |d| ≤ n·x_max, so den ≤ T·(n·x_max)² must stay
+# under 9.2e18 — n·x_max ≈ 3e6 per month-long grid at sf0.1 leaves
+# ~1e5× growth before an int64 sum could wrap; beyond that accumulate
+# decimal(38,0) (warehouse.py:203 pattern).
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@register(
+    "events_hourly_acf",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), stats AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS t
+      FROM series GROUP BY event_type
+    ), dev AS (
+      SELECT se.event_type, se.h, se.x * st.t - st.s AS d
+      FROM series se JOIN stats st USING (event_type)
+    ), lagged AS (
+      SELECT event_type, d,
+             {", ".join(f"lag(d, {L}) OVER w AS d{L}" for L in _ACF_LAGS)}
+      FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), moments AS (
+      SELECT event_type,
+             CAST(sum(d * d) AS BIGINT) AS den,
+             {", ".join(
+                 f"CAST(sum(d * d{L}) AS BIGINT) AS num{L}, "
+                 f"CAST(count(d{L}) AS BIGINT) AS np{L}"
+                 for L in _ACF_LAGS)}
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor((CAST(num AS DOUBLE) / den) * 1000000.0 + 0.5) / 1000000.0
+             AS acf
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {L} AS lag, np{L} AS n_pairs, num{L} AS num, den FROM moments"
+          for L in _ACF_LAGS)}
+    )
+    """,
+    doc=f"Sample autocorrelation of the zero-filled hourly event-volume "
+        f"series per event type at lags {_ACF_LAGS} — the seasonality "
+        "detector behind choosing a diurnal baseline.  Plan: one "
+        "hash-agg to hourly counts (the only pass over the fact "
+        "table); the dense grid is sequence-generated O(hours×types) "
+        "independent of fact size; per-type totals broadcast back; ONE "
+        "WindowExec computes all six lags in a single pass over "
+        "per-type partitions bounded by the calendar span (never the "
+        "fact table); the co-moments collapse to |types| rows before "
+        "the lag unpivot.  All sums are exact integers (see module "
+        "comment) — the division is the only float op, so the oracle "
+        "match is bit-exact, not tolerance-based.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.localCheckpoint(eager=False)
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .crossJoin(F.broadcast(counts.select("event_type").distinct()))
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    stats = series.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    dev = series.join(F.broadcast(stats), "event_type").select(
+        "event_type", "h", (F.col("x") * F.col("t") - F.col("s")).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dev.select(
+        "event_type",
+        "d",
+        *[F.lag("d", L).over(w).alias(f"d{L}") for L in _ACF_LAGS],
+    )
+    moments = lagged.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den"),
+        *[
+            agg
+            for L in _ACF_LAGS
+            for agg in (
+                F.sum(F.col("d") * F.col(f"d{L}")).cast("bigint").alias(f"num{L}"),
+                F.count(F.col(f"d{L}")).cast("bigint").alias(f"np{L}"),
+            )
+        ],
+    )
+    unpivoted = moments.select(
+        "event_type",
+        "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("int").alias("lag"),
+                        F.col(f"np{L}").alias("n_pairs"),
+                        F.col(f"num{L}").alias("num"),
+                    )
+                    for L in _ACF_LAGS
+                ]
+            )
+        ).alias("m"),
+    )
+    return unpivoted.select(
+        "event_type",
+        "m.lag",
+        F.col("m.n_pairs").cast("bigint").alias("n_pairs"),
+        pround(F.col("m.num").cast("double") / F.col("den"), 6).alias("acf"),
+    )

@@ -739,3 +739,218 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (round 9): which adjacent word pairs co-occur far
+# more often than their unigram frequencies predict — the phrase-
+# detection stage (word2vec-style "new_york" phrasing, collocation
+# dictionaries) of a text pipeline.  Lift instead of PMI: the PMI log
+# is monotone in lift, so the RANKING is identical while the score
+# stays exact rational arithmetic (integer counts + one double
+# division) — no cross-engine transcendental.
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_SUPPORT = 20   # min bigram occurrences; kills one-off noise
+_COLL_TOP = 50
+
+
+@register(
+    "text_collocation_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT tk[gs.i] AS w1, tk[gs.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+    ), uni AS (
+      SELECT tk[gs.i] AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs
+    ), uni_counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), totals AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t_tokens,
+             CAST(count(*) AS BIGINT) AS v FROM uni_counts
+    ), bg_counts AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY w1, w2
+      HAVING count(*) >= {_COLL_MIN_SUPPORT}
+    ), b_total AS (
+      SELECT CAST(count(*) AS BIGINT) AS t_bigrams FROM bg
+    )
+    SELECT w1, w2, c_ab,
+           floor((CAST(c_ab AS DOUBLE) * t.t_tokens / b.t_bigrams
+                  * t.t_tokens / u1.c / u2.c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM bg_counts
+    JOIN uni_counts u1 ON u1.w = w1
+    JOIN uni_counts u2 ON u2.w = w2
+    CROSS JOIN totals t CROSS JOIN b_total b
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_COLL_TOP}
+    """,
+    doc="Top collocations by lift = P(w1,w2) / (P(w1)·P(w2)) over "
+        "adjacent-token bigrams, min support "
+        f"{_COLL_MIN_SUPPORT}, top {_COLL_TOP} with a (rounded lift, "
+        "w1, w2) total order so the result SET is unique cross-engine. "
+        "The score is exact rational math over integer counts — the "
+        "PMI log is monotone in lift so the ranking matches PMI's "
+        "without a transcendental.  Scale: bigram/unigram counts are "
+        "partial-agg shuffles on term keys (the vocabulary, not the "
+        "corpus); totals broadcast as 1-row aggregates; the final "
+        "top-k is TakeOrdered over |vocab²∩support| candidates, never "
+        "a global sort of the corpus.",
+    tags=("text", "curation"),
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens(normalize_text(F.col("text"))).alias("tk"))
+    bg = tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = tk.select(F.explode("tk").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    totals = uni_counts.agg(
+        F.sum("c").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    bg_counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _COLL_MIN_SUPPORT)
+    )
+    b_total = bg.agg(F.count(F.lit(1)).cast("bigint").alias("t_bigrams"))
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = pround(
+        F.col("c_ab").cast("double")
+        * F.col("t_tokens") / F.col("t_bigrams")
+        * F.col("t_tokens") / F.col("c1") / F.col("c2"),
+        6,
+    )
+    return (
+        bg_counts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select("w1", "w2", "c_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_COLL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (round 9): the classic sparse-retrieval scorer
+# a RAG / retrieval pipeline runs next to dense similarity search (the
+# similarity.* tier is the dense half).  Constants are pre-folded to
+# single literals in BOTH engines (2.2 = k1+1, 0.25 = 1-b, both exact
+# doubles) so no cross-engine constant folding can diverge; the ln()
+# idf takes an identical exact-rational argument in both engines (the
+# text_bigram_logprob precedent).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_K1P1 = 2.2    # k1 + 1, pre-folded
+_BM25_1MB = 0.25    # 1 - b (b = 0.75), pre-folded
+_BM25_B = 0.75
+_BM25_TOP = 50
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      WHERE w IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * ((tf.tf * CAST({_BM25_K1P1} AS DOUBLE))
+                / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                   * (CAST({_BM25_1MB} AS DOUBLE)
+                      + CAST({_BM25_B} AS DOUBLE)
+                        * (dl.dl / (CAST(s.t_tokens AS DOUBLE) / s.n_docs)))))
+               AS term_score
+      FROM tf
+      JOIN df USING (w)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           floor(sum(term_score) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+    doc=f"BM25 (k1={_BM25_K1}, b={_BM25_B}) retrieval for the fixed "
+        f"query {_BM25_TERMS!r}: top {_BM25_TOP} documents by "
+        "ln-idf-weighted, length-normalized term frequency — the "
+        "sparse-retrieval half of a RAG stack beside the similarity_* "
+        "dense tier.  Scale: the token stream is filtered to the query "
+        "terms BEFORE any shuffle (tf is |matching docs|×|terms|), df "
+        "and the corpus stats broadcast as tiny aggregates, doc length "
+        "joins tf co-partitioned on doc_id, and the final ranking is "
+        "TakeOrdered with a (score, doc_id) total order — never a "
+        "global sort.  All idf/normalization inputs are exact "
+        "integers, constants pre-folded to single exact-double "
+        "literals in both engines.",
+    tags=("text", "similarity"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
+    dl = tk.select("doc_id", F.size("tk").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    tf = (
+        tk.select("doc_id", F.explode("tk").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * F.lit(_BM25_K1P1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(_BM25_1MB)
+            + F.lit(_BM25_B)
+            * (F.col("dl") / (F.col("t_tokens").cast("double") / F.col("n_docs")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(pround(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOP)
+    )

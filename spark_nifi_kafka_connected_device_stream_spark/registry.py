@@ -171,6 +171,12 @@ DEFERRED: tuple[str, ...] = (
     # line for the round-10 driver window
     "corpus_ingest_batch",
     "privacy_pii_gate_batch",
+    # round-9 analytics additions (collocations, BM25 retrieval, hourly
+    # ACF, blocked fuzzy linkage)
+    "text_collocation_lift",
+    "text_bm25_search",
+    "events_hourly_acf",
+    "part_fuzzy_linkage_blocked",
 )
 
 
