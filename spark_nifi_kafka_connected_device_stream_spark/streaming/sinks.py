@@ -188,3 +188,89 @@ def corpus_dedup_epoch(
     fresh.select(fingerprint_col).write.mode("overwrite").parquet(
         f"{corpus_dir}/epoch={epoch_id}"
     )
+
+
+def foreach_batch_scd2_upsert(
+    df: DataFrame,
+    store_dir: str,
+    key: str,
+    attrs: tuple[str, ...],
+    effective_col: str = "effective_ts",
+) -> DataStreamWriter:
+    """Streaming SCD2 dimension maintenance — the CDC-consumer twin of
+    the batch `scd2_customer_batch` operator: each micro-batch of
+    change records is merged into a versioned dimension store with the
+    SAME `operators.scd.scd2_apply` merge (latest-effective-wins
+    in-batch dedupe, close-at-effective-ts, null-safe attribute
+    compare), so a streaming-maintained dimension and a batch rebuild
+    can never disagree.
+
+    Store layout: `v=<epoch>` parquet partitions, each the FULL SCD2
+    state after that epoch.  Epoch N reads the latest version `< N`
+    (partition-pruned), merges, and overwrites `v=N` — so a crashed
+    epoch's re-run reads the same input and rewrites the same output
+    (exactly-once, the corpus_dedup_epoch contract).  Full-snapshot
+    versions are the plain-parquet price of file-level atomicity; in
+    production the same merge lands behind Delta/Iceberg MERGE
+    (sources/lakehouse.py) and old versions are vacuumed.  The
+    snapshot write is dimension-sized, not fact-sized — the standard
+    SCD2 cost model.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        scd2_upsert_epoch(batch_df, epoch_id, store_dir, key, attrs, effective_col)
+
+    return df.writeStream.foreachBatch(fn)
+
+
+def scd2_upsert_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_dir: str,
+    key: str,
+    attrs: tuple[str, ...],
+    effective_col: str = "effective_ts",
+) -> None:
+    """One epoch of foreach_batch_scd2_upsert, module-level so the
+    crashed-epoch re-run path is unit-testable: calling this twice with
+    the same epoch_id must leave the store byte-for-byte equivalent."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StructField, StructType
+
+    from ..operators.scd import scd2_apply
+
+    spark = batch_df.sparkSession
+    eff_field = batch_df.schema[effective_col]
+    try:
+        prev = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("v") < epoch_id)
+            .agg(F.max("v"))
+            .first()[0]
+        )
+    except AnalysisException as exc:
+        # ONLY a missing store directory means "first epoch" — any other
+        # analysis error (schema drift, mistyped column) must propagate
+        # (the corpus_dedup_epoch rule).
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        prev = None
+    if prev is None:
+        state_schema = StructType(
+            [batch_df.schema[key]]
+            + [batch_df.schema[a] for a in attrs]
+            + [
+                StructField("valid_from", eff_field.dataType, True),
+                StructField("valid_to", eff_field.dataType, True),
+            ]
+        )
+        current = spark.createDataFrame([], state_schema)
+    else:
+        current = (
+            spark.read.parquet(store_dir).filter(F.col("v") == prev).drop("v")
+        )
+    nxt = scd2_apply(current, batch_df, key, list(attrs), effective_col)
+    nxt.write.mode("overwrite").parquet(f"{store_dir}/v={epoch_id}")

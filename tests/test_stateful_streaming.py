@@ -910,3 +910,89 @@ def test_interval_join_state_evicted_by_watermark(spark, tmp_path):
         assert last <= 4, (peak, last)
     finally:
         q.stop()
+
+
+def test_scd2_upsert_epochs_merge_and_close(spark, tmp_path):
+    """Streaming SCD2 maintenance: two epochs through scd2_upsert_epoch
+    must yield the same state as the batch scd2_apply chain — changed
+    keys close at the update's effective ts and reopen, unchanged keys
+    keep their open row, new keys insert."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        scd2_upsert_epoch,
+    )
+
+    store = str(tmp_path / "dim")
+    b0 = spark.createDataFrame(
+        [(1, "bronze", 10), (2, "silver", 10)],
+        "cust_id int, segment string, effective_ts int",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "gold", 20), (3, "bronze", 20)],
+        "cust_id int, segment string, effective_ts int",
+    )
+    scd2_upsert_epoch(b0, 0, store, "cust_id", ("segment",))
+    scd2_upsert_epoch(b1, 1, store, "cust_id", ("segment",))
+
+    state = spark.read.parquet(store).filter("v = 1").drop("v")
+    rows = {
+        (r.cust_id, r.segment, r.valid_from, r.valid_to)
+        for r in state.collect()
+    }
+    assert rows == {
+        (1, "bronze", 10, 20),   # closed at the epoch-1 effective ts
+        (1, "gold", 20, None),   # reopened with the new attribute
+        (2, "silver", 10, None), # untouched key keeps its open row
+        (3, "bronze", 20, None), # brand-new key inserted open
+    }
+
+
+def test_scd2_upsert_epoch_rerun_is_idempotent(spark, tmp_path):
+    """Crash-replay of an SCD2 epoch must leave the store equivalent:
+    the epoch reads only versions < N and overwrites v=N, so a re-run
+    neither double-closes rows nor duplicates the snapshot."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        scd2_upsert_epoch,
+    )
+
+    store = str(tmp_path / "dim")
+    b0 = spark.createDataFrame(
+        [(1, "bronze", 10)], "cust_id int, segment string, effective_ts int"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "gold", 20)], "cust_id int, segment string, effective_ts int"
+    )
+    scd2_upsert_epoch(b0, 0, store, "cust_id", ("segment",))
+    scd2_upsert_epoch(b1, 1, store, "cust_id", ("segment",))
+    first = sorted(
+        map(tuple, spark.read.parquet(store).filter("v = 1").drop("v").collect())
+    )
+    scd2_upsert_epoch(b1, 1, store, "cust_id", ("segment",))
+    again = sorted(
+        map(tuple, spark.read.parquet(store).filter("v = 1").drop("v").collect())
+    )
+    assert again == first, "epoch re-run changed the SCD2 snapshot"
+    assert len(first) == 2  # closed bronze + open gold
+
+
+def test_scd2_upsert_store_drift_raises(spark, tmp_path):
+    """Only a MISSING store may mean 'first epoch' — a store whose
+    version-partition column is absent (schema drift) must raise, not
+    silently restart the dimension from empty."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        scd2_upsert_epoch,
+    )
+
+    store = str(tmp_path / "dim")
+    # store exists but is NOT version-partitioned → no `v` column
+    spark.createDataFrame(
+        [(1, "bronze", 10, None)],
+        "cust_id int, segment string, valid_from int, valid_to int",
+    ).write.parquet(store)
+    b1 = spark.createDataFrame(
+        [(1, "gold", 20)], "cust_id int, segment string, effective_ts int"
+    )
+    with pytest.raises(AnalysisException):
+        scd2_upsert_epoch(b1, 1, store, "cust_id", ("segment",))
