@@ -640,3 +640,98 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sx").cast("bigint").alias("max_supp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit (round 9): dataset_split_assign hashes
+# doc_id, so documents with identical content can legally land in
+# different splits — exactly the eval contamination a dedup stage
+# exists to prevent.  This measures what slipped through: for each
+# (ref → eval) split pair in the train < val < test hierarchy, how
+# many shared HEAD fingerprints (md5 of the first 8 normalized
+# tokens — the shared-opening/boilerplate near-dup signal; whole-doc
+# md5 has near-zero collisions on this corpus, see dedup_exact) the
+# eval split shares with the ref split, and how many eval documents
+# that taints.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT md5(array_to_string(list_filter(string_split(trim(
+               regexp_replace(lower(text), ' +', ' ', 'g')), ' '),
+               t -> t <> '')[1:8], ' ')) AS fingerprint,
+             CASE WHEN {_DUCK_U16} % 100 < 80 THEN 0
+                  WHEN {_DUCK_U16} % 100 < 90 THEN 1
+                  ELSE 2 END AS split_rank
+      FROM documents
+    ), fps AS (
+      SELECT fingerprint, split_rank, CAST(count(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY fingerprint, split_rank
+    )
+    SELECT CASE e.split_rank WHEN 1 THEN 'val' ELSE 'test' END AS eval_split,
+           CASE r.split_rank WHEN 0 THEN 'train' ELSE 'val' END AS ref_split,
+           CAST(count(*) AS BIGINT)        AS n_shared_fingerprints,
+           CAST(sum(e.n_docs) AS BIGINT)   AS n_contaminated_eval_docs
+    FROM fps e JOIN fps r
+      ON r.fingerprint = e.fingerprint AND r.split_rank < e.split_rank
+    GROUP BY eval_split, ref_split
+    """,
+    doc="Cross-split contamination audit over dataset_split_assign's "
+        "EXACT assignment (same md5-bucket hash) and an 8-token HEAD "
+        "fingerprint (shared-opening near-dup): per (ref → eval) pair "
+        "in the train < val "
+        "< test hierarchy, the count of shared fingerprints and of "
+        "tainted eval documents — the number the eval-dedup stage must "
+        "drive to zero before a benchmark score means anything.  "
+        "Scale: one map-only scan computes fingerprint + split, one "
+        "partial-agg shuffle to (fingerprint, split) granularity, then "
+        "a self equi-join on fingerprint whose per-key width is "
+        "bounded by 3 splits; the report collapses to ≤3 rows.",
+    tags=("pipeline", "dedup", "curation"),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("bigint")
+    rank = (
+        F.when(u16 % 100 < 80, F.lit(0))
+        .when(u16 % 100 < 90, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    fps = (
+        d.select(
+            F.md5(
+                F.array_join(
+                    F.slice(tokens(normalize_text(F.col("text"))), 1, 8), " "
+                ).cast("binary")
+            ).alias("fingerprint"),
+            rank.alias("split_rank"),
+        )
+        .groupBy("fingerprint", "split_rank")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
+    e = fps.alias("e")
+    r = fps.alias("r")
+    name = lambda c: (  # noqa: E731
+        F.when(c == 0, F.lit("train")).when(c == 1, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        e.join(
+            r,
+            (F.col("r.fingerprint") == F.col("e.fingerprint"))
+            & (F.col("r.split_rank") < F.col("e.split_rank")),
+        )
+        .groupBy(
+            name(F.col("e.split_rank")).alias("eval_split"),
+            name(F.col("r.split_rank")).alias("ref_split"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"),
+            F.sum("e.n_docs").cast("bigint").alias("n_contaminated_eval_docs"),
+        )
+    )

@@ -1082,3 +1082,102 @@ def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the kNN graph (round 9): hop distance from a
+# deterministic seed set — the reachability primitive behind
+# diversity-aware coreset expansion ("how far is every vector from the
+# already-curated exemplars?") and duplicate-blast-radius analysis.
+# Exact: hop counts are integers, edges are the shared deterministic
+# _knn_edges list, and the driver-side loop is the pagerank pattern
+# (eager localCheckpoint per round, plans stay flat).
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_MOD = 29   # seeds = vec_id % 29 == 0 (deterministic, ~3%)
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "embedding_knn_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT src, dst FROM (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+      ) WHERE rnk <= {KNN_GRAPH_K}
+    ), und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ), reach AS (
+      SELECT vec_id AS node, 0 AS d FROM embeddings
+      WHERE vec_id % {_BFS_SEED_MOD} = 0
+      UNION
+      SELECT u.dst AS node, r.d + 1 AS d
+      FROM reach r JOIN und u ON u.src = r.node
+      WHERE r.d < {_BFS_MAX_HOPS}
+    ), dist AS (
+      SELECT node, min(d) AS d FROM reach GROUP BY node
+    )
+    SELECT CAST(e.label AS INTEGER) AS label,
+           CAST(coalesce(dist.d, -1) AS INTEGER) AS hops,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM embeddings e LEFT JOIN dist ON dist.node = e.vec_id
+    GROUP BY label, hops
+    """,
+    doc=f"Multi-source BFS over the undirected within-cell kNN graph "
+        f"(k={KNN_GRAPH_K}): minimum hop distance (cap {_BFS_MAX_HOPS}) "
+        f"from the deterministic seed set vec_id % {_BFS_SEED_MOD} == 0, "
+        "reported as per-(label, hops) node counts with -1 = unreached "
+        "— the reachability layer of graph-based curation (coreset "
+        "expansion radius, duplicate blast radius).  Scale shape: the "
+        "edge list is the shared checkpointed _knn_edges "
+        "materialization (k·N rows); each BFS round is ONE frontier→"
+        "edge equi-join + distinct + anti-join against the visited "
+        "set, eagerly checkpointed so round plans never deepen "
+        "(the PageRank loop contract); rounds are bounded by the hop "
+        "cap, never data-dependent.  All arithmetic is integer-exact; "
+        "the oracle is a recursive CTE over the same edge SQL.",
+    tags=("similarity", "ann", "graph"),
+)
+def embedding_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("label", "vec_id")
+    dist = (
+        nodes.filter(F.col("vec_id") % _BFS_SEED_MOD == 0)
+        .select("vec_id")
+        .withColumn("d", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["vec_id"] == und["src"])
+            .select(und["dst"].alias("vec_id"))
+            .distinct()
+            .join(dist, "vec_id", "left_anti")
+            .withColumn("d", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        nodes.join(dist, "vec_id", "left")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.coalesce("d", F.lit(-1)).cast("int").alias("hops"),
+        )
+        .groupBy("label", "hops")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )

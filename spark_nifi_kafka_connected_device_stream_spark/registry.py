@@ -177,6 +177,8 @@ DEFERRED: tuple[str, ...] = (
     "text_bm25_search",
     "events_hourly_acf",
     "part_fuzzy_linkage_blocked",
+    "split_leakage_report",
+    "embedding_knn_bfs_hops",
 )
 
 
