@@ -162,6 +162,7 @@ HEADLINE = [
     "part_fuzzy_linkage_blocked",
     "split_leakage_report",
     "embedding_knn_bfs_hops",
+    "embedding_kcenter_coreset",
 ]
 
 

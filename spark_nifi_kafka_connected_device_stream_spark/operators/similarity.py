@@ -1181,3 +1181,142 @@ def embedding_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "hops")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (round 9): farthest-point selection — the
+# classic diversity-maximizing coreset / active-learning picker
+# (Sener & Savarese 2018 shape): start from the lowest vec_id, then
+# repeatedly add the vector whose best similarity to the selected set
+# is LOWEST.  Greedy selection is inherently sequential in k; each
+# round is one map-only coverage update + a TakeOrdered(1) argmin, so
+# the cost is k corpus passes — the standard k-center cost model, and
+# every pass is embarrassingly parallel.  Exact: per-pair cosine is a
+# fixed-order fold (bit-identical in both engines — the property every
+# similarity ranking here already relies on), coverage is a running
+# greatest() of such values, and the argmin has a (cov, vec_id) total
+# order, so the selection SEQUENCE matches the unrolled-CTE oracle
+# exactly.  Each round collects ONE row (the chosen exemplar) — k
+# bounded collects, the selection output itself.
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _duck_cos_qc() -> str:
+    return _DUCK_COS
+
+
+def _kcenter_oracle(k: int) -> str:
+    cos = _DUCK_COS
+    ctes = [
+        "s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        "p0 AS (SELECT vec_id FROM s0)",
+        f"cov1 AS (SELECT q.vec_id, q.embedding, ({cos}) AS cov "
+        f"FROM embeddings q CROSS JOIN s0 c)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, embedding, cov FROM cov{i} "
+            f"WHERE vec_id NOT IN (SELECT vec_id FROM p{i - 1}) "
+            f"ORDER BY cov ASC, vec_id ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"p{i} AS (SELECT vec_id FROM p{i - 1} "
+                f"UNION SELECT vec_id FROM s{i})"
+            )
+            ctes.append(
+                f"cov{i + 1} AS (SELECT q.vec_id, q.embedding, "
+                f"greatest(q.cov, ({cos})) AS cov "
+                f"FROM cov{i} q CROSS JOIN s{i} c)"
+            )
+    union = " UNION ALL ".join(
+        ["SELECT 0 AS rank, vec_id, -2.0 AS coverage_at_pick FROM s0"]
+        + [
+            f"SELECT {i} AS rank, vec_id, "
+            f"floor(cov * 1000000.0 + 0.5) / 1000000.0 AS coverage_at_pick "
+            f"FROM s{i}"
+            for i in range(1, k)
+        ]
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(rank AS INTEGER) AS rank, "
+        f"CAST(vec_id AS BIGINT) AS vec_id, coverage_at_pick "
+        f"FROM ({union}) ORDER BY rank"
+    )
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(_KCENTER_K),
+    doc=f"k-center greedy (farthest-point) coreset selection, "
+        f"k={_KCENTER_K}: rank-ordered exemplars with the coverage "
+        "(best cosine to the already-selected set) each pick had at "
+        "selection time (-2.0 sentinel for the seed).  The "
+        "diversity-maximizing sampler for curation/active-learning — "
+        "complements dataset_weighted_sample (importance) and "
+        "semantic_dedup_keep_list (redundancy removal).  Scale: k "
+        "map-only corpus passes + k TakeOrdered(1) argmins, coverage "
+        "carried forward via eager localCheckpoint so round plans "
+        "never deepen; the selected exemplar (1 row/round) is the "
+        "only driver traffic.  2-approximation of the optimal "
+        "k-center cover — the classical guarantee.",
+    tags=("similarity", "curation", "sampling"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+
+    def lit_vec(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    def round6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    picks = [(0, int(first.vec_id), -2.0)]
+    picked_ids = [int(first.vec_id)]
+    cov = emb.select(
+        "vec_id",
+        "embedding",
+        cosine_similarity(F.col("embedding"), lit_vec(first.embedding)).alias("cov"),
+    ).localCheckpoint(eager=True)
+    for i in range(1, _KCENTER_K):
+        cand = (
+            cov.filter(~F.col("vec_id").isin(picked_ids))
+            .orderBy(F.asc("cov"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, int(cand.vec_id), round6(float(cand.cov))))
+        picked_ids.append(int(cand.vec_id))
+        if i < _KCENTER_K - 1:
+            cov = cov.select(
+                "vec_id",
+                "embedding",
+                F.greatest(
+                    "cov",
+                    cosine_similarity(F.col("embedding"), lit_vec(cand.embedding)),
+                ).alias("cov"),
+            ).localCheckpoint(eager=True)
+    schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("coverage_at_pick", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(picks, schema)

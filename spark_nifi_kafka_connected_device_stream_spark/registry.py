@@ -179,6 +179,7 @@ DEFERRED: tuple[str, ...] = (
     "part_fuzzy_linkage_blocked",
     "split_leakage_report",
     "embedding_knn_bfs_hops",
+    "embedding_kcenter_coreset",
 )
 
 

@@ -996,3 +996,74 @@ def test_scd2_upsert_store_drift_raises(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         scd2_upsert_epoch(b1, 1, store, "cust_id", ("segment",))
+
+
+def test_scd2_upsert_through_live_stream(spark, tmp_path):
+    """The SCD2 sink through a REAL file stream (not direct epoch
+    calls): two micro-batches of CDC records delivered via
+    json_file_stream + foreach_batch_scd2_upsert must leave the store's
+    final version equal to the batch scd2_apply chain."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+        json_file_stream,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        foreach_batch_scd2_upsert,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("cust_id", IntegerType()),
+            StructField("segment", StringType()),
+            StructField("effective_ts", IntegerType()),
+        ]
+    )
+    raw = json_file_stream(spark, str(in_dir), max_files_per_trigger=1)
+    cdc = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    q = (
+        foreach_batch_scd2_upsert(cdc, store, "cust_id", ("segment",))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        (in_dir / "b0.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"cust_id": 1, "segment": "bronze", "effective_ts": 10},
+                    {"cust_id": 2, "segment": "silver", "effective_ts": 10},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        (in_dir / "b1.json").write_text(
+            json.dumps({"cust_id": 1, "segment": "gold", "effective_ts": 20})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = spark.read.parquet(store)
+    last = versions.agg(F.max("v")).first()[0]
+    state = versions.filter(F.col("v") == last).drop("v")
+    rows = {
+        (r.cust_id, r.segment, r.valid_from, r.valid_to) for r in state.collect()
+    }
+    assert rows == {
+        (1, "bronze", 10, 20),
+        (1, "gold", 20, None),
+        (2, "silver", 10, None),
+    }
