@@ -163,6 +163,7 @@ HEADLINE = [
     "split_leakage_report",
     "embedding_knn_bfs_hops",
     "embedding_kcenter_coreset",
+    "source_crossentropy_matrix",
 ]
 
 

@@ -1595,3 +1595,127 @@ def corpus_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
         F.coalesce("avg_quality", F.lit(-1.0)).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source LM cross-entropy matrix (round 9): how well does the
+# bigram language model induced by source B predict the text of source
+# A?  The domain-shift / distribution-distance detector behind
+# data-mixing decisions (a source whose text is poorly predicted by
+# every other source's LM is novel; one perfectly predicted is
+# redundant) — the pairwise generalization of text_bigram_logprob's
+# self-scoring, CCNet-style.  Cross-entropy is computed from AGGREGATED
+# bigram counts, never by scoring documents: ce(A‖B) =
+# −Σ_b c_A(b)·ln P̂_B(b) / Σ_b c_A(b) with add-one smoothing over the
+# GLOBAL vocabulary (shared smoothing floor keeps the matrix
+# comparable across B).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_crossentropy_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT source, tk[gs.i] AS w1, tk[gs.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+    ), bgc AS (
+      SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY source, w1, w2
+    ), unic AS (
+      SELECT source, w1, CAST(sum(c) AS BIGINT) AS c1
+      FROM bgc GROUP BY source, w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT w1 AS w FROM bgc UNION SELECT w2 AS w FROM bgc)
+    ), pairs AS (
+      SELECT a.source AS src_a, b.src_b, a.w1, a.w2, a.c AS c_a,
+             coalesce(bb.c, 0) AS c_b, coalesce(ub.c1, 0) AS c1_b
+      FROM bgc a
+      CROSS JOIN (SELECT DISTINCT source AS src_b FROM documents) b
+      LEFT JOIN bgc bb ON bb.source = b.src_b AND bb.w1 = a.w1 AND bb.w2 = a.w2
+      LEFT JOIN unic ub ON ub.source = b.src_b AND ub.w1 = a.w1
+    )
+    SELECT src_a, src_b,
+           CAST(sum(c_a) AS BIGINT) AS n_bigrams,
+           floor(-(sum(c_a * ln((c_b + 1.0) / (c1_b + v.v)))
+                   / sum(c_a)) * 1000000.0 + 0.5) / 1000000.0
+             AS cross_entropy
+    FROM pairs CROSS JOIN vocab v
+    GROUP BY src_a, src_b
+    """,
+    doc="Pairwise source-level cross-entropy under add-one-smoothed "
+        "bigram LMs: ce(A‖B) = −Σ c_A(b)·ln((c_B(b)+1)/(c1_B(w1)+V)) "
+        "/ Σ c_A(b) — the domain-shift matrix data-mixing decisions "
+        "read (novel vs redundant sources), generalizing "
+        "text_bigram_logprob's self-score to all source pairs.  "
+        "Scale: the corpus is scanned ONCE into per-source bigram "
+        "counts (vocabulary-sized, partial-agg); everything after "
+        "operates on count tables ~|sources|·|vocab²∩seen| — the "
+        "pair expansion multiplies the COUNT table by |sources|, "
+        "never the corpus; V broadcasts as one row.  ln takes "
+        "identical exact-rational arguments in both engines (the "
+        "text_bigram_logprob precedent), and the weighted mean is "
+        "rounded in both.",
+    tags=("curation", "text", "stats"),
+)
+def source_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_parallel(spark, sf_dir)
+    tk = d.select("source", tokens(normalize_text(F.col("text"))).alias("tk"))
+    bg = tk.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("source", "b.w1", "b.w2")
+    bgc = (
+        bg.groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    unic = bgc.groupBy("source", "w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    vocab = (
+        bgc.select(F.col("w1").alias("w"))
+        .union(bgc.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    sources = d.select(F.col("source").alias("src_b")).distinct()
+    a = bgc.select(
+        F.col("source").alias("src_a"), "w1", "w2", F.col("c").alias("c_a")
+    )
+    bb = bgc.select(
+        F.col("source").alias("src_b"),
+        "w1",
+        "w2",
+        F.col("c").alias("c_b"),
+    )
+    ub = unic.select(
+        F.col("source").alias("src_b"), "w1", F.col("c1").alias("c1_b")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(sources))
+        .join(bb, ["src_b", "w1", "w2"], "left")
+        .join(ub, ["src_b", "w1"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "c_a",
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+            F.coalesce("c1_b", F.lit(0)).alias("c1_b"),
+        )
+    )
+    term = F.col("c_a") * F.log(
+        (F.col("c_b") + F.lit(1.0)) / (F.col("c1_b") + F.col("v"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(vocab))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum("c_a").cast("bigint").alias("n_bigrams"),
+            pround(-(F.sum(term) / F.sum("c_a")), 6).alias("cross_entropy"),
+        )
+    )

@@ -180,6 +180,7 @@ DEFERRED: tuple[str, ...] = (
     "split_leakage_report",
     "embedding_knn_bfs_hops",
     "embedding_kcenter_coreset",
+    "source_crossentropy_matrix",
 )
 
 
