@@ -164,6 +164,7 @@ HEADLINE = [
     "embedding_knn_bfs_hops",
     "embedding_kcenter_coreset",
     "source_crossentropy_matrix",
+    "events_peak_concurrency",
 ]
 
 

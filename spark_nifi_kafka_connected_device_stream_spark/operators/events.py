@@ -1891,3 +1891,130 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n_pairs").cast("bigint").alias("n_pairs"),
         pround(F.col("m.num").cast("double") / F.col("den"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (round 9): the maximum number of simultaneously
+# open sessions — the capacity-planning number (connection pools,
+# license seats, serving replicas) the hourly volume series cannot
+# give you.  Sweep-line: every session contributes (+1 at start, −1 at
+# end+1µs) boundary events; the peak is the max of the global running
+# sum over the boundary stream.  The running sum uses
+# functions.scale.global_running_sum (range-repartitioned parallel
+# sort + broadcast per-partition offsets), NEVER an unpartitioned
+# window over the boundary stream.  All values are exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_seq,
+             us
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, session_seq,
+             CAST(min(us) AS BIGINT) AS start_us,
+             CAST(max(us) + 1 AS BIGINT) AS end_us
+      FROM sessions GROUP BY user_id, session_seq
+    ), bounds AS (
+      SELECT start_us AS t, 1 AS delta, user_id, session_seq FROM intervals
+      UNION ALL
+      SELECT end_us AS t, -1 AS delta, user_id, session_seq FROM intervals
+    ), run AS (
+      SELECT t, sum(delta) OVER (ORDER BY t ASC, delta ASC, user_id ASC,
+                                 session_seq ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS conc
+      FROM bounds
+    ), peak AS (
+      SELECT max(conc) AS peak_concurrency FROM run
+    )
+    SELECT CAST((SELECT count(*) FROM intervals) AS BIGINT) AS n_sessions,
+           CAST(p.peak_concurrency AS BIGINT)               AS peak_concurrency,
+           CAST((SELECT min(t) FROM run, peak
+                 WHERE conc = peak_concurrency) AS BIGINT)  AS peak_at_us
+    FROM peak p
+    """,
+    doc="Peak concurrent sessions (30-min-gap sessionization, the "
+        "events_sessionize contract): sweep-line over ±1 boundary "
+        "events with a (t, delta, user, session) total order — delta "
+        "ASC releases before acquires at the same instant; a session "
+        "occupies through end+1µs so back-to-back sessions at one "
+        "instant do overlap.  Returns session count, the peak, and "
+        "the first microsecond it was reached.  Scale shape: ONE "
+        "user-key shuffle carries sessionization and the interval "
+        "collapse; the boundary stream's running sum is "
+        "functions/scale.global_running_sum — range-repartitioned "
+        "parallel sort with broadcast per-partition offsets, the "
+        "only unpartitioned window runs over |partitions| metadata "
+        "rows.  Integer-exact end to end.",
+    tags=("events", "session", "timeseries"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_running_sum
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_us").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+    intervals = (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("us").cast("bigint").alias("start_us"),
+            (F.max("us") + 1).cast("bigint").alias("end_us"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = intervals.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta"), "user_id", "session_seq"
+    ).unionByName(
+        intervals.select(
+            F.col("end_us").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    run = global_running_sum(
+        bounds,
+        [F.asc("t"), F.asc("delta"), F.asc("user_id"), F.asc("session_seq")],
+        "delta",
+        "conc",
+        # consumed twice (peak + first-peak-instant): materialize once
+    ).localCheckpoint(eager=False)
+    peak = run.agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    n_sessions = intervals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    peak_at = (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .agg(F.min("t").cast("bigint").alias("peak_at_us"))
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_at))
+        .select("n_sessions", "peak_concurrency", "peak_at_us")
+    )

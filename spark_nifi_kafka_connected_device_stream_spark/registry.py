@@ -181,6 +181,7 @@ DEFERRED: tuple[str, ...] = (
     "embedding_knn_bfs_hops",
     "embedding_kcenter_coreset",
     "source_crossentropy_matrix",
+    "events_peak_concurrency",
 )
 
 
