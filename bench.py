@@ -165,6 +165,7 @@ HEADLINE = [
     "embedding_kcenter_coreset",
     "source_crossentropy_matrix",
     "events_peak_concurrency",
+    "orders_cohort_ltv_curve",
 ]
 
 

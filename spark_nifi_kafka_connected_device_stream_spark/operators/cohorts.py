@@ -266,3 +266,109 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_churned",
         pround("survival", 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round 9): cumulative revenue per customer by
+# acquisition cohort and age — the lifetime-value curve next to the
+# retention matrix (retention says WHO comes back; this says what the
+# average acquired customer is WORTH after a months).  Exact: revenue
+# accumulates in integer cents, ages/cohorts are integer month keys,
+# and the single division (cents / 100 / cohort size) happens once at
+# the end on exact integers.
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_AGE = 12
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), cohorts AS (
+      SELECT o_custkey, min(mkey) AS ckey FROM o GROUP BY o_custkey
+    ), sizes AS (
+      SELECT ckey, CAST(count(*) AS BIGINT) AS n_customers
+      FROM cohorts GROUP BY ckey
+    ), rev AS (
+      SELECT c.ckey, o.mkey - c.ckey AS age,
+             CAST(sum(o.cents) AS BIGINT) AS cents
+      FROM o JOIN cohorts c USING (o_custkey)
+      WHERE o.mkey - c.ckey <= {_LTV_MAX_AGE}
+      GROUP BY c.ckey, age
+    ), grid AS (
+      SELECT s.ckey, gs.age FROM sizes s,
+           LATERAL (SELECT unnest(generate_series(0, {_LTV_MAX_AGE})) AS age) gs
+    ), cum AS (
+      SELECT g.ckey, g.age,
+             sum(coalesce(r.cents, 0)) OVER (PARTITION BY g.ckey
+                 ORDER BY g.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      FROM grid g LEFT JOIN rev r ON r.ckey = g.ckey AND r.age = g.age
+    )
+    SELECT lpad(CAST(c.ckey // 12 AS VARCHAR), 4, '0') || '-' ||
+             lpad(CAST(c.ckey % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+           CAST(c.age AS INTEGER)       AS age_months,
+           s.n_customers,
+           floor(CAST(c.cum_cents AS DOUBLE) / 100.0 / s.n_customers
+                 * 100.0 + 0.5) / 100.0 AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (ckey)
+    """,
+    doc=f"Cohort lifetime-value curve: customers grouped by first-order "
+        f"month, cumulative revenue per acquired customer tracked "
+        f"through age {_LTV_MAX_AGE} months — the payback/LTV report "
+        "beside events_retention_cohorts.  Scale shape: ONE customer-"
+        "key shuffle covers both the first-order cohort assignment "
+        "and the order→cohort join (co-partitioned); monthly revenue "
+        "collapses to |cohorts|×|ages| before the cumulative window "
+        f"(partitions of exactly {_LTV_MAX_AGE + 1} rows); cohort "
+        "sizes broadcast.  Revenue is exact integer cents; the only "
+        "division is final.",
+    tags=("cohorts", "agg"),
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mkey"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    cohorts = o.groupBy("o_custkey").agg(F.min("mkey").alias("ckey"))
+    sizes = cohorts.groupBy("ckey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).localCheckpoint(eager=False)
+    rev = (
+        o.join(cohorts, "o_custkey")
+        .withColumn("age", F.col("mkey") - F.col("ckey"))
+        .filter(F.col("age") <= _LTV_MAX_AGE)
+        .groupBy("ckey", "age")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    grid = sizes.select(
+        "ckey", F.explode(F.sequence(F.lit(0), F.lit(_LTV_MAX_AGE))).alias("age")
+    )
+    wcum = (
+        Window.partitionBy("ckey")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(rev, ["ckey", "age"], "left")
+        .withColumn("cum_cents", F.sum(F.coalesce("cents", F.lit(0))).over(wcum))
+    )
+    return cum.join(F.broadcast(sizes), "ckey").select(
+        F.concat(
+            F.lpad((F.col("ckey") / 12).cast("int").cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad((F.col("ckey") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        F.col("age").cast("int").alias("age_months"),
+        "n_customers",
+        pround(
+            F.col("cum_cents").cast("double") / F.lit(100.0) / F.col("n_customers"),
+            2,
+        ).alias("ltv_per_customer"),
+    )

@@ -182,6 +182,7 @@ DEFERRED: tuple[str, ...] = (
     "embedding_kcenter_coreset",
     "source_crossentropy_matrix",
     "events_peak_concurrency",
+    "orders_cohort_ltv_curve",
 )
 
 
