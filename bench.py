@@ -166,6 +166,7 @@ HEADLINE = [
     "source_crossentropy_matrix",
     "events_peak_concurrency",
     "orders_cohort_ltv_curve",
+    "events_debounce_stats",
 ]
 
 

@@ -2018,3 +2018,86 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(peak_at))
         .select("n_sessions", "peak_concurrency", "peak_at_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce / burst collapse (round 9): rapid same-(user, event_type)
+# repeats — double-clicks, retry storms, sensor chatter — collapsed to
+# one event per burst (leading edge).  Bursts are 5-second
+# gaps-and-islands per (user, type): a new burst starts when the gap
+# from the PREVIOUS event exceeds the debounce window, and only each
+# burst's first event is kept — the cleaning pass upstream of any
+# count-based analytics (a retry storm otherwise reads as engagement).
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 5_000_000
+
+
+@register(
+    "events_debounce_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, us, event_id,
+             CASE WHEN us - lag(us) OVER w > {_DEBOUNCE_US}
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY us ASC, event_id ASC)
+    ), bursts AS (
+      SELECT user_id, event_type,
+             sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY us ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS burst_seq
+      FROM flagged
+    ), sized AS (
+      SELECT user_id, event_type, burst_seq,
+             CAST(count(*) AS BIGINT) AS burst_len
+      FROM bursts GROUP BY user_id, event_type, burst_seq
+    )
+    SELECT event_type,
+           CAST(sum(burst_len) AS BIGINT)            AS n_events,
+           CAST(count(*) AS BIGINT)                  AS n_kept,
+           CAST(sum(burst_len) - count(*) AS BIGINT) AS n_dropped,
+           CAST(max(burst_len) AS BIGINT)            AS max_burst_len
+    FROM sized GROUP BY event_type
+    """,
+    doc="Leading-edge debounce statistics: same-(user, event_type) "
+        "events within 5s of the previous one collapse into bursts "
+        "(gaps-and-islands, the events_sessionize machinery at a 5s "
+        "threshold); per event type, how many raw events arrived, how "
+        "many survive debouncing, and the worst retry-storm length.  "
+        "The cleaning pass upstream of count-based analytics.  Scale "
+        "shape: ONE (user, type)-key shuffle carries the gap flag, the "
+        "burst numbering and the burst collapse (all windows share the "
+        "partitioning); the report is |event_types| rows.  "
+        "Integer-exact end to end.",
+    tags=("events", "session", "curation"),
+)
+def events_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts_us").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_burst",
+        F.when(prev.isNull() | ((F.col("us") - prev) > _DEBOUNCE_US), 1).otherwise(0),
+    )
+    bursts = flagged.withColumn("burst_seq", F.sum("new_burst").over(wrun))
+    sized = bursts.groupBy("user_id", "event_type", "burst_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("burst_len")
+    )
+    return sized.groupBy("event_type").agg(
+        F.sum("burst_len").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.sum("burst_len") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        F.max("burst_len").cast("bigint").alias("max_burst_len"),
+    )

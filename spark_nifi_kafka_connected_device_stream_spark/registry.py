@@ -183,6 +183,7 @@ DEFERRED: tuple[str, ...] = (
     "source_crossentropy_matrix",
     "events_peak_concurrency",
     "orders_cohort_ltv_curve",
+    "events_debounce_stats",
 )
 
 
