@@ -1,0 +1,173 @@
+"""Semantic tests for the round-9 operators: the oracle-parity suite
+proves Spark == DuckDB on the same SQL; these prove the SQL means what
+the docstrings claim, on crafted inputs with hand-computable answers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_seconds_offset, user_id, event_type).
+    Writes a minimal events.parquet a crafted sf_dir can serve."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (
+            eid,
+            base + datetime.timedelta(seconds=off),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+        for (eid, off, uid, etype) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_peak_concurrency_sweep_semantics(spark, tmp_path):
+    """Three users: sessions [0s..100s], [50s..60s], [10000s..10000s].
+    The first two overlap (peak 2, first reached at the 50s acquire);
+    the third is alone."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_peak_concurrency,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 0, 1, "view"),
+            (2, 100, 1, "view"),
+            (3, 50, 2, "view"),
+            (4, 60, 2, "view"),
+            (5, 10_000, 3, "view"),
+        ],
+    )
+    row = events_peak_concurrency(spark, sf).collect()[0]
+    assert row.n_sessions == 3
+    assert row.peak_concurrency == 2
+    base_us = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    # peak first reached when user 2's session opens at +50s — the
+    # stored wall-instant is fixture-utc, matching ts_us
+    assert row.peak_at_us == base_us + 50_000_000
+
+
+def test_debounce_burst_semantics(spark, tmp_path):
+    """Events at 0/1/2s then 10s for one (user, type): one 3-event
+    burst plus a singleton.  A second type is untouched."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_debounce_stats,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, 0, 1, "click"),
+            (2, 1, 1, "click"),
+            (3, 2, 1, "click"),
+            (4, 10, 1, "click"),
+            (5, 0, 1, "view"),
+        ],
+    )
+    rows = {r.event_type: r for r in events_debounce_stats(spark, sf).collect()}
+    c = rows["click"]
+    assert (c.n_events, c.n_kept, c.n_dropped, c.max_burst_len) == (4, 2, 2, 3)
+    v = rows["view"]
+    assert (v.n_events, v.n_kept, v.n_dropped, v.max_burst_len) == (1, 1, 0, 1)
+
+
+def test_hourly_acf_detects_period(spark, tmp_path):
+    """A strict 2-hour on/off pattern (10 events in even hours, none in
+    odd) must autocorrelate strongly positive at even lags and
+    strongly negative at odd lags."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_hourly_acf,
+    )
+
+    rows = []
+    eid = 0
+    for hour in range(0, 96, 2):          # even hours on, 4 days
+        for k in range(10):
+            rows.append((eid, hour * 3600 + k * 60, 1, "view"))
+            eid += 1
+    # one lone event in the final (odd) hour so the grid spans it
+    rows.append((eid, 95 * 3600, 2, "view"))
+    sf = _write_events(spark, tmp_path, rows)
+    acf = {
+        (r.event_type, r.lag): r.acf
+        for r in events_hourly_acf(spark, sf).collect()
+    }
+    # finite-sample ACF of the alternating series lands ~0.75 (mean
+    # offset + the lone odd-hour event); the signal is the SIGN split
+    assert acf[("view", 2)] > 0.6
+    assert acf[("view", 1)] < -0.6
+    assert acf[("view", 24)] > 0.6
+    assert acf[("view", 3)] < -0.6
+    assert acf[("view", 2)] - acf[("view", 1)] > 1.2
+
+
+def test_kcenter_coverage_monotone_and_distinct(spark):
+    """Farthest-point invariants on the real corpus: the k selected
+    exemplars are distinct, ranks are 0..k-1, and coverage-at-pick is
+    non-decreasing (each pick is the farthest remaining point, so the
+    farthest distance can only shrink)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        _KCENTER_K,
+        embedding_kcenter_coreset,
+    )
+
+    rows = sorted(embedding_kcenter_coreset(spark, SF).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(_KCENTER_K))
+    assert len({r.vec_id for r in rows}) == _KCENTER_K
+    covs = [r.coverage_at_pick for r in rows[1:]]
+    assert all(b >= a for a, b in zip(covs, covs[1:])), covs
+    assert rows[0].coverage_at_pick == -2.0
+
+
+def test_split_leakage_requires_head_dup_across_splits(spark, tmp_path):
+    """Two documents sharing an 8-token head, hashed into different
+    splits, must surface as exactly one shared fingerprint."""
+    import duckdb
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops import (
+        split_leakage_report,
+    )
+
+    head = "alpha beta gamma delta epsilon zeta eta theta"
+    # find two doc_ids landing in train and test under the md5 bucket
+    con = duckdb.connect()
+    buckets = {}
+    for doc_id in range(200):
+        h = con.sql(f"SELECT md5('{doc_id}')").fetchone()[0]
+        b = int(h[:4], 16) % 100
+        buckets[doc_id] = "train" if b < 80 else ("val" if b < 90 else "test")
+    train_id = next(d for d, s in buckets.items() if s == "train")
+    test_id = next(d for d, s in buckets.items() if s == "test")
+    df = spark.createDataFrame(
+        [
+            (train_id, head + " tail one", "en", "src0", 1),
+            (test_id, head + " other tail", "en", "src0", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = split_leakage_report(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.eval_split, r.ref_split) == ("test", "train")
+    assert r.n_shared_fingerprints == 1 and r.n_contaminated_eval_docs == 1
