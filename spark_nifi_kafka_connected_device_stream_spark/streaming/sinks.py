@@ -274,3 +274,92 @@ def scd2_upsert_epoch(
         )
     nxt = scd2_apply(current, batch_df, key, list(attrs), effective_col)
     nxt.write.mode("overwrite").parquet(f"{store_dir}/v={epoch_id}")
+
+
+def foreach_batch_agg_upsert(
+    df: DataFrame,
+    store_dir: str,
+    keys: tuple[str, ...],
+    value_col: str,
+) -> DataStreamWriter:
+    """Incremental aggregate materialized view — per-key running
+    sum/count maintained from the stream into a versioned parquet
+    store.  The lambda-architecture MV: unlike the in-state running
+    totals (`stateful.running_totals`, applyInPandasWithState), the
+    result here lives as PLAIN PARQUET any batch reader can scan, and
+    survives total checkpoint loss (the store itself carries the
+    state).
+
+    Epoch N: partial-aggregate the batch (map-side combinable), read
+    the latest store version `< N` (partition-pruned), full-outer
+    merge (sums add, counts add, absent side = zero), overwrite
+    `v=N` — the `scd2_upsert_epoch` exactly-once contract: a crashed
+    epoch's re-run reads the same input and rewrites the same output.
+    Store size is |distinct keys|, dimension-sized; the per-epoch cost
+    is one key-partitioned merge join, never a rescan of history.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        agg_upsert_epoch(batch_df, epoch_id, store_dir, keys, value_col)
+
+    return df.writeStream.foreachBatch(fn)
+
+
+def agg_upsert_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_dir: str,
+    keys: tuple[str, ...],
+    value_col: str,
+) -> None:
+    """One epoch of foreach_batch_agg_upsert, module-level so the
+    crashed-epoch re-run path is unit-testable."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    part = (
+        batch_df.groupBy(*keys)
+        .agg(
+            F.sum(value_col).cast("double").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    try:
+        prev = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("v") < epoch_id)
+            .agg(F.max("v"))
+            .first()[0]
+        )
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        prev = None
+    if prev is None:
+        merged = part
+    else:
+        cur = spark.read.parquet(store_dir).filter(F.col("v") == prev).drop("v")
+        c = cur.select(
+            *keys,
+            F.col("total").alias("_ct"),
+            F.col("n_rows").alias("_cn"),
+        )
+        merged = (
+            part.join(c, list(keys), "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce("total", F.lit(0.0)) + F.coalesce("_ct", F.lit(0.0))
+                ).alias("total"),
+                (
+                    F.coalesce("n_rows", F.lit(0)) + F.coalesce("_cn", F.lit(0))
+                ).cast("bigint").alias("n_rows"),
+            )
+        )
+    # reads come from v=prev, the write targets v=epoch_id — distinct
+    # partition dirs, so no self-overwrite hazard (the corpus-dedup
+    # store needed a checkpoint; this one does not)
+    merged.write.mode("overwrite").parquet(f"{store_dir}/v={epoch_id}")

@@ -1067,3 +1067,35 @@ def test_scd2_upsert_through_live_stream(spark, tmp_path):
         (1, "gold", 20, None),
         (2, "silver", 10, None),
     }
+
+
+def test_agg_upsert_mv_equals_batch_aggregate(spark, tmp_path):
+    """The incremental aggregate MV after N epochs must equal the batch
+    groupBy over all delivered rows, and a crashed-epoch re-run must
+    not double-count."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        agg_upsert_epoch,
+    )
+
+    store = str(tmp_path / "mv")
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, x double"
+    )
+    b1 = spark.createDataFrame(
+        [("a", 4.0), ("c", 100.0)], "k string, x double"
+    )
+    agg_upsert_epoch(b0, 0, store, ("k",), "x")
+    agg_upsert_epoch(b1, 1, store, ("k",), "x")
+
+    def state(v):
+        return {
+            (r.k): (r.total, r.n_rows)
+            for r in spark.read.parquet(store).filter(f"v = {v}").collect()
+        }
+
+    expect = {"a": (7.0, 3), "b": (10.0, 1), "c": (100.0, 1)}
+    assert state(1) == expect
+
+    # crash-replay epoch 1: byte-equivalent, no double counting
+    agg_upsert_epoch(b1, 1, store, ("k",), "x")
+    assert state(1) == expect
