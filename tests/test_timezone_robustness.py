@@ -51,6 +51,14 @@ TZ_SENSITIVE = [
     "events_cusum_level_shift",
     "events_dau_mau_stickiness",
     "orders_open_backlog_daily",
+    # round-9: hour-index buckets from ts_us (acf), session sweep-line
+    # micros (peak), 5s burst micros (debounce), year/month calendar
+    # fields over order wall time (ltv), sessionized entry paths
+    "events_hourly_acf",
+    "events_peak_concurrency",
+    "events_debounce_stats",
+    "orders_cohort_ltv_curve",
+    "events_session_paths",
 ]
 
 
