@@ -167,6 +167,7 @@ HEADLINE = [
     "events_peak_concurrency",
     "orders_cohort_ltv_curve",
     "events_debounce_stats",
+    "events_value_winsorized_stats",
 ]
 
 

@@ -1719,3 +1719,95 @@ def source_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(-(F.sum(term) / F.sum("c_a")), 6).alias("cross_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (round 9): clamp the value distribution at
+# exact p05/p95 before computing moments — the outlier-capping
+# normalization a training pipeline applies to telemetry/reward
+# columns so a handful of extreme values cannot dominate a loss or a
+# normalization constant.  Complements events_value_outliers_mad
+# (detection) with the standard REMEDIATION.  Spark's exact
+# `percentile` and DuckDB's `quantile_cont` are bit-identical on the
+# same double multiset (verified repo-wide), so the clamp bounds —
+# and therefore every clamped value — match exactly cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi,
+             CAST(count(*) AS BIGINT)   AS n
+      FROM events GROUP BY event_type
+    ), clamped AS (
+      SELECT e.event_type,
+             e.value,
+             CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END AS wvalue,
+             e.value < b.lo OR e.value > b.hi AS is_clamped,
+             b.lo, b.hi, b.n
+      FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           any_value(n)                                           AS n_rows,
+           CAST(sum(CASE WHEN is_clamped THEN 1 ELSE 0 END)
+                AS BIGINT)                                        AS n_clamped,
+           floor(any_value(lo) * 1000000.0 + 0.5) / 1000000.0     AS p05,
+           floor(any_value(hi) * 1000000.0 + 0.5) / 1000000.0     AS p95,
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0        AS mean_raw,
+           floor(avg(wvalue) * 1000000.0 + 0.5) / 1000000.0       AS mean_winsorized
+    FROM clamped GROUP BY event_type
+    """,
+    doc="Winsorization at exact p05/p95 per event type: clamp bounds "
+        "from the exact percentile (bit-identical Spark "
+        "percentile/DuckDB quantile_cont on the same multiset), the "
+        "clamped-row count, and mean before vs after — the outlier "
+        "remediation beside the MAD detector.  Scale shape: exact "
+        "per-group percentile is one sort-based agg on the "
+        "(event_type)-keyed shuffle; the clamp pass re-joins the "
+        "|event_types|-row bounds BROADCAST against the fact scan "
+        "(map-only), then one partial-agg rollup.  At 100 TB swap the "
+        "exact percentile for approx_percentile with the recorded "
+        "error bound (the stats_percentiles_approx_bound pattern) — "
+        "the clamp join shape is unchanged.",
+    tags=("curation", "events", "stats"),
+)
+def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    c = e.join(F.broadcast(bounds), "event_type")
+    wvalue = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    clamped = c.select(
+        "event_type",
+        "value",
+        wvalue.alias("wvalue"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "is_clamped"
+        ),
+        "lo",
+        "hi",
+        "n",
+    )
+    return clamped.groupBy("event_type").agg(
+        F.any_value("n").alias("n_rows"),
+        F.sum(F.when(F.col("is_clamped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped"),
+        pround(F.any_value("lo"), 6).alias("p05"),
+        pround(F.any_value("hi"), 6).alias("p95"),
+        pround(F.avg("value"), 6).alias("mean_raw"),
+        pround(F.avg("wvalue"), 6).alias("mean_winsorized"),
+    )

@@ -184,6 +184,7 @@ DEFERRED: tuple[str, ...] = (
     "events_peak_concurrency",
     "orders_cohort_ltv_curve",
     "events_debounce_stats",
+    "events_value_winsorized_stats",
 )
 
 
