@@ -168,6 +168,7 @@ HEADLINE = [
     "orders_cohort_ltv_curve",
     "events_debounce_stats",
     "events_value_winsorized_stats",
+    "similarity_recall_report",
 ]
 
 

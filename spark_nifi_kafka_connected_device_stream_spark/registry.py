@@ -185,6 +185,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_cohort_ltv_curve",
     "events_debounce_stats",
     "events_value_winsorized_stats",
+    "similarity_recall_report",
 )
 
 
