@@ -169,6 +169,8 @@ HEADLINE = [
     "events_debounce_stats",
     "events_value_winsorized_stats",
     "similarity_recall_report",
+    "orders_ship_latency_percentiles",
+    "events_dow_hour_profile",
 ]
 
 

@@ -1563,3 +1563,60 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         bshare.alias("benford_share"),
         pround(F.pow(F.col("n") - exp, F.lit(2)) / exp, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency distribution (round 9): days from order to line
+# shipment, as exact percentiles per order priority — the SLA report
+# (does URGENT actually ship faster, and what does the tail look
+# like?).  Latency is an integer day count from wall dates; exact
+# percentile interpolation on identical integer multisets is
+# bit-identical across engines (the stats_percentiles contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           floor(quantile_cont(days, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_days,
+           floor(quantile_cont(days, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_days,
+           floor(quantile_cont(days, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship latency percentiles per order priority: exact "
+        "p50/p90/p99 and worst case of the integer day count between "
+        "order placement and line shipment — the fulfillment-SLA "
+        "report.  Scale shape: ONE orderkey-keyed fact-fact shuffle "
+        "join (both sides big — the q9/q18 join class), then an exact "
+        "sort-based percentile agg on |priorities| groups; at 100 TB "
+        "swap for approx_percentile with a recorded bound "
+        "(stats_percentiles_approx_bound pattern) and the join shape "
+        "is unchanged.  Day counts come from wall dates, stable "
+        "across consumer session timezones.",
+    tags=("analytics", "agg", "stats"),
+)
+def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        pround(F.percentile("days", 0.5), 4).alias("p50_days"),
+        pround(F.percentile("days", 0.9), 4).alias("p90_days"),
+        pround(F.percentile("days", 0.99), 4).alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

@@ -2101,3 +2101,44 @@ def events_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("burst_len") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
         F.max("burst_len").cast("bigint").alias("max_burst_len"),
     )
+
+
+@register(
+    "events_dow_hour_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY dow, hour
+    ), total AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS n FROM cells
+    )
+    SELECT CAST(dow AS INTEGER)  AS dow,
+           CAST(hour AS INTEGER) AS hour,
+           n_events,
+           floor(n_events * 1.0 / t.n * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM cells CROSS JOIN total t
+    """,
+    doc="Weekly activity profile: event share per (ISO day-of-week, "
+        "hour-of-day) cell — the 7×24 heatmap capacity planning and "
+        "anomaly baselines read (the two-dimensional refinement of "
+        "events_seasonal_hourly_anomaly's hour-of-day baseline).  One "
+        "partial-agg shuffle to ≤168 cells, total as a 1-row "
+        "broadcast; calendar fields from stored wall time, stable "
+        "across consumer session timezones.  ISO numbering (Mon=1) "
+        "matches DuckDB isodow to Spark weekday()+1 exactly.",
+    tags=("events", "timeseries", "agg"),
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    total = cells.agg(F.sum("n_events").cast("bigint").alias("n"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n_events",
+        pround(F.col("n_events") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+    )
