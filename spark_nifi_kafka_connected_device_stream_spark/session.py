@@ -43,6 +43,17 @@ def get_session(
     enableHiveSupport) for persistent `saveAsTable`/DDL.
     """
     cpus = default_parallelism()
+    # Driver-side Python runner processes (Python data source planning /
+    # streaming-source initialization) build their sys.path from the
+    # JVM's inherited PYTHONPATH, not from addPyFile — so the package
+    # parent must be on PYTHONPATH BEFORE the JVM launches, or a driver
+    # running from a foreign cwd loses every python-datasource stream.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -59,6 +59,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from ..session import ensure_workers_importable
+
 REGIONS = ("na", "eu", "apac", "latam", "mea")
 MODELS = ("m100", "m200", "m300", "m400")
 
@@ -184,6 +186,11 @@ def register_python_sources(spark) -> None:
     """Idempotent registration of all three formats on a session
     (batch reader, stream reader, and — once defined below — the
     audit writer)."""
+    # Python data sources are pickled by reference: the planner worker
+    # re-imports this module, so the package must be shipped for any
+    # driver whose cwd isn't the repo root (same failure class the
+    # registry wrapper closes for pandas UDFs).
+    ensure_workers_importable(spark)
     # gate for the pushFilters API (off by default in Spark 4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeviceRegistryDataSource)
