@@ -2142,3 +2142,153 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         pround(F.col("n_events") * F.lit(1.0) / F.col("n"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness — the Goh–Barabási B = (σ−μ)/(σ+μ) of the
+# per-user gap distribution, the standard scalar for "is this traffic
+# Poisson-like (B≈0), regular/machine-like (B→−1), or bursty/human-like
+# (B→+1)".  The connected-device framing of the reference (device
+# telemetry streams) makes this the first diagnostic an ingest SRE
+# asks for.
+# ---------------------------------------------------------------------------
+
+_MIN_GAPS = 30
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             CAST(us - lag(us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ASC, event_id ASC)
+                  AS DOUBLE) / 1000000 AS gap_s
+      FROM ev
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap_s) AS mean_raw, stddev_samp(gap_s) AS sd_raw
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY event_type HAVING count(*) >= {_MIN_GAPS}
+    )
+    SELECT event_type, n_gaps,
+           floor(mean_raw * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+           floor(sd_raw * 1000000.0 + 0.5) / 1000000.0   AS sd_gap_s,
+           CASE WHEN sd_raw + mean_raw = 0 THEN 0.0
+                ELSE floor((sd_raw - mean_raw) / (sd_raw + mean_raw)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS burstiness
+    FROM agg
+    """,
+    doc="Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of same-(user, type) "
+        "inter-arrival times, per event type: B≈0 is Poisson-like "
+        "traffic, B→−1 metronomic machine traffic, B→+1 bursty human "
+        "sessions — the scalar that separates telemetry heartbeats "
+        "from organic clickstreams.  Scale shape: the gap extraction "
+        "rides ONE (user, type)-key shuffle (same lag machinery as "
+        "events_sessionize), the moment aggregation is partial "
+        "(map-side) into |event_types| rows.  μ/σ via avg/stddev_samp "
+        "(bit-parity proven since round 4), pround(6) on emit.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts_us").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    gaps = (
+        e.withColumn(
+            "gap_s",
+            (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1000000),
+        )
+        .where(F.col("gap_s").isNotNull())
+        .select("event_type", "gap_s")
+    )
+    agg = (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.avg("gap_s").alias("mean_raw"),
+            F.stddev_samp("gap_s").alias("sd_raw"),
+        )
+        .where(F.col("n_gaps") >= _MIN_GAPS)
+    )
+    sd_plus_mean = F.col("sd_raw") + F.col("mean_raw")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        pround(F.col("mean_raw"), 6).alias("mean_gap_s"),
+        pround(F.col("sd_raw"), 6).alias("sd_gap_s"),
+        F.when(sd_plus_mean == 0, F.lit(0.0))
+        .otherwise(pround((F.col("sd_raw") - F.col("mean_raw")) / sd_plus_mean, 6))
+        .alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration — the Gini coefficient of per-user event
+# counts.  "Do 1% of devices produce 90% of the stream?" decides
+# whether per-key state (sessionization, dedup stores) needs salting
+# and whether a sampled corpus over-represents power users.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_gini",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt ASC, user_id ASC) AS i
+      FROM counts
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)      AS n_users,
+             CAST(sum(cnt) AS BIGINT)      AS n_events,
+             CAST(sum(i * cnt) AS BIGINT)  AS weighted
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_events,
+           floor((2.0 * weighted / (n_users * CAST(n_events AS DOUBLE))
+                  - (n_users + 1.0) / n_users) * 1000000.0 + 0.5)
+           / 1000000.0 AS gini
+    FROM agg
+    """,
+    doc="Gini coefficient of per-user event counts, per event type "
+        "(G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-ordered "
+        "counts): 0 = every device contributes equally, →1 = a handful "
+        "of hot devices dominate the stream.  Drives salting decisions "
+        "for per-key state and sampling weights for corpus balance.  "
+        "Scale shape: one (type, user) partial-agg shuffle, one "
+        "type-key window to rank (per-type cardinality = |users|, "
+        "bounded by the user base, and the rank sum is exact int64 — "
+        "n·max_cnt ≪ 2^63), final agg to |event_types| rows.",
+    tags=("events", "stats", "curation"),
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("cnt"), F.asc("user_id"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.sum(F.col("i") * F.col("cnt")).cast("bigint").alias("weighted"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("weighted") / (F.col("n_users") * F.col("n_events").cast("double"))
+        - (F.col("n_users") + F.lit(1.0)) / F.col("n_users")
+    )
+    return agg.select(
+        "event_type", "n_users", "n_events", pround(gini, 6).alias("gini")
+    )

@@ -188,6 +188,8 @@ DEFERRED: tuple[str, ...] = (
     "similarity_recall_report",
     "orders_ship_latency_percentiles",
     "events_dow_hour_profile",
+    "events_interarrival_burstiness",
+    "events_user_gini",
 )
 
 

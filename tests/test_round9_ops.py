@@ -171,3 +171,55 @@ def test_split_leakage_requires_head_dup_across_splits(spark, tmp_path):
     r = rows[0]
     assert (r.eval_split, r.ref_split) == ("test", "train")
     assert r.n_shared_fingerprints == 1 and r.n_contaminated_eval_docs == 1
+
+
+def test_interarrival_burstiness_metronome_is_minus_one(spark, tmp_path):
+    """31 events at exactly 10s intervals: 30 gaps, sd=0, mean=10s —
+    burstiness hits the machine-traffic pole B = −1 exactly."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_interarrival_burstiness,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [(i, i * 10, 1, "view") for i in range(31)],
+    )
+    rows = events_interarrival_burstiness(spark, sf).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row.n_gaps == 30
+    assert row.mean_gap_s == 10.0
+    assert row.sd_gap_s == 0.0
+    assert row.burstiness == -1.0
+
+
+def test_interarrival_burstiness_min_gaps_filter(spark, tmp_path):
+    """A type with fewer than 30 gaps is excluded from the report."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_interarrival_burstiness,
+    )
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [(i, i * 10, 1, "click") for i in range(5)],
+    )
+    assert events_interarrival_burstiness(spark, sf).count() == 0
+
+
+def test_user_gini_hand_computed(spark, tmp_path):
+    """user 1 → 1 event, user 2 → 3 events: ascending x = (1, 3),
+    G = 2·(1·1 + 2·3)/(2·4) − 3/2 = 0.25.  A perfectly equal pair of
+    users in a second type gives G = 0."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_user_gini,
+    )
+
+    rows = [(1, 0, 1, "view"), (2, 10, 2, "view"), (3, 20, 2, "view"), (4, 30, 2, "view")]
+    rows += [(5, 40, 1, "click"), (6, 50, 2, "click")]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in events_user_gini(spark, sf).collect()}
+    assert out["view"].n_users == 2 and out["view"].n_events == 4
+    assert out["view"].gini == 0.25
+    assert out["click"].gini == 0.0
