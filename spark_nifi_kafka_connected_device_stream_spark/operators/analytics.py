@@ -1620,3 +1620,131 @@ def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         pround(F.percentile("days", 0.99), 4).alias("p99_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase intervals (round 9): days between a customer's
+# consecutive orders, distributed per market segment — the repeat-
+# purchase cadence behind replenishment forecasting and churn cutoffs
+# (a customer 2× past their segment's p90 gap is "overdue").
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_interpurchase_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ), gaps AS (
+      SELECT c.c_mktsegment, s.gap_days
+      FROM seq s JOIN customer c ON c.c_custkey = s.o_custkey
+      WHERE s.gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(avg(gap_days) * 10000.0 + 0.5) / 10000.0 AS avg_days,
+           floor(quantile_cont(gap_days, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_days,
+           floor(quantile_cont(gap_days, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps GROUP BY c_mktsegment
+    """,
+    doc="Inter-purchase cadence per market segment: integer day gaps "
+        "between each customer's consecutive orders (lag over the "
+        "custkey-keyed order sequence), rolled up to count / mean / "
+        "exact p50 / p90 / max per segment — the replenishment-cycle "
+        "report that also sets churn cutoffs ('overdue' = 2× the "
+        "segment p90).  Scale shape: ONE custkey shuffle carries the "
+        "sequence window, the segment lookup is a key-key join against "
+        "the customer dim (AQE picks broadcast where the dim fits), "
+        "final exact percentile agg on |segments| groups.  Integer day "
+        "gaps from wall dates — percentile parity is the "
+        "stats_percentiles bit-exact contract.",
+    tags=("analytics", "window", "stats"),
+)
+def orders_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    gaps = seq.join(c, seq.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "gap_days"
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        pround(F.avg("gap_days"), 4).alias("avg_days"),
+        pround(F.percentile("gap_days", 0.5), 4).alias("p50_days"),
+        pround(F.percentile("gap_days", 0.9), 4).alias("p90_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity (round 9): does a deeper discount actually move
+# more units, and does the answer differ by brand?  Per-brand OLS of
+# quantity on discount — the pricing-team readout that decides whether
+# the discount ladder is doing anything.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_discount_elasticity",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(avg(l.l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor(regr_slope(l.l_quantity, l.l_discount) * 10000.0 + 0.5)
+           / 10000.0 AS qty_per_discount,
+           floor(regr_r2(l.l_quantity, l.l_discount) * 1000000.0 + 0.5)
+           / 1000000.0 AS r2
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    HAVING regr_slope(l.l_quantity, l.l_discount) IS NOT NULL
+    """,
+    doc="Discount elasticity per brand: OLS slope of quantity on "
+        "discount (units moved per unit of discount depth) with fit R² "
+        "and the brand's volume baseline — the pricing readout that "
+        "tests whether the discount ladder shifts demand at all (on "
+        "uniform synthetic data R²≈0: the honest null).  Scale shape: "
+        "the partkey equi-join is the q9 fact-dim class (AQE "
+        "broadcasts the projected 2-column part side when it fits, "
+        "shuffle-join otherwise), then single-pass regr_* co-moment "
+        "folds with map-side combine into |brands| (=25) rows.",
+    tags=("analytics", "stats", "join"),
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.regr_slope("l_quantity", "l_discount"), 4).alias(
+                "qty_per_discount"
+            ),
+            pround(F.regr_r2("l_quantity", "l_discount"), 6).alias("r2"),
+            F.regr_slope("l_quantity", "l_discount").alias("_slope_raw"),
+        )
+        .where(F.col("_slope_raw").isNotNull())
+        .drop("_slope_raw")
+    )

@@ -954,3 +954,80 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOP)
     )
+
+
+ZIPF_RANKS = 100
+ZIPF_MIN_RANKS = 10
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), counts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ), ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok ASC) AS r
+      FROM counts
+    ), fit AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+             regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))) AS slope_raw,
+             regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))    AS r2_raw
+      FROM ranked WHERE r <= {ZIPF_RANKS}
+      GROUP BY source HAVING count(*) >= {ZIPF_MIN_RANKS}
+    )
+    SELECT source, n_ranks,
+           floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+           floor(r2_raw * 1000000.0 + 0.5) / 1000000.0    AS zipf_r2
+    FROM fit
+    """,
+    doc=f"Zipf's-law fit per source: least-squares slope of ln(freq) on "
+        f"ln(rank) over the top {ZIPF_RANKS} tokens (natural text sits "
+        f"near −1; templated/boilerplate-heavy or synthetic sources "
+        f"drift shallow, keyword-stuffed spam drifts steep) with the "
+        f"fit R² as the linearity check — a corpus-health fingerprint "
+        f"a mixing pipeline reads per source.  Scale shape: ONE "
+        f"corpus-sized (source, token) vocab aggregate with map-side "
+        f"combine, a source-keyed top-{ZIPF_RANKS} rank window over "
+        f"vocab rows, then regr_* co-moment folds on ≤{ZIPF_RANKS} "
+        f"points per source.  ln/regr in double with pround(6) — "
+        f"sub-ULP libm variance vanishes at 6 decimals.",
+    tags=("text", "stats", "curation"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        plan_parallelism(spark), "doc_id"
+    )
+    toks = d.select(
+        "source", F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= ZIPF_RANKS)
+        .select(
+            "source",
+            F.log(F.col("c").cast("double")).alias("ln_c"),
+            F.log(F.col("r").cast("double")).alias("ln_r"),
+        )
+    )
+    fit = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.regr_slope("ln_c", "ln_r").alias("slope_raw"),
+        F.regr_r2("ln_c", "ln_r").alias("r2_raw"),
+    ).where(F.col("n_ranks") >= ZIPF_MIN_RANKS)
+    return fit.select(
+        "source",
+        "n_ranks",
+        pround(F.col("slope_raw"), 6).alias("zipf_slope"),
+        pround(F.col("r2_raw"), 6).alias("zipf_r2"),
+    )

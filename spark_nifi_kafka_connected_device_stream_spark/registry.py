@@ -190,6 +190,9 @@ DEFERRED: tuple[str, ...] = (
     "events_dow_hour_profile",
     "events_interarrival_burstiness",
     "events_user_gini",
+    "text_zipf_fit",
+    "orders_interpurchase_intervals",
+    "lineitem_discount_elasticity",
 )
 
 

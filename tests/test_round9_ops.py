@@ -223,3 +223,103 @@ def test_user_gini_hand_computed(spark, tmp_path):
     assert out["view"].n_users == 2 and out["view"].n_events == 4
     assert out["view"].gini == 0.25
     assert out["click"].gini == 0.0
+
+
+def test_zipf_fit_matches_independent_ols(spark, tmp_path):
+    """12 tokens with strictly decreasing counts: the operator's slope
+    and R² must match an independent numpy least-squares fit of
+    ln(count) on ln(rank) to 1e-6 (the pround grid)."""
+    import math
+
+    import numpy as np
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        text_zipf_fit,
+    )
+
+    counts = [40, 25, 18, 13, 10, 8, 6, 5, 4, 3, 2, 1]
+    words = []
+    for i, c in enumerate(counts):
+        words += [f"tok{i:02d}"] * c
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en", "src_a", len(words))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = text_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row.source == "src_a" and row.n_ranks == 12
+    ln_r = np.log(np.arange(1, 13, dtype=float))
+    ln_c = np.log(np.array(counts, dtype=float))
+    slope, intercept = np.polyfit(ln_r, ln_c, 1)
+    pred = slope * ln_r + intercept
+    ss_res = float(((ln_c - pred) ** 2).sum())
+    ss_tot = float(((ln_c - ln_c.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot
+    assert math.isclose(row.zipf_slope, slope, abs_tol=2e-6)
+    assert math.isclose(row.zipf_r2, r2, abs_tol=2e-6)
+    assert row.zipf_slope < 0
+
+
+def test_interpurchase_intervals_hand_computed(spark, tmp_path):
+    """One customer ordering on days 0/10/40: gaps {10, 30} —
+    avg 20, p50 20, p90 = 10 + 0.9·20 = 28."""
+    import datetime
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        orders_interpurchase_intervals,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [
+        (k, 1, "O", 100.0, base + datetime.timedelta(days=d), "1-URGENT")
+        for k, d in [(1, 0), (2, 10), (3, 40)]
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    row = orders_interpurchase_intervals(spark, str(tmp_path)).collect()[0]
+    assert row.c_mktsegment == "BUILDING"
+    assert row.n_gaps == 2
+    assert row.avg_days == 20.0
+    assert row.p50_days == 20.0
+    assert row.p90_days == 28.0
+    assert row.max_days == 30
+
+
+def test_discount_elasticity_perfect_line(spark, tmp_path):
+    """Three lines on one brand with qty = 10·discount + 1 exactly:
+    slope 10, R² = 1."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        lineitem_discount_elasticity,
+    )
+
+    import datetime
+
+    ship = datetime.datetime(2024, 1, 1)
+    lines = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ship),
+        (1, 1, 1, 2, 2.0, 10.0, 0.1, 0.0, "N", "O", ship),
+        (1, 1, 1, 3, 3.0, 10.0, 0.2, 0.0, "N", "O", ship),
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "part1", "Brand#11", "TYPE", 1, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    row = lineitem_discount_elasticity(spark, str(tmp_path)).collect()[0]
+    assert row.p_brand == "Brand#11"
+    assert row.n_lines == 3
+    assert row.qty_per_discount == 10.0
+    assert row.r2 == 1.0
+    assert row.avg_qty == 2.0
