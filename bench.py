@@ -176,6 +176,7 @@ HEADLINE = [
     "text_zipf_fit",
     "orders_interpurchase_intervals",
     "lineitem_discount_elasticity",
+    "events_cms_frequency_bound",
 ]
 
 

@@ -2292,3 +2292,88 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "n_users", "n_events", pround(gini, 6).alias("gini")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 9): the point-query frequency sketch beside
+# the HLL (distinct) and Misra-Gries (top-k) family members.  CMS is
+# LINEAR — a sketch of a union is the cell-wise SUM of the sketches —
+# so the production shape is a stored table of daily (row, col, count)
+# partials that answers any date-range frequency question by cell-wise
+# addition, never re-scanning the corpus.  Estimates are Spark-side
+# arithmetic (xxhash64), so — like the HLL/approx bound twins — the
+# driver-checked contract is the CMS guarantee itself: est ≥ true
+# (always, by construction) and est − true ≤ d·N/w on the audited
+# heavy keys; oracle = constant-true table over the same key set.
+# ---------------------------------------------------------------------------
+
+CMS_W = 2048
+CMS_D = 4
+CMS_TOP = 20
+
+
+@register(
+    "events_cms_frequency_bound",
+    oracle=f"""
+    SELECT user_id, true AS within_bound
+    FROM (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      ORDER BY count(*) DESC, user_id ASC
+      LIMIT {CMS_TOP}
+    )
+    """,
+    doc=f"Count-min sketch frequency audit: {CMS_D}×{CMS_W} cells built "
+        f"as daily (day, row, col) partials (grouped count with "
+        f"map-side combine), union-merged by cell-wise sum — CMS "
+        f"linearity is the 100 TB story: the daily partial table "
+        f"answers any date-range point-frequency query without "
+        f"re-scanning the corpus.  Point estimates (min over rows of "
+        f"the hashed cell) for the {CMS_TOP} heaviest users are "
+        f"audited against exact counts via the deterministic CMS "
+        f"guarantee est ≥ true and est − true ≤ d·N/w; the oracle "
+        f"pins the audited key set and the all-true outcome.  The "
+        f"exact-count side exists only for this gate — production "
+        f"keeps the sketch path.  Probes and cells are tiny "
+        f"broadcast-side tables after the one corpus aggregate.",
+    tags=("events", "approx", "sketch"),
+)
+def events_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+    pairs = e.withColumn("row", F.explode(rows)).select(
+        "day",
+        "row",
+        F.pmod(F.xxhash64("user_id", "row"), F.lit(CMS_W)).alias("col"),
+    )
+    # the stored partial table: (day, row, col) -> count
+    daily_cells = pairs.groupBy("day", "row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = daily_cells.groupBy("row", "col").agg(F.sum("cnt").alias("cell"))
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    heavy = counts.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(CMS_TOP)
+    probes = heavy.withColumn("row", F.explode(rows)).select(
+        "user_id",
+        "true_cnt",
+        "row",
+        F.pmod(F.xxhash64("user_id", "row"), F.lit(CMS_W)).alias("col"),
+    )
+    est = (
+        probes.join(cells, ["row", "col"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        (
+            (F.col("est") >= F.col("true_cnt"))
+            & (
+                F.col("est") - F.col("true_cnt")
+                <= F.lit(CMS_D) * F.col("n") / F.lit(CMS_W)
+            )
+        ).alias("within_bound"),
+    )

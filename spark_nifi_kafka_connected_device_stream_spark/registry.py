@@ -193,6 +193,7 @@ DEFERRED: tuple[str, ...] = (
     "text_zipf_fit",
     "orders_interpurchase_intervals",
     "lineitem_discount_elasticity",
+    "events_cms_frequency_bound",
 )
 
 

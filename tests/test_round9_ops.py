@@ -323,3 +323,23 @@ def test_discount_elasticity_perfect_line(spark, tmp_path):
     assert row.qty_per_discount == 10.0
     assert row.r2 == 1.0
     assert row.avg_qty == 2.0
+
+
+def test_cms_bound_holds_and_pins_heavy_keys(spark, tmp_path):
+    """Three users with counts 40/30/5: with 1500 users' worth of
+    headroom in a 4×2048 sketch there are no collisions, so every
+    estimate is exact and within_bound is uniformly true; the audited
+    key set is exactly the heavy users."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_cms_frequency_bound,
+    )
+
+    rows = (
+        [(i, i, 1, "view") for i in range(40)]
+        + [(100 + i, i, 2, "view") for i in range(30)]
+        + [(200 + i, i, 3, "view") for i in range(5)]
+    )
+    sf = _write_events(spark, tmp_path, rows)
+    out = events_cms_frequency_bound(spark, sf).collect()
+    assert sorted(r.user_id for r in out) == [1, 2, 3]
+    assert all(r.within_bound for r in out)
