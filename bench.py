@@ -177,6 +177,7 @@ HEADLINE = [
     "orders_interpurchase_intervals",
     "lineitem_discount_elasticity",
     "events_cms_frequency_bound",
+    "orders_bloom_prefilter_bound",
 ]
 
 

@@ -1374,3 +1374,108 @@ def part_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("depth").cast("int").alias("depth"),
         F.col("total").alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter (round 9): the runtime-filtering
+# pattern behind Spark's row-level bloom pushdown
+# (spark.sql.optimizer.runtime.bloomFilter.enabled), stated
+# declaratively so the guarantee itself is driver-checkable.  Build a
+# k=3-hash Bloom bitset over the "interesting" join keys (URGENT
+# orders), probe every distinct lineitem orderkey, and audit the two
+# properties that make a Bloom prefilter admissible before a shuffle
+# join: ZERO false negatives (deterministic, by construction) and a
+# false-positive rate under the sized-for bound.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 18  # bits
+BLOOM_K = 3  # hash functions
+BLOOM_FP_BOUND = 0.05  # ~2x the theoretical (1 - e^{-kn/m})^k at sf0.1
+
+
+@register(
+    "orders_bloom_prefilter_bound",
+    oracle=f"""
+    WITH probe AS (
+      SELECT DISTINCT l_orderkey FROM lineitem
+    ), members AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe_keys,
+           CAST((SELECT count(*) FROM probe JOIN members
+                 ON o_orderkey = l_orderkey) AS BIGINT) AS n_member_keys,
+           true AS zero_false_negatives,
+           true AS fp_within_bound
+    """,
+    doc=f"Bloom-filter semi-join prefilter audit: a {BLOOM_K}-hash, "
+        f"{BLOOM_M}-bit Bloom set over URGENT orderkeys probed by every "
+        f"distinct lineitem orderkey.  Checks the admissibility "
+        f"contract of runtime row-level filtering — no member key is "
+        f"ever dropped (Bloom's deterministic no-false-negative "
+        f"guarantee) and the false-positive pass-through stays under "
+        f"{BLOOM_FP_BOUND:.0%} — before the expensive shuffle join runs "
+        f"on the surviving rows.  Scale shape: the bitset is a "
+        f"|members|·k-bounded distinct-position table (→ a broadcast "
+        f"bitmap in production, exactly what Spark's bloom pushdown "
+        f"injects); probes join it by bit position, never key-by-key "
+        f"against the member set; the report is one row.  Hashes are "
+        f"Spark-side xxhash64 — like the sketch bound twins, the "
+        f"ORACLE pins the exact member/probe cardinalities and the "
+        f"all-true outcome.",
+    tags=("join", "approx", "sketch"),
+)
+def orders_bloom_prefilter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    members = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    hashes = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    bits = (
+        members.withColumn("h", F.explode(hashes))
+        .select(F.pmod(F.xxhash64("key", "h"), F.lit(BLOOM_M)).alias("pos"))
+        .distinct()
+    )
+    probed = (
+        probe.withColumn("h", F.explode(hashes))
+        .select(
+            "key",
+            "h",
+            F.pmod(F.xxhash64("key", "h"), F.lit(BLOOM_M)).alias("pos"),
+        )
+        .join(bits, "pos", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == BLOOM_K)
+        .select("key")
+    )
+    is_member = members.withColumn("is_member", F.lit(True))
+    audit = (
+        probe.join(is_member, "key", "left")
+        .join(probed.withColumn("passed", F.lit(True)), "key", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_member_keys"),
+            F.sum(
+                F.when(F.col("is_member") & F.col("passed").isNull(), 1).otherwise(0)
+            ).alias("n_false_neg"),
+            F.sum(
+                F.when(F.col("passed") & F.col("is_member").isNull(), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+    )
+    return audit.select(
+        "n_probe_keys",
+        "n_member_keys",
+        (F.col("n_false_neg") == 0).alias("zero_false_negatives"),
+        (
+            F.col("n_false_pos")
+            <= F.lit(BLOOM_FP_BOUND)
+            * (F.col("n_probe_keys") - F.col("n_member_keys"))
+        ).alias("fp_within_bound"),
+    )

@@ -194,6 +194,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_interpurchase_intervals",
     "lineitem_discount_elasticity",
     "events_cms_frequency_bound",
+    "orders_bloom_prefilter_bound",
 )
 
 

@@ -343,3 +343,39 @@ def test_cms_bound_holds_and_pins_heavy_keys(spark, tmp_path):
     out = events_cms_frequency_bound(spark, sf).collect()
     assert sorted(r.user_id for r in out) == [1, 2, 3]
     assert all(r.within_bound for r in out)
+
+
+def test_bloom_prefilter_no_false_negatives_tiny(spark, tmp_path):
+    """2 urgent orders out of 4, all probed via lineitem: member keys
+    must always pass (zero false negatives) and with 4 keys in 2^18
+    bits there are no collisions, so no false positives either."""
+    import datetime
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.relational import (
+        orders_bloom_prefilter_bound,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    orders = [
+        (k, 1, "O", 100.0, base, "1-URGENT" if k <= 2 else "5-LOW")
+        for k in (1, 2, 3, 4)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines = [
+        (k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base) for k in (1, 2, 3, 4)
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = orders_bloom_prefilter_bound(spark, str(tmp_path)).collect()[0]
+    assert row.n_probe_keys == 4
+    assert row.n_member_keys == 2
+    assert row.zero_false_negatives is True
+    assert row.fp_within_bound is True
