@@ -178,6 +178,9 @@ HEADLINE = [
     "lineitem_discount_elasticity",
     "events_cms_frequency_bound",
     "orders_bloom_prefilter_bound",
+    "privacy_l_diversity_report",
+    "documents_source_lang_mutual_info",
+    "nation_revenue_share_of_region",
 ]
 
 

@@ -1748,3 +1748,72 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_slope_raw").isNotNull())
         .drop("_slope_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchical rollup (round 9): nation revenue as a
+# share of its region — the drill-down ratio every OLAP tool renders
+# next to a hierarchy node.  Distinct from agg_rollup (which emits
+# parent SUBTOTAL rows): here each leaf carries its parent's total as
+# a denominator, which is the share-of-parent window pattern.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_revenue_share_of_region",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY nation, region
+    )
+    SELECT region, nation,
+           floor(cents / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+           floor(CAST(cents AS DOUBLE)
+                 / sum(cents) OVER (PARTITION BY region)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_region
+    FROM rev
+    """,
+    doc="Share-of-parent hierarchical rollup: each nation's order "
+        "revenue as a fraction of its region's total — the drill-down "
+        "ratio rendered beside every hierarchy node (and the "
+        "complement of agg_rollup's subtotal rows).  Scale shape: the "
+        "custkey fact-dim join carries the one corpus shuffle (AQE "
+        "broadcasts the customer side where it fits; nation/region "
+        "are explicit broadcasts), revenue accumulates in exact "
+        "integer cents (the _cents contract), and the share window "
+        "partitions over the 25-nation frame — bounded, never "
+        "corpus-sized.",
+    tags=("analytics", "join", "window"),
+)
+def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("nation", "region")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        pround(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        pround(F.col("cents").cast("double") / F.sum("cents").over(w), 6).alias(
+            "share_of_region"
+        ),
+    )

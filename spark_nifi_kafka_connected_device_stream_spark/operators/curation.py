@@ -1811,3 +1811,71 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         pround(F.avg("value"), 6).alias("mean_raw"),
         pround(F.avg("wvalue"), 6).alias("mean_winsorized"),
     )
+
+
+@register(
+    "documents_source_lang_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
+      FROM documents GROUP BY source, lang
+    ), sx AS (
+      SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY source
+    ), sy AS (
+      SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells
+    )
+    SELECT c.source, c.lang, c.n_xy,
+           floor(ln(CAST(c.n_xy AS DOUBLE) * t.n
+                    / (CAST(x.n_x AS DOUBLE) * y.n_y))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi,
+           floor(CAST(c.n_xy AS DOUBLE) / t.n
+                 * ln(CAST(c.n_xy AS DOUBLE) * t.n
+                      / (CAST(x.n_x AS DOUBLE) * y.n_y))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mi_contribution
+    FROM cells c
+    JOIN sx x ON x.source = c.source
+    JOIN sy y ON y.lang = c.lang
+    CROSS JOIN tot t
+    """,
+    doc="Source×language association audit: pointwise mutual "
+        "information per observed (source, lang) cell and its "
+        "contribution to the total mutual information Σ p·ln(p_xy/"
+        "(p_x·p_y)) — the confounding screen a mix designer reads "
+        "before treating 'source' and 'language' as independent "
+        "sampling axes (MI≈0 means balancing one cannot skew the "
+        "other; a high-PMI cell is a source that IS a language).  "
+        "Scale shape: ONE corpus aggregate to |sources|×|langs| "
+        "cells; margins re-aggregate the cell table, never the "
+        "corpus, and join back on the bounded cell frame (broadcast); "
+        "ln in double with pround(6).",
+    tags=("curation", "stats"),
+)
+def documents_source_lang_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    sx = cells.groupBy("source").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    sy = cells.groupBy("lang").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    ratio = (
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        cells.join(F.broadcast(sx), "source")
+        .join(F.broadcast(sy), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_xy",
+            pround(F.log(ratio), 6).alias("pmi"),
+            pround(
+                F.col("n_xy").cast("double") / F.col("n") * F.log(ratio), 6
+            ).alias("mi_contribution"),
+        )
+    )

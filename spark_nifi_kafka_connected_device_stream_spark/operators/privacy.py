@@ -316,3 +316,49 @@ def privacy_pii_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_redacted"),
         F.sum("redacted_len").cast("bigint").alias("corpus_chars"),
     )
+
+
+L_DIVERSITY = 3
+
+
+@register(
+    "privacy_l_diversity_report",
+    oracle=f"""
+    SELECT CAST(isodow(ts) AS INTEGER)                AS dow,
+           CAST(hour(ts) AS INTEGER)                  AS hour_of_day,
+           CAST(count(*) AS BIGINT)                   AS n_rows,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS l_distinct,
+           count(DISTINCT event_type) >= {L_DIVERSITY} AS diverse
+    FROM events
+    GROUP BY dow, hour_of_day
+    """,
+    doc=f"l-diversity audit (l={L_DIVERSITY}) — the attribute-disclosure "
+        f"complement of the k-anonymity report: a quasi-identifier "
+        f"group (ISO day-of-week, hour-of-day) can satisfy k-anonymity "
+        f"yet still leak the sensitive attribute if (almost) every row "
+        f"in it shares one event_type; groups with fewer than l "
+        f"distinct sensitive values are flagged.  Same bounded-QI "
+        f"shape as the k-anonymity audit: one distinct-count aggregate "
+        f"over ≤168 cells, two-phase with map-side partials.  "
+        f"ISO dow from wall time (weekday()+1 = isodow), tz-stable.",
+    tags=("privacy", "events"),
+)
+def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_type").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "dow",
+            "hour_of_day",
+            "n_rows",
+            "l_distinct",
+            (F.col("l_distinct") >= F.lit(L_DIVERSITY)).alias("diverse"),
+        )
+    )

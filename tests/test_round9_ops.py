@@ -379,3 +379,75 @@ def test_bloom_prefilter_no_false_negatives_tiny(spark, tmp_path):
     assert row.n_member_keys == 2
     assert row.zero_false_negatives is True
     assert row.fp_within_bound is True
+
+
+def test_l_diversity_flags_homogeneous_cell(spark, tmp_path):
+    """All Monday-midnight events share one type (l=1, not diverse);
+    the Monday-1am cell has three types (l=3, diverse)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.privacy import (
+        privacy_l_diversity_report,
+    )
+
+    rows = [(i, i, 1, "view") for i in range(5)]  # 2024-01-01 is a Monday, hour 0
+    rows += [
+        (10, 3600, 1, "view"),
+        (11, 3610, 2, "click"),
+        (12, 3620, 3, "purchase"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {(r.dow, r.hour_of_day): r for r in privacy_l_diversity_report(spark, sf).collect()}
+    assert out[(1, 0)].l_distinct == 1 and out[(1, 0)].diverse is False
+    assert out[(1, 1)].l_distinct == 3 and out[(1, 1)].diverse is True
+
+
+def test_mutual_info_independent_vs_confounded(spark, tmp_path):
+    """A 2×2 independent layout has PMI 0 in every cell; a perfectly
+    confounded layout (each source maps to one lang) has positive PMI
+    ln(2) on its diagonal cells."""
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        documents_source_lang_mutual_info,
+    )
+
+    def write_docs(cells, path):
+        data = []
+        i = 0
+        for (src, lang, n) in cells:
+            for _ in range(n):
+                data.append((i, "t", lang, src, 1))
+                i += 1
+        spark.createDataFrame(
+            data, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+        return str(path)
+
+    ind = tmp_path / "ind"; ind.mkdir()
+    sf = write_docs(
+        [("a", "en", 2), ("a", "de", 2), ("b", "en", 2), ("b", "de", 2)], ind
+    )
+    for r in documents_source_lang_mutual_info(spark, sf).collect():
+        assert r.pmi == 0.0 and r.mi_contribution == 0.0
+
+    conf = tmp_path / "conf"; conf.mkdir()
+    sf = write_docs([("a", "en", 2), ("b", "de", 2)], conf)
+    for r in documents_source_lang_mutual_info(spark, sf).collect():
+        assert math.isclose(r.pmi, math.log(2.0), abs_tol=2e-6)
+
+
+def test_share_of_region_sums_to_one(spark):
+    """On the real fixture every region's nation shares sum to 1
+    (within the pround grid) and revenue is positive."""
+    from collections import defaultdict
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        nation_revenue_share_of_region,
+    )
+
+    rows = nation_revenue_share_of_region(spark, SF).collect()
+    by_region = defaultdict(float)
+    for r in rows:
+        assert r.revenue > 0
+        by_region[r.region] += r.share_of_region
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-4, (region, s)
