@@ -1879,3 +1879,93 @@ def documents_source_lang_mutual_info(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("mi_contribution"),
         )
     )
+
+
+@register(
+    "documents_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, tk[gs.i] AS w1, tk[gs.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+    ), uni AS (
+      SELECT doc_id, tk[gs.i] AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs
+    ), uni_counts AS (
+      SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY w
+    ), vocab AS (
+      SELECT count(*) AS v FROM uni_counts
+    ), bg_counts AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), doc_bg AS (
+      SELECT doc_id, w1, w2, count(*) AS n_occ FROM bg GROUP BY doc_id, w1, w2
+    ), scored AS (
+      SELECT d.doc_id,
+             floor((sum(d.n_occ * ln((CAST(bc.c2 AS DOUBLE) + 1.0) / (uc.c1 + v.v)))
+                    / sum(d.n_occ)) * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM doc_bg d
+      JOIN bg_counts bc USING (w1, w2)
+      JOIN uni_counts uc USING (w1)
+      CROSS JOIN vocab v
+      GROUP BY d.doc_id
+    ), th AS (
+      SELECT quantile_cont(score, 0.3333333) AS t1,
+             quantile_cont(score, 0.6666667) AS t2
+      FROM scored
+    ), bucketed AS (
+      SELECT doc.source,
+             CASE WHEN s.score >= th.t2 THEN 'head'
+                  WHEN s.score >= th.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             s.score
+      FROM scored s
+      JOIN documents doc USING (doc_id)
+      CROSS JOIN th
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(score) * 1000000.0 + 0.5) / 1000000.0 AS avg_score
+    FROM bucketed GROUP BY source, bucket
+    """,
+    doc="CCNet-style perplexity bucketing: each document's "
+        "bigram-LM score (the text_bigram_logprob machinery, same "
+        "add-one smoothing) is cut at the global terciles into "
+        "head / middle / tail, reported as per-(source, bucket) "
+        "counts — the stage CCNet uses to keep head+middle and audit "
+        "which sources the tail eats.  Terciles are computed over the "
+        "pround(6)-ROUNDED scores so the threshold comparison is "
+        "cross-engine exact (raw double sums differ by summation "
+        "order at the boundary).  Scale shape: the LM joins ride "
+        "term-key shuffles (see text_bigram_logprob); the tercile is "
+        "one exact global percentile over |docs| scores (swap for "
+        "approx_percentile at 100 TB — the documented "
+        "stats_percentiles_approx_bound trade), broadcast back as one "
+        "row; report is |sources|×3 cells.",
+    tags=("curation", "text"),
+)
+def documents_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    th = scored.agg(
+        F.percentile("score", 0.3333333).alias("t1"),
+        F.percentile("score", 0.6666667).alias("t2"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucketed = (
+        scored.crossJoin(F.broadcast(th))
+        .join(src, "doc_id")
+        .select(
+            "source",
+            F.when(F.col("score") >= F.col("t2"), F.lit("head"))
+            .when(F.col("score") >= F.col("t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "score",
+        )
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        pround(F.avg("score"), 6).alias("avg_score"),
+    )

@@ -2377,3 +2377,44 @@ def events_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "events_value_log2_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END
+                AS INTEGER) AS log2_bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(min(value) * 100.0 + 0.5) / 100.0 AS min_value,
+           floor(max(value) * 100.0 + 0.5) / 100.0 AS max_value
+    FROM c GROUP BY event_type, log2_bin
+    """,
+    doc="Log2-scale value histogram per event type: bin = number of "
+        "binary digits of the integer-cents value (= floor(log2)+1, "
+        "computed EXACTLY as length(bin(cents)) — no cross-engine "
+        "floating log at bin boundaries), the long-tail complement of "
+        "the fixed-width histogram_price_bins.  Doubling buckets are "
+        "what telemetry magnitudes need: a linear grid either "
+        "saturates the head or loses the tail.  Scale shape: pure "
+        "map-side binning folded into ONE partial aggregate; "
+        "≤|types|·64 output cells.",
+    tags=("events", "agg", "stats"),
+)
+def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    log2_bin = (
+        F.when(cents <= 0, F.lit(0)).otherwise(F.length(F.bin(cents))).cast("int")
+    )
+    return e.groupBy("event_type", log2_bin.alias("log2_bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        pround(F.min("value"), 2).alias("min_value"),
+        pround(F.max("value"), 2).alias("max_value"),
+    )

@@ -268,3 +268,59 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.count("*").over(wp).alias("n_orders"),
     ).distinct()
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY regionkey, nationkey
+    )
+    SELECT regionkey, nationkey,
+           floor(cents / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0    AS cume,
+           CAST(ntile(2) OVER w AS INTEGER) AS half
+    FROM rev
+    WINDOW w AS (PARTITION BY regionkey ORDER BY cents ASC, nationkey ASC)
+    """,
+    doc="The remaining ranking-window family members — percent_rank "
+        "(rank−1)/(n−1), cume_dist ≤-count/n, and ntile bucketing — "
+        "exercised together over nation revenue within region "
+        "(completes the rank/dense_rank/row_number coverage of "
+        "window_rank_dense_ntile).  Revenue accumulates in exact "
+        "integer cents; the window partitions over the bounded "
+        "25-nation frame with a full deterministic sort key, so the "
+        "rational-valued rank statistics are bit-identical across "
+        "engines.  Scale: one fact-dim shuffle; WindowExec on ≤25 "
+        "rows.",
+    tags=("window",),
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("regionkey").orderBy(F.asc("cents"), F.asc("nationkey"))
+    return rev.select(
+        "regionkey",
+        "nationkey",
+        pround(F.col("cents") / F.lit(100.0), 2).alias("revenue"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(2).over(w).cast("int").alias("half"),
+    )

@@ -198,6 +198,9 @@ DEFERRED: tuple[str, ...] = (
     "privacy_l_diversity_report",
     "documents_source_lang_mutual_info",
     "nation_revenue_share_of_region",
+    "window_percent_rank_cume_dist",
+    "events_value_log2_histogram",
+    "documents_perplexity_buckets",
 )
 
 

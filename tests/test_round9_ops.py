@@ -451,3 +451,75 @@ def test_share_of_region_sums_to_one(spark):
         by_region[r.region] += r.share_of_region
     for region, s in by_region.items():
         assert abs(s - 1.0) < 1e-4, (region, s)
+
+
+def test_log2_histogram_bins_are_binary_digit_counts(spark, tmp_path):
+    """Values 0.01/0.02/0.04 → cents 1/2/4 → bins 1/2/3; 2.56 → 256 →
+    bin 9.  Bin edges are exact powers of two with no float log."""
+    import datetime
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_value_log2_histogram,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (1, base, 1, "view", 0.01, "{}"),
+        (2, base, 1, "view", 0.02, "{}"),
+        (3, base, 1, "view", 0.04, "{}"),
+        (4, base, 1, "view", 2.56, "{}"),
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.log2_bin: r for r in events_value_log2_histogram(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[9].min_value == 2.56 and out[9].n_events == 1
+
+
+def test_percent_rank_cume_dist_small_frame(spark, tmp_path):
+    """Three nations in one region with distinct revenues: pct_rank is
+    0/0.5/1, cume_dist 1/3, 2/3, 1, ntile(2) halves = 1,1,2."""
+    import datetime
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.windows import (
+        window_percent_rank_cume_dist,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(k, k, "O", 100.0 * k, base, "1-URGENT") for k in (1, 2, 3)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"c{k}", k, 0.0, "BUILDING") for k in (1, 2, 3)],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(k, f"n{k}", 0) for k in (1, 2, 3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    rows = sorted(
+        window_percent_rank_cume_dist(spark, str(tmp_path)).collect(),
+        key=lambda r: r.revenue,
+    )
+    assert [r.pct_rank for r in rows] == [0.0, 0.5, 1.0]
+    assert [round(r.cume, 6) for r in rows] == [0.333333, 0.666667, 1.0]
+    assert [r.half for r in rows] == [1, 1, 2]
+
+
+def test_perplexity_buckets_partition_docs(spark):
+    """Over the real fixture: every (source, bucket) count is positive,
+    buckets are only head/middle/tail, and the head bucket's average
+    score is >= the tail's (higher logprob = more predictable)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        documents_perplexity_buckets,
+    )
+
+    rows = documents_perplexity_buckets(spark, SF).collect()
+    assert rows and all(r.bucket in ("head", "middle", "tail") for r in rows)
+    heads = [r.avg_score for r in rows if r.bucket == "head"]
+    tails = [r.avg_score for r in rows if r.bucket == "tail"]
+    assert min(heads) >= max(tails)
