@@ -190,6 +190,126 @@ def corpus_dedup_epoch(
     )
 
 
+# Bloom summary sizing for the accelerated ingest-dedup path.  Matches
+# the batch audit (operators/relational.orders_bloom_prefilter_bound):
+# 2^18 bits / 3 hashes holds ~30k keys at <5% FP — re-size per corpus.
+BLOOM_DEDUP_M = 1 << 18
+BLOOM_DEDUP_K = 3
+
+
+def _bloom_positions(df: DataFrame, col: str) -> DataFrame:
+    """k xxhash64 bit positions per key — one `pos` column."""
+    hashes = F.array(*[F.lit(i) for i in range(BLOOM_DEDUP_K)])
+    return df.withColumn("_h", F.explode(hashes)).select(
+        F.col(col).alias("_key"),
+        F.pmod(F.xxhash64(col, "_h"), F.lit(BLOOM_DEDUP_M)).alias("pos"),
+    )
+
+
+def foreach_batch_corpus_dedup_bloom(
+    df: DataFrame,
+    corpus_dir: str,
+    out_dir: str,
+    bloom_dir: str,
+    fingerprint_col: str = "fingerprint",
+) -> DataStreamWriter:
+    """`foreach_batch_corpus_dedup` accelerated by a persistent Bloom
+    summary of the store — the streaming twin of the
+    `orders_bloom_prefilter_bound` admissibility argument.
+
+    The exact path probes the full corpus store every epoch.  Here a
+    bounded bit-position table (`bloom_dir/epoch=N` partitions, the
+    cell-wise-union of per-epoch bits — Bloom filters are unioned by
+    bit OR, i.e. a distinct-position table) screens the batch first:
+
+    - Bloom has NO false negatives, so a key whose bits are not all
+      set is PROVABLY new — the store probe runs only on the
+      surviving candidates (false positives + true dups).
+    - An all-new batch (the append-mostly common case) skips the
+      corpus scan entirely: the screen runs against the small bit
+      table, never the 100 TB store.
+
+    Output is therefore byte-equivalent to the exact path —
+    `test_streaming.py` asserts it — while the per-epoch store-side
+    cost drops from |store| to |bits| + |candidates|-bounded probes.
+    Exactly-once follows the same epoch-partition overwrite contract
+    as the exact path (bloom bits included: epoch < N reads,
+    overwrite-on-rerun).
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus_dedup_bloom_epoch(
+            batch_df, epoch_id, corpus_dir, out_dir, bloom_dir, fingerprint_col
+        )
+
+    return df.writeStream.foreachBatch(fn)
+
+
+def corpus_dedup_bloom_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_dir: str,
+    out_dir: str,
+    bloom_dir: str,
+    fingerprint_col: str = "fingerprint",
+) -> None:
+    """One epoch of the Bloom-screened corpus dedup (module-level for
+    the re-run idempotence and exact-equivalence tests)."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates([fingerprint_col])
+    try:
+        bits = (
+            spark.read.parquet(bloom_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .select("pos")
+            .distinct()
+        )
+        first_epoch = False
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        first_epoch = True
+    if first_epoch:
+        fresh = batch
+    else:
+        candidates = (
+            _bloom_positions(batch, fingerprint_col)
+            .join(F.broadcast(bits), "pos", "left_semi")
+            .groupBy("_key")
+            .agg(F.count(F.lit(1)).alias("_n_hit"))
+            .where(F.col("_n_hit") == BLOOM_DEDUP_K)
+            .select(F.col("_key").alias(fingerprint_col))
+        ).localCheckpoint(eager=True)
+        if candidates.isEmpty():
+            # every batch key is provably unseen: no store scan at all
+            fresh = batch
+        else:
+            corpus = spark.read.parquet(corpus_dir).filter(
+                F.col("epoch") < epoch_id
+            )
+            seen = corpus.join(
+                F.broadcast(candidates), fingerprint_col, "left_semi"
+            ).select(fingerprint_col)
+            fresh = batch.join(F.broadcast(seen), fingerprint_col, "left_anti")
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    fresh.select(fingerprint_col).write.mode("overwrite").parquet(
+        f"{corpus_dir}/epoch={epoch_id}"
+    )
+    (
+        _bloom_positions(fresh, fingerprint_col)
+        .select("pos")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{bloom_dir}/epoch={epoch_id}")
+    )
+
+
 def foreach_batch_scd2_upsert(
     df: DataFrame,
     store_dir: str,

@@ -1099,3 +1099,65 @@ def test_agg_upsert_mv_equals_batch_aggregate(spark, tmp_path):
     # crash-replay epoch 1: byte-equivalent, no double counting
     agg_upsert_epoch(b1, 1, store, ("k",), "x")
     assert state(1) == expect
+
+
+def test_corpus_dedup_bloom_equivalent_to_exact(spark, tmp_path):
+    """The Bloom-screened ingest dedup must produce byte-equivalent
+    output to the exact path on the same epoch sequence — Bloom has no
+    false negatives, so no true duplicate can slip through, and false
+    positives only cost an extra exact probe.  Epoch 2 is all-new
+    (the screen's skip-the-store fast path) and must still keep
+    everything."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        corpus_dedup_bloom_epoch,
+        corpus_dedup_epoch,
+    )
+
+    batches = [
+        spark.createDataFrame([("fpA", 1), ("fpB", 2)], "fingerprint string, v int"),
+        spark.createDataFrame(
+            [("fpB", 3), ("fpC", 4), ("fpA", 5)], "fingerprint string, v int"
+        ),
+        spark.createDataFrame([("fpD", 6), ("fpE", 7)], "fingerprint string, v int"),
+    ]
+    ex_corpus, ex_out = str(tmp_path / "exc"), str(tmp_path / "exo")
+    bl_corpus, bl_out = str(tmp_path / "blc"), str(tmp_path / "blo")
+    bloom = str(tmp_path / "bloom")
+    for i, b in enumerate(batches):
+        corpus_dedup_epoch(b, i, ex_corpus, ex_out)
+        corpus_dedup_bloom_epoch(b, i, bl_corpus, bl_out, bloom)
+    exact = sorted(tuple(r) for r in spark.read.parquet(ex_out).collect())
+    screened = sorted(tuple(r) for r in spark.read.parquet(bl_out).collect())
+    assert screened == exact
+    assert sorted(r["fingerprint"] for r in spark.read.parquet(bl_out).collect()) == [
+        "fpA", "fpB", "fpC", "fpD", "fpE",
+    ]
+
+    # crash-replay the overlap epoch: output and stores must not change
+    corpus_dedup_bloom_epoch(batches[1], 1, bl_corpus, bl_out, bloom)
+    again = sorted(tuple(r) for r in spark.read.parquet(bl_out).collect())
+    assert again == screened
+    store = sorted(r["fingerprint"] for r in spark.read.parquet(bl_corpus).collect())
+    assert store == ["fpA", "fpB", "fpC", "fpD", "fpE"]
+
+
+def test_corpus_dedup_bloom_drift_raises(spark, tmp_path):
+    """The Bloom path keeps the exact path's strictness: a bloom store
+    that exists but is malformed must raise, not silently disable the
+    screen."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        corpus_dedup_bloom_epoch,
+    )
+
+    bloom = str(tmp_path / "bloom")
+    spark.createDataFrame([("x",)], "wrong_col string").write.parquet(
+        f"{bloom}/epoch=0"
+    )
+    b1 = spark.createDataFrame([("fpA", 1)], "fingerprint string, v int")
+    with _pytest.raises(AnalysisException):
+        corpus_dedup_bloom_epoch(
+            b1, 1, str(tmp_path / "c"), str(tmp_path / "o"), bloom
+        )
