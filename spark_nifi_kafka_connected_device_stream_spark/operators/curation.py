@@ -1925,7 +1925,8 @@ def documents_source_lang_mutual_info(spark: SparkSession, sf_dir: str) -> DataF
     )
     SELECT source, bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
-           floor(avg(score) * 1000000.0 + 0.5) / 1000000.0 AS avg_score
+           floor((CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS avg_score
     FROM bucketed GROUP BY source, bucket
     """,
     doc="CCNet-style perplexity bucketing: each document's "
@@ -1965,7 +1966,14 @@ def documents_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+    # avg over the ROUNDED scores as an exact scaled-integer sum: a
+    # plain double avg differs by 1 ULP between engines (summation
+    # order) and can straddle the final 6-decimal rounding boundary —
+    # the integer sum is bit-identical, so the division and round are.
+    score_e6 = F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
     return bucketed.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        pround(F.avg("score"), 6).alias("avg_score"),
+        pround(
+            F.sum(score_e6).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("avg_score"),
     )
