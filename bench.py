@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_survivorship_policy",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_lsh_buckets",

@@ -720,3 +720,70 @@ def part_fuzzy_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_partkey", "mention", "matched_name", "distance", "n_candidates")
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship policy (quality-based canonical selection)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_survivorship_policy",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS naive_id
+      FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE rk = 1 AND doc_id <> naive_id) AS BIGINT)
+             AS n_policy_swaps
+    FROM ranked GROUP BY source
+    """,
+    doc="Survivorship policy for exact-duplicate clusters: instead of "
+        "dedup_exact's keep-min-doc_id, keep the LONGEST member "
+        "(n_chars desc, doc_id tiebreak) — the keep-richest-record rule "
+        "real curation pipelines apply when near-identical crawls differ "
+        "in truncation.  Reports per-source kept/dropped counts plus "
+        "n_policy_swaps: clusters whose survivor changed vs the naive "
+        "min-id rule, i.e. the audit of what the policy actually did.  "
+        "Scale shape: one shuffle on the 32-char fingerprint; both "
+        "window frames are per-cluster (bounded by duplicate-group "
+        "size, never global); the per-source rollup is a map-side-"
+        "partial agg over |sources| keys.",
+    tags=("dedup", "curation"),
+)
+def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fingerprint"),
+    )
+    wc = Window.partitionBy("fingerprint")
+    wo = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = fp.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wo).alias("rk"),
+        F.min("doc_id").over(wc).alias("naive_id"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("rk") == 1).cast("bigint").alias("n_kept"),
+        F.count_if(F.col("rk") > 1).cast("bigint").alias("n_dropped"),
+        F.count_if((F.col("rk") == 1) & (F.col("doc_id") != F.col("naive_id")))
+        .cast("bigint")
+        .alias("n_policy_swaps"),
+    )

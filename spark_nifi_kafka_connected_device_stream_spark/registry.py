@@ -201,6 +201,7 @@ DEFERRED: tuple[str, ...] = (
     "window_percent_rank_cume_dist",
     "events_value_log2_histogram",
     "documents_perplexity_buckets",
+    "dedup_survivorship_policy",
 )
 
 
