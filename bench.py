@@ -49,6 +49,7 @@ HEADLINE = [
     "window_first_last",
     "lateral_top_order_per_customer",
     "events_sessionize",
+    "events_session_trigrams",
     "asof_join_last_click",
     # 100 TB extension operators
     "dedup_minhash_lsh",

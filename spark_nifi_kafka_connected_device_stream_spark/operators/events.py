@@ -2418,3 +2418,84 @@ def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("value"), 2).alias("min_value"),
         pround(F.max("value"), 2).alias("max_value"),
     )
+
+
+@register(
+    "events_session_trigrams",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), tri AS (
+      SELECT user_id * 1000000 + session_seq AS sid,
+             event_type AS t1,
+             lead(event_type, 1) OVER w2 AS t2,
+             lead(event_type, 2) OVER w2 AS t3
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY us ASC, event_id ASC)
+    )
+    SELECT t1, t2, t3,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n_sessions DESC, n_occurrences DESC, t1, t2, t3
+    LIMIT 20
+    """,
+    doc="Sequential pattern mining, order-2: the top consecutive "
+        "event-type TRIGRAMS inside 30-min-gap sessions, supported by "
+        "distinct-session count (the pattern's reach) and raw "
+        "occurrences.  events_markov_transitions sees only order-1 "
+        "pairs; trigram support is what surfaces multi-step habits "
+        "(view->click->purchase vs view->click->view) that pair counts "
+        "conflate.  Scale shape: sessionization and the lead() trigram "
+        "window all cluster on user_id, so Catalyst plans ONE exchange "
+        "for every window (hashpartitioning(user_id) satisfies the "
+        "(user_id, session_seq) clustering); the trigram rollup is one "
+        "grouped agg bounded by |event_types|^3 keys, and the top-20 "
+        "with a full tie-break order is a TakeOrdered, never a global "
+        "sort.  Same 30-min/total-order contract as events_sessionize.",
+    tags=("events", "session", "window"),
+)
+def events_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    sess = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(wrun).cast("bigint"))
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    tri = sess.select(
+        (F.col("user_id") * F.lit(1_000_000) + F.col("session_seq")).alias("sid"),
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w2).alias("t2"),
+        F.lead("event_type", 2).over(w2).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(
+            F.countDistinct("sid").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(
+            F.desc("n_sessions"), F.desc("n_occurrences"), "t1", "t2", "t3"
+        )
+        .limit(20)
+    )

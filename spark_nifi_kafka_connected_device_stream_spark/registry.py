@@ -202,6 +202,7 @@ DEFERRED: tuple[str, ...] = (
     "events_value_log2_histogram",
     "documents_perplexity_buckets",
     "dedup_survivorship_policy",
+    "events_session_trigrams",
 )
 
 
