@@ -50,6 +50,7 @@ HEADLINE = [
     "lateral_top_order_per_customer",
     "events_sessionize",
     "events_session_trigrams",
+    "events_weekly_growth_accounting",
     "asof_join_last_click",
     # 100 TB extension operators
     "dedup_minhash_lsh",

@@ -203,6 +203,7 @@ DEFERRED: tuple[str, ...] = (
     "documents_perplexity_buckets",
     "dedup_survivorship_policy",
     "events_session_trigrams",
+    "events_weekly_growth_accounting",
 )
 
 
