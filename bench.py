@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_survivorship_policy",
+    "dedup_sorted_neighborhood",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_lsh_buckets",

@@ -250,3 +250,40 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
             bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global `row_number() OVER (ORDER BY ...)` without the
+    single-task sort an unpartitioned window forces — the rank sibling
+    of `global_ntile`, same plan shape: range-repartition on the order
+    key (parallel sort), row_number WITHIN each range partition, then
+    add broadcast per-partition count offsets.  The only unpartitioned
+    window runs over num_partitions metadata rows.  `order_cols` must
+    be a total order or ranks are engine-dependent."""
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    from pyspark.sql import Window
+
+    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(running), F.lit(0)).alias("_off")
+    )
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)) + F.col("_off")
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, rn.cast("bigint"))
+        .drop("_pid", "_off")
+    )

@@ -787,3 +787,70 @@ def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_policy_swaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (the third blocking paradigm)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 40) AS k
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS neighbor_offset,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS distance
+    FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(a.k, b.k) <= 10
+    """,
+    doc="Sorted-neighborhood dedup blocking: the THIRD blocking "
+        "paradigm beside hash blocks (part_fuzzy_linkage_blocked) and "
+        "LSH bands (dedup_minhash_lsh).  Docs are globally sorted by "
+        "their normalized 40-char prefix; each doc is compared only "
+        "with its next 3 neighbors in that order (levenshtein on the "
+        "prefix, <= 10 emits a candidate pair).  Sorted-neighborhood "
+        "catches prefix-similar near-dups that hash blocks split and "
+        "that MinHash needs many bands to pair, at exactly w*N "
+        "comparisons.  Scale shape: the global order comes from "
+        "functions/scale.global_row_number (range-repartitioned "
+        "parallel sort + broadcast count offsets — NO unpartitioned "
+        "data window); the neighbor pairing is an integer equi-join on "
+        "rank (rn + offset = rn), |docs| x w rows; levenshtein runs "
+        "on 40-char keys, constant cost per pair.",
+    tags=("dedup",),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 40).alias("k")
+    )
+    # consumed twice (both join sides) — materialize the ranked rows
+    # once instead of re-running the range sort + offset join
+    ranked = global_row_number(
+        keyed, [F.col("k"), F.col("doc_id")], "rn"
+    ).localCheckpoint(eager=False)
+    a = ranked.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("k").alias("ka"), F.col("rn").alias("rna")
+    ).withColumn("neighbor_offset", F.explode(F.sequence(F.lit(1), F.lit(3))))
+    b = ranked.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("k").alias("kb"), F.col("rn").alias("rnb")
+    )
+    return (
+        a.join(b, F.col("rna") + F.col("neighbor_offset") == F.col("rnb"))
+        .withColumn("distance", F.levenshtein("ka", "kb").cast("bigint"))
+        .filter(F.col("distance") <= 10)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("neighbor_offset").cast("bigint").alias("neighbor_offset"),
+            "distance",
+        )
+    )

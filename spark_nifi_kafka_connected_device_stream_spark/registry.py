@@ -204,6 +204,7 @@ DEFERRED: tuple[str, ...] = (
     "dedup_survivorship_policy",
     "events_session_trigrams",
     "events_weekly_growth_accounting",
+    "dedup_sorted_neighborhood",
 )
 
 
