@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_survivorship_policy",
     "dedup_sorted_neighborhood",
+    "dedup_exact_substring",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_lsh_buckets",
@@ -163,6 +164,7 @@ HEADLINE = [
     "text_collocation_lift",
     "text_bm25_search",
     "events_hourly_acf",
+    "events_theil_sen_trend",
     "part_fuzzy_linkage_blocked",
     "split_leakage_report",
     "embedding_knn_bfs_hops",

@@ -2592,3 +2592,132 @@ def events_weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.col("n_resurrected"), F.lit(0)).cast("bigint").alias("n_resurrected"),
         F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (round 9): median-of-pairwise-slopes over the
+# hourly volume series — the trend estimator that shrugs off the
+# outlier hours (incident spikes, backfill bursts) that drag an OLS
+# fit; reported NEXT TO the OLS slope so the gap between the two IS
+# the outlier-contamination signal.  Exactness: hours are offset to
+# x = h − min(h) (small exact ints), counts y are exact ints, so each
+# pairwise slope (Δy/Δx) is ONE double division of exact integers —
+# bit-identical cross-engine — and the median of an identical double
+# multiset is bit-identical (verified percentile/quantile_cont parity,
+# see verify SKILL.md).  The OLS slope is assembled from exact integer
+# sums (n·Σxy − Σx·Σy over n·Σxx − Σx², one final division);
+# headroom with x ≤ |hours|: a decade-long hourly grid at 1e9
+# events/hour keeps n·Σxy ≈ 7e17 < 9.2e18.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT min(h) AS h0 FROM c
+    ), s AS (
+      SELECT CAST(c.h - b.h0 AS BIGINT) AS x, c.y FROM c, b
+    ), p AS (
+      SELECT CAST(j.y - i.y AS DOUBLE) / (j.x - i.x) AS sl
+      FROM s i JOIN s j ON j.x > i.x
+    ), m AS (
+      SELECT quantile_cont(sl, 0.5) AS ts_slope,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p
+    ), r AS (
+      SELECT quantile_cont(s.y - m.ts_slope * s.x, 0.5) AS ts_intercept
+      FROM s, m
+    ), o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM s
+    )
+    SELECT o.n_hours, m.n_pairs,
+           floor(m.ts_slope * 1000000.0 + 0.5) / 1000000.0 AS ts_slope,
+           floor(r.ts_intercept * 1000000.0 + 0.5) / 1000000.0
+             AS ts_intercept,
+           floor(CAST(o.n_hours * o.sxy - o.sx * o.sy AS DOUBLE)
+                 / (o.n_hours * o.sxx - o.sx * o.sx) * 1000000.0 + 0.5)
+             / 1000000.0 AS ols_slope
+    FROM o, m, r
+    """,
+    doc="Theil–Sen robust trend of hourly event volume (median of all "
+        "pairwise slopes, with the median-residual intercept) beside "
+        "the OLS slope from exact integer sums — a large TS-vs-OLS gap "
+        "means outlier hours are steering the least-squares fit and a "
+        "capacity forecast should use the robust line.  Plan: ONE "
+        "hash-agg collapses the fact table to hourly counts (the only "
+        "pass over events); everything after runs on ≤ |calendar "
+        "hours| rows — the pair join is a broadcast non-equi self-join "
+        "on that collapsed table (|hours|²/2 pairs, ~260k for a "
+        "30-day span: driver-trivial, fact-size-independent), and the "
+        "medians are exact percentiles over those pairs.  Scale shape: "
+        "cost grows with the SQUARE OF THE CALENDAR SPAN, never with "
+        "data volume; for multi-year spans the standard rewrite is "
+        "per-window Theil–Sen (repeated median over trailing windows) "
+        "which this operator's grouped form extends to directly.  "
+        "Tz-free: hours are epoch-micros integer division "
+        "(ts_us // 3.6e9), immune to session-timezone shifts.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    c = c.localCheckpoint(eager=False)
+    b = c.agg(F.min("h").alias("h0"))
+    s = c.crossJoin(F.broadcast(b)).select(
+        (F.col("h") - F.col("h0")).cast("bigint").alias("x"), "y"
+    )
+    s = s.localCheckpoint(eager=False)
+    i = s.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    j = s.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    p = i.join(F.broadcast(j), F.col("xj") > F.col("xi")).select(
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi"))
+        ).alias("sl")
+    )
+    m = p.agg(
+        F.expr("percentile(sl, 0.5D)").alias("ts_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    r = (
+        s.crossJoin(F.broadcast(m))
+        .select((F.col("y") - F.col("ts_slope") * F.col("x")).alias("res"))
+        .agg(F.expr("percentile(res, 0.5D)").alias("ts_intercept"))
+    )
+    o = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        o.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "n_hours",
+            "n_pairs",
+            pround(F.col("ts_slope"), 6).alias("ts_slope"),
+            pround(F.col("ts_intercept"), 6).alias("ts_intercept"),
+            pround(
+                (
+                    F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ),
+                6,
+            ).alias("ols_slope"),
+        )
+    )

@@ -205,6 +205,8 @@ DEFERRED: tuple[str, ...] = (
     "events_session_trigrams",
     "events_weekly_growth_accounting",
     "dedup_sorted_neighborhood",
+    "dedup_exact_substring",
+    "events_theil_sen_trend",
 )
 
 

@@ -523,3 +523,65 @@ def test_perplexity_buckets_partition_docs(spark):
     heads = [r.avg_score for r in rows if r.bucket == "head"]
     tails = [r.avg_score for r in rows if r.bucket == "tail"]
     assert min(heads) >= max(tails)
+
+
+def test_exact_substring_finds_shared_passage(spark, tmp_path):
+    """Docs A and B share a verbatim 60-char passage embedded in
+    otherwise-unique text; doc C is entirely unique.  The shared
+    passage must produce duplicated windows in A and B (every
+    40-char window that falls fully inside the aligned passage), and
+    C must report zero duplicated windows."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        dedup_exact_substring,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    assert len(passage) >= 40
+    docs = [
+        (1, "alpha " * 10 + passage + " omega one", "en", "s", 0),
+        (2, "beta " * 12 + passage + " omega two", "en", "s", 0),
+        (3, "gamma " * 30 + "entirely unique tail here", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in dedup_exact_substring(spark, str(tmp_path)).collect()}
+    assert rows[3].n_dup_windows == 0 and rows[3].dup_fraction == 0.0
+    # the two prefixes differ in length so windows are NOT aligned on
+    # the same stride offsets — only windows fully inside the shared
+    # passage can match, and only if the 10-char stride happens to
+    # align across the two docs; stride-aligned prefixes guarantee it:
+    # "alpha "*10 is 60 chars, "beta "*12 is 60 chars, so the passage
+    # starts at the same offset in both docs and every in-passage
+    # window matches.
+    assert rows[1].n_dup_windows > 0 and rows[2].n_dup_windows > 0
+    assert 0.0 < rows[1].dup_fraction < 1.0
+
+
+def test_theil_sen_shrugs_off_outlier_hour(spark, tmp_path):
+    """A metronomic 2-events-per-hour series for 21 hours with ONE
+    100-event outlier hour near the start: the Theil–Sen slope must be
+    exactly 0 (most pairwise slopes are 0; outlier pairs are a
+    minority), while the OLS slope is dragged non-zero by the spike.
+    The TS-vs-OLS gap IS the outlier signal the docstring claims."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_theil_sen_trend,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(21):
+        n = 100 if h == 3 else 2
+        for k in range(n):
+            rows.append((eid, h * 3600 + k, 1, "view"))
+            eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    row = events_theil_sen_trend(spark, sf_dir).collect()[0]
+    assert row.n_hours == 21 and row.n_pairs == 210
+    assert row.ts_slope == 0.0
+    assert row.ols_slope != 0.0
+    assert row.ts_intercept == 2.0
