@@ -59,6 +59,8 @@ TZ_SENSITIVE = [
     "events_debounce_stats",
     "orders_cohort_ltv_curve",
     "events_session_paths",
+    # round-9 late: epoch-hour buckets from ts_us (theil-sen trend)
+    "events_theil_sen_trend",
 ]
 
 
