@@ -190,6 +190,9 @@ HEADLINE = [
     "window_percent_rank_cume_dist",
     "events_value_log2_histogram",
     "documents_perplexity_buckets",
+    "dedup_allpairs_prefix",
+    "events_mann_whitney_value",
+    "documents_heaps_law",
 ]
 
 

@@ -1817,3 +1817,128 @@ def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFram
             "share_of_region"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric two-sample comparison)
+# ---------------------------------------------------------------------------
+
+_MW_A = "purchase"
+_MW_B = "view"
+
+
+@register(
+    "events_mann_whitney_value",
+    oracle=f"""
+    WITH ev AS (
+      SELECT isodow(ts) AS dow, event_type, value FROM events
+      WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+    ), vc AS (
+      SELECT dow, value,
+             CAST(count(*) FILTER (WHERE event_type = '{_MW_A}') AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE event_type = '{_MW_B}') AS BIGINT) AS cb
+      FROM ev GROUP BY dow, value
+    ), ranked AS (
+      SELECT dow, ca, cb, ca + cb AS c,
+             CAST(sum(ca + cb) OVER (PARTITION BY dow ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM vc
+    ), agg AS (
+      SELECT dow,
+             CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca * (2 * (cum - c + 1) + c - 1)) AS BIGINT) AS r2a,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked GROUP BY dow
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           na AS n_purchase, nb AS n_view,
+           (r2a - na * (na + 1)) / 2.0 AS u_stat,
+           floor(((r2a - na * (na + 1)) - na * nb)
+                 / (2.0 * sqrt((na * nb / 12.0)
+                     * ((na + nb + 1)
+                        - tie3 * 1.0 / ((na + nb) * (na + nb - 1.0)))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+           floor(((r2a - na * (na + 1)) * 1.0 / (na * nb) - 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rank_biserial
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test per ISO day-of-week: does the "
+        "purchase `value` distribution differ from the view `value` "
+        "distribution?  The NONPARAMETRIC complement to "
+        "events_abtest_purchase_rate's proportion z-test and the "
+        "chi2/KS drift screens: rank-based, so heavy-tailed revenue "
+        "values need no normality assumption.  Tie-corrected normal "
+        "approximation (Conover, Practical Nonparametric Statistics): "
+        "average ranks via cumulative counts over per-(dow, value) "
+        "groups, z = (U - n_a*n_b/2) / sqrt(Var_ties), plus the "
+        "rank-biserial effect size 2U/(n_a*n_b) - 1.  EXACT ARITHMETIC "
+        "SHAPE: rank sums are accumulated as 2x-scaled INTEGERS (2R = "
+        "sum c_a*(2*rank_min + c - 1)) so both engines agree "
+        "bit-for-bit until the final scalar float expression, which is "
+        "an identical tree on exact int64 inputs (deterministic IEEE). "
+        "Scale shape: one partial-agg shuffle to per-(dow, value) "
+        "counts — cardinality bounded by |dow| x |value domain| (2-dp "
+        "prices), NOT by event count; the cumulative-rank window runs "
+        "over those bounded distinct-value rows (7 partitions); final "
+        "agg emits 7 rows.  At a wider value domain the prefix-sum "
+        "becomes the range-partitioned two-pass rank "
+        "(functions/scale.global_row_number) per group.  int64 "
+        "headroom: r2a <= 2n^2 overflows past ~2e9 rows PER DOW-GROUP "
+        "(~1e10 events) — switch the three sums to decimal(38,0) at "
+        "that scale (the warehouse.py:203 checksum pattern).",
+    tags=("events", "stats"),
+)
+def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    vc = (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.col("value"),
+        )
+        .agg(
+            F.count_if(F.col("event_type") == _MW_A).cast("bigint").alias("ca"),
+            F.count_if(F.col("event_type") == _MW_B).cast("bigint").alias("cb"),
+        )
+        .withColumn("c", F.col("ca") + F.col("cb"))
+    )
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vc.withColumn("cum", F.sum("c").over(w))
+    agg = ranked.groupBy("dow").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum") - F.col("c") + 1) + F.col("c") - 1)
+        )
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)  # = 2*U_A, exact
+    n_ab = F.col("na") * F.col("nb")
+    n_tot = F.col("na") + F.col("nb")
+    sigma = F.sqrt(
+        (n_ab / F.lit(12.0))
+        * (
+            (n_tot + 1)
+            - F.col("tie3") * F.lit(1.0) / (n_tot * (n_tot - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "dow",
+        F.col("na").alias("n_purchase"),
+        F.col("nb").alias("n_view"),
+        (u2 / F.lit(2.0)).alias("u_stat"),
+        pround((u2 - n_ab) / (F.lit(2.0) * sigma), 6).alias("z_score"),
+        pround(u2 * F.lit(1.0) / n_ab - F.lit(1.0), 6).alias("rank_biserial"),
+    )

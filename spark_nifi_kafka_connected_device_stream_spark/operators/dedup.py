@@ -955,3 +955,133 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AllPairs/PPJoin-style prefix-filtered Jaccard join (the exact SCALE path)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold as an exact rational (integer cross-multiplied
+# predicates everywhere — a float `>= 0.8` is one ULP from flipping a
+# boundary pair).  Matches dedup_ngram_jaccard's 0.8 so the two
+# operators are value-comparable row-for-row.
+PFX_T_NUM = 4
+PFX_T_DEN = 5
+
+
+@register(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+    WITH shing0 AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), freq AS (
+      SELECT shingle, count(*) AS df FROM shing0 GROUP BY shingle
+    ), shing AS (
+      SELECT s.doc_id, s.shingle FROM shing0 s JOIN freq USING (shingle)
+      WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           floor((n_common * 1.0 / (sa.n + sb.n - n_common)) * 10000.0 + 0.5)
+             / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {PFX_T_DEN} * n_common >= {PFX_T_NUM} * (sa.n + sb.n - n_common)
+    """,
+    doc="Exact Jaccard-threshold self-join via AllPairs/PPJoin PREFIX "
+        "FILTERING (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06) "
+        "— the third member of the fuzzy-dedup family: "
+        "dedup_ngram_jaccard is the quadratic-ish exact baseline "
+        "(inverted-index join on EVERY shingle), dedup_minhash_lsh the "
+        "approximate scale path (probabilistic recall), and this the "
+        "EXACT scale path: order each df-capped shingle set "
+        "rarest-first by global document frequency and join only on "
+        "each doc's first |S| - ceil(t|S|) + 1 prefix shingles.  "
+        "Losslessness: if J(A,B) >= t then |A∩B| >= ceil(t|A|), so the "
+        "first common shingle in the global order sits within both "
+        "prefixes — no candidate is missed, and the verification join "
+        "computes exact overlaps, so the output EQUALS "
+        "dedup_ngram_jaccard's pairs (asserted in tests).  The "
+        "threshold and the prefix ceil() run in exact integer "
+        "arithmetic ((4n+4) div 5 — float 0.8*n rounds UP at "
+        "multiples of 5).  Scale shape: candidate generation joins "
+        "ONLY prefix rows — the rarest ~20% of each set, exactly the "
+        "low-df keys — so hot-shingle buckets never form; a "
+        "(t|A| <= |B| <= |A|/t)-style length filter prunes candidates "
+        "before verification; verification is two shingle-keyed "
+        "equi-joins restricted to candidate pairs.  The oracle is the "
+        "naive full inverted-index join — lossless means same rows.",
+    tags=("dedup",),
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # same df-capped shingle base as dedup_ngram_jaccard; checkpointed
+    # raw (pre-cap) for the same re-read economics
+    sh = cap_shingle_df(
+        _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(wdoc.orderBy(F.asc("df"), F.asc("shingle"))),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    )
+    # prefix length |S| - ceil(t|S|) + 1, integer ceil
+    pfx = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(f"({PFX_T_NUM} * n + {PFX_T_DEN - 1}) div {PFX_T_DEN}")
+        + F.lit(1)
+    ).select("doc_id", "shingle", "n")
+    a = pfx.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+    )
+    b = pfx.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: t|A| <= |B| and t|B| <= |A| (integer form)
+            & (PFX_T_DEN * F.col("nb") >= PFX_T_NUM * F.col("na"))
+            & (PFX_T_DEN * F.col("na") >= PFX_T_NUM * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sna"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("snb"))
+    union_sz = F.col("sna") + F.col("snb") - F.col("n_common")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(PFX_T_DEN * F.col("n_common") >= PFX_T_NUM * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            pround(F.col("n_common") * F.lit(1.0) / union_sz, 4).alias("jaccard"),
+        )
+    )

@@ -1031,3 +1031,127 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("slope_raw"), 6).alias("zipf_slope"),
         pround(F.col("r2_raw"), 6).alias("zipf_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth fit (per-doc points, per-source residuals)
+# ---------------------------------------------------------------------------
+
+# log-point quantization scale: ln(tokens) is held as an int64 in 1e-4
+# units so every sum in the OLS fit and the per-source residual means
+# is an exact integer — order-independent, so both engines agree
+# bit-for-bit (a raw double sum is summation-order-dependent, and the
+# ULP leak multiplies through exp() into the ratio's 6th decimal).
+# 1e-4 (not 1e-6) keeps n*sum(xi^2) inside int64 to ~1e5 docs.
+_HEAPS_SCALE = 10_000
+
+
+@register(
+    "documents_heaps_law",
+    oracle=f"""
+    WITH pts AS (
+      SELECT source,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS nd,
+             CAST(floor(ln(CAST(len({_DUCK_TOKENS}) AS DOUBLE))
+                        * {_HEAPS_SCALE}.0 + 0.5) AS BIGINT) AS xi,
+             CAST(floor(ln(CAST(len(list_distinct({_DUCK_TOKENS})) AS DOUBLE))
+                        * {_HEAPS_SCALE}.0 + 0.5) AS BIGINT) AS yi
+      FROM documents WHERE len({_DUCK_TOKENS}) > 0
+    ), fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy
+      FROM pts
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nd) AS BIGINT) AS n_tokens,
+             CAST(sum(xi) AS BIGINT) AS gx, CAST(sum(yi) AS BIGINT) AS gy
+      FROM pts GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta,
+           floor(exp((gy
+                      - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * gx
+                      - n_docs * ((sy - ((n * sxy - sx * sy) * 1.0
+                                         / (n * sxx - sx * sx)) * sx) / n))
+                     / (n_docs * {_HEAPS_SCALE}.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS geo_vocab_ratio
+    FROM src CROSS JOIN fit
+    """,
+    doc="Heaps'-law vocabulary-growth audit: V = k*N^beta fitted by "
+        "log-log least squares over one (tokens, distinct tokens) "
+        "point PER DOCUMENT, then scored PER SOURCE as the geometric "
+        "mean of observed/fitted vocab — the cross-document complement "
+        "to text_zipf_fit's within-source rank-frequency slope.  "
+        "Natural text grows sublinearly (Heaps, Information Retrieval "
+        "1978; beta ~ 0.5-0.8); a source whose docs sit far ABOVE the "
+        "corpus fit (ratio >> 1) is minting junk tokens (mojibake, "
+        "IDs, hashes), far BELOW is templated/repetitive — both are "
+        "mixing-policy signals a curation pipeline reads per source.  "
+        "EXACT ARITHMETIC SHAPE: log points are quantized to int64 "
+        "1e-4ths, so the OLS co-moments AND the per-source residual "
+        "means are sums of integers (order-independent across "
+        "engines); beta and each source's mean residual are then "
+        "identical scalar trees on exact ints — deterministic IEEE — "
+        "and the geometric mean needs NO per-doc float sum: "
+        "mean(yi - beta*xi - lnk) = (Gy - beta*Gx - c*lnk)/c from the "
+        "integer source sums alone.  Scale shape: one map-side "
+        "tokenize pass, one grouped agg to |sources| rows plus a "
+        "5-number 1-row fold broadcast back — no window, no join "
+        "bigger than |sources|.  int64 headroom: n*sum(xi*xi) "
+        "overflows past ~1e5 docs — switch the co-moment sums to "
+        "decimal(38,0) (warehouse.py:203 pattern) at corpus scale.",
+    tags=("text", "stats", "curation"),
+)
+def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scale = F.lit(float(_HEAPS_SCALE))
+    tk = tokens(normalize_text(F.col("text")))
+    pts = (
+        d.select(
+            "source",
+            F.size(tk).cast("bigint").alias("nd"),
+            F.size(F.array_distinct(tk)).cast("bigint").alias("vd"),
+        )
+        .filter(F.col("nd") > 0)
+        .select(
+            "source",
+            "nd",
+            F.floor(F.log(F.col("nd").cast("double")) * scale + F.lit(0.5))
+            .cast("bigint")
+            .alias("xi"),
+            F.floor(F.log(F.col("vd").cast("double")) * scale + F.lit(0.5))
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+    )
+    src = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nd").cast("bigint").alias("n_tokens"),
+        F.sum("xi").cast("bigint").alias("gx"),
+        F.sum("yi").cast("bigint").alias("gy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    lnk_scaled = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    geo = F.exp(
+        (F.col("gy") - beta * F.col("gx") - F.col("n_docs") * lnk_scaled)
+        / (F.col("n_docs") * scale)
+    )
+    return src.crossJoin(F.broadcast(fit)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(beta, 6).alias("heaps_beta"),
+        pround(geo, 6).alias("geo_vocab_ratio"),
+    )

@@ -207,6 +207,9 @@ DEFERRED: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "dedup_exact_substring",
     "events_theil_sen_trend",
+    "dedup_allpairs_prefix",
+    "events_mann_whitney_value",
+    "documents_heaps_law",
 )
 
 

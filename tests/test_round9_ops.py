@@ -585,3 +585,135 @@ def test_theil_sen_shrugs_off_outlier_hour(spark, tmp_path):
     assert row.ts_slope == 0.0
     assert row.ols_slope != 0.0
     assert row.ts_intercept == 2.0
+
+
+def _write_documents(spark, tmp_path, docs):
+    df = spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_allpairs_prefix_equals_naive_baseline(spark, tmp_path):
+    """Losslessness of the prefix filter: on docs with known near-dup
+    structure the prefix-filtered join must return EXACTLY the naive
+    inverted-index join's pairs.  A=B-with-one-token-changed gives
+    J = 27/29 ~ 0.931; D is a verbatim copy of A (J = 1.0 with both A
+    and B); C shares nothing."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        dedup_allpairs_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    changed = " ".join(f"tok{i}" for i in range(29)) + " other"
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, base, "en", "s", 0),
+            (2, changed, "en", "s", 0),
+            (3, "zeta " + " ".join(f"junk{i}" for i in range(20)), "en", "s", 0),
+            (4, base, "en", "s", 0),
+        ],
+    )
+    new = sorted(
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in dedup_allpairs_prefix(spark, sf).collect()
+    )
+    old = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    )
+    assert [(a, b, j) for (a, b, _, j) in new] == old
+    assert [(a, b, j) for (a, b, _, j) in new] == [
+        (1, 2, 0.931),
+        (1, 4, 1.0),
+        (2, 4, 0.931),
+    ]
+    # and the copy pair really is a full-overlap pair
+    assert dict(((a, b), n) for (a, b, n, _) in new)[(1, 4)] == 28
+
+
+def test_mann_whitney_hand_computed(spark, tmp_path):
+    """All events on one Monday.  No-ties case: purchases {10,20,30} vs
+    views {1,2} -> U = 6 (maximal), rank-biserial = 1, z = sqrt(3).
+    Tie case on a second Monday: purchases {2,20,30} vs views {1,2}
+    -> avg-rank 2.5 for the tied pair, U = 5.5, tie-corrected z."""
+    import datetime as dt
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        events_mann_whitney_value,
+    )
+
+    day1 = dt.datetime(2024, 1, 1, 12, 0, 0)   # Monday -> dow 1
+    day2 = dt.datetime(2024, 1, 8, 12, 0, 0)   # next Monday
+    rows = [
+        (1, day1, 1, "purchase", 10.0, "{}"),
+        (2, day1, 1, "purchase", 20.0, "{}"),
+        (3, day1, 1, "purchase", 30.0, "{}"),
+        (4, day1, 2, "view", 1.0, "{}"),
+        (5, day1, 2, "view", 2.0, "{}"),
+        (6, day2, 1, "purchase", 2.0, "{}"),
+        (7, day2, 1, "purchase", 20.0, "{}"),
+        (8, day2, 1, "purchase", 30.0, "{}"),
+        (9, day2, 2, "view", 1.0, "{}"),
+        (10, day2, 2, "view", 2.0, "{}"),
+    ]
+    # day2 rows land on dow 1 as well -- separate the two cases by
+    # putting the tie case on a Tuesday instead
+    rows = [
+        (eid, ts if eid <= 5 else ts + dt.timedelta(days=1), u, t, v, p)
+        for (eid, ts, u, t, v, p) in rows
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.dow: r for r in events_mann_whitney_value(spark, str(tmp_path)).collect()}
+    clean = out[1]
+    assert (clean.n_purchase, clean.n_view) == (3, 2)
+    assert clean.u_stat == 6.0
+    assert clean.rank_biserial == 1.0
+    assert clean.z_score == pytest.approx(math.sqrt(3.0), abs=1e-6)
+    tied = out[2]
+    assert tied.u_stat == 5.5
+    # sigma^2 = (6/12) * (6 - 6/20) = 2.85 ; z = 2.5 / sqrt(2.85)
+    assert tied.z_score == pytest.approx(2.5 / math.sqrt(2.85), abs=1e-6)
+
+
+def test_heaps_all_unique_vocab_is_linear(spark, tmp_path):
+    """Docs whose tokens are all distinct put every point ON the line
+    V = N (beta = 1, k = 1): the quantized fit must return beta 1.0
+    exactly and a geometric vocab ratio of 1.0 for every source."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        documents_heaps_law,
+    )
+
+    def doc(n, tag):
+        return " ".join(f"{tag}w{i}" for i in range(n))
+
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, doc(10, "a"), "en", "sA", 0),
+            (2, doc(20, "b"), "en", "sA", 0),
+            (3, doc(40, "c"), "en", "sB", 0),
+            (4, doc(80, "d"), "en", "sB", 0),
+        ],
+    )
+    rows = {r.source: r for r in documents_heaps_law(spark, sf).collect()}
+    assert set(rows) == {"sA", "sB"}
+    for r in rows.values():
+        assert r.heaps_beta == 1.0
+        assert r.geo_vocab_ratio == 1.0
+    assert rows["sA"].n_tokens == 30 and rows["sB"].n_tokens == 120

@@ -61,6 +61,8 @@ TZ_SENSITIVE = [
     "events_session_paths",
     # round-9 late: epoch-hour buckets from ts_us (theil-sen trend)
     "events_theil_sen_trend",
+    # round-9 late: isodow calendar field over stored wall time
+    "events_mann_whitney_value",
 ]
 
 
