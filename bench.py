@@ -193,6 +193,7 @@ HEADLINE = [
     "dedup_allpairs_prefix",
     "events_mann_whitney_value",
     "documents_heaps_law",
+    "events_spearman_hour_value",
 ]
 
 

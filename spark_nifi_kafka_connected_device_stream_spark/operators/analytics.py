@@ -1942,3 +1942,140 @@ def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround((u2 - n_ab) / (F.lit(2.0) * sigma), 6).alias("z_score"),
         pround(u2 * F.lit(1.0) / n_ab - F.lit(1.0), 6).alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, via distinct-value cells)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_spearman_hour_value",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS x, value AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), xm AS (
+      SELECT event_type, x, CAST(sum(c) AS BIGINT) AS cx,
+             CAST(sum(sum(c)) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx
+      FROM cells GROUP BY event_type, x
+    ), ym AS (
+      SELECT event_type, y, CAST(sum(c) AS BIGINT) AS cy,
+             CAST(sum(sum(c)) OVER (PARTITION BY event_type ORDER BY y
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumy
+      FROM cells GROUP BY event_type, y
+    ), rc AS (
+      SELECT cells.event_type, c,
+             2 * (cumx - cx) + cx + 1 AS rx2,
+             2 * (cumy - cy) + cy + 1 AS ry2
+      FROM cells
+      JOIN xm USING (event_type, x)
+      JOIN ym USING (event_type, y)
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(c * rx2) AS BIGINT) AS sx,
+             CAST(sum(c * ry2) AS BIGINT) AS sy,
+             CAST(sum(c * rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(sum(c * ry2 * ry2) AS BIGINT) AS syy,
+             CAST(sum(c * rx2 * ry2) AS BIGINT) AS sxy
+      FROM rc GROUP BY event_type
+    )
+    SELECT event_type, n, n_cells,
+           floor(((n * 1.0 * sxy - sx * 1.0 * sy)
+                  / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                         * (n * 1.0 * syy - sy * 1.0 * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+    FROM agg
+    WHERE (n * 1.0 * sxx - sx * 1.0 * sx) > 0
+      AND (n * 1.0 * syy - sy * 1.0 * sy) > 0
+    """,
+    doc="Tie-corrected Spearman rank correlation per event type between "
+        "hour-of-day and event value — the monotonic-association "
+        "complement to stats_correlation_by_group's Pearson r (linear) "
+        "and events_mann_whitney_value's two-sample U: same rank "
+        "machinery, asking 'does value drift with time of day in ANY "
+        "monotone way'.  With massive ties (24 hours x 2-dp prices) "
+        "the 6*sum(d^2) shortcut is WRONG; the correct form is Pearson "
+        "over AVERAGE ranks, which this computes exactly: per-(type, "
+        "hour, value) cell counts, average ranks from the two marginal "
+        "cumulative counts (2x-scaled to stay integer: 2r = 2*(cum-c) "
+        "+ c + 1 — the x2 cancels in the correlation ratio), then "
+        "integer co-moment sums and ONE identical scalar double "
+        "expression per group (deterministic IEEE on exact int64 "
+        "inputs; a float rank sum would be summation-order-dependent "
+        "across engines).  Scale shape: one partial-agg shuffle to "
+        "cells (bounded by |hours| x |value domain| per type, NOT row "
+        "count); the two marginal windows run over 24 rows and "
+        "|values| rows per type; the cell join keys are (type, hour) "
+        "and (type, value) — no row-level shuffle after the first agg; "
+        "final output |event types| rows.  Zero-variance groups are "
+        "filtered with the same integer predicate in both engines "
+        "(NULL rho would break downstream sorts).  int64 headroom: "
+        "sum(c*rx2*ry2) <= 4n^3 per group overflows past ~1.3e6 rows "
+        "PER TYPE-GROUP — switch the co-moment sums to decimal(38,0) "
+        "(warehouse.py:203 pattern) at that scale.",
+    tags=("events", "stats"),
+)
+def events_spearman_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # cells feed three consumers (two marginals + the rank join); a lazy
+    # localCheckpoint materializes the events scan + first agg ONCE —
+    # without it the plan re-scans events three times (q11 pattern)
+    cells = (
+        e.groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("x"),
+            F.col("value").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def marginal(key: str, cnt: str, cum: str) -> DataFrame:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            cells.groupBy("event_type", key)
+            .agg(F.sum("c").cast("bigint").alias(cnt))
+            .withColumn(cum, F.sum(cnt).over(w).cast("bigint"))
+        )
+
+    rc = (
+        cells.join(marginal("x", "cx", "cumx"), ["event_type", "x"])
+        .join(marginal("y", "cy", "cumy"), ["event_type", "y"])
+        .select(
+            "event_type",
+            "c",
+            (2 * (F.col("cumx") - F.col("cx")) + F.col("cx") + 1).alias("rx2"),
+            (2 * (F.col("cumy") - F.col("cy")) + F.col("cy") + 1).alias("ry2"),
+        )
+    )
+    agg = rc.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col("c") * F.col("rx2")).cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("ry2")).cast("bigint").alias("sy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c") * F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+    )
+    one = F.lit(1.0)
+    varx = F.col("n") * one * F.col("sxx") - F.col("sx") * one * F.col("sx")
+    vary = F.col("n") * one * F.col("syy") - F.col("sy") * one * F.col("sy")
+    cov = F.col("n") * one * F.col("sxy") - F.col("sx") * one * F.col("sy")
+    return (
+        agg.filter((varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            "n",
+            "n_cells",
+            pround(cov / F.sqrt(varx * vary), 6).alias("spearman_rho"),
+        )
+    )

@@ -210,6 +210,7 @@ DEFERRED: tuple[str, ...] = (
     "dedup_allpairs_prefix",
     "events_mann_whitney_value",
     "documents_heaps_law",
+    "events_spearman_hour_value",
 )
 
 

@@ -717,3 +717,43 @@ def test_heaps_all_unique_vocab_is_linear(spark, tmp_path):
         assert r.heaps_beta == 1.0
         assert r.geo_vocab_ratio == 1.0
     assert rows["sA"].n_tokens == 30 and rows["sB"].n_tokens == 120
+
+
+def test_spearman_hand_computed(spark, tmp_path):
+    """Perfect monotone groups hit exactly +-1; a tied group matches the
+    hand-worked average-rank Pearson (rho = 3/sqrt(13.5) = 0.816497);
+    a zero-variance group is filtered, not emitted as NULL."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        events_spearman_hour_value,
+    )
+
+    def ev(eid, hour, typ, val):
+        return (eid, dt.datetime(2024, 1, 1, hour, 0, 0), 1, typ, val, "{}")
+
+    rows = [
+        # monotone up -> rho 1
+        ev(1, 1, "purchase", 10.0), ev(2, 2, "purchase", 20.0),
+        ev(3, 3, "purchase", 30.0),
+        # monotone down -> rho -1
+        ev(4, 1, "view", 30.0), ev(5, 2, "view", 20.0), ev(6, 3, "view", 10.0),
+        # ties in both marginals -> 0.816497
+        ev(7, 1, "click", 5.0), ev(8, 1, "click", 5.0),
+        ev(9, 2, "click", 5.0), ev(10, 3, "click", 7.0),
+        # zero variance in y -> filtered out
+        ev(11, 1, "signup", 1.0), ev(12, 2, "signup", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.event_type: r for r in events_spearman_hour_value(spark, str(tmp_path)).collect()}
+    assert set(out) == {"purchase", "view", "click"}
+    assert out["purchase"].spearman_rho == 1.0
+    assert out["view"].spearman_rho == -1.0
+    assert out["click"].spearman_rho == 0.816497
+    assert (out["click"].n, out["click"].n_cells) == (4, 3)

@@ -63,6 +63,8 @@ TZ_SENSITIVE = [
     "events_theil_sen_trend",
     # round-9 late: isodow calendar field over stored wall time
     "events_mann_whitney_value",
+    # round-9 late: hour-of-day calendar field over stored wall time
+    "events_spearman_hour_value",
 ]
 
 
