@@ -194,6 +194,7 @@ HEADLINE = [
     "events_mann_whitney_value",
     "documents_heaps_law",
     "events_spearman_hour_value",
+    "embedding_dim_correlation",
 ]
 
 

@@ -1401,3 +1401,139 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg(recall), 6).alias("mean_recall"),
         pround(F.min(recall), 6).alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension correlation (redundancy screen over co-moment partials)
+# ---------------------------------------------------------------------------
+
+# quantization scale for exact cross-engine co-moments: 1e-4ths keep
+# per-term products (~1e9) small enough that int64 sums survive ~1e9
+# rows; a raw float X^T X is summation-order-dependent across engines
+_DIMC_SCALE = 10_000
+_DIMC_TOPK = 20
+
+_DIMC_PARTIAL_SCHEMA = (
+    "di int, dj int, n bigint, sx bigint, sy bigint, "
+    "sxx bigint, syy bigint, sxy bigint"
+)
+
+
+def _dimc_partials(pdfs):
+    """Per-partition co-moment partials over the quantized embedding
+    matrix: one numpy X^T X per Arrow batch, emitted as one row per
+    dimension pair (i <= j would double storage for no reader; i < j
+    plus the two diagonals carried on each pair row keeps the merge a
+    plain SUM).  Mergeable-summary shape (same contract as the
+    Misra-Gries summarizer in text.py): output size is d*(d-1)/2 rows
+    per BATCH, independent of row count."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * _DIMC_SCALE + 0.5).astype(np.int64)
+        g = q.T @ q
+        s = q.sum(axis=0)
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d, k=1)
+        yield pd.DataFrame(
+            {
+                "di": (iu + 1).astype("int32"),
+                "dj": (ju + 1).astype("int32"),
+                "n": np.full(iu.size, len(pdf), dtype=np.int64),
+                "sx": s[iu],
+                "sy": s[ju],
+                "sxx": g[iu, iu],
+                "syy": g[ju, ju],
+                "sxy": g[iu, ju],
+            }
+        )
+
+
+@register(
+    "embedding_dim_correlation",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, gs.j AS i,
+             CAST(floor(CAST(embedding[gs.j] AS DOUBLE) * {_DIMC_SCALE}.0
+                        + 0.5) AS BIGINT) AS xq
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) gs
+    ), pairs AS (
+      SELECT a.i AS di, b.i AS dj,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.xq) AS BIGINT) AS sx,
+             CAST(sum(b.xq) AS BIGINT) AS sy,
+             CAST(sum(a.xq * a.xq) AS BIGINT) AS sxx,
+             CAST(sum(b.xq * b.xq) AS BIGINT) AS syy,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS sxy
+      FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(di AS INTEGER) AS dim_i, CAST(dj AS INTEGER) AS dim_j, n,
+           floor(((n * 1.0 * sxy - sx * 1.0 * sy)
+                  / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                         * (n * 1.0 * syy - sy * 1.0 * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dim_corr
+    FROM pairs
+    WHERE (n * 1.0 * sxx - sx * 1.0 * sx) > 0
+      AND (n * 1.0 * syy - sy * 1.0 * sy) > 0
+    ORDER BY abs(floor(((n * 1.0 * sxy - sx * 1.0 * sy)
+                  / sqrt((n * 1.0 * sxx - sx * 1.0 * sx)
+                         * (n * 1.0 * syy - sy * 1.0 * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0) DESC, di, dj
+    LIMIT {_DIMC_TOPK}
+    """,
+    doc="Top-20 most-correlated embedding dimension PAIRS — the "
+        "redundancy screen before storing or indexing a vector column "
+        "at corpus scale (highly correlated dims mean wasted bytes and "
+        "a cheaper PCA/quantization win; embedding_dim_stats profiles "
+        "dims in isolation, this catches pairwise structure).  Exact "
+        "cross-engine arithmetic: values quantized to int64 1e-4ths, "
+        "co-moments summed as integers, Pearson per pair as ONE "
+        "identical scalar double tree; ranking uses the 6-dp ROUNDED "
+        "value with (dim_i, dim_j) tie-break so the LIMIT cut is a "
+        "total order in both engines.  Scale shape: the co-moment "
+        "matrix is computed as per-Arrow-batch numpy X^T X partials "
+        "inside mapInPandas (vectorized, no 4096x row explode), each "
+        "batch emitting d(d-1)/2 = 2016 mergeable rows regardless of "
+        "row count; the only shuffle moves partials (batches x 2016 "
+        "rows) to a SUM — the same mergeable-summary contract as the "
+        "Misra-Gries heavy-hitter pass.  int64 headroom: per-term "
+        "q_i*q_j <= ~1e9 keeps pair sums safe to ~1e9 rows; past that "
+        "switch the partial sums to decimal(38,0) "
+        "(warehouse.py:203 pattern).  Reference scope: ancestors for "
+        "the embeddings extension tier (SURVEY.md §2.8), not the "
+        "reference pipeline.",
+    tags=("embeddings", "stats"),
+)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(_dimc_partials, schema=_DIMC_PARTIAL_SCHEMA)
+    pairs = partials.groupBy("di", "dj").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("syy").cast("bigint").alias("syy"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+    )
+    one = F.lit(1.0)
+    varx = F.col("n") * one * F.col("sxx") - F.col("sx") * one * F.col("sx")
+    vary = F.col("n") * one * F.col("syy") - F.col("sy") * one * F.col("sy")
+    cov = F.col("n") * one * F.col("sxy") - F.col("sx") * one * F.col("sy")
+    scored = (
+        pairs.filter((varx > 0) & (vary > 0))
+        .select(
+            F.col("di").cast("int").alias("dim_i"),
+            F.col("dj").cast("int").alias("dim_j"),
+            "n",
+            pround(cov / F.sqrt(varx * vary), 6).alias("dim_corr"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("dim_corr")).desc(), "dim_i", "dim_j"
+    ).limit(_DIMC_TOPK)

@@ -211,6 +211,7 @@ DEFERRED: tuple[str, ...] = (
     "events_mann_whitney_value",
     "documents_heaps_law",
     "events_spearman_hour_value",
+    "embedding_dim_correlation",
 )
 
 

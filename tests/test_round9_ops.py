@@ -757,3 +757,33 @@ def test_spearman_hand_computed(spark, tmp_path):
     assert out["view"].spearman_rho == -1.0
     assert out["click"].spearman_rho == 0.816497
     assert (out["click"].n, out["click"].n_cells) == (4, 3)
+
+
+def test_dim_correlation_known_structure(spark, tmp_path):
+    """Copy/negated/independent dimension structure: corr(1,2) = 1,
+    corr(1,3) = -1, corr(2,3) = -1 must head the ranking regardless of
+    how many partitions the partials were merged from."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        embedding_dim_correlation,
+    )
+
+    rows = [
+        (i, [float(a), float(a), float(-a), float(b)], 0)
+        for i, (a, b) in enumerate(
+            [(1, 5), (2, 3), (3, 9), (4, 1), (5, 4), (6, 7)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = embedding_dim_correlation(spark, str(tmp_path)).collect()
+    got = {(r.dim_i, r.dim_j): r.dim_corr for r in out}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == -1.0
+    assert got[(2, 3)] == -1.0
+    # the three perfect pairs outrank every dim-4 pairing
+    assert {(r.dim_i, r.dim_j) for r in out[:3]} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r.n == 6 for r in out)
