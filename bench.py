@@ -195,6 +195,7 @@ HEADLINE = [
     "documents_heaps_law",
     "events_spearman_hour_value",
     "embedding_dim_correlation",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -1085,3 +1085,83 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("n_common") * F.lit(1.0) / union_sz, 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall/precision report (the dedup twin of similarity_recall_report)
+# ---------------------------------------------------------------------------
+
+from ..registry import _REGISTRY as _REG  # noqa: E402  (intra-module reuse)
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH truth AS ({_REG["dedup_ngram_jaccard"].oracle}),
+    cand AS ({_REG["dedup_minhash_lsh"].oracle}),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth JOIN cand USING (doc_a, doc_b)
+    )
+    SELECT n_true_pairs, n_candidates, n_hits,
+           CASE WHEN n_true_pairs > 0
+                THEN floor(n_hits * 1.0 / n_true_pairs * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -1.0 END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN floor(n_hits * 1.0 / n_candidates * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -1.0 END AS candidate_precision
+    FROM t, c, h
+    """,
+    doc="Recall and candidate precision of the MinHash-LSH banding "
+        "scheme against the exact Jaccard>=0.8 ground truth — the "
+        "quality report a production dedup deployment publishes next "
+        "to its pair counts, registered so the metric is oracle-checked "
+        "like any other query (the oracle composes the two registered "
+        "queries' own SQL as CTEs, so the report can never drift from "
+        "what they return; same contract as similarity_recall_report "
+        "on the ANN tier).  The 4x3 banding's s-curve puts ~97% "
+        "expected recall at J = 0.8 (1-(1-0.8^3)^4), so a LOW number "
+        "here is the operational signal that the permutation count or "
+        "band shape no longer matches the corpus, BEFORE silently "
+        "under-deduplicating a training set; candidate precision "
+        "tracks wasted verification work (pairs the bands emit that "
+        "exact verification rejects).  Scale shape: both pair sets are "
+        "the registered queries' own plans (df-capped inverted index / "
+        "bucket-capped band join); the comparison is one equi-join on "
+        "the two pair sets plus three 1-row aggregates broadcast into "
+        "a single output row.  Zero-denominator guard emits -1.0 "
+        "sentinels identically in both engines (NULL would break the "
+        "harness sort).",
+    tags=("dedup", "lsh", "quality"),
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    out = t.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(h))
+    one = F.lit(1.0)
+    return out.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            pround(F.col("n_hits") * one / F.col("n_true_pairs"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            pround(F.col("n_hits") * one / F.col("n_candidates"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("candidate_precision"),
+    )

@@ -212,6 +212,7 @@ DEFERRED: tuple[str, ...] = (
     "documents_heaps_law",
     "events_spearman_hour_value",
     "embedding_dim_correlation",
+    "dedup_lsh_recall_report",
 )
 
 

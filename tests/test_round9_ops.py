@@ -787,3 +787,32 @@ def test_dim_correlation_known_structure(spark, tmp_path):
     # the three perfect pairs outrank every dim-4 pairing
     assert {(r.dim_i, r.dim_j) for r in out[:3]} == {(1, 2), (1, 3), (2, 3)}
     assert all(r.n == 6 for r in out)
+
+
+def test_lsh_recall_report_identical_pair_always_hit(spark, tmp_path):
+    """On the allpairs corpus the ground truth is exactly 3 pairs; the
+    verbatim-copy pair (1,4) has identical minhash signatures, so it is
+    a guaranteed LSH candidate — recall can never fall below 1/3 and
+    every reported ratio stays in [0, 1]."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        dedup_lsh_recall_report,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    changed = " ".join(f"tok{i}" for i in range(29)) + " other"
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, base, "en", "s", 0),
+            (2, changed, "en", "s", 0),
+            (3, "zeta " + " ".join(f"junk{i}" for i in range(20)), "en", "s", 0),
+            (4, base, "en", "s", 0),
+        ],
+    )
+    row = dedup_lsh_recall_report(spark, sf).collect()[0]
+    assert row.n_true_pairs == 3
+    assert row.n_hits >= 1
+    assert row.recall >= 0.333333
+    assert 0.0 <= row.candidate_precision <= 1.0
+    assert row.n_hits <= row.n_candidates
