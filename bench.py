@@ -196,6 +196,7 @@ HEADLINE = [
     "events_spearman_hour_value",
     "embedding_dim_correlation",
     "dedup_lsh_recall_report",
+    "part_skyline_price_size",
 ]
 
 

@@ -287,3 +287,51 @@ def global_row_number(
         .withColumn(out_col, rn.cast("bigint"))
         .drop("_pid", "_off")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact global `MAX(value) OVER (ORDER BY ...)` prefix scan
+    without the single-task global sort — the running-MAX sibling of
+    `global_running_sum`, same plan shape: range-repartition on the
+    order key (parallel sort), within-partition prefix max, then merge
+    a broadcast per-partition max offset (max is associative, so the
+    cross-partition merge is `greatest`, and unlike the sum variant it
+    is also safe on floats — max never reassociates a rounding).
+    `exclusive=True` gives each row the max over STRICTLY PRECEDING
+    rows (NULL for the global first row) — the skyline/dominance scan;
+    `order_cols` must then be a total order (ties would see each other
+    as predecessors non-deterministically).  The only unpartitioned
+    window runs over num_partitions metadata rows."""
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pmax = part.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    from pyspark.sql import Window
+
+    preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pmax.select("_pid", F.max("_pmax").over(preceding).alias("_off"))
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w_in), F.col("_off"))
+        )
+        .drop("_pid", "_off")
+    )

@@ -2079,3 +2079,71 @@ def events_spearman_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(cov / F.sqrt(varx * vary), 6).alias("spearman_rho"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance) query over parts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_skyline_price_size",
+    oracle="""
+    WITH pp AS (
+      SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS pmax
+      FROM part GROUP BY 1
+    ), run AS (
+      SELECT price, pmax,
+             max(pmax) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmax
+      FROM pp
+    )
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p JOIN run r ON p.p_retailprice = r.price
+    WHERE CAST(p.p_size AS BIGINT) = r.pmax
+      AND (r.prevmax IS NULL OR r.prevmax < p.p_size)
+    """,
+    doc="Skyline query (Borzsonyi/Kossmann/Stocker, ICDE'01): parts not "
+        "Pareto-DOMINATED on (minimize retail price, maximize size) — "
+        "no other part is at-most-as-expensive AND at-least-as-large "
+        "with one strict.  The multi-objective shortlist operator "
+        "(cheapest-per-capability frontiers, best-quality-per-cost "
+        "corpus slices) that a plain ORDER BY ... LIMIT cannot "
+        "express.  Algorithm: the classic sort-scan — a part is on the "
+        "skyline iff its size strictly exceeds the running max size "
+        "over all strictly cheaper parts AND equals the max size at "
+        "its own price point (equal-(price,size) twins are mutual "
+        "non-dominators and all survive).  Scale shape: one agg to the "
+        "per-price table, then the EXCLUSIVE prefix max runs through "
+        "functions/scale.global_running_max — range-repartitioned "
+        "parallel sort + within-partition prefix max + broadcast "
+        "per-partition offsets, NO unpartitioned data window (the "
+        "events_session_paths lesson); the filter join back to part "
+        "is a price-keyed equi-join.  Output is provably <= |size "
+        "domain| rows (each skyline row needs a strictly larger size "
+        "than every cheaper one).  Dominance tests are integer/exact-"
+        "double comparisons on stored values — no arithmetic, no "
+        "rounding, bit-identical across engines.",
+    tags=("relational", "part"),
+)
+def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_running_max
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    pp = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("pmax")
+    )
+    run = global_running_max(
+        pp, [F.col("price")], "pmax", "prevmax", exclusive=True
+    )
+    return (
+        p.join(run, p.p_retailprice == run.price)
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (F.col("prevmax").isNull() | (F.col("prevmax") < F.col("p_size")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

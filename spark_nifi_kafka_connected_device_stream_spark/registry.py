@@ -213,6 +213,7 @@ DEFERRED: tuple[str, ...] = (
     "events_spearman_hour_value",
     "embedding_dim_correlation",
     "dedup_lsh_recall_report",
+    "part_skyline_price_size",
 )
 
 

@@ -816,3 +816,35 @@ def test_lsh_recall_report_identical_pair_always_hit(spark, tmp_path):
     assert row.recall >= 0.333333
     assert 0.0 <= row.candidate_precision <= 1.0
     assert row.n_hits <= row.n_candidates
+
+
+def test_skyline_hand_computed(spark, tmp_path):
+    """Known dominance structure: cheaper-and-bigger dominates, equal
+    (price, size) twins both survive, and a same-price smaller row is
+    dominated by its price twin."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        part_skyline_price_size,
+    )
+
+    rows = [
+        # (key, price, size)
+        (1, 10.0, 5),   # skyline (cheapest overall, size 5)
+        (2, 10.0, 5),   # equal twin of 1 -> also skyline
+        (3, 10.0, 3),   # dominated by 1 (same price, smaller)
+        (4, 20.0, 4),   # dominated by 1 (more expensive, smaller)
+        (5, 20.0, 8),   # skyline (bigger than everything cheaper)
+        (6, 30.0, 8),   # dominated by 5 (same size, more expensive)
+        (7, 40.0, 9),   # skyline
+    ]
+    df = spark.createDataFrame(
+        [(k, f"part{k}", "B", "T", s, p) for (k, p, s) in rows],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    df.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    got = sorted(
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in part_skyline_price_size(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 10.0, 5), (2, 10.0, 5), (5, 20.0, 8), (7, 40.0, 9)]

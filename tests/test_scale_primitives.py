@@ -359,3 +359,46 @@ def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
         assert int(col["distinct_count"]) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
+
+
+def test_global_running_max_matches_unpartitioned_window(spark):
+    """Inclusive and exclusive prefix max across many range partitions
+    must equal the single-task unpartitioned window."""
+    from pyspark.sql import Window
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        global_running_max,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).cast("bigint").alias("v"),
+    )
+    inc = {
+        r.k: r.m
+        for r in global_running_max(
+            df, [F.col("k")], "v", "m", num_partitions=7
+        ).collect()
+    }
+    exc = {
+        r.k: r.m
+        for r in global_running_max(
+            df, [F.col("k")], "v", "m", num_partitions=7, exclusive=True
+        ).collect()
+    }
+    w = Window.orderBy("k")
+    want_inc = {
+        r.k: r.m
+        for r in df.withColumn(
+            "m", F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).collect()
+    }
+    want_exc = {
+        r.k: r.m
+        for r in df.withColumn(
+            "m", F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        ).collect()
+    }
+    assert inc == want_inc
+    assert exc == want_exc
+    assert exc[0] is None
