@@ -197,6 +197,8 @@ HEADLINE = [
     "embedding_dim_correlation",
     "dedup_lsh_recall_report",
     "part_skyline_price_size",
+    "events_forecast_backtest",
+    "orders_column_profile",
 ]
 
 

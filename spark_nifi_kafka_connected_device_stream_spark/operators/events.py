@@ -2721,3 +2721,120 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs seasonal-naive MAE / MASE per event type
+# ---------------------------------------------------------------------------
+
+_BT_SEASON = 24  # hourly series, daily season
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS l1,
+             lag(x, {_BT_SEASON}) OVER w AS l24
+      FROM series WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(abs(x - l1)) AS BIGINT) AS sae_naive,
+             CAST(sum(abs(x - l24)) AS BIGINT) AS sae_snaive
+      FROM lagged WHERE l24 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_eval,
+           floor(sae_naive * 1.0 / n_eval * 1000000.0 + 0.5) / 1000000.0
+             AS mae_naive,
+           floor(sae_snaive * 1.0 / n_eval * 1000000.0 + 0.5) / 1000000.0
+             AS mae_snaive,
+           CASE WHEN sae_naive > 0
+                THEN floor(sae_snaive * 1.0 / sae_naive * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -1.0 END AS mase_snaive
+    FROM agg
+    """,
+    doc="Forecast BACKTEST per event type: one-step mean absolute error "
+        "of the naive forecast (y[t-1]) vs the seasonal-naive forecast "
+        "(y[t-24]) over the zero-filled hourly series, plus their MASE "
+        "ratio (Hyndman & Koehler 2006: scaled by the naive in-sample "
+        "MAE, so < 1 means the daily season carries real signal).  The "
+        "EVALUATION layer the forecasting tier was missing: "
+        "events_holt_forecast_hourly produces forecasts, the seasonal "
+        "baseline assumes the 24h cycle — this measures whether that "
+        "assumption beats the dumbest model BEFORE anyone trusts an "
+        "anomaly threshold built on it.  Exact arithmetic: absolute "
+        "errors are integer count differences summed as int64 (no "
+        "float accumulation); the two divisions and the ratio are "
+        "identical scalar trees, zero-denominator guarded with a -1.0 "
+        "sentinel in both engines.  Scale shape: same spine as "
+        "events_hourly_acf — one partial-agg shuffle to (hour, type) "
+        "counts (bounded by calendar x |types|, not event count), "
+        "zero-fill via a broadcast sequence grid, ONE window pass "
+        "computes both lags, final agg to |types| rows.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h")).crossJoin(
+        F.broadcast(counts.select("event_type").distinct())
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", _BT_SEASON).over(w).alias("l24"),
+    )
+    agg = (
+        lagged.filter(F.col("l24").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(F.abs(F.col("x") - F.col("l1"))).cast("bigint").alias("sae_naive"),
+            F.sum(F.abs(F.col("x") - F.col("l24")))
+            .cast("bigint")
+            .alias("sae_snaive"),
+        )
+    )
+    one = F.lit(1.0)
+    return agg.select(
+        "event_type",
+        "n_eval",
+        pround(F.col("sae_naive") * one / F.col("n_eval"), 6).alias("mae_naive"),
+        pround(F.col("sae_snaive") * one / F.col("n_eval"), 6).alias("mae_snaive"),
+        F.when(
+            F.col("sae_naive") > 0,
+            pround(F.col("sae_snaive") * one / F.col("sae_naive"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("mase_snaive"),
+    )

@@ -214,6 +214,8 @@ DEFERRED: tuple[str, ...] = (
     "embedding_dim_correlation",
     "dedup_lsh_recall_report",
     "part_skyline_price_size",
+    "events_forecast_backtest",
+    "orders_column_profile",
 )
 
 

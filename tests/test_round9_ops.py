@@ -848,3 +848,84 @@ def test_skyline_hand_computed(spark, tmp_path):
         for r in part_skyline_price_size(spark, str(tmp_path)).collect()
     )
     assert got == [(1, 10.0, 5), (2, 10.0, 5), (5, 20.0, 8), (7, 40.0, 9)]
+
+
+def test_forecast_backtest_perfect_daily_cycle(spark, tmp_path):
+    """A perfectly 24h-periodic hourly series: the seasonal-naive error
+    is exactly 0 (MASE 0), while the naive forecast pays for the two
+    spike transitions per day."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_forecast_backtest,
+    )
+
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    for h in range(48):
+        n = 2 if h % 24 == 0 else 1
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), 1, "view", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = events_forecast_backtest(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_type == "view"
+    assert r.n_eval == 24
+    # naive: |c(24)-c(23)| + |c(25)-c(24)| = 2 absolute errors of 1
+    assert r.mae_naive == round(2 / 24, 6)
+    assert r.mae_snaive == 0.0
+    assert r.mase_snaive == 0.0
+
+
+def test_column_profile_counts_nulls_and_distincts(spark, tmp_path):
+    """Nulls are counted not profiled: a column with one NULL reports
+    n_null=1 and min/max over the remaining values; distinct counts
+    ignore NULLs (SQL COUNT(DISTINCT) semantics in both engines)."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        orders_column_profile,
+    )
+
+    d = dt.datetime(2024, 1, 15, 0, 0, 0)
+    rows = [
+        (1, 10, "O", 100.5, d, "1-URGENT"),
+        (2, 10, "F", None, d + dt.timedelta(days=1), "2-HIGH"),
+        (3, 20, "O", 50.25, d, "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    prof = {
+        r.column_name: r
+        for r in orders_column_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(prof) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    assert all(r.n_rows == 3 for r in prof.values())
+    tp = prof["o_totalprice"]
+    assert (tp.n_null, tp.n_distinct) == (1, 2)
+    assert (tp.min_value, tp.max_value) == ("50.25", "100.5")
+    ck = prof["o_custkey"]
+    assert (ck.n_null, ck.n_distinct, ck.min_value, ck.max_value) == (
+        0, 2, "10", "20",
+    )
+    od = prof["o_orderdate"]
+    assert od.min_value.startswith("2024-01-15")

@@ -59,12 +59,16 @@ TZ_SENSITIVE = [
     "events_debounce_stats",
     "orders_cohort_ltv_curve",
     "events_session_paths",
-    # round-9 late: epoch-hour buckets from ts_us (theil-sen trend)
+    # round-9 late: epoch-hour buckets from ts_us (theil-sen trend,
+    # naive/seasonal-naive backtest)
     "events_theil_sen_trend",
+    "events_forecast_backtest",
     # round-9 late: isodow calendar field over stored wall time
     "events_mann_whitney_value",
     # round-9 late: hour-of-day calendar field over stored wall time
     "events_spearman_hour_value",
+    # round-9 late: ntz wall-time min/max rendered as strings
+    "orders_column_profile",
 ]
 
 
