@@ -2147,3 +2147,85 @@ def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar seasonality of order revenue (classical seasonal indices)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_monthly_seasonality",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS all_cents,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM m
+    )
+    SELECT CAST(mo AS INTEGER) AS month,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(cents) AS BIGINT) AS rev_cents,
+           floor((sum(cents) * 1.0 * n_all) / (count(*) * 1.0 * all_cents)
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal_index
+    FROM m CROSS JOIN tot
+    GROUP BY mo, n_all, all_cents
+    """,
+    doc="Classical multiplicative seasonal indices of order revenue by "
+        "calendar month: each month-of-year's average monthly revenue "
+        "over its average across ALL months (index 1.0 = no "
+        "seasonality) — the month-granularity revenue complement to "
+        "the events tier's hour/dow profiles (events_dow_hour_profile) "
+        "and the normalization a demand forecast or capacity plan "
+        "divides out first.  Months observed a different number of "
+        "years are handled by comparing AVERAGES, not totals (the "
+        "n_months column makes partial coverage visible).  Exact "
+        "arithmetic: revenue accumulates as integer cents; the index "
+        "is one identical scalar double tree on four exact ints "
+        "(cross-multiplied so no intermediate average is "
+        "materialized).  Scale shape: one partial-agg shuffle to "
+        "(year, month) cells — bounded by the calendar, not order "
+        "count; the total is a 1-row broadcast; output <= 12 rows.  "
+        "int64 headroom: total cents ~2e10 at sf0.1, safe to ~1e8x "
+        "growth.",
+    tags=("orders", "stats", "timeseries"),
+)
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("mo"),
+            _cents(F.col("o_totalprice")).alias("order_cents"),
+        )
+        .groupBy("y", "mo")
+        .agg(F.sum("order_cents").cast("bigint").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    tot = m.agg(
+        F.sum("cents").cast("bigint").alias("all_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    one = F.lit(1.0)
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("mo").cast("int").alias("month"), "n_all", "all_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .select(
+            "month",
+            "n_months",
+            "rev_cents",
+            pround(
+                (F.col("rev_cents") * one * F.col("n_all"))
+                / (F.col("n_months") * one * F.col("all_cents")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )

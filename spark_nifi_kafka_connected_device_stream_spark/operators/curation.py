@@ -2067,3 +2067,82 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.min_value",
         "p.max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quality-score calibration (per-source decile curves)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_quality_calibration",
+    oracle=f"""
+    WITH sc AS (
+      SELECT source, doc_id,
+             CAST(len(list_distinct({_DUCK_TOKENS})) * 1000000
+                  // len({_DUCK_TOKENS}) AS BIGINT) AS score_ppm
+      FROM documents WHERE len({_DUCK_TOKENS}) > 0
+    ), dec AS (
+      SELECT source, score_ppm,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY score_ppm, doc_id) AS decile
+      FROM sc
+    )
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(score_ppm) AS BIGINT) AS min_ppm,
+           CAST(max(score_ppm) AS BIGINT) AS max_ppm,
+           floor(sum(score_ppm) * 1.0 / (count(*) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_unique_ratio
+    FROM dec GROUP BY source, decile
+    """,
+    doc="Cross-source score CALIBRATION curves: each document's lexical-"
+        "diversity score (unique-token ratio, held as an exact ppm "
+        "integer via int64 floor-division — no float enters until the "
+        "final mean) is cut into WITHIN-SOURCE deciles, and each "
+        "(source, decile) cell reports its population and score range. "
+        "Reading across sources exposes the mixing-policy trap a "
+        "single global threshold hides: when source A's 9th decile "
+        "scores below source B's 2nd, one corpus-wide cutoff keeps B's "
+        "junk and drops A's best — the argument for per-source "
+        "quantile gates (documents_quality_deciles is the GLOBAL "
+        "complement on the composite score).  ntile(10) over the "
+        "(score_ppm, doc_id) total order is identically defined in "
+        "both engines (earlier buckets take the remainder), so the "
+        "decile cut is bit-reproducible.  Scale shape: one map-side "
+        "tokenize pass, one source-keyed window (the decile rank), one "
+        "grouped agg to |sources| x 10 rows; a pathologically dominant "
+        "source turns the keyed window into the range-repartitioned "
+        "two-pass ntile (functions/scale.global_ntile applied per "
+        "source) — same rewrite the global decile op already uses.",
+    tags=("curation", "text", "quality"),
+)
+def documents_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(normalize_text(F.col("text")))
+    sc = (
+        d.select(
+            "source",
+            "doc_id",
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(tk)).cast("bigint").alias("n_unique"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.expr("n_unique * 1000000L div n_tokens").alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("score_ppm", "doc_id")
+    dec = sc.select("source", "score_ppm", F.ntile(10).over(w).alias("decile"))
+    return dec.groupBy("source", F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("score_ppm").cast("bigint").alias("min_ppm"),
+        F.max("score_ppm").cast("bigint").alias("max_ppm"),
+        pround(
+            F.sum("score_ppm") * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("mean_unique_ratio"),
+    )

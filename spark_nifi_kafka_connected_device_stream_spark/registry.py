@@ -216,6 +216,8 @@ DEFERRED: tuple[str, ...] = (
     "part_skyline_price_size",
     "events_forecast_backtest",
     "orders_column_profile",
+    "documents_quality_calibration",
+    "orders_monthly_seasonality",
 )
 
 

@@ -929,3 +929,59 @@ def test_column_profile_counts_nulls_and_distincts(spark, tmp_path):
     )
     od = prof["o_orderdate"]
     assert od.min_value.startswith("2024-01-15")
+
+
+def test_quality_calibration_decile_cut(spark, tmp_path):
+    """Ten docs with unique-token ratios 0.1..1.0 in one source: ntile
+    puts exactly one per decile and each cell's mean equals its doc's
+    ratio; a second source with one doc lands entirely in decile 1."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        documents_quality_calibration,
+    )
+
+    docs = []
+    for i in range(1, 11):
+        # 10 tokens, i distinct: u0..u(i-1) then pad with u0
+        toks = [f"u{j}" for j in range(i)] + ["u0"] * (10 - i)
+        docs.append((i, " ".join(toks), "en", "big", 0))
+    docs.append((99, "one two three", "en", "tiny", 0))
+    sf = _write_documents(spark, tmp_path, docs)
+    out = documents_quality_calibration(spark, sf).collect()
+    big = {r.decile: r for r in out if r.source == "big"}
+    assert sorted(big) == list(range(1, 11))
+    for d, r in big.items():
+        assert r.n_docs == 1
+        assert r.min_ppm == r.max_ppm == d * 100_000
+        assert r.mean_unique_ratio == round(d / 10, 6)
+    tiny = [r for r in out if r.source == "tiny"]
+    assert len(tiny) == 1 and tiny[0].decile == 1 and tiny[0].n_docs == 1
+
+
+def test_monthly_seasonality_hand_computed(spark, tmp_path):
+    """Jan averages 200 across two years, Feb 100 across one; overall
+    monthly average is 500/3 — indices 1.2 and 0.6, with n_months
+    exposing the partial coverage."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        orders_monthly_seasonality,
+    )
+
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(1992, 1, 10), "1-URGENT"),
+        (2, 1, "O", 300.0, dt.datetime(1993, 1, 20), "1-URGENT"),
+        (3, 1, "O", 100.0, dt.datetime(1992, 2, 5), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {r.month: r for r in orders_monthly_seasonality(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_months, out[1].rev_cents) == (2, 40000)
+    assert (out[2].n_months, out[2].rev_cents) == (1, 10000)
+    assert out[1].seasonal_index == 1.2
+    assert out[2].seasonal_index == 0.6

@@ -69,6 +69,8 @@ TZ_SENSITIVE = [
     "events_spearman_hour_value",
     # round-9 late: ntz wall-time min/max rendered as strings
     "orders_column_profile",
+    # round-9 late: year/month calendar fields over ntz wall time
+    "orders_monthly_seasonality",
 ]
 
 
