@@ -201,6 +201,8 @@ HEADLINE = [
     "orders_column_profile",
     "documents_quality_calibration",
     "orders_monthly_seasonality",
+    "documents_length_anova_by_lang",
+    "lineitem_returns_pchart",
 ]
 
 

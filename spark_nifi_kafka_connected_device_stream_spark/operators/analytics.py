@@ -2229,3 +2229,86 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical process control: p-chart on monthly return rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_returns_pchart",
+    oracle="""
+    WITH m AS (
+      SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(r) AS BIGINT) AS rt
+      FROM m
+    )
+    SELECT CAST(ym AS INTEGER) AS ym, n, r,
+           floor(r * 1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS p_rate,
+           floor((rt * 1.0 / nt
+                  + 3.0 * sqrt((rt * 1.0 / nt) * (1.0 - rt * 1.0 / nt) / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ucl,
+           floor(greatest(0.0, rt * 1.0 / nt
+                  - 3.0 * sqrt((rt * 1.0 / nt) * (1.0 - rt * 1.0 / nt) / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lcl,
+           CAST(CASE WHEN r * 1.0 / n
+                       > rt * 1.0 / nt
+                         + 3.0 * sqrt((rt * 1.0 / nt) * (1.0 - rt * 1.0 / nt) / n)
+                     OR r * 1.0 / n
+                       < greatest(0.0, rt * 1.0 / nt
+                         - 3.0 * sqrt((rt * 1.0 / nt) * (1.0 - rt * 1.0 / nt) / n))
+                THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+    FROM m CROSS JOIN tot
+    """,
+    doc="Shewhart p-chart (attribute control chart) on the monthly "
+        "return-item rate with per-month 3-sigma binomial limits — the "
+        "SPC complement to CUSUM (events_cusum_level_shift detects "
+        "persistent small drifts; the p-chart flags months whose "
+        "PROPORTION breaks the pooled-baseline band, limits widening "
+        "correctly for thin months since the binomial sigma carries "
+        "each month's own n).  Return-rate control is the classic "
+        "supply-chain quality loop; the identical shape monitors any "
+        "pass/fail gate rate in a curation pipeline month over month.  "
+        "Exact arithmetic: all counts int64; every rate/limit/flag is "
+        "the SAME scalar double tree in both engines (one 3.0 literal, "
+        "no pre-multiplied constants to fold differently), so even the "
+        "boundary COMPARISON for the flag is bit-identical.  Scale "
+        "shape: one partial-agg shuffle to |months| cells (calendar-"
+        "bounded), a 1-row broadcast total, <=84 output rows.",
+    tags=("lineitem", "stats", "timeseries"),
+)
+def lineitem_returns_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("r"),
+    )
+    tot = m.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("r").cast("bigint").alias("rt"),
+    )
+    one = F.lit(1.0)
+    pbar = F.col("rt") * one / F.col("nt")
+    sigma3 = F.lit(3.0) * F.sqrt(pbar * (one - pbar) / F.col("n"))
+    p = F.col("r") * one / F.col("n")
+    ucl = pbar + sigma3
+    lcl = F.greatest(F.lit(0.0), pbar - sigma3)
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("ym").cast("int").alias("ym"),
+        "n",
+        "r",
+        pround(p, 6).alias("p_rate"),
+        pround(ucl, 6).alias("ucl"),
+        pround(lcl, 6).alias("lcl"),
+        F.when((p > ucl) | (p < lcl), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("out_of_control"),
+    )

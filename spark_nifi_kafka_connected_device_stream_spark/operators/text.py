@@ -1155,3 +1155,92 @@ def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(beta, 6).alias("heaps_beta"),
         pround(geo, 6).alias("geo_vocab_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: document length across languages
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_length_anova_by_lang",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             CAST(sum(s * s * 100 // n) AS BIGINT) AS sgr_e2
+      FROM g
+    )
+    SELECT CAST(k AS INTEGER) AS k_groups,
+           nt AS n_docs,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nt - k AS BIGINT) AS df_within,
+           (sgr_e2 - st * st * 100 // nt) / 100.0 AS ss_between,
+           (sst * 100 - sgr_e2) / 100.0 AS ss_within,
+           floor((((sgr_e2 - st * st * 100 // nt) * 1.0) / (k - 1))
+                 / (((sst * 100 - sgr_e2) * 1.0) / (nt - k))
+                 * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+    FROM tot
+    """,
+    doc="One-way ANOVA of document length across languages — the "
+        "k-group generalization the stats tier was missing next to the "
+        "two-sample Welch t (events_abtest_purchase_rate), Mann-"
+        "Whitney U, chi-square, and KS screens: does mean length "
+        "differ across language subcorpora more than within-language "
+        "variance explains?  A large F before mixing means length "
+        "caps/packing budgets need per-language tuning.  Classical "
+        "decomposition SS_between = sum(S_g^2/n_g) - S^2/N, SS_within "
+        "= sum(x^2) - sum(S_g^2/n_g) from per-group (n, sum, sum-of-"
+        "squares).  EXACT ARITHMETIC SHAPE: a float sum of the k "
+        "S_g^2/n_g terms would be fold-order-dependent across engines "
+        "(the perplexity-buckets lesson), so each group term is floor-"
+        "quantized to int64 CENTS (s*s*100 div n) and the cross-group "
+        "sum, both SS terms, and the F ratio are then integer "
+        "arithmetic plus one identical scalar double tree — the "
+        "statistic is DEFINED on cents-quantized group terms (bias "
+        "<= 0.01 per group, irrelevant at F scale) in exchange for "
+        "bit-reproducibility.  Scale shape: one partial-agg shuffle "
+        "to |langs| rows, then a 1-row fold; output 1 row.  int64 "
+        "headroom: s*s*100 overflows past ~1e8 chars per language "
+        "group (~3e5 docs at 300 chars); switch s/ss/sgr_e2 to "
+        "decimal(38,0) past that (warehouse.py:203 pattern).",
+    tags=("text", "stats"),
+)
+def documents_length_anova_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.sum(F.expr("s * s * 100L div n")).cast("bigint").alias("sgr_e2"),
+    )
+    one = F.lit(1.0)
+    ssb_e2 = F.col("sgr_e2") - F.expr("st * st * 100L div nt")
+    ssw_e2 = F.col("sst") * 100 - F.col("sgr_e2")
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nt").alias("n_docs"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nt") - F.col("k")).cast("bigint").alias("df_within"),
+        (ssb_e2 / F.lit(100.0)).alias("ss_between"),
+        (ssw_e2 / F.lit(100.0)).alias("ss_within"),
+        pround(
+            ((ssb_e2 * one) / (F.col("k") - 1))
+            / ((ssw_e2 * one) / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

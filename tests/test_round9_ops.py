@@ -985,3 +985,66 @@ def test_monthly_seasonality_hand_computed(spark, tmp_path):
     assert (out[2].n_months, out[2].rev_cents) == (1, 10000)
     assert out[1].seasonal_index == 1.2
     assert out[2].seasonal_index == 0.6
+
+
+def test_anova_identical_groups_zero_f(spark, tmp_path):
+    """Two languages with identical length multisets: SS_between = 0,
+    F = 0; within-variance is preserved in ss_within."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        documents_length_anova_by_lang,
+    )
+
+    docs = [
+        (1, "x", "en", "s", 10), (2, "x", "en", "s", 20), (3, "x", "en", "s", 30),
+        (4, "x", "de", "s", 10), (5, "x", "de", "s", 20), (6, "x", "de", "s", 30),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    r = documents_length_anova_by_lang(spark, sf).collect()[0]
+    assert (r.k_groups, r.n_docs, r.df_between, r.df_within) == (2, 6, 1, 4)
+    assert r.ss_between == 0.0
+    assert r.f_stat == 0.0
+    # total SS = sum((x - 20)^2) = 2 * (100 + 0 + 100) = 400
+    assert r.ss_within == 400.0
+
+
+def test_pchart_flags_spike_month(spark, tmp_path):
+    """A month with a 100% return rate against a near-zero baseline
+    must be flagged; the quiet months must not be."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        lineitem_returns_pchart,
+    )
+
+    rows = []
+    k = 0
+    # 3 quiet months: 100 lines each, 1 return
+    for mo in (1, 2, 3):
+        for i in range(100):
+            k += 1
+            flag = "R" if i == 0 else "N"
+            rows.append((k, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, flag, "O",
+                         dt.datetime(1995, mo, 10)))
+    # spike month: 100 lines, 30 returns — high enough to break the
+    # upper band, small enough not to drag the pooled baseline up so
+    # far that the quiet months fall below the LOWER band (a real
+    # p-chart effect: an extreme spike contaminates the center line)
+    for i in range(100):
+        k += 1
+        flag = "R" if i < 30 else "N"
+        rows.append((k, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, flag, "O",
+                     dt.datetime(1995, 4, 10)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r.ym: r for r in lineitem_returns_pchart(spark, str(tmp_path)).collect()}
+    assert out[199504].out_of_control == 1
+    assert out[199504].p_rate == 0.3
+    assert all(out[ym].out_of_control == 0 for ym in (199501, 199502, 199503))
+    assert all(out[ym].lcl >= 0.0 for ym in out)

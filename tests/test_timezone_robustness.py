@@ -71,6 +71,7 @@ TZ_SENSITIVE = [
     "orders_column_profile",
     # round-9 late: year/month calendar fields over ntz wall time
     "orders_monthly_seasonality",
+    "lineitem_returns_pchart",
 ]
 
 
