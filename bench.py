@@ -203,6 +203,9 @@ HEADLINE = [
     "orders_monthly_seasonality",
     "documents_length_anova_by_lang",
     "lineitem_returns_pchart",
+    "customers_all_quarters_1995",
+    "events_bounce_rate_daily",
+    "documents_source_simpson_diversity",
 ]
 
 

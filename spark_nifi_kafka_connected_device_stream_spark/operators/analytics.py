@@ -2312,3 +2312,57 @@ def lineitem_returns_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("out_of_control"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers covering ALL quarters of a year
+# ---------------------------------------------------------------------------
+
+_DIV_YEAR = 1995
+
+
+@register(
+    "customers_all_quarters_1995",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE year(o_orderdate) = {_DIV_YEAR}
+    GROUP BY o_custkey
+    HAVING count(DISTINCT quarter(o_orderdate)) = 4
+    """,
+    doc="RELATIONAL DIVISION (Codd's division operator — 'suppliers who "
+        "supply ALL parts'): customers who placed orders in EVERY "
+        f"quarter of {_DIV_YEAR} — the universal-quantifier query class "
+        "(FOR ALL) that joins/filters alone cannot express and that "
+        "q4/q22's EXISTS/NOT-EXISTS siblings only cover existentially.  "
+        "Implemented by the count-distinct-equals-divisor-cardinality "
+        "rewrite (the scale-correct form: the double-NOT-EXISTS "
+        "textbook encoding runs two correlated anti-joins; this is one "
+        "grouped aggregate with the year filter PUSHED to the parquet "
+        "scan).  Consistent-continuity screens in pipelines are this "
+        "exact shape: 'sources present in every epoch', 'devices "
+        "heartbeating every day of the window'.  All-integer output "
+        "(counts + cents).  Scale shape: one custkey-keyed partial agg "
+        "over the filtered year; divisor cardinality (4) is a plan "
+        "constant.",
+    tags=("relational", "orders"),
+)
+def customers_all_quarters_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == _DIV_YEAR
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias(
+                "total_cents"
+            ),
+            F.count_distinct(F.quarter("o_orderdate")).alias("nq"),
+        )
+        .filter(F.col("nq") == 4)
+        .drop("nq")
+    )

@@ -2838,3 +2838,98 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1.0))
         .alias("mase_snaive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per epoch day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(us) // 86400000000 AS day
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS bounce_rate,
+           floor(sum(n_events) * 1.0 / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_events_per_session
+    FROM per_session GROUP BY day
+    """,
+    doc="Daily bounce rate: share of 30-min-gap sessions containing a "
+        "single event, bucketed by the session's first-event epoch day "
+        "(tz-free us // 86400e6 — no calendar field, so the report is "
+        "session-tz-invariant) — the engagement-quality headline next "
+        "to volume (events_hourly_stats) and stickiness "
+        "(events_dau_mau_stickiness); a bounce-rate jump under flat "
+        "volume is the classic broken-funnel signal.  Rides the exact "
+        "integer-microsecond sessionize machinery (same lag + running-"
+        "sum pair as events_sessionize, one user-key shuffle serves "
+        "both windows), then one calendar-bounded day aggregate; "
+        "ratios are single divisions of int64 counts.  Scale shape: "
+        "user-key shuffle -> per-session rows -> |days| cells.",
+    tags=("events", "session"),
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+    per_session = (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("us").alias("min_us"),
+        )
+        .select(
+            "n_events",
+            F.expr("min_us div 86400000000L").cast("bigint").alias("day"),
+        )
+    )
+    one = F.lit(1.0)
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        pround(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            * one
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        pround(F.sum("n_events") * one / F.count(F.lit(1)), 6).alias(
+            "avg_events_per_session"
+        ),
+    )

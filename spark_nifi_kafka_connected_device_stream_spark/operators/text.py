@@ -1244,3 +1244,81 @@ def documents_length_anova_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the source mix per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_source_simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), a AS (
+      SELECT lang,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS num
+      FROM c GROUP BY lang
+    )
+    SELECT lang, nt AS n_docs, k AS n_sources,
+           floor(num * 1.0 / (nt * (nt - 1.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS simpson_lambda,
+           CASE WHEN num > 0
+                THEN floor((nt * (nt - 1.0)) / num * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -1.0 END AS effective_sources
+    FROM a WHERE nt > 1
+    """,
+    doc="Simpson diversity of the SOURCE mix within each language "
+        "subcorpus: unbiased Simpson concentration lambda = "
+        "sum(n_i(n_i-1))/(N(N-1)) — the probability two random docs of "
+        "a language share a source — and its reciprocal, the EFFECTIVE "
+        "number of sources (Hill number of order 2).  The diversity "
+        "audit behind mixing policy: a language whose effective-source "
+        "count collapses toward 1 is a single-crawl monoculture "
+        "however many sources nominally contribute, the "
+        "domain-overfit / dedup-blind-spot warning "
+        "documents_source_lang_mutual_info's PMI cells refine.  "
+        "UNLIKE entropy-based diversity this needs NO logarithm: the "
+        "statistic is an exact integer rational (int64 sums of "
+        "n_i(n_i-1)) with one identical scalar double tree per row — "
+        "no cross-libm ln() risk at all.  Scale shape: one partial-agg "
+        "shuffle to |langs| x |sources| cells, re-aggregated to "
+        "|langs| rows; single-doc languages are excluded by the same "
+        "N > 1 predicate in both engines (the estimator is undefined), "
+        "and all-one-source languages emit the -1.0 sentinel instead "
+        "of a NULL reciprocal.  int64 headroom: n_i^2 overflows past "
+        "~3e9 docs per (lang, source) cell — decimal(38,0) swap "
+        "documented (warehouse.py:203 pattern).",
+    tags=("text", "stats", "curation"),
+)
+def documents_source_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("num"),
+    )
+    one = F.lit(1.0)
+    lam = F.col("num") * one / (F.col("nt") * (F.col("nt") - one))
+    return a.filter(F.col("nt") > 1).select(
+        "lang",
+        F.col("nt").alias("n_docs"),
+        F.col("k").alias("n_sources"),
+        pround(lam, 6).alias("simpson_lambda"),
+        F.when(
+            F.col("num") > 0,
+            pround((F.col("nt") * (F.col("nt") - one)) / F.col("num"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("effective_sources"),
+    )

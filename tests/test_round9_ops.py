@@ -1048,3 +1048,94 @@ def test_pchart_flags_spike_month(spark, tmp_path):
     assert out[199504].p_rate == 0.3
     assert all(out[ym].out_of_control == 0 for ym in (199501, 199502, 199503))
     assert all(out[ym].lcl >= 0.0 for ym in out)
+
+
+def test_relational_division_all_quarters(spark, tmp_path):
+    """Only the customer covering all four 1995 quarters survives; a
+    3-quarter customer and one whose 4th order fell in 1994 do not."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        customers_all_quarters_1995,
+    )
+
+    def order(k, cust, y, mo):
+        return (k, cust, "O", 10.0, dt.datetime(y, mo, 15), "1-URGENT")
+
+    rows = [
+        order(1, 1, 1995, 1), order(2, 1, 1995, 4),
+        order(3, 1, 1995, 7), order(4, 1, 1995, 10),
+        order(5, 2, 1995, 1), order(6, 2, 1995, 5), order(7, 2, 1995, 8),
+        order(8, 3, 1994, 11), order(9, 3, 1995, 2),
+        order(10, 3, 1995, 6), order(11, 3, 1995, 9),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = customers_all_quarters_1995(spark, str(tmp_path)).collect()
+    assert [(r.o_custkey, r.n_orders, r.total_cents) for r in out] == [
+        (1, 4, 4000)
+    ]
+
+
+def test_bounce_rate_hand_computed(spark, tmp_path):
+    """One bounce session and one 3-event session on the same epoch
+    day: rate 0.5, mean 2.0; a second day with only the bounce: 1.0."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_bounce_rate_daily,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        # user 1, day 0: 3 events within 30 min -> one session
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase", 1.0, "{}"),
+        # user 2, day 0: single event -> bounce
+        (4, t0 + dt.timedelta(hours=1), 2, "view", 1.0, "{}"),
+        # user 2, day 1: single event -> bounce
+        (5, t0 + dt.timedelta(days=1), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.day: r for r in events_bounce_rate_daily(spark, str(tmp_path)).collect()}
+    days = sorted(out)
+    assert len(days) == 2 and days[1] == days[0] + 1
+    d0, d1 = out[days[0]], out[days[1]]
+    assert (d0.n_sessions, d0.n_bounces, d0.bounce_rate) == (2, 1, 0.5)
+    assert d0.avg_events_per_session == 2.0
+    assert (d1.n_sessions, d1.n_bounces, d1.bounce_rate) == (1, 1, 1.0)
+
+
+def test_simpson_diversity_hand_computed(spark, tmp_path):
+    """en: 2+2 docs over two sources -> lambda 1/3, 3 effective
+    sources; fr: monoculture -> lambda 1, effective 1; de: single doc
+    excluded (estimator undefined)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        documents_source_simpson_diversity,
+    )
+
+    docs = [
+        (1, "x", "en", "sa", 1), (2, "x", "en", "sa", 1),
+        (3, "x", "en", "sb", 1), (4, "x", "en", "sb", 1),
+        (5, "x", "fr", "sa", 1), (6, "x", "fr", "sa", 1),
+        (7, "x", "de", "sa", 1),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    out = {r.lang: r for r in documents_source_simpson_diversity(spark, sf).collect()}
+    assert set(out) == {"en", "fr"}
+    assert (out["en"].n_docs, out["en"].n_sources) == (4, 2)
+    assert out["en"].simpson_lambda == 0.333333
+    assert out["en"].effective_sources == 3.0
+    assert (out["fr"].simpson_lambda, out["fr"].effective_sources) == (1.0, 1.0)

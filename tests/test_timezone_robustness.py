@@ -72,6 +72,10 @@ TZ_SENSITIVE = [
     # round-9 late: year/month calendar fields over ntz wall time
     "orders_monthly_seasonality",
     "lineitem_returns_pchart",
+    # round-9 late: 1995-quarter calendar fields over ntz wall time
+    "customers_all_quarters_1995",
+    # round-9 late: epoch-day buckets from ts_us session starts
+    "events_bounce_rate_daily",
 ]
 
 
