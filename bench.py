@@ -206,6 +206,8 @@ HEADLINE = [
     "customers_all_quarters_1995",
     "events_bounce_rate_daily",
     "documents_source_simpson_diversity",
+    "events_id_integrity_audit",
+    "events_value_impute_median",
 ]
 
 

@@ -2933,3 +2933,150 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_session"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-id integrity audit (ingestion completeness in one aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_id_integrity_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows,
+           CAST(max(event_id) - min(event_id) + 1
+                - count(DISTINCT event_id) AS BIGINT) AS n_missing_ids
+    FROM events
+    """,
+    doc="Sequence-integrity audit of the event_id key in ONE "
+        "aggregate: duplicate rows (count minus distinct) and missing "
+        "ids (span minus distinct) — the at-a-glance ingestion-"
+        "completeness check run before trusting any downstream count, "
+        "catching both replayed batches (dups) and dropped partitions "
+        "(holes) without materializing a single per-gap row.  The "
+        "arithmetic identity does all the work: for a dense-by-"
+        "construction id domain, |span| - |distinct| IS the missing "
+        "count, so no self-join, no window, no sort.  All-integer "
+        "output.  Scale shape: one exact-distinct aggregate (Spark "
+        "plans count + countDistinct together via its Expand rewrite "
+        "— one scan, one partially-aggregated shuffle); at 100 TB the "
+        "same audit runs per ingest partition first and the partials "
+        "merge, since min/max/count all decompose.",
+    tags=("events", "quality", "profiling"),
+)
+def events_id_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col("event_id")).cast("bigint").alias("n_distinct"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("event_id")))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.count_distinct(F.col("event_id"))
+        )
+        .cast("bigint")
+        .alias("n_missing_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median imputation repair (deterministic mask -> impute -> impact report)
+# ---------------------------------------------------------------------------
+
+# deterministic "missingness": ~1% of rows, same device as the stale-
+# index perturbation in document_embedding_coverage — both engines
+# compute the identical mask, so the repair is oracle-checkable
+_IMPUTE_MOD = 97
+
+
+@register(
+    "events_value_impute_median",
+    oracle=f"""
+    WITH masked AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % {_IMPUTE_MOD} = 0 THEN 1 ELSE 0 END AS miss
+      FROM events
+    ), obs AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents_obs,
+             quantile_cont(value, 0.5) AS med
+      FROM masked WHERE miss = 0 GROUP BY event_type
+    ), tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(miss) AS BIGINT) AS n_imputed
+      FROM masked GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_events, t.n_imputed,
+           floor(o.med * 1000.0 + 0.5) / 1000.0 AS imputed_value,
+           floor(o.cents_obs / (o.n_obs * 100.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_before,
+           floor((o.cents_obs + t.n_imputed * (o.med * 100.0))
+                 / (t.n_events * 100.0) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_after
+    FROM tot t JOIN obs o ON o.event_type = t.event_type
+    """,
+    doc="Missing-value REPAIR operator: rows deterministically masked "
+        f"as missing (event_id % {_IMPUTE_MOD} = 0, ~1% — the same "
+        "reproducible-perturbation device document_embedding_coverage "
+        "uses for its stale index) are imputed with the per-type EXACT "
+        "median of the observed values, and the report shows the "
+        "repair's distributional impact (observed mean vs post-impute "
+        "mean).  Median imputation is the robust default for skewed "
+        "telemetry (mean imputation drags toward outliers); the "
+        "mean_before/mean_after gap quantifies exactly the bias the "
+        "choice introduces.  Exactness: observed sums are integer "
+        "cents; Spark's exact percentile() and DuckDB's quantile_cont "
+        "are bit-identical on identical double multisets (verified "
+        "property, see verify skill); the post-impute mean is one "
+        "identical scalar tree on (int, int, exact-median) inputs.  "
+        "Scale shape: two partial-agg shuffles to |types| rows (the "
+        "exact median is sort-based within type partitions — swap "
+        "approx_percentile at 100 TB, documented); the impact join is "
+        "|types| x |types|, broadcast.",
+    tags=("events", "curation", "quality"),
+)
+def events_value_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % _IMPUTE_MOD == 0, 1).otherwise(0).alias("miss"),
+    )
+    obs = e.filter(F.col("miss") == 0).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_obs"),
+        F.expr("percentile(value, 0.5D)").alias("med"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("miss").cast("bigint").alias("n_imputed"),
+    )
+    joined = tot.join(F.broadcast(obs), "event_type")
+    return joined.select(
+        "event_type",
+        "n_events",
+        "n_imputed",
+        pround(F.col("med"), 3).alias("imputed_value"),
+        pround(F.col("cents_obs") / (F.col("n_obs") * F.lit(100.0)), 6).alias(
+            "mean_before"
+        ),
+        pround(
+            (F.col("cents_obs") + F.col("n_imputed") * (F.col("med") * F.lit(100.0)))
+            / (F.col("n_events") * F.lit(100.0)),
+            6,
+        ).alias("mean_after"),
+    )

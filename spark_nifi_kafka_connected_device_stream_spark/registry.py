@@ -223,6 +223,8 @@ DEFERRED: tuple[str, ...] = (
     "customers_all_quarters_1995",
     "events_bounce_rate_daily",
     "documents_source_simpson_diversity",
+    "events_id_integrity_audit",
+    "events_value_impute_median",
 )
 
 

@@ -1139,3 +1139,51 @@ def test_simpson_diversity_hand_computed(spark, tmp_path):
     assert out["en"].simpson_lambda == 0.333333
     assert out["en"].effective_sources == 3.0
     assert (out["fr"].simpson_lambda, out["fr"].effective_sources) == (1.0, 1.0)
+
+
+def test_id_integrity_audit_finds_dups_and_holes(spark, tmp_path):
+    """ids 1..10 with 3 missing and one duplicated: the single-row
+    audit reports both defect classes from pure count algebra."""
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [(i, i, 1, "view") for i in (1, 2, 4, 5, 7, 8, 10)] + [(2, 99, 2, "view")],
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_id_integrity_audit,
+    )
+
+    r = events_id_integrity_audit(spark, sf).collect()[0]
+    assert (r.n_rows, r.n_distinct, r.min_id, r.max_id) == (8, 7, 1, 10)
+    assert r.n_dup_rows == 1
+    assert r.n_missing_ids == 3  # ids 3, 6, 9
+
+
+def test_impute_median_hand_computed(spark, tmp_path):
+    """event_id 97 is masked; observed values {10, 20, 40} impute their
+    median 20, and the post-impute mean moves from 70/3 to 90/4."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_value_impute_median,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0, 1, "view", 20.0, "{}"),
+        (3, t0, 1, "view", 40.0, "{}"),
+        (97, t0, 1, "view", 999.0, "{}"),   # masked: value ignored
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = events_value_impute_median(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.n_imputed) == (4, 1)
+    assert r.imputed_value == 20.0
+    assert r.mean_before == round(70 / 3, 6)
+    assert r.mean_after == 22.5
