@@ -208,6 +208,7 @@ HEADLINE = [
     "documents_source_simpson_diversity",
     "events_id_integrity_audit",
     "events_value_impute_median",
+    "events_markov_stationary",
 ]
 
 

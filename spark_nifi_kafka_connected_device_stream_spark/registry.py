@@ -225,6 +225,7 @@ DEFERRED: tuple[str, ...] = (
     "documents_source_simpson_diversity",
     "events_id_integrity_audit",
     "events_value_impute_median",
+    "events_markov_stationary",
 )
 
 

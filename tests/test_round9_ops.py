@@ -1187,3 +1187,26 @@ def test_impute_median_hand_computed(spark, tmp_path):
     assert r.imputed_value == 20.0
     assert r.mean_before == round(70 / 3, 6)
     assert r.mean_after == 22.5
+
+
+def test_markov_stationary_two_state_chain(spark, tmp_path):
+    """Repeating A A A B per user: P(A->A)=2/3, P(B->A)=1 — true
+    stationary (0.75, 0.25); five power rounds from uniform land within
+    the |lambda_2|^5 = 3^-5 convergence envelope and conserve mass."""
+    rows = []
+    eid = 0
+    for rep in range(10):
+        for t in ("view", "view", "view", "click"):
+            rows.append((eid, eid * 10, 7, t))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_markov_stationary,
+    )
+
+    out = {r.event_type: r for r in events_markov_stationary(spark, sf).collect()}
+    assert set(out) == {"view", "click"}
+    assert abs(out["view"].pi - 0.75) < 0.002
+    assert abs(out["click"].pi - 0.25) < 0.002
+    total = out["view"].pi_scaled + out["click"].pi_scaled
+    assert 0 <= 1_000_000_000_000 - total <= 50  # floor losses only
