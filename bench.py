@@ -209,6 +209,7 @@ HEADLINE = [
     "events_id_integrity_audit",
     "events_value_impute_median",
     "events_markov_stationary",
+    "documents_length_tukey_pairs",
 ]
 
 

@@ -1322,3 +1322,103 @@ def documents_source_simpson_diversity(
         .otherwise(F.lit(-1.0))
         .alias("effective_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD post-hoc pairs (which languages actually differ)
+# ---------------------------------------------------------------------------
+
+# studentized-range 95% critical value for k=5 groups at df=inf,
+# pre-rounded to ONE literal shared by both engines (the
+# events_chi2_mix_drift_daily constant-pinning pattern); exact per-df
+# lookup is a table the caller swaps in when groups are small
+_TUKEY_Q = 3.858
+
+
+@register(
+    "documents_length_tukey_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             CAST(sum(s * s * 100 // n) AS BIGINT) AS sgr_e2
+      FROM g
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b,
+           floor(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n) * 10000.0 + 0.5)
+             / 10000.0 AS mean_diff,
+           floor({_TUKEY_Q} * sqrt(((sst * 100 - sgr_e2) / 100.0 / (nt - k))
+                                   / 2.0 * (1.0 / a.n + 1.0 / b.n))
+                 * 10000.0 + 0.5) / 10000.0 AS hsd,
+           CAST(CASE WHEN abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)
+                       > {_TUKEY_Q} * sqrt(((sst * 100 - sgr_e2) / 100.0
+                                            / (nt - k))
+                                           / 2.0 * (1.0 / a.n + 1.0 / b.n))
+                THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM g a JOIN g b ON a.lang < b.lang CROSS JOIN tot
+    """,
+    doc="Tukey HSD post-hoc pairs after documents_length_anova_by_lang: "
+        "the ANOVA F says SOME language's mean length differs; this "
+        "says WHICH pairs, with the studentized-range honest-"
+        "significant-difference correction for testing all k(k-1)/2 "
+        "comparisons at once (pairwise t-tests at 5% would inflate the "
+        "family error toward 40% at k=5).  Unbalanced groups use the "
+        "Tukey-Kramer SE sqrt(MSW/2*(1/n_a+1/n_b)); the 95% critical "
+        f"value q = {_TUKEY_Q} (k=5, df=inf) is pinned as ONE pre-"
+        "rounded literal shared by both engines (the chi2-critical-"
+        "value pattern — an in-engine inverse-CDF would not be "
+        "cross-libm exact).  MSW reuses the ANOVA's cents-quantized "
+        "integer decomposition, so means, SE, HSD, and even the "
+        "significance COMPARISON are identical scalar double trees on "
+        "exact int64 inputs.  Scale shape: the same one-shuffle "
+        "per-lang aggregate, a k x k self-join on |langs| rows, a "
+        "1-row broadcast total; output k(k-1)/2 rows.",
+    tags=("text", "stats"),
+)
+def documents_length_tukey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.sum(F.expr("s * s * 100L div n")).cast("bigint").alias("sgr_e2"),
+    )
+    a = g.select(
+        F.col("lang").alias("lang_a"), F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = g.select(
+        F.col("lang").alias("lang_b"), F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    one = F.lit(1.0)
+    msw = (
+        (F.col("sst") * 100 - F.col("sgr_e2")) / F.lit(100.0) / (F.col("nt") - F.col("k"))
+    )
+    diff = F.abs(F.col("s_a") * one / F.col("n_a") - F.col("s_b") * one / F.col("n_b"))
+    hsd = F.lit(_TUKEY_Q) * F.sqrt(
+        msw / F.lit(2.0) * (one / F.col("n_a") + one / F.col("n_b"))
+    )
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            pround(diff, 4).alias("mean_diff"),
+            pround(hsd, 4).alias("hsd"),
+            F.when(diff > hsd, 1).otherwise(0).cast("int").alias("significant"),
+        )
+    )

@@ -339,3 +339,32 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruning_on_partitioned_warehouse_write(spark, tmp_path):
+    """write_warehouse_parquet(partition_by=...) must yield scans whose
+    PartitionFilters carry the partition predicate — the reader-side
+    proof of the 'partitioned dump stays queryable' claim (the
+    docstring asserted it; nothing pinned it until now)."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        write_warehouse_parquet,
+    )
+
+    e = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    loc = str(tmp_path / "events_by_day")
+    write_warehouse_parquet(e, loc, partition_by=("day",), mode="overwrite")
+    days = [r.day for r in spark.read.parquet(loc).select("day").distinct().collect()]
+    target = sorted(days)[0]
+    scan = spark.read.parquet(loc).filter(F.col("day") == F.lit(target))
+    plan = explain_str(scan)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "day" in m.group(1), m.group(1)
+    # and the pruned read returns only that day's rows
+    full = spark.read.parquet(loc).count()
+    pruned = scan.count()
+    assert 0 < pruned < full

@@ -1210,3 +1210,35 @@ def test_markov_stationary_two_state_chain(spark, tmp_path):
     assert abs(out["click"].pi - 0.25) < 0.002
     total = out["view"].pi_scaled + out["click"].pi_scaled
     assert 0 <= 1_000_000_000_000 - total <= 50  # floor losses only
+
+
+def test_tukey_pairs_separated_vs_identical(spark, tmp_path):
+    """Two identical-mean languages and one far-away language: the far
+    pairs are significant, the identical pair is not, and mean_diff is
+    exact."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        documents_length_tukey_pairs,
+    )
+
+    docs = []
+    did = 0
+    for lang, lengths in (
+        ("aa", [100, 102, 98, 100]),
+        ("bb", [100, 98, 102, 100]),
+        ("cc", [500, 502, 498, 500]),
+    ):
+        for ln in lengths:
+            did += 1
+            docs.append((did, "x", lang, "s", ln))
+    sf = _write_documents(spark, tmp_path, docs)
+    out = {
+        (r.lang_a, r.lang_b): r
+        for r in documents_length_tukey_pairs(spark, sf).collect()
+    }
+    assert set(out) == {("aa", "bb"), ("aa", "cc"), ("bb", "cc")}
+    assert out[("aa", "bb")].mean_diff == 0.0
+    assert out[("aa", "bb")].significant == 0
+    assert out[("aa", "cc")].mean_diff == 400.0
+    assert out[("aa", "cc")].significant == 1
+    assert out[("bb", "cc")].significant == 1
+    assert all(r.hsd > 0 for r in out.values())
