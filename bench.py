@@ -210,6 +210,7 @@ HEADLINE = [
     "events_value_impute_median",
     "events_markov_stationary",
     "documents_length_tukey_pairs",
+    "lineitem_simpson_paradox_screen",
 ]
 
 

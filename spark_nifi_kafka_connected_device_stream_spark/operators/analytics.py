@@ -2366,3 +2366,132 @@ def customers_all_quarters_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nq") == 4)
         .drop("nq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox screen: pooled vs within-group slope sign reversal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_simpson_paradox_screen",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), g AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY brand
+    ), sg AS (
+      SELECT brand, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM g
+    ), pooled AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+             CAST(sum(sxx) AS BIGINT) AS sxx, CAST(sum(sxy) AS BIGINT) AS sxy
+      FROM g
+    ), ps AS (
+      SELECT n * sxy - sx * sy AS pnum, n * sxx - sx * sx AS pden FROM pooled
+    )
+    SELECT floor((pnum * 1.0 / pden) * 1000000.0 + 0.5) / 1000000.0
+             AS pooled_slope,
+           CAST(sign(pnum) AS INTEGER) AS pooled_sign,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sign(num) = sign(pnum) AND num <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_agree,
+           CAST(sum(CASE WHEN sign(num) = -sign(pnum) AND num <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_disagree
+    FROM sg CROSS JOIN ps
+    WHERE den > 0
+    GROUP BY pnum, pden
+    """,
+    doc="Simpson's-paradox screen on the discount->quantity relation: "
+        "does the POOLED regression slope's sign survive inside each "
+        "brand, or is the aggregate trend an artifact of how volume "
+        "distributes across brands?  The aggregation-reversal audit "
+        "every cross-source corpus statistic needs before anyone acts "
+        "on a pooled correlation (lineitem_discount_elasticity reports "
+        "per-brand slopes; this one-row screen says whether pooling "
+        "them even preserves direction).  PURE INTEGER SIGNS: x is "
+        "discount cents (0..10), y integer quantity, so every "
+        "co-moment, every slope NUMERATOR (n*sxy - sx*sy), and every "
+        "sign comparison is exact int64 — the agree/disagree counts "
+        "cannot flip by a ULP in either engine; only the reported "
+        "pooled slope touches a double, as one identical tree.  Scale "
+        "shape: one partkey fact-dim join (part side broadcastable), "
+        "one partial-agg shuffle to |brands| co-moment rows, a 1-row "
+        "pooled fold broadcast back; output 1 row.  int64 headroom: "
+        "n*sxy with x<=10, y<=50 overflows past ~4e15 rows — "
+        "effectively unbounded.",
+    tags=("lineitem", "stats", "quality"),
+)
+def lineitem_simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"), "x", "y"
+    )
+    g = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).localCheckpoint(eager=False)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sg = g.select("brand", num.alias("num"), den.alias("den"))
+    pooled = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+    ).select(num.alias("pnum"), den.alias("pden"))
+    return (
+        sg.filter(F.col("den") > 0)
+        .crossJoin(F.broadcast(pooled))
+        .groupBy("pnum", "pden")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(
+                F.when(
+                    (F.signum(F.col("num")) == F.signum(F.col("pnum")))
+                    & (F.col("num") != 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sign_agree"),
+            F.sum(
+                F.when(
+                    (F.signum(F.col("num")) == -F.signum(F.col("pnum")))
+                    & (F.col("num") != 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sign_disagree"),
+        )
+        .select(
+            pround(F.col("pnum") * F.lit(1.0) / F.col("pden"), 6).alias(
+                "pooled_slope"
+            ),
+            F.signum(F.col("pnum")).cast("int").alias("pooled_sign"),
+            "n_groups",
+            "n_sign_agree",
+            "n_sign_disagree",
+        )
+    )

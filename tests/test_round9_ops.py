@@ -1242,3 +1242,47 @@ def test_tukey_pairs_separated_vs_identical(spark, tmp_path):
     assert out[("aa", "cc")].significant == 1
     assert out[("bb", "cc")].significant == 1
     assert all(r.hsd > 0 for r in out.values())
+
+
+def test_simpson_paradox_constructed_reversal(spark, tmp_path):
+    """Textbook reversal: within each brand quantity FALLS with
+    discount, but the high-discount brand sells bigger quantities, so
+    the pooled slope is positive — both groups must disagree with the
+    pooled sign."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        lineitem_simpson_paradox_screen,
+    )
+
+    parts = spark.createDataFrame(
+        [(1, "p1", "BrandA", "T", 1, 1.0), (2, "p2", "BrandB", "T", 1, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    parts.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    d = dt.datetime(1995, 1, 1)
+    li = [
+        # BrandA: low discounts, small quantities, negative within-slope
+        (1, 1, 1, 1, 12.0, 1.0, 0.00, 0.0, "N", "O", d),
+        (2, 1, 1, 2, 10.0, 1.0, 0.02, 0.0, "N", "O", d),
+        # BrandB: high discounts, big quantities, negative within-slope
+        (3, 2, 1, 1, 42.0, 1.0, 0.08, 0.0, "N", "O", d),
+        (4, 2, 1, 2, 40.0, 1.0, 0.10, 0.0, "N", "O", d),
+    ]
+    df = spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = lineitem_simpson_paradox_screen(spark, str(tmp_path)).collect()[0]
+    assert r.pooled_sign == 1          # pooled trend looks positive...
+    assert r.n_groups == 2
+    assert r.n_sign_agree == 0         # ...but NO brand agrees
+    assert r.n_sign_disagree == 2      # both reverse: the paradox
+    assert r.pooled_slope > 0
