@@ -211,6 +211,7 @@ HEADLINE = [
     "events_markov_stationary",
     "documents_length_tukey_pairs",
     "lineitem_simpson_paradox_screen",
+    "embedding_silhouette_by_label",
 ]
 
 

@@ -1537,3 +1537,156 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.abs(F.col("dim_corr")).desc(), "dim_i", "dim_j"
     ).limit(_DIMC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette by label (cluster-validity metric)
+# ---------------------------------------------------------------------------
+
+# same 1e-4 quantization as the dim-correlation screen: all dots and
+# norms become exact int64, so the per-point silhouette is one
+# deterministic double tree and the per-label MEAN is a sum of
+# 1e6-quantized ints (no float fold order anywhere)
+_SIL_SCALE = 10_000
+
+
+@register(
+    "embedding_silhouette_by_label",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label, gs.j AS dim,
+             CAST(floor(CAST(embedding[gs.j] AS DOUBLE) * {_SIL_SCALE}.0
+                        + 0.5) AS BIGINT) AS xq
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) gs
+    ), cent AS (
+      SELECT label AS clabel, dim, CAST(sum(xq) AS BIGINT) AS s
+      FROM pts GROUP BY 1, 2
+    ), cnorm AS (
+      SELECT clabel, CAST(sum(s * s) AS BIGINT) AS ns2 FROM cent GROUP BY 1
+    ), pnorm AS (
+      SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS nx2 FROM pts GROUP BY 1
+    ), dots AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             CAST(sum(p.xq * c.s) AS BIGINT) AS dp
+      FROM pts p JOIN cent c ON c.dim = p.dim
+      GROUP BY 1, 2, 3
+    ), dists AS (
+      SELECT d.vec_id, d.label, d.clabel,
+             1.0 - d.dp / (sqrt(pn.nx2) * sqrt(cn.ns2)) AS dist
+      FROM dots d
+      JOIN pnorm pn ON pn.vec_id = d.vec_id
+      JOIN cnorm cn ON cn.clabel = d.clabel
+    ), ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN dist END) AS a,
+             min(CASE WHEN clabel <> label THEN dist END) AS b
+      FROM dists GROUP BY 1, 2
+    ), sil AS (
+      SELECT label,
+             CAST(floor(CASE WHEN greatest(a, b) > 0.0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT)
+               AS s_ppm
+      FROM ab
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           floor(sum(s_ppm) * 1.0 / (count(*) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette,
+           CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sil GROUP BY label
+    """,
+    doc="Simplified (centroid-based) silhouette per label — the "
+        "cluster-VALIDITY metric that closes the clustering tier: "
+        "kmeans_assign produces assignments, label_centroids the "
+        "prototypes, the recall report measures the index, and this "
+        "measures whether the labels are geometrically real at all.  "
+        "Per point: a = cosine distance to its own label centroid, b = "
+        "distance to the nearest OTHER centroid, s = (b-a)/max(a,b); "
+        "n_negative counts points closer to a foreign centroid — the "
+        "direct misassignment census.  On this corpus the means hover "
+        "near 0 (the synthetic labels are not cosine-clustered — "
+        "consistent with the recall report's finding, and exactly the "
+        "signal that says re-cluster before SemDeDup-style per-label "
+        "work).  EXACT ARITHMETIC: embeddings quantized to 1e-4 int64, "
+        "centroids kept as integer SUM vectors (never float means), so "
+        "dot products and both norms are exact ints; each distance/"
+        "silhouette is one identical double tree, and per-label means "
+        "sum 1e6-quantized ints (no float fold order).  Scale shape: "
+        "one explode-agg to |labels| x dim centroid sums; the "
+        "point-centroid distance pass is ONE equi-join on dim (Spark "
+        "side: broadcastable |labels| x dim table) followed by a "
+        "(point, label) partial agg — at 100 TB the centroids "
+        "broadcast and the whole pass is map-side via zip_with "
+        "(documented swap); output |labels| rows.  int64 headroom: "
+        "dot <= d * xq * n*xq ~ 1e14 at 5k rows/label, overflows past "
+        "~3e8 rows per label — decimal(38,0) swap documented.",
+    tags=("embeddings", "similarity", "quality"),
+)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _SIL_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    ).localCheckpoint(eager=False)
+    cent = (
+        pts.groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(F.sum("xq").cast("bigint").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ns2")
+    )
+    pnorm = pts.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("nx2")
+    )
+    dots = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("bigint").alias("dp"))
+    )
+    dists = (
+        dots.join(pnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (
+                F.lit(1.0)
+                - F.col("dp") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("ns2")))
+            ).alias("dist"),
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0.0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    sil = ab.select(
+        "label",
+        F.floor(s * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("s_ppm"),
+    )
+    one = F.lit(1.0)
+    return sil.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        pround(
+            F.sum("s_ppm") * one / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+    )

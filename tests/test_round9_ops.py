@@ -1286,3 +1286,31 @@ def test_simpson_paradox_constructed_reversal(spark, tmp_path):
     assert r.n_sign_agree == 0         # ...but NO brand agrees
     assert r.n_sign_disagree == 2      # both reverse: the paradox
     assert r.pooled_slope > 0
+
+
+def test_silhouette_flags_mislabeled_point(spark, tmp_path):
+    """Two orthogonal clusters plus one point labeled 0 but sitting in
+    cluster 1's direction: that point's silhouette is negative (counted
+    in n_negative); the cleanly-clustered label 1 has none."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        embedding_silhouette_by_label,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.1], 0),
+        (3, [0.0, 1.0], 0),   # mislabeled: points at cluster 1
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.repartition(2).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.label: r for r in embedding_silhouette_by_label(spark, str(tmp_path)).collect()}
+    assert (out[0].n_points, out[1].n_points) == (3, 2)
+    assert out[0].n_negative == 1
+    assert out[1].n_negative == 0
+    assert out[1].mean_silhouette > 0.5
