@@ -212,6 +212,8 @@ HEADLINE = [
     "documents_length_tukey_pairs",
     "lineitem_simpson_paradox_screen",
     "embedding_silhouette_by_label",
+    "events_retention_halflife",
+    "events_audience_overlap",
 ]
 
 

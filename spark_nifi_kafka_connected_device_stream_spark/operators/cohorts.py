@@ -372,3 +372,203 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention half-life fit (exponential decay over pooled weekly retention)
+# ---------------------------------------------------------------------------
+
+# ln(2) pre-rounded to ONE literal shared by both engines (the Benford/
+# MAD constant-pinning pattern — in-engine ln(2) is not cross-libm exact)
+_LN2 = 0.693147
+# ln(retention) quantized to 1e-4 int64 before the OLS sums (the
+# heaps-law pattern): order-free integer co-moments, one double tree
+_HL_SCALE = 10_000
+
+
+@register(
+    "events_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_ns(ts) // 1000) AS first_us
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT e.user_id,
+             (epoch_ns(e.ts) // 1000 - f.first_us) // 604800000000 AS w
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), act AS (
+      SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS a
+      FROM activity GROUP BY w
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS b FROM firsts
+    ), pts AS (
+      SELECT w, CAST(floor(ln(a * 1.0 / b) * {_HL_SCALE}.0 + 0.5) AS BIGINT)
+               AS yi
+      FROM act CROSS JOIN base WHERE w >= 1 AND a > 0
+    ), fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(w) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(w * w) AS BIGINT) AS sxx,
+             CAST(sum(w * yi) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_weeks,
+           floor(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 / {_HL_SCALE}.0 * 1000000.0 + 0.5) / 1000000.0
+             AS decay_slope,
+           CASE WHEN n * sxy - sx * sy < 0
+                THEN floor({_LN2} / (-(((n * sxy - sx * sy) * 1.0
+                                        / (n * sxx - sx * sx))
+                                       / {_HL_SCALE}.0))
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -1.0 END AS halflife_weeks
+    FROM fit WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+    doc="Retention HALF-LIFE: fit ln(retention) ~ week-offset by least "
+        "squares over the pooled weekly retention curve and report "
+        "-ln2/slope — the single-number summary of the cohort matrix "
+        "(events_retention_cohorts shows the raw curve; capacity and "
+        "LTV models consume this scalar).  Exponential decay is the "
+        "standard first model for activity retention; a POSITIVE "
+        "fitted slope (retention not decaying) emits the -1.0 sentinel "
+        "decided on the EXACT INTEGER numerator sign, not a float.  "
+        "Exactness: each ln(retention) point is quantized to 1e-4 "
+        "int64 (cross-libm ln differs by <=1 ulp — a quantization flip "
+        "needs the true value within ~1e-20 of a boundary); the OLS "
+        "co-moments are then order-free integer sums and slope/half-"
+        "life are identical scalar double trees; ln(2) is pinned as "
+        "one pre-rounded literal (in-engine ln(2) is not correctly-"
+        "rounded everywhere).  Scale shape: the cohort machinery's two "
+        "aggregates + user-key join, collapsing to |week-offsets| "
+        "points before any float; output 1 row.",
+    tags=("events", "cohort", "stats"),
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 604_800_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("us")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            ((F.col("us") - F.col("first_us")) / week_us)
+            .cast("bigint")
+            .alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("a"))
+    )
+    base = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    pts = (
+        act.crossJoin(F.broadcast(base))
+        .filter((F.col("w") >= 1) & (F.col("a") > 0))
+        .select(
+            "w",
+            F.floor(
+                F.log(F.col("a") * F.lit(1.0) / F.col("b")) * _HL_SCALE
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sxx"),
+        F.sum(F.col("w") * F.col("yi")).cast("bigint").alias("sxy"),
+    )
+    one = F.lit(1.0)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (num * one / den) / F.lit(float(_HL_SCALE))
+    return fit.filter((F.col("n") >= 2) & (den > 0)).select(
+        F.col("n").alias("n_weeks"),
+        pround(slope, 6).alias("decay_slope"),
+        F.when(num < 0, pround(F.lit(_LN2) / (-slope), 6))
+        .otherwise(F.lit(-1.0))
+        .alias("halflife_weeks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix (Jaccard of user sets between event types)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           floor(n_both * 1.0 / (sa.n + sb.n - n_both) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+    doc="Audience overlap matrix: Jaccard similarity of USER SETS "
+        "between event types — 'do the people who error overlap the "
+        "people who purchase' — the audience-level complement to the "
+        "event-level Markov transitions (sequence) and chi2 mix "
+        "(composition): those count events, this counts PEOPLE.  "
+        "Near-1 cells mean the types share one audience (segment "
+        "together); near-0 purchase/error overlap under high volume is "
+        "a routing or bot signal.  The same inverted-index shape as "
+        "dedup_ngram_jaccard with users as 'shingles': dedup to "
+        "distinct (user, type) pairs first, self-join on user_id — "
+        "each user contributes at most |types|(|types|-1)/2 = 10 "
+        "pairs, so the join output is bounded by 10x|users|, never "
+        "quadratic; set sizes broadcast back onto the <=10-row pair "
+        "table.  All-integer counts, one exact division per cell.  "
+        "Scale: the (user, type) dedup is the only data-sized "
+        "shuffle.",
+    tags=("events", "cohort", "stats"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            pround(F.col("n_both") * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+    )
