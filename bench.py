@@ -214,6 +214,7 @@ HEADLINE = [
     "embedding_silhouette_by_label",
     "events_retention_halflife",
     "events_audience_overlap",
+    "events_hill_tail_index",
 ]
 
 

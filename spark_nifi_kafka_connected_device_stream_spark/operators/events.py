@@ -3188,3 +3188,101 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pi").alias("pi_scaled"),
         pround(F.col("pi") / F.lit(float(_MKV_SCALE)), 6).alias("pi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (how heavy is the value tail, per type)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100          # tail order statistics used
+_HILL_SCALE = 10_000   # ln ratios quantized to 1e-4 int64 (heaps pattern)
+
+
+@register(
+    "events_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events WHERE value > 0
+    ), thresh AS (
+      SELECT event_type, value AS xk FROM ranked WHERE rk = {_HILL_K} + 1
+    ), tail AS (
+      SELECT r.event_type,
+             CAST(floor(ln(r.value / t.xk) * {_HILL_SCALE}.0 + 0.5)
+                  AS BIGINT) AS li
+      FROM ranked r JOIN thresh t ON t.event_type = r.event_type
+      WHERE r.rk <= {_HILL_K}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           floor(sum(li) * 1.0 / (count(*) * {_HILL_SCALE}.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_log_excess,
+           CASE WHEN sum(li) > 0
+                THEN floor(count(*) * {_HILL_SCALE}.0 * 1.0 / sum(li)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -1.0 END AS hill_alpha
+    FROM tail GROUP BY event_type
+    """,
+    doc=f"Hill estimator of the value distribution's tail index per "
+        f"event type over the top-{_HILL_K} order statistics: alpha = "
+        "1/mean(ln(x_i/x_k)) — the standard heavy-tail diagnostic "
+        "(Hill 1975).  alpha < 2 means INFINITE VARIANCE: sample "
+        "means/stddevs over such values never stabilize, the signal to "
+        "switch monitoring to the quantile/MAD operators and cap "
+        "values before training-weight computation; the log2 "
+        "histogram SHOWS the tail, this measures it.  Exactness: each "
+        "log-excess ln(x_i/x_k) is quantized to 1e-4 int64 (the "
+        "heaps-law device — both engines evaluate ln on identical "
+        "doubles and a 1-ulp libm skew cannot cross a quantization "
+        "boundary), so the tail sum is an order-free integer and the "
+        "estimator one identical scalar tree; the degenerate "
+        "all-ties-at-x_k tail (sum 0) emits a -1.0 sentinel on the "
+        "exact integer sign.  Scale shape: the rank is a type-keyed "
+        "window (at 100 TB: per-type approx-quantile threshold + "
+        f"filter replaces the full sort, documented); only {_HILL_K} "
+        "rows per type survive to the float stage; output |types| "
+        "rows.",
+    tags=("events", "stats"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    ).localCheckpoint(eager=False)
+    thresh = ranked.filter(F.col("rk") == _HILL_K + 1).select(
+        "event_type", F.col("value").alias("xk")
+    )
+    tail = (
+        ranked.filter(F.col("rk") <= _HILL_K)
+        .join(F.broadcast(thresh), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.log(F.col("value") / F.col("xk")) * _HILL_SCALE + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("li"),
+        )
+    )
+    one = F.lit(1.0)
+    return tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        pround(
+            F.sum("li") * one / (F.count(F.lit(1)) * F.lit(float(_HILL_SCALE))),
+            6,
+        ).alias("mean_log_excess"),
+        F.when(
+            F.sum("li") > 0,
+            pround(
+                F.count(F.lit(1)) * F.lit(float(_HILL_SCALE)) * one / F.sum("li"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("hill_alpha"),
+    )

@@ -231,6 +231,7 @@ DEFERRED: tuple[str, ...] = (
     "embedding_silhouette_by_label",
     "events_retention_halflife",
     "events_audience_overlap",
+    "events_hill_tail_index",
 )
 
 

@@ -1364,3 +1364,30 @@ def test_audience_overlap_hand_computed(spark, tmp_path):
     assert (r.type_a, r.type_b) == ("click", "view")
     assert (r.n_both, r.n_a, r.n_b) == (1, 2, 2)
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_hill_tail_index_constructed(spark, tmp_path):
+    """100 tail values at e times the 101st order statistic: every
+    log-excess is exactly 1, so alpha = 1 (the pathologically heavy
+    pole) and mean_log_excess = 1."""
+    import datetime as dt
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_hill_tail_index,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "view", math.e, "{}") for i in range(100)]
+    rows.append((100, t0, 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = events_hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert r.n_tail == 100
+    assert r.mean_log_excess == 1.0
+    assert r.hill_alpha == 1.0
