@@ -215,6 +215,7 @@ HEADLINE = [
     "events_retention_halflife",
     "events_audience_overlap",
     "events_hill_tail_index",
+    "events_kruskal_wallis_dow",
 ]
 
 

@@ -2495,3 +2495,129 @@ def lineitem_simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFra
             "n_sign_disagree",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test: purchase value across ISO days of week
+# ---------------------------------------------------------------------------
+
+_KW_TYPE = "purchase"
+# chi-square df=6 95th percentile, pinned as ONE pre-rounded literal
+# (the events_chi2_mix_drift_daily pattern)
+_KW_CRIT = 12.592
+
+
+@register(
+    "events_kruskal_wallis_dow",
+    oracle=f"""
+    WITH ev AS (
+      SELECT isodow(ts) AS g, value FROM events
+      WHERE event_type = '{_KW_TYPE}'
+    ), vc AS (
+      SELECT g, value, CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY g, value
+    ), marg AS (
+      SELECT value, CAST(sum(c) AS BIGINT) AS cv,
+             CAST(sum(sum(c)) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM vc GROUP BY value
+    ), ranked AS (
+      SELECT vc.g, vc.c, 2 * (m.cum - m.cv) + m.cv + 1 AS r2
+      FROM vc JOIN marg m ON m.value = vc.value
+    ), grp AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+             CAST(sum(c * r2) AS BIGINT) AS r2g
+      FROM ranked GROUP BY g
+    ), ties AS (
+      SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t3 FROM marg
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(r2g * r2g * 100 // (4 * ng)) AS BIGINT) AS sq_e2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grp
+    )
+    SELECT CAST(k AS INTEGER) AS k_groups, n,
+           CAST(k - 1 AS BIGINT) AS df,
+           floor(((12.0 / (n * (n + 1.0)) * (sq_e2 / 100.0)
+                   - 3.0 * (n + 1.0))
+                  / (1.0 - t3 * 1.0 / (n * 1.0 * n * n - n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS h_stat,
+           CAST(CASE WHEN (12.0 / (n * (n + 1.0)) * (sq_e2 / 100.0)
+                           - 3.0 * (n + 1.0))
+                          / (1.0 - t3 * 1.0 / (n * 1.0 * n * n - n))
+                          > {_KW_CRIT}
+                THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+    FROM tot CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis H test of the purchase-value distribution "
+        "across ISO days of week — the k-group NONPARAMETRIC cell "
+        "completing the test matrix (Welch t / Mann-Whitney for two "
+        "groups, ANOVA / THIS for k groups): rank-based, so the "
+        "heavy-tailed revenue values the Hill estimator flags need no "
+        "normality for a valid any-day-different screen.  Tie-"
+        "corrected H with average ranks from the global value-domain "
+        "cumulative counts (the Mann-Whitney 2x-scaled integer rank "
+        "machinery, one marginal instead of two); the per-group "
+        "R2_g^2/(4 n_g) terms are floor-quantized to int64 CENTS "
+        "before the cross-group sum (the ANOVA device — a float fold "
+        "over 7 groups is order-dependent), so H and even the "
+        "significance comparison against the pinned df=6 chi-square "
+        "literal are identical scalar trees.  Scale shape: one "
+        "partial-agg shuffle to (dow, value) cells bounded by the "
+        "2-dp value DOMAIN, a |values|-row cumulative window, 7-row "
+        "group fold, 1-row output.  int64 headroom: R2_g^2*100 "
+        "overflows past ~1e5 purchase rows per dow-group — "
+        "decimal(38,0) swap documented (warehouse.py:203).",
+    tags=("events", "stats"),
+)
+def events_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == _KW_TYPE
+    )
+    vc = e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("g"), F.col("value")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vc = vc.localCheckpoint(eager=False)
+    wm = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marg = (
+        vc.groupBy("value")
+        .agg(F.sum("c").cast("bigint").alias("cv"))
+        .withColumn("cum", F.sum("cv").over(wm).cast("bigint"))
+    )
+    ranked = vc.join(marg, "value").select(
+        "g", "c", (2 * (F.col("cum") - F.col("cv")) + F.col("cv") + 1).alias("r2")
+    )
+    grp = ranked.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("ng"),
+        F.sum(F.col("c") * F.col("r2")).cast("bigint").alias("r2g"),
+    )
+    ties = marg.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("bigint")
+        .alias("t3")
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.expr("r2g * r2g * 100L div (4 * ng)")).cast("bigint").alias(
+            "sq_e2"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    one = F.lit(1.0)
+    n = F.col("n")
+    h_raw = (
+        F.lit(12.0) / (n * (n + one)) * (F.col("sq_e2") / F.lit(100.0))
+        - F.lit(3.0) * (n + one)
+    ) / (one - F.col("t3") * one / (n * one * n * n - n))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("k").cast("int").alias("k_groups"),
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        pround(h_raw, 6).alias("h_stat"),
+        F.when(h_raw > _KW_CRIT, 1).otherwise(0).cast("int").alias(
+            "significant_95"
+        ),
+    )

@@ -232,6 +232,7 @@ DEFERRED: tuple[str, ...] = (
     "events_retention_halflife",
     "events_audience_overlap",
     "events_hill_tail_index",
+    "events_kruskal_wallis_dow",
 )
 
 

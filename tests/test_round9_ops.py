@@ -1391,3 +1391,35 @@ def test_hill_tail_index_constructed(spark, tmp_path):
     assert r.n_tail == 100
     assert r.mean_log_excess == 1.0
     assert r.hill_alpha == 1.0
+
+
+def test_kruskal_wallis_hand_computed(spark, tmp_path):
+    """Two dow groups {1,2} vs {3,4}, no ties: R = 3 and 7, H =
+    12/20 * (9/2 + 49/2) - 15 = 2.4 exactly; not significant at the
+    pinned df=6 95% cut."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        events_kruskal_wallis_dow,
+    )
+
+    mon = dt.datetime(2024, 1, 1, 12)   # Monday
+    tue = dt.datetime(2024, 1, 2, 12)
+    rows = [
+        (1, mon, 1, "purchase", 1.0, "{}"),
+        (2, mon, 1, "purchase", 2.0, "{}"),
+        (3, tue, 1, "purchase", 3.0, "{}"),
+        (4, tue, 1, "purchase", 4.0, "{}"),
+        (5, mon, 1, "view", 99.0, "{}"),   # other types excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = events_kruskal_wallis_dow(spark, str(tmp_path)).collect()[0]
+    assert (r.k_groups, r.n, r.df) == (2, 4, 1)
+    assert r.h_stat == 2.4
+    assert r.significant_95 == 0

@@ -65,6 +65,7 @@ TZ_SENSITIVE = [
     "events_forecast_backtest",
     # round-9 late: isodow calendar field over stored wall time
     "events_mann_whitney_value",
+    "events_kruskal_wallis_dow",
     # round-9 late: hour-of-day calendar field over stored wall time
     "events_spearman_hour_value",
     # round-9 late: ntz wall-time min/max rendered as strings
