@@ -40,7 +40,10 @@ def test_pround_matches_duckdb_everywhere(spark, duck, vals, n):
     )
 
     got = [r.r for r in df.select(pround(F.col("x"), n).alias("r")).collect()]
-    rows = ", ".join(f"({v!r})" for v in vals)
+    # cast the VALUES literals: DuckDB parses bare decimals as DECIMAL
+    # (the exact gotcha the oracles avoid with 100D-style literals) and
+    # DECIMAL*scale overflows — the contract is defined on DOUBLEs
+    rows = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
     want = [
         r[0]
         for r in duck.sql(
