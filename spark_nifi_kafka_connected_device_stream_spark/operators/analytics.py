@@ -2621,3 +2621,68 @@ def events_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size histogram (the distribution behind the pair-join bound)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_size_histogram",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+      FROM lineitem GROUP BY l_orderkey
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders FROM sizes
+    )
+    SELECT basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(count(*) * 1.0 / t.n_orders * 1000000.0 + 0.5)
+             / 1000000.0 AS share,
+           CAST(basket_size * (basket_size - 1) / 2 * count(*) AS BIGINT)
+             AS pair_join_rows
+    FROM sizes CROSS JOIN tot t
+    GROUP BY basket_size, t.n_orders
+    """,
+    doc="Basket-size distribution with the induced self-join cost: for "
+        "each distinct lines-per-order count, how many orders have it "
+        "and how many pair rows they contribute to a basket self-join "
+        "(k(k-1)/2 each).  This is the measured evidence behind "
+        "orders_basket_pairs' 'blow-up bounded by basket size squared' "
+        "claim — the capacity-planning table read BEFORE running any "
+        "order-key self-join at 100 TB, and the skew detector for a "
+        "pathological mega-basket (one 1e6-line order contributes 5e11 "
+        "pair rows; this table shows it as a single damning row).  "
+        "All-integer math plus one exact share division.  Scale shape: "
+        "one orderkey partial agg, a 1-row broadcast total, output "
+        "bounded by |distinct basket sizes| (~7 here).",
+    tags=("orders", "profiling", "join"),
+)
+def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("basket_size")
+    )
+    tot = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_t"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("basket_size", "n_orders_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "basket_size",
+            "n_orders",
+            pround(
+                F.col("n_orders") * F.lit(1.0) / F.col("n_orders_t"), 6
+            ).alias("share"),
+            (
+                F.col("basket_size")
+                * (F.col("basket_size") - 1)
+                / 2
+                * F.col("n_orders")
+            )
+            .cast("bigint")
+            .alias("pair_join_rows"),
+        )
+    )

@@ -3286,3 +3286,84 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1.0))
         .alias("hill_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of per-user activity (the curve behind the Gini scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_lorenz_curve",
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), dec AS (
+      SELECT event_type, c,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY c, user_id) AS decile
+      FROM uc
+    ), cells AS (
+      SELECT event_type, decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events
+      FROM dec GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS t
+      FROM cells GROUP BY 1
+    )
+    SELECT cells.event_type, CAST(decile AS INTEGER) AS decile,
+           n_users, n_events,
+           floor(sum(n_events) OVER (PARTITION BY cells.event_type
+                                     ORDER BY decile
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                 * 1.0 / t * 1000000.0 + 0.5) / 1000000.0
+             AS cum_event_share
+    FROM cells JOIN tot ON tot.event_type = cells.event_type
+    """,
+    doc="Lorenz curve of per-user event counts per type: users cut into "
+        "activity deciles (quietest first), each cell reporting its "
+        "population and the CUMULATIVE share of events — the curve "
+        "whose area deficit is exactly the events_user_gini scalar, "
+        "and the operational view for sampling design ('the top decile "
+        "emits 40% of telemetry' is read straight off decile 10's "
+        "predecessor).  ntile over the (count, user_id) total order is "
+        "identically defined cross-engine; counts and cumulative sums "
+        "are exact int64 with one share division per cell.  Scale "
+        "shape: one (type, user) partial agg, a type-keyed decile "
+        "window over |users| rows, a 10-row-per-type cumulative window "
+        "— every window keyed, output |types| x 10 rows.",
+    tags=("events", "stats", "cohort"),
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uc = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wd = Window.partitionBy("event_type").orderBy("c", "user_id")
+    dec = uc.select("event_type", "c", F.ntile(10).over(wd).alias("decile"))
+    cells = dec.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("t")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "n_events",
+            pround(
+                F.sum("n_events").over(wc) * F.lit(1.0) / F.col("t"), 6
+            ).alias("cum_event_share"),
+        )
+    )

@@ -233,6 +233,8 @@ DEFERRED: tuple[str, ...] = (
     "events_audience_overlap",
     "events_hill_tail_index",
     "events_kruskal_wallis_dow",
+    "orders_basket_size_histogram",
+    "events_lorenz_curve",
 )
 
 

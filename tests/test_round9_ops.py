@@ -1423,3 +1423,59 @@ def test_kruskal_wallis_hand_computed(spark, tmp_path):
     assert (r.k_groups, r.n, r.df) == (2, 4, 1)
     assert r.h_stat == 2.4
     assert r.significant_95 == 0
+
+
+def test_basket_histogram_pair_rows(spark, tmp_path):
+    """Two 1-line orders, one 3-line order: the 3-basket contributes
+    exactly 3 pair rows, singletons none."""
+    import datetime as dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        orders_basket_size_histogram,
+    )
+
+    d = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (3, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (3, 3, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r.basket_size: r for r in orders_basket_size_histogram(spark, str(tmp_path)).collect()}
+    assert (out[1].n_orders, out[1].pair_join_rows) == (2, 0)
+    assert (out[3].n_orders, out[3].pair_join_rows) == (1, 3)
+    assert out[1].share == round(2 / 3, 6)
+
+
+def test_lorenz_curve_monotone_and_sums(spark, tmp_path):
+    """20 users with counts 1..20 for one type: decile cells hold 2
+    users each, cumulative share is monotone and ends at exactly 1."""
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        for _ in range(u):
+            rows.append((eid, eid, u, "view"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_lorenz_curve,
+    )
+
+    out = sorted(events_lorenz_curve(spark, sf).collect(), key=lambda r: r.decile)
+    assert [r.n_users for r in out] == [2] * 10
+    shares = [r.cum_event_share for r in out]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 1.0
+    # decile 1 holds users 1+2 of 210 total events
+    assert out[0].n_events == 3
+    assert shares[0] == round(3 / 210, 6)
