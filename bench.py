@@ -218,6 +218,7 @@ HEADLINE = [
     "events_kruskal_wallis_dow",
     "orders_basket_size_histogram",
     "events_lorenz_curve",
+    "events_kmv_distinct_users",
 ]
 
 

@@ -3367,3 +3367,91 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_event_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — exactly oracle-checkable
+# ---------------------------------------------------------------------------
+
+_KMV_K = 8  # fixture-sized: sf0.001 has only 15 distinct users/type;
+#             production K is 256-1024 (error ~ 1/sqrt(K))
+
+_DUCK_UH32 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "events_kmv_distinct_users",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type, {_DUCK_UH32} AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM uh
+    ), kth AS (
+      SELECT event_type, CAST(h AS BIGINT) AS hk
+      FROM ranked WHERE rk = {_KMV_K}
+    ), exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           floor(({_KMV_K} - 1) * 4294967296.0 / k.hk * 1000000.0 + 0.5)
+             / 1000000.0 AS kmv_estimate,
+           floor((({_KMV_K} - 1) * 4294967296.0 / k.hk - e.n_exact)
+                 / e.n_exact * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+    FROM exact e JOIN kth k ON k.event_type = e.event_type
+    """,
+    doc=f"KMV (k-minimum-values) distinct-count sketch per event type, "
+        f"k={_KMV_K} (Bar-Yossef et al. 2002): keep the k smallest "
+        "md5-derived 32-bit hash values of the key; estimate = "
+        "(k-1) * 2^32 / h_(k).  The deliberately PORTABLE sketch "
+        "beside events_hll_partial_merge_bound's DataSketches HLL: "
+        "because the hash is the repo-wide md5 contract, the sketch "
+        "value — not just an accuracy bound — is EXACTLY reproducible "
+        "in DuckDB, so this is the one cardinality sketch whose "
+        "estimate itself is oracle-checked to the last bit, with the "
+        "exact count and signed relative error beside it (error ~ "
+        f"1/sqrt(k); fixture k={_KMV_K} is sized to sf0.001's 15 "
+        "distinct users/type — production uses 256-1024).  "
+        "MERGEABILITY (the reason KMV survives 100 TB): the union of "
+        "two KMV sets' k smallest is the KMV of the union — per-"
+        "partition top-k then a tiny merge, never a global sort; the "
+        "registered plan's per-type rank window IS that shape after "
+        "the distinct (at scale: partial per-partition k-smallest "
+        "aggregates, documented).  All arithmetic after the rank is "
+        "one identical scalar double tree on the exact int64 h_(k).",
+    tags=("events", "sketch", "stats"),
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    uh = e.select("event_type", h32.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        uh.select("event_type", "h", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = (F.lit(_KMV_K - 1) * F.lit(4294967296.0)) / F.col("hk")
+    return exact.join(F.broadcast(kth), "event_type").select(
+        "event_type",
+        "n_exact",
+        pround(est, 6).alias("kmv_estimate"),
+        pround((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )

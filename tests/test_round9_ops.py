@@ -1479,3 +1479,29 @@ def test_lorenz_curve_monotone_and_sums(spark, tmp_path):
     # decile 1 holds users 1+2 of 210 total events
     assert out[0].n_events == 3
     assert shares[0] == round(3 / 210, 6)
+
+
+def test_kmv_exact_when_k_equals_cardinality_region(spark, tmp_path):
+    """Sanity on crafted users: estimate is (k-1)*2^32/h_k by
+    definition; verify against a Python replication of the same md5
+    pipeline, and that rel_err is the exact signed error."""
+    import hashlib
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        _KMV_K,
+        events_kmv_distinct_users,
+    )
+
+    users = list(range(1, 40))
+    sf = _write_events(
+        spark, tmp_path, [(u, u, u, "view") for u in users]
+    )
+    hashes = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) for u in users
+    )
+    hk = hashes[_KMV_K - 1]
+    want = (_KMV_K - 1) * 4294967296.0 / hk
+    r = events_kmv_distinct_users(spark, sf).collect()[0]
+    assert r.n_exact == len(users)
+    assert abs(r.kmv_estimate - want) < 1e-5
+    assert abs(r.rel_err - (want - len(users)) / len(users)) < 1e-5
