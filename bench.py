@@ -219,6 +219,7 @@ HEADLINE = [
     "orders_basket_size_histogram",
     "events_lorenz_curve",
     "events_kmv_distinct_users",
+    "dedup_threshold_sensitivity",
 ]
 
 

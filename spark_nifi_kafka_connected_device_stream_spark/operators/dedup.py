@@ -1165,3 +1165,96 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1.0))
         .alias("candidate_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sensitivity curve (pick the Jaccard cutoff from ONE pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH shing0 AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), freq AS (
+      SELECT shingle, count(*) AS df FROM shing0 GROUP BY shingle
+    ), shing AS (
+      SELECT s.doc_id, s.shingle FROM shing0 s JOIN freq USING (shingle)
+      WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS nc
+      FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), buckets AS (
+      SELECT nc * 20 // (sa.n + sb.n - nc) AS b20
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE nc * 20 // (sa.n + sb.n - nc) >= 10
+    ), hist AS (
+      SELECT b20, CAST(count(*) AS BIGINT) AS c FROM buckets GROUP BY b20
+    )
+    SELECT CAST(b20 * 5 AS INTEGER) AS threshold_pct,
+           CAST(sum(c) OVER (ORDER BY b20 DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM hist
+    """,
+    doc="Dedup threshold SENSITIVITY curve: how many near-dup pairs "
+        "survive at every Jaccard cutoff from 0.50 to 1.00 in 0.05 "
+        "steps, from ONE inverted-index pass — the chart that chooses "
+        "the threshold BEFORE committing a corpus-wide dedup run "
+        "(dedup_ngram_jaccard bakes in 0.8; a cliff between 0.75 and "
+        "0.80 here means that choice is load-bearing and deserves "
+        "review).  PURE INTEGER BUCKETING: a pair's bucket is "
+        "(20*|intersection|) div |union| — floor division on exact "
+        "counts, so a pair at exactly 4/5 lands in bucket 16 in both "
+        "engines with no float boundary anywhere; the cumulative "
+        "at-or-above counts run over <= 11 bucket rows.  Scale shape: "
+        "identical to the exact-baseline dedup (df-capped inverted "
+        "index, pair agg); the only additions are one integer division "
+        "and an 11-row window — at production scale you run this on "
+        "the LSH candidate set instead (same SQL shape) to tune the "
+        "verify threshold.",
+    tags=("dedup", "quality"),
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    hist = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.expr("nc * 20L div (na + nb - nc)").alias("b20"),
+        )
+        .filter(F.col("b20") >= 10)
+        .groupBy("b20")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.desc("b20")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        (F.col("b20") * 5).cast("int").alias("threshold_pct"),
+        F.sum("c").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )

@@ -236,6 +236,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_basket_size_histogram",
     "events_lorenz_curve",
     "events_kmv_distinct_users",
+    "dedup_threshold_sensitivity",
 )
 
 

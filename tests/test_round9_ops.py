@@ -1505,3 +1505,31 @@ def test_kmv_exact_when_k_equals_cardinality_region(spark, tmp_path):
     assert r.n_exact == len(users)
     assert abs(r.kmv_estimate - want) < 1e-5
     assert abs(r.rel_err - (want - len(users)) / len(users)) < 1e-5
+
+
+def test_threshold_sensitivity_cumulative(spark, tmp_path):
+    """The allpairs corpus: pairs at J = 1.0 (bucket 100), 0.931
+    (bucket 90, two of them) — cumulative counts must nest."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        dedup_threshold_sensitivity,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    changed = " ".join(f"tok{i}" for i in range(29)) + " other"
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, base, "en", "s", 0),
+            (2, changed, "en", "s", 0),
+            (3, "zeta " + " ".join(f"junk{i}" for i in range(20)), "en", "s", 0),
+            (4, base, "en", "s", 0),
+        ],
+    )
+    out = {r.threshold_pct: r.n_pairs_at_or_above
+           for r in dedup_threshold_sensitivity(spark, sf).collect()}
+    # J=1.0 pair -> bucket20 = 20 -> pct 100; J=27/29 -> 20*27//29 = 18 -> 90
+    assert out[100] == 1
+    assert out[90] == 3
+    vals = [v for _, v in sorted(out.items(), reverse=True)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
