@@ -220,6 +220,7 @@ HEADLINE = [
     "events_lorenz_curve",
     "events_kmv_distinct_users",
     "dedup_threshold_sensitivity",
+    "documents_holdout_perplexity",
 ]
 
 

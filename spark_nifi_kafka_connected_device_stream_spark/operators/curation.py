@@ -2146,3 +2146,162 @@ def documents_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("mean_unique_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM perplexity: train-split bigram LM scored on the val split
+# ---------------------------------------------------------------------------
+
+from .pipeline_ops import _DUCK_U16  # noqa: E402  (shared split contract)
+
+# logprobs quantized to 1e-6 int64 before any cross-row sum (the
+# perplexity-buckets lesson: a float sum of lp terms is fold-order-
+# dependent between engines); perplexity quantized to 1e-2
+_HO_LP_SCALE = 1_000_000
+
+
+@register(
+    "documents_holdout_perplexity",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, text,
+             CASE WHEN {_DUCK_U16} % 100 < 80 THEN 'train'
+                  WHEN {_DUCK_U16} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, split, {_DUCK_TOKENS} AS tk FROM assigned
+    ), tr_uni AS (
+      SELECT tk[gs.i] AS w1, CAST(count(*) AS BIGINT) AS c1
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gs
+      WHERE split = 'train' GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM tr_uni
+    ), tr_bg AS (
+      SELECT tk[gs.i] AS w1, tk[gs.i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS c2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+      WHERE split = 'train' GROUP BY 1, 2
+    ), val_bg AS (
+      SELECT source, tk[gs.i] AS w1, tk[gs.i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+      WHERE split = 'val' GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT vb.source, vb.n_occ,
+             CASE WHEN tb.c2 IS NULL THEN 1 ELSE 0 END AS unseen,
+             CAST(floor(ln((coalesce(tb.c2, 0) + 1.0)
+                           / (coalesce(tu.c1, 0) + v.v))
+                        * {_HO_LP_SCALE}.0 + 0.5) AS BIGINT) AS lpq
+      FROM val_bg vb
+      LEFT JOIN tr_bg tb ON tb.w1 = vb.w1 AND tb.w2 = vb.w2
+      LEFT JOIN tr_uni tu ON tu.w1 = vb.w1
+      CROSS JOIN vocab v
+    )
+    SELECT source,
+           CAST(sum(n_occ) AS BIGINT) AS n_val_bigrams,
+           CAST(sum(n_occ * unseen) AS BIGINT) AS n_unseen,
+           floor(sum(n_occ * lpq) * 1.0
+                 / (sum(n_occ) * {_HO_LP_SCALE}.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logprob,
+           floor(exp(-(sum(n_occ * lpq) * 1.0
+                       / (sum(n_occ) * {_HO_LP_SCALE}.0))) * 100.0 + 0.5)
+             / 100.0 AS ppl_proxy
+    FROM scored GROUP BY source
+    """,
+    doc="HELD-OUT perplexity per source: the add-one bigram LM is "
+        "trained on the md5-deterministic TRAIN split only and scored "
+        "on the VAL split — the evaluation-hygiene twin of "
+        "text_bigram_logprob / documents_perplexity_buckets, which "
+        "score the corpus under a model trained on itself and so "
+        "systematically flatter memorized boilerplate.  The train/val "
+        "cut reuses dataset_split_assign's exact bucket contract, so "
+        "this composes with the split audit and the leakage report; "
+        "n_unseen (val bigram occurrences never seen in train) is the "
+        "generalization-gap denominator.  Exact arithmetic: each "
+        "smoothed logprob is quantized to 1e-6 int64 BEFORE the "
+        "cross-row sum (a float lp sum is fold-order-dependent — the "
+        "perplexity-buckets lesson), weighted by integer occurrence "
+        "counts; the per-source mean is one division and the "
+        "perplexity one exp() on an identical double, 1e-2-quantized.  "
+        "Scale shape: count tables are term-keyed partial-agg "
+        "shuffles over the train split; the val side joins its "
+        "DISTINCT (source, bigram) cells — never per-occurrence rows "
+        "— against them (broadcastable at |vocab| scale or bucketed "
+        "beyond); vocabulary size is a 1-row broadcast; output "
+        "|sources| rows.",
+    tags=("curation", "text", "quality"),
+)
+def documents_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents_parallel(spark, sf_dir)
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(u16 % 100 < 80, F.lit("train"))
+        .when(u16 % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = d.select(
+        "source",
+        split.alias("split"),
+        tokens(normalize_text(F.col("text"))).alias("tk"),
+    ).localCheckpoint(eager=False)
+    tk = F.col("tk")
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
+    )
+    tr = toks.filter(F.col("split") == "train")
+    tr_uni = (
+        tr.select(F.explode(tk).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tr_uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    tr_bg = (
+        tr.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    val_bg = (
+        toks.filter(F.col("split") == "val")
+        .select("source", F.explode(pairs).alias("p"))
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    scored = (
+        val_bg.join(tr_bg, ["w1", "w2"], "left")
+        .join(tr_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "n_occ",
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("unseen"),
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+                * _HO_LP_SCALE
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    one = F.lit(1.0)
+    avg = F.sum(F.col("n_occ") * F.col("lpq")) * one / (
+        F.sum("n_occ") * F.lit(float(_HO_LP_SCALE))
+    )
+    return scored.groupBy("source").agg(
+        F.sum("n_occ").cast("bigint").alias("n_val_bigrams"),
+        F.sum(F.col("n_occ") * F.col("unseen")).cast("bigint").alias("n_unseen"),
+        pround(avg, 6).alias("avg_logprob"),
+        pround(F.exp(-avg), 2).alias("ppl_proxy"),
+    )

@@ -237,6 +237,7 @@ DEFERRED: tuple[str, ...] = (
     "events_lorenz_curve",
     "events_kmv_distinct_users",
     "dedup_threshold_sensitivity",
+    "documents_holdout_perplexity",
 )
 
 

@@ -1533,3 +1533,35 @@ def test_threshold_sensitivity_cumulative(spark, tmp_path):
     assert out[90] == 3
     vals = [v for _, v in sorted(out.items(), reverse=True)]
     assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+def test_holdout_perplexity_hand_computed(spark, tmp_path):
+    """One train doc 'x y x5', one val doc 'x y z': the val bigram
+    (x,y) is seen (lp = ln(6/7)), (y,z) is unseen (lp = ln(1/7)) —
+    match a Python replication of the quantized pipeline exactly."""
+    import hashlib
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        documents_holdout_perplexity,
+    )
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+    train_id = next(d for d in range(500) if bucket(d) < 80)
+    val_id = next(d for d in range(500) if 80 <= bucket(d) < 90)
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (train_id, "x y x y x y x y x y", "en", "s", 0),
+            (val_id, "x y z", "en", "s", 0),
+        ],
+    )
+    r = documents_holdout_perplexity(spark, sf).collect()[0]
+    assert (r.n_val_bigrams, r.n_unseen) == (2, 1)
+    lpq = lambda p: math.floor(math.log(p) * 1_000_000 + 0.5)
+    want_avg = (lpq(6 / 7) + lpq(1 / 7)) / (2 * 1_000_000)
+    assert r.avg_logprob == math.floor(want_avg * 1e6 + 0.5) / 1e6
+    assert r.ppl_proxy == math.floor(math.exp(-want_avg) * 100 + 0.5) / 100
