@@ -221,6 +221,7 @@ HEADLINE = [
     "events_kmv_distinct_users",
     "dedup_threshold_sensitivity",
     "documents_holdout_perplexity",
+    "events_fano_dispersion",
 ]
 
 

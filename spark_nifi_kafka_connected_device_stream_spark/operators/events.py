@@ -3455,3 +3455,73 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(est, 6).alias("kmv_estimate"),
         pround((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor dispersion: are daily counts Poisson, or bursty/regular?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fano_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, s AS n_events,
+           floor((s * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_daily,
+           floor(((n * 1.0 * ss - s * 1.0 * s) / (n * 1.0 * (n - 1.0)))
+                 / (s * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0
+             AS fano_factor
+    FROM agg WHERE n > 1 AND s > 0
+    """,
+    doc="Fano factor (variance-to-mean ratio) of DAILY event counts per "
+        "type: a Poisson arrival process has F = 1 exactly, so F >> 1 "
+        "is count-level overdispersion (campaign/incident bursts) and "
+        "F << 1 suspicious regularity (rate-limited or synthetic "
+        "traffic) — the aggregate-count complement to "
+        "events_interarrival_burstiness, which asks the same question "
+        "of the per-event GAPS (a feed can be gap-bursty yet "
+        "day-regular, and vice versa; reading both localizes the "
+        "scale of the burstiness).  Days are tz-free epoch buckets "
+        "from stored micros.  Exact arithmetic: daily-count sums and "
+        "sums of squares are int64; the sample variance and the ratio "
+        "are one identical scalar double tree; degenerate types "
+        "(single day, zero events) are excluded by the same integer "
+        "predicate in both engines.  Scale shape: one partial-agg "
+        "shuffle to |types| x |days| calendar-bounded cells, "
+        "re-aggregated to |types| rows.  int64 headroom: sum(c^2) "
+        "overflows past ~3e9 events per (type, day) cell — "
+        "decimal(38,0) swap documented.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("ts_us div 86400000000L").cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    one = F.lit(1.0)
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n * one * ss - s * one * s) / (n * one * (n - one))
+    return agg.filter((n > 1) & (s > 0)).select(
+        "event_type",
+        n.alias("n_days"),
+        s.alias("n_events"),
+        pround(s * one / n, 6).alias("mean_daily"),
+        pround(var / (s * one / n), 6).alias("fano_factor"),
+    )

@@ -238,6 +238,7 @@ DEFERRED: tuple[str, ...] = (
     "events_kmv_distinct_users",
     "dedup_threshold_sensitivity",
     "documents_holdout_perplexity",
+    "events_fano_dispersion",
 )
 
 

@@ -1565,3 +1565,30 @@ def test_holdout_perplexity_hand_computed(spark, tmp_path):
     want_avg = (lpq(6 / 7) + lpq(1 / 7)) / (2 * 1_000_000)
     assert r.avg_logprob == math.floor(want_avg * 1e6 + 0.5) / 1e6
     assert r.ppl_proxy == math.floor(math.exp(-want_avg) * 100 + 0.5) / 100
+
+
+def test_fano_dispersion_hand_computed(spark, tmp_path):
+    """Daily counts 2, 4, 6: mean 4, sample variance 4, Fano = 1.0; a
+    constant series has Fano 0."""
+    rows = []
+    eid = 0
+    day = 86_400
+    for d, c in ((0, 2), (1, 4), (2, 6)):
+        for _ in range(c):
+            rows.append((eid, d * day + 60, 1, "view"))
+            eid += 1
+    for d in range(3):
+        for _ in range(5):
+            rows.append((eid, d * day + 120, 1, "click"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_fano_dispersion,
+    )
+
+    out = {r.event_type: r for r in events_fano_dispersion(spark, sf).collect()}
+    v = out["view"]
+    assert (v.n_days, v.n_events, v.mean_daily) == (3, 12, 4.0)
+    assert v.fano_factor == 1.0
+    c = out["click"]
+    assert c.fano_factor == 0.0
