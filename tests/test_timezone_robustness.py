@@ -77,6 +77,8 @@ TZ_SENSITIVE = [
     "customers_all_quarters_1995",
     # round-9 late: epoch-day buckets from ts_us session starts
     "events_bounce_rate_daily",
+    # round-9 late: epoch-day buckets from ts_us daily counts
+    "events_fano_dispersion",
 ]
 
 
