@@ -222,6 +222,7 @@ HEADLINE = [
     "dedup_threshold_sensitivity",
     "documents_holdout_perplexity",
     "events_fano_dispersion",
+    "events_pettitt_changepoint",
 ]
 
 

@@ -3525,3 +3525,161 @@ def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(s * one / n, 6).alias("mean_daily"),
         pround(var / (s * one / n), 6).alias("fano_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank-based changepoint (nonparametric complement to CUSUM)
+# ---------------------------------------------------------------------------
+
+# -ln(0.025) pinned as one pre-rounded literal (constant-pinning
+# pattern); the 5% two-sided Pettitt threshold is
+# sqrt(-ln(alpha/2) * (T^3 + T^2) / 6)
+_PETTITT_NL = 3.688879
+
+
+@register(
+    "events_pettitt_changepoint",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), vm AS (
+      SELECT event_type, x, CAST(count(*) AS BIGINT) AS cv,
+             CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM series GROUP BY event_type, x
+    ), ranked AS (
+      SELECT s.event_type, s.h,
+             2 * (v.cum - v.cv) + v.cv + 1 AS r2
+      FROM series s JOIN vm v ON v.event_type = s.event_type AND v.x = s.x
+    ), walk AS (
+      SELECT event_type, h,
+             CAST(sum(r2) OVER (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumr2,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt
+      FROM ranked
+    ), u AS (
+      SELECT event_type, h, tt,
+             abs(cumr2 - t * (tt + 1)) AS au
+      FROM walk WHERE t < tt
+    ), best AS (
+      SELECT event_type, tt, max(au) AS k FROM u GROUP BY event_type, tt
+    ), at AS (
+      SELECT u.event_type, b.tt, b.k, min(u.h) AS change_h
+      FROM u JOIN best b ON b.event_type = u.event_type AND u.au = b.k
+      GROUP BY u.event_type, b.tt, b.k
+    )
+    SELECT event_type, CAST(tt AS BIGINT) AS n_hours,
+           CAST(k AS BIGINT) AS k_stat,
+           CAST(change_h AS BIGINT) AS change_at_hour,
+           CAST(CASE WHEN k * 1.0
+                       > sqrt({_PETTITT_NL}
+                              * (tt * 1.0 * tt * tt + tt * 1.0 * tt) / 6.0)
+                THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+    FROM at
+    """,
+    doc="Pettitt changepoint test per event type over the zero-filled "
+        "hourly series: the rank-based (Mann-Whitney-statistic) single "
+        "changepoint detector — U_t = 2*sum(ranks up to t) - t(T+1), K "
+        "= max|U_t|, split at the argmax (earliest hour on ties) — the "
+        "NONPARAMETRIC complement to events_cusum_level_shift, which "
+        "assumes a mean shift in roughly-normal noise; Pettitt only "
+        "needs ranks, so a heavy-tailed burst cannot fake or mask a "
+        "level change.  Tie-corrected average ranks come from the "
+        "per-type value-marginal cumulative counts (the Mann-Whitney "
+        "2x-integer machinery), so U_t, K, and the argmax are EXACT "
+        "int64 end to end; the only float is the significance "
+        "threshold sqrt(-ln(.025)(T^3+T^2)/6) with the log constant "
+        "pinned as one literal — an identical tree compared against "
+        "the exact integer K identically in both engines.  Scale "
+        "shape: one partial-agg shuffle to calendar-bounded (hour, "
+        "type) cells, all windows keyed by type over those cells, "
+        "output |types| rows.  int64 headroom: cumr2 <= 2T^2 — "
+        "effectively unbounded for calendar series.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h")).crossJoin(
+        F.broadcast(counts.select("event_type").distinct())
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vm = (
+        series.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cv"))
+        .withColumn("cum", F.sum("cv").over(wv).cast("bigint"))
+    )
+    ranked = series.join(vm, ["event_type", "x"]).select(
+        "event_type",
+        "h",
+        (2 * (F.col("cum") - F.col("cv")) + F.col("cv") + 1).alias("r2"),
+    )
+    wh = Window.partitionBy("event_type").orderBy("h")
+    whr = wh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    walk = ranked.select(
+        "event_type",
+        "h",
+        F.sum("r2").over(whr).cast("bigint").alias("cumr2"),
+        F.row_number().over(wh).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("tt"),
+    )
+    u = walk.filter(F.col("t") < F.col("tt")).select(
+        "event_type",
+        "h",
+        "tt",
+        F.abs(F.col("cumr2") - F.col("t") * (F.col("tt") + 1)).alias("au"),
+    )
+    best = u.groupBy("event_type", "tt").agg(F.max("au").alias("k"))
+    at = (
+        u.join(F.broadcast(best), ["event_type", "tt"])
+        .filter(F.col("au") == F.col("k"))
+        .groupBy("event_type", "tt", "k")
+        .agg(F.min("h").alias("change_h"))
+    )
+    one = F.lit(1.0)
+    tt = F.col("tt")
+    thresh = F.sqrt(
+        F.lit(_PETTITT_NL) * (tt * one * tt * tt + tt * one * tt) / F.lit(6.0)
+    )
+    return at.select(
+        "event_type",
+        tt.cast("bigint").alias("n_hours"),
+        F.col("k").cast("bigint").alias("k_stat"),
+        F.col("change_h").cast("bigint").alias("change_at_hour"),
+        F.when(F.col("k") * one > thresh, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant_95"),
+    )

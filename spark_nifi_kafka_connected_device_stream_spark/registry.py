@@ -239,6 +239,7 @@ DEFERRED: tuple[str, ...] = (
     "dedup_threshold_sensitivity",
     "documents_holdout_perplexity",
     "events_fano_dispersion",
+    "events_pettitt_changepoint",
 )
 
 

@@ -1592,3 +1592,27 @@ def test_fano_dispersion_hand_computed(spark, tmp_path):
     assert v.fano_factor == 1.0
     c = out["click"]
     assert c.fano_factor == 0.0
+
+
+def test_pettitt_finds_constructed_level_shift(spark, tmp_path):
+    """Hourly counts 1/hour for 48h then 20/hour for 48h: the split
+    must land at the boundary hour and clear the 95% threshold."""
+    rows = []
+    eid = 0
+    for h in range(96):
+        n = 1 if h < 48 else 20
+        for k in range(n):
+            rows.append((eid, h * 3600 + k, 1, "view"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_pettitt_changepoint,
+    )
+
+    r = events_pettitt_changepoint(spark, sf).collect()[0]
+    assert r.n_hours == 96
+    assert r.significant_95 == 1
+    # argmax of |U_t| sits at the last pre-shift hour (t = 48), whose
+    # epoch hour is the series start + 47
+    base_h = 473352  # epoch hours of 2024-01-01 (= _write_events base)
+    assert r.change_at_hour == base_h + 47

@@ -79,6 +79,8 @@ TZ_SENSITIVE = [
     "events_bounce_rate_daily",
     # round-9 late: epoch-day buckets from ts_us daily counts
     "events_fano_dispersion",
+    # round-9 late: epoch-hour rank walk from ts_us
+    "events_pettitt_changepoint",
 ]
 
 
