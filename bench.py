@@ -223,6 +223,7 @@ HEADLINE = [
     "documents_holdout_perplexity",
     "events_fano_dispersion",
     "events_pettitt_changepoint",
+    "text_term_burstiness",
 ]
 
 

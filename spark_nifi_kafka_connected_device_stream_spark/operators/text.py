@@ -1422,3 +1422,87 @@ def documents_length_tukey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(diff > hsd, 1).otherwise(0).cast("int").alias("significant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church-Gale): which words clump into few documents
+# ---------------------------------------------------------------------------
+
+_TB_TOPK = 50
+_TB_EXP_SCALE = 1_000_000  # exp(-cf/N) quantized (heaps/exp pattern)
+
+
+@register(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+    ), stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY w
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT w AS term, cf, df,
+           floor(cf * 1.0 / df * 1000000.0 + 0.5) / 1000000.0
+             AS burstiness,
+           floor((n * (1.0 - floor(exp(-(cf * 1.0 / n))
+                                   * {_TB_EXP_SCALE}.0 + 0.5)
+                           / {_TB_EXP_SCALE}.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS poisson_expected_df
+    FROM stats CROSS JOIN nd
+    ORDER BY cf * 1.0 / df DESC, cf DESC, w
+    LIMIT {_TB_TOPK}
+    """,
+    doc=f"Church-Gale term burstiness: the top-{_TB_TOPK} terms by "
+        "occurrences-per-containing-document (cf/df) beside the "
+        "document frequency a Poisson scatter of the same cf would "
+        "predict, N(1-exp(-cf/N)).  A term whose df sits far UNDER "
+        "the Poisson expectation clumps into few documents — "
+        "topical/template vocabulary — while uniform function words "
+        "track it; the screen feeds stopword policy and the "
+        "boilerplate-ngram gate (a bursty high-cf term is boilerplate "
+        "fuel, a uniform one is syntax).  Exactness: cf/df is an "
+        "integer rational; the ordering key is the same exact ratio "
+        "with (cf, term) tie-breaks so the LIMIT cut is a total "
+        "order; exp(-cf/N) is evaluated on an identical double and "
+        "1e-6-quantized before re-entering arithmetic (cross-libm exp "
+        "differs by <= 1 ulp — a flip needs the true value within "
+        "~1e-22 of a boundary).  Scale shape: one term-keyed "
+        "partial-agg shuffle (cf + exact df per term), a 1-row corpus "
+        f"count broadcast, TakeOrdered({_TB_TOPK}).",
+    tags=("text", "stats", "curation"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("w")
+    )
+    stats = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    one = F.lit(1.0)
+    ratio = F.col("cf") * one / F.col("df")
+    expq = (
+        F.floor(
+            F.exp(-(F.col("cf") * one / F.col("n"))) * _TB_EXP_SCALE + F.lit(0.5)
+        )
+        / F.lit(float(_TB_EXP_SCALE))
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            "cf",
+            "df",
+            pround(ratio, 6).alias("burstiness"),
+            pround(F.col("n") * (one - expq), 6).alias("poisson_expected_df"),
+            ratio.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.desc("cf"), "term")
+        .limit(_TB_TOPK)
+        .drop("_k")
+    )

@@ -240,6 +240,7 @@ DEFERRED: tuple[str, ...] = (
     "documents_holdout_perplexity",
     "events_fano_dispersion",
     "events_pettitt_changepoint",
+    "text_term_burstiness",
 )
 
 

@@ -1616,3 +1616,27 @@ def test_pettitt_finds_constructed_level_shift(spark, tmp_path):
     # epoch hour is the series start + 47
     base_h = 473352  # epoch hours of 2024-01-01 (= _write_events base)
     assert r.change_at_hour == base_h + 47
+
+
+def test_term_burstiness_clumped_vs_uniform(spark, tmp_path):
+    """'spam' appears 6 times inside one doc (burstiness 6), 'the'
+    once in each of 4 docs (burstiness 1): the clumped term ranks
+    first and its Poisson-expected df far exceeds its real df."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        text_term_burstiness,
+    )
+
+    docs = [
+        (1, "the spam spam spam spam spam spam", "en", "s", 0),
+        (2, "the alpha", "en", "s", 0),
+        (3, "the beta", "en", "s", 0),
+        (4, "the gamma", "en", "s", 0),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    out = text_term_burstiness(spark, sf).collect()
+    top = out[0]
+    assert top.term == "spam"
+    assert (top.cf, top.df, top.burstiness) == (6, 1, 6.0)
+    assert top.poisson_expected_df > 3.0   # 4*(1-e^-1.5) ~ 3.11
+    the = next(r for r in out if r.term == "the")
+    assert (the.cf, the.df, the.burstiness) == (4, 4, 1.0)
