@@ -126,6 +126,23 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionized(e):
+    """30-min-gap sessionization over exact integer microseconds: adds
+    `session_seq` per user via the shared lag + running-sum window pair
+    (ONE user-key exchange serves both).  Used by events_sessionize and
+    events_bounce_rate_daily — one definition, one gap constant."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_seq", F.sum("new_session").over(wrun).cast("bigint")
+    )
+
+
 @register(
     "events_sessionize",
     oracle="""
@@ -163,14 +180,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap detection on exact integer microseconds (engine-portable; float
     # epoch would differ at ns granularity between engines)
     e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
-    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("us").over(w)
-    flagged = e.withColumn(
-        "new_session",
-        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
-    )
-    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun).cast("bigint"))
+    sessions = _sessionized(e)
     return sessions.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
@@ -2896,16 +2906,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn("us", F.col("ts_us"))
-    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("us").over(w)
-    flagged = e.withColumn(
-        "new_session",
-        F.when(
-            prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
+    sessions = _sessionized(e)
     per_session = (
         sessions.groupBy("user_id", "session_seq")
         .agg(
