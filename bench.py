@@ -224,6 +224,7 @@ HEADLINE = [
     "events_fano_dispersion",
     "events_pettitt_changepoint",
     "text_term_burstiness",
+    "embedding_effective_dims",
 ]
 
 

@@ -1690,3 +1690,91 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective dimensionality (participation ratio over per-dim variances)
+# ---------------------------------------------------------------------------
+
+# per-dim variances are ~1e16 in quantized units; floor-scale them to
+# int64-squarable magnitude before the cross-dim folds (defined
+# contract; relative loss ~4e-9)
+_ED_VSCALE = 100_000_000
+
+
+@register(
+    "embedding_effective_dims",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, gs.j AS dim,
+             CAST(floor(CAST(embedding[gs.j] AS DOUBLE) * {_SIL_SCALE}.0
+                        + 0.5) AS BIGINT) AS xq
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) gs
+    ), per_dim AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS s,
+             CAST(sum(xq * xq) AS BIGINT) AS ss
+      FROM pts GROUP BY dim
+    ), vq AS (
+      SELECT dim, (n * ss - s * s) // {_ED_VSCALE} AS v FROM per_dim
+    ), folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM vq WHERE v > 0
+    )
+    SELECT CAST(d AS INTEGER) AS n_dims_active,
+           floor((sv * 1.0 * sv) / svv * 1000000.0 + 0.5) / 1000000.0
+             AS participation_ratio,
+           floor((sv * 1.0 * sv) / svv / d * 1000000.0 + 0.5) / 1000000.0
+             AS pr_fraction
+    FROM folded
+    """,
+    doc="Effective dimensionality of the embedding space via the "
+        "PARTICIPATION RATIO over per-dimension variances: PR = "
+        "(sum v_d)^2 / sum v_d^2 — d when variance spreads evenly, "
+        "1 when one axis carries everything — the eigendecomposition-"
+        "free capacity estimate (diagonal variances only; the full-"
+        "covariance refinement is what embedding_dim_correlation's "
+        "co-moments feed).  PR far below d means the vector column "
+        "wastes storage and ANN work on dead axes — quantize or "
+        "project before indexing; pr_fraction = PR/d is the "
+        "scale-free headline.  Exactness: per-dim variances n*ss - "
+        "s^2 are exact int64 on 1e-4-quantized values, floor-scaled "
+        "once (div 1e8, relative loss ~4e-9) so BOTH cross-dim folds "
+        "are order-free integer sums; the ratio is one identical "
+        "scalar double tree.  Scale shape: one explode-agg to d rows "
+        "(partial map-side combine), a 1-row fold; output 1 row.",
+    tags=("embeddings", "stats"),
+)
+def embedding_effective_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _SIL_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    per_dim = pts.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("ss"),
+    )
+    vq = per_dim.select(
+        F.expr(f"(n * ss - s * s) div {_ED_VSCALE}L").alias("v")
+    ).filter(F.col("v") > 0)
+    folded = vq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+    )
+    one = F.lit(1.0)
+    pr = (F.col("sv") * one * F.col("sv")) / F.col("svv")
+    return folded.select(
+        F.col("d").cast("int").alias("n_dims_active"),
+        pround(pr, 6).alias("participation_ratio"),
+        pround(pr / F.col("d"), 6).alias("pr_fraction"),
+    )

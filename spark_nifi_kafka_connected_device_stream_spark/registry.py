@@ -241,6 +241,7 @@ DEFERRED: tuple[str, ...] = (
     "events_fano_dispersion",
     "events_pettitt_changepoint",
     "text_term_burstiness",
+    "embedding_effective_dims",
 )
 
 

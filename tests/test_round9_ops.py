@@ -1640,3 +1640,38 @@ def test_term_burstiness_clumped_vs_uniform(spark, tmp_path):
     assert top.poisson_expected_df > 3.0   # 4*(1-e^-1.5) ~ 3.11
     the = next(r for r in out if r.term == "the")
     assert (the.cf, the.df, the.burstiness) == (4, 4, 1.0)
+
+
+def test_effective_dims_uniform_vs_single_axis(spark, tmp_path):
+    """Equal variance on 4 dims -> PR = 4 (fraction 1); all variance on
+    one axis -> PR = 1."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        embedding_effective_dims,
+    )
+
+    def write(sub, rows):
+        # distinct sf_dirs: the catalog caches analyzed plans per
+        # (session, sf_dir, table), so overwriting one path in-session
+        # would serve a stale file listing
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        (tmp_path / sub).mkdir(exist_ok=True)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / sub / "embeddings.parquet")
+        )
+        return str(tmp_path / sub)
+
+    # alternating +-1 on every dim: identical variance per dim
+    sf = write("uniform", [(i, [1.0, 1.0, 1.0, 1.0], 0) if i % 2 else
+                           (i, [-1.0, -1.0, -1.0, -1.0], 0) for i in range(10)])
+    r = embedding_effective_dims(spark, sf).collect()[0]
+    assert r.n_dims_active == 4
+    assert r.participation_ratio == 4.0
+    assert r.pr_fraction == 1.0
+
+    sf = write("single", [(i, [1.0 if i % 2 else -1.0, 0.0, 0.0, 0.0], 0)
+                          for i in range(10)])
+    r = embedding_effective_dims(spark, sf).collect()[0]
+    assert r.n_dims_active == 1
+    assert r.participation_ratio == 1.0
