@@ -91,88 +91,20 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 9 (VERDICT r8 top-next): drain the DEFERRED queue —
-# the 24 queries registered after round 8's window filled, each locally
-# oracle-green on every pytest run but never driver-checked.  They take
-# the first 24 slots; the remaining 26 go to the stalest re-checks:
-# text_top_bigrams (freshest green row r2), the 11 r5-era rows, and the
-# 14 alphabetically-first r6-era rows (the rest of the r6 cohort
-# rotates in round 10).  After this round every query registered
-# through round 8 has a driver-green row on current fixtures.
+# modules.  Round 10 (VERDICT r9 item 1): 71 round-9 queries were never
+# driver-checked — more than one window — so this round's 50 slots go
+# entirely to the FIRST 50 of that queue in registration order; no
+# stale re-checks this round.  Rotation plan pinned for round 11
+# (VERDICT r9 item 7): _PROMOTE takes the 21 remaining round-9 names
+# still on DEFERRED below, then any round-10 additions, then fills the
+# rest of the window with the stalest green re-checks — the r6-era
+# cohort deferred since round 9 (embedding_pca_topcomp onward in the
+# r6 CORRECTNESS file) before anything newer.
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: never driver-checked (registered after the r8 window filled)
-    "events_conversion_latency",
-    "events_time_weighted_value",
-    "events_device_uptime",
-    "events_linear_attribution",
-    "events_hll_partial_merge_bound",
-    "device_registry_models",
-    "orders_pointintime_segment",
-    "text_sentences_udtf",
-    "events_holt_forecast_hourly",
-    "documents_ks_drift_by_source",
-    "events_chi2_mix_drift_daily",
-    "events_cusum_level_shift",
-    "supplier_hhi_concentration",
-    "events_abtest_purchase_rate",
-    "events_survival_kaplan_meier",
-    "multimodal_payload_stats_arrow",
-    "orders_open_backlog_daily",
-    "text_langid_confusion",
-    "events_dau_mau_stickiness",
-    "embedding_knn_triangles",
-    "orders_benford_screen",
-    "document_embedding_coverage",
-    "part_bom_explosion",
-    "events_session_paths",
-    # freshest green row = r2
-    "text_top_bigrams",
-    # freshest green rows = r5
-    "applyinpandas_zscore",
-    "curation_funnel_report",
-    "dedup_cluster_stats",
-    "documents_quality_deciles",
-    "events_erasure_impact",
-    "events_user_activity_percentiles",
-    "events_value_outliers_mad",
-    "pandas_udf_charge",
-    "text_repetition_stats",
-    "text_sentiment_lexicon",
-    "text_vocab_coverage",
-    # freshest green rows = r6 (first 14 of the cohort; rest rotate r10)
-    "asof_join_last_click",
-    "benchmark_contamination",
-    "dataset_mix_sample",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_dim_stats",
-    "embedding_kmeans_assign",
-    "embedding_near_dup_bucketed",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 9's window is exactly consumed by the 24 ex-DEFERRED first-time
-# checks plus 26 stale re-checks, so any query ADDED in round 9 lands
-# here and is first in line for the round-10 rotation.  Every name here
-# must be oracle-parity-green locally on every pytest run;
-# tests/test_oracle_parity.py asserts that any never-driver-checked
-# query is either inside the window or on this explicit queue — a
-# silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = (
-    # round-9 additions: batch twins of the streaming corpus-ingest and
-    # PII-gate jobs (VERDICT r8 item 8) — benched this round, first in
-    # line for the round-10 driver window
+    # ex-DEFERRED round-9 additions, first 50 in registration order —
+    # never driver-checked before this round
     "corpus_ingest_batch",
     "privacy_pii_gate_batch",
-    # round-9 analytics additions (collocations, BM25 retrieval, hourly
-    # ACF, blocked fuzzy linkage)
     "text_collocation_lift",
     "text_bm25_search",
     "events_hourly_acf",
@@ -221,6 +153,21 @@ DEFERRED: tuple[str, ...] = (
     "documents_length_anova_by_lang",
     "lineitem_returns_pchart",
     "customers_all_quarters_1995",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 10's window is fully consumed by the first 50 of round 9's
+# 71-query backlog (above), so the 21 remaining round-9 names stay
+# here, joined by any query ADDED in round 10 — together they are
+# first in line for the round-11 rotation (before the r6-era stale
+# re-checks; see the _PROMOTE comment).  Every name here must be
+# oracle-parity-green locally on every pytest run;
+# tests/test_oracle_parity.py asserts that any never-driver-checked
+# query is either inside the window or on this explicit queue — a
+# silent backlog stays impossible.
+DEFERRED: tuple[str, ...] = (
+    # round-9 additions not reached by the round-10 window (21)
     "events_bounce_rate_daily",
     "documents_source_simpson_diversity",
     "events_id_integrity_audit",
