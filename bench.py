@@ -28,204 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs  # noqa: E402
 from spark_nifi_kafka_connected_device_stream_spark.session import get_session  # noqa: E402
 
-HEADLINE = [
-    # the reference pipeline's core query + intended variant
-    "product_view_counts",
-    "product_view_distinct_users",
-    # relational spine
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    # round-7 decorrelation tier (completes the 22-shape TPC-H spine)
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q16_supplier_part_counts",
-    "q20_concentrated_suppliers",
-    "window_topk_per_group",
-    "window_first_last",
-    "lateral_top_order_per_customer",
-    "events_sessionize",
-    "events_session_trigrams",
-    "events_weekly_growth_accounting",
-    "asof_join_last_click",
-    # 100 TB extension operators
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_survivorship_policy",
-    "dedup_sorted_neighborhood",
-    "dedup_exact_substring",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_lsh_buckets",
-    "embedding_near_dup_pairs",
-    "text_quality_score",
-    "text_token_stats",
-    "text_winnowing_fingerprints",
-    # pipeline-shaping tier (round 6)
-    "text_chunk_documents",
-    "embedding_dim_stats",
-    "text_boilerplate_ngrams",
-    # curation tier (round 3)
-    "benchmark_contamination",
-    "embedding_kmeans_assign",
-    "documents_quality_deciles",
-    "text_repetition_stats",
-    "events_value_outliers_mad",
-    "curation_funnel_report",
-    # round-7 additions (first benched r8)
-    "text_shingle_novelty",
-    "text_token_freq_spectrum",
-    "embedding_label_centroids",
-    "dataset_split_assign",
-    "source_ngram_overlap",
-    "text_token_heavy_hitters",
-    # round-8 additions: skew demonstration pair (identical results,
-    # plain vs salted plan — the bench rows ARE the comparison) +
-    # multimodal corruption scan
-    "skew_hot_key_plain",
-    "skew_hot_key_salted",
-    "multimodal_byte_stats",
-    "text_bpe_pair_counts",
-    "embedding_knn_graph_stats",
-    "multimodal_modality_routing",
-    # round-8 second wave: SemDeDup keep-list, classifier gate,
-    # privacy tier, mix planner, payload chunker
-    "semantic_dedup_keep_list",
-    "text_quality_classifier",
-    "privacy_pseudonymize_events",
-    "privacy_k_anonymity_report",
-    "dataset_token_budget_plan",
-    "multimodal_chunk_payloads",
-    "events_rate_anomaly",
-    "stats_correlation_by_group",
-    "lineitem_abc_pareto",
-    "orders_basket_pairs",
-    "events_session_window_native",
-    "dataset_quality_expectations",
-    "events_markov_transitions",
-    "stats_linear_regression",
-    "cluster_topic_terms",
-    "events_incident_window_attribution",
-    # round-8 third wave: VARIANT shredding, sequential EWMA,
-    # document PII gate, grouped-agg pandas UDF
-    "events_variant_props",
-    "events_ewma_hourly",
-    "privacy_pii_scan_documents",
-    "grouped_agg_weighted_median",
-    "events_rolling_distinct_users_7d",
-    # round-8 fourth wave: change-data tier, kNN PageRank, multimodal
-    # dedup/caption audit, Z-order layout, priority sampling, seasonal
-    # anomaly + conversion latency
-    "scd2_customer_batch",
-    "orders_snapshot_diff",
-    "embedding_pagerank_centrality",
-    "multimodal_payload_dedup",
-    "multimodal_caption_audit",
-    "lineitem_zorder_layout",
-    "dataset_weighted_sample",
-    "events_seasonal_hourly_anomaly",
-    "events_conversion_latency",
-    # device-health tier
-    "events_time_weighted_value",
-    "events_device_uptime",
-    "events_linear_attribution",
-    "events_hll_partial_merge_bound",
-    "device_registry_models",
-    "orders_pointintime_segment",
-    "text_sentences_udtf",
-    "events_holt_forecast_hourly",
-    "documents_ks_drift_by_source",
-    "events_chi2_mix_drift_daily",
-    "events_cusum_level_shift",
-    "supplier_hhi_concentration",
-    "events_abtest_purchase_rate",
-    "events_survival_kaplan_meier",
-    "multimodal_payload_stats_arrow",
-    "orders_open_backlog_daily",
-    "text_langid_confusion",
-    "events_dau_mau_stickiness",
-    "embedding_knn_triangles",
-    "orders_benford_screen",
-    "document_embedding_coverage",
-    "part_bom_explosion",
-    "events_session_paths",
-    # round-9: batch twins of the streaming corpus-ingest / PII-gate
-    # jobs (VERDICT r8 item 8) — the seasonal-anomaly twin
-    # (events_seasonal_hourly_anomaly) is benched above already
-    "corpus_ingest_batch",
-    "privacy_pii_gate_batch",
-    # round-9 analytics additions
-    "text_collocation_lift",
-    "text_bm25_search",
-    "events_hourly_acf",
-    "events_theil_sen_trend",
-    "part_fuzzy_linkage_blocked",
-    "split_leakage_report",
-    "embedding_knn_bfs_hops",
-    "embedding_kcenter_coreset",
-    "source_crossentropy_matrix",
-    "events_peak_concurrency",
-    "orders_cohort_ltv_curve",
-    "events_debounce_stats",
-    "events_value_winsorized_stats",
-    "similarity_recall_report",
-    "orders_ship_latency_percentiles",
-    "events_dow_hour_profile",
-    "events_interarrival_burstiness",
-    "events_user_gini",
-    "text_zipf_fit",
-    "orders_interpurchase_intervals",
-    "lineitem_discount_elasticity",
-    "events_cms_frequency_bound",
-    "orders_bloom_prefilter_bound",
-    "privacy_l_diversity_report",
-    "documents_source_lang_mutual_info",
-    "nation_revenue_share_of_region",
-    "window_percent_rank_cume_dist",
-    "events_value_log2_histogram",
-    "documents_perplexity_buckets",
-    "dedup_allpairs_prefix",
-    "events_mann_whitney_value",
-    "documents_heaps_law",
-    "events_spearman_hour_value",
-    "embedding_dim_correlation",
-    "dedup_lsh_recall_report",
-    "part_skyline_price_size",
-    "events_forecast_backtest",
-    "orders_column_profile",
-    "documents_quality_calibration",
-    "orders_monthly_seasonality",
-    "documents_length_anova_by_lang",
-    "lineitem_returns_pchart",
-    "customers_all_quarters_1995",
-    "events_bounce_rate_daily",
-    "documents_source_simpson_diversity",
-    "events_id_integrity_audit",
-    "events_value_impute_median",
-    "events_markov_stationary",
-    "documents_length_tukey_pairs",
-    "lineitem_simpson_paradox_screen",
-    "embedding_silhouette_by_label",
-    "events_retention_halflife",
-    "events_audience_overlap",
-    "events_hill_tail_index",
-    "events_kruskal_wallis_dow",
-    "orders_basket_size_histogram",
-    "events_lorenz_curve",
-    "events_kmv_distinct_users",
-    "dedup_threshold_sensitivity",
-    "documents_holdout_perplexity",
-    "events_fano_dispersion",
-    "events_pettitt_changepoint",
-    "text_term_burstiness",
-    "embedding_effective_dims",
-]
+# Bench coverage rule (VERDICT r9 item 3): the bench list is DERIVED
+# from the registry — every registered query is benched unless its name
+# carries a documented reason in BENCH_EXCLUDE.  The old hand-edited
+# list silently drifted 85 queries behind the registry; now
+# tests/test_catalog_cache.py::test_bench_list_covers_registry enforces
+# HEADLINE == registry minus BENCH_EXCLUDE (and that every exclusion
+# still names a registered query, so the set can't go stale).
+BENCH_EXCLUDE: dict[str, str] = {
+    # name -> reason it is deliberately not benched (keep this rare)
+}
+
+HEADLINE = [n for n in all_specs() if n not in BENCH_EXCLUDE]
+
 
 
 def main() -> None:

@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 _MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+def bounded_window_key(*cols: Column | str) -> Column:
+    """Constant partition key for windows over PROVABLY BOUNDED frames
+    (threshold curves, per-partition offset tables, |days|-sized
+    grids): always 0, so the window still runs in one task — which is
+    the point, the input is metadata-sized — but the partition spec is
+    non-empty, so WindowExec stops logging `WARN ... No Partition
+    Defined`, a line that misreads as a scale bug in bench captures
+    and drowns real warnings.
+
+    Must be NON-FOLDABLE: Spark 4's EliminateWindowPartitions strips
+    foldable partition keys (a bare `lit(0)` reverts to the warning),
+    so derive 0 from a column: `hash(col) & 0`.  `hash` never returns
+    null (null hashes to the seed), so every row — including null
+    order keys — lands in the one partition and results are
+    bit-identical to the unpartitioned spec.  Only use where the
+    frame is bounded by construction; a corpus-sized window needs the
+    global_* primitives below instead."""
+    return F.hash(*[F.col(c) if isinstance(c, str) else c for c in cols]).bitwiseAND(
+        F.lit(0)
+    )
+
+
 def plan_parallelism(df_or_spark) -> int:
     """Partition count for explicit repartitions, from session conf.
 
@@ -132,8 +154,8 @@ def global_ntile(
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     from pyspark.sql import Window
 
-    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    everything = Window.orderBy("_pid").rowsBetween(
+    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = counts.select(
@@ -192,8 +214,8 @@ def global_running_sum(
     sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
     from pyspark.sql import Window
 
-    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    everything = Window.orderBy("_pid").rowsBetween(
+    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = sums.select(
@@ -277,7 +299,7 @@ def global_row_number(
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     from pyspark.sql import Window
 
-    running = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(running), F.lit(0)).alias("_off")
     )
@@ -321,7 +343,7 @@ def global_running_max(
     pmax = part.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
     from pyspark.sql import Window
 
-    preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    preceding = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = pmax.select("_pid", F.max("_pmax").over(preceding).alias("_off"))
     w_in = (
         Window.partitionBy("_pid")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..functions.scale import bounded_window_key
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -2579,7 +2580,7 @@ def events_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("ts") + 1).cast("int").alias("g"), F.col("value")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     vc = vc.localCheckpoint(eager=False)
-    wm = Window.orderBy("value").rowsBetween(
+    wm = Window.partitionBy(bounded_window_key("value")).orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     marg = (

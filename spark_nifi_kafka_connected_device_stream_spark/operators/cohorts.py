@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
-from ..functions.scale import plan_parallelism
+from ..functions.scale import bounded_window_key, plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -242,7 +242,7 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     # bounded unpartitioned window: |distinct lifetime days| rows
-    w = Window.orderBy("life").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.partitionBy(bounded_window_key("life")).orderBy("life").rowsBetween(Window.unboundedPreceding, -1)
     days = (
         day_counts.crossJoin(F.broadcast(total))
         .withColumn(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..functions.scale import bounded_window_key
 from ..functions.textfns import normalize_text, shingles, tokens
 from ..registry import register
 from ..sources.catalog import load_table
@@ -818,7 +819,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix of a running sum equals the running sum of the prefix under
     # the same total order, so the window only ever sees 50 rows.
     top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(50)
-    order = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    order = Window.partitionBy(bounded_window_key("token")).orderBy(
+        F.desc("n_occ"), F.asc("token")
+    )
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = top.select(
         "token",
@@ -1458,7 +1461,7 @@ def documents_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_chars", "cum_s")
     )
     # bounded unpartitioned window: |distinct lengths| rows only
-    w_g = Window.orderBy("n_chars").rowsBetween(
+    w_g = Window.partitionBy(bounded_window_key("n_chars")).orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gcum = (

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, shingles, tokens
 from ..functions.portable import pround
-from ..functions.scale import plan_parallelism
+from ..functions.scale import bounded_window_key, plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -1251,7 +1251,7 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b20")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    w = Window.orderBy(F.desc("b20")).rowsBetween(
+    w = Window.partitionBy(bounded_window_key("b20")).orderBy(F.desc("b20")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return hist.select(

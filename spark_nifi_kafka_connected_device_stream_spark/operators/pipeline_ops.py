@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..functions.scale import bounded_window_key
 from ..functions.textfns import normalize_text, tokens
 from ..registry import register
 from ..sources.catalog import load_table
@@ -483,7 +484,7 @@ def dataset_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20 here, thousands at worst in production), so the single-
     # partition window is safe and the whole plan is ONE job with one
     # corpus shuffle, instead of the checkpoint-per-consumer chain
-    w_all = Window.partitionBy()
+    w_all = Window.partitionBy(bounded_window_key("source"))
     total = F.sum("avail_tokens").over(w_all)
     share = F.col("avail_tokens") * F.lit(1.0) / total
     weighted = per_source.select(

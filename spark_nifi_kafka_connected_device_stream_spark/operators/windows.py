@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
+from ..functions.scale import bounded_window_key
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -193,7 +194,7 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(pround(F.sum("o_totalprice"), 2).alias("nation_rev"))
     )
-    w = Window.partitionBy()
+    w = Window.partitionBy(bounded_window_key("nationkey"))
     return rev.select(
         "nationkey",
         "nation_rev",

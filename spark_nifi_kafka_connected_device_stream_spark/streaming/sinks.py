@@ -70,6 +70,18 @@ def parquet_sink(
     return w
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """The exact serialization kafka_sink publishes: every column of
+    `df` folded into one JSON document, cast to the binary `value`
+    Kafka's wire format carries.  Factored out of the sink so the
+    payload↔parse identity is testable WITHOUT a broker — the
+    round-trip test (tests/test_warehouse_and_wire.py) proves
+    parse_product_views(kafka_payload(wire_rows)) reproduces the rows,
+    which is the serialization level this engine owns; broker
+    connectivity is config (bootstrap.servers/topic) on top."""
+    return df.select(F.to_json(F.struct(*df.columns)).cast("binary").alias("value"))
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -79,9 +91,10 @@ def kafka_sink(
     """K4 (NiFi PublishKafka, XML:996-1073: topic `active`, acks=all,
     transactional): Spark's Kafka sink + checkpointing gives the same
     effective guarantee for idempotent downstreams.  Payload must be a
-    `value` column (string/binary); build it with to_json(struct(*)).
-    Untestable in this container (no broker) — config only."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    `value` column (string/binary); kafka_payload builds it.  Publish
+    against a live broker is untestable in this container — the
+    payload half is covered by the round-trip test."""
+    payload = kafka_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

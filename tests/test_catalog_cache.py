@@ -241,3 +241,30 @@ def test_coverage_registry_index_complete():
     index = cov.split("## Registry index")[1]
     missing = [q for q in all_specs() if f"`{q}`" not in index]
     assert not missing, f"stale registry index, missing: {missing[:10]}"
+
+
+def test_bench_list_covers_registry():
+    """VERDICT r9 item 3: 85 registered queries had silently drifted
+    out of bench.py's hand-maintained HEADLINE list.  The list is now
+    DERIVED from the registry; pin that HEADLINE == registry minus
+    BENCH_EXCLUDE, that every exclusion still names a registered query
+    (no stale entries), and that each exclusion carries a reason."""
+    import importlib.util
+
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    registered = set(all_specs())
+    assert set(bench.HEADLINE) == registered - set(bench.BENCH_EXCLUDE), (
+        sorted(registered - set(bench.BENCH_EXCLUDE) - set(bench.HEADLINE))
+        or sorted(set(bench.HEADLINE) - registered)
+    )
+    assert set(bench.BENCH_EXCLUDE) <= registered, sorted(
+        set(bench.BENCH_EXCLUDE) - registered
+    )
+    for name, reason in bench.BENCH_EXCLUDE.items():
+        assert reason.strip(), f"{name} excluded without a documented reason"

@@ -258,19 +258,23 @@ def test_global_running_sum_matches_unpartitioned_window(spark):
     # the scale property, asserted on the physical plan: every window
     # spec is either PARTITIONED by _pid (the data-side running sum —
     # first windowspecdefinition arg is a bare `_pid#N,` partition
-    # column) or orders by _pid ALONE (`_pid#N ASC` — the offsets
-    # window over the num_partitions-row aggregate).  A regression that
-    # routed the DATA through an unpartitioned window would order by
-    # the value/order columns without a _pid partition and fail here.
+    # column) or is the OFFSETS window over the num_partitions-row
+    # aggregate — since bounded_window_key, that one is partitioned by
+    # a projected constant (`_wN#M`) and ordered by _pid, so its spec
+    # reads `_wN#M, _pid#K ASC`.  A regression that routed the DATA
+    # through an unpartitioned window would order by the value/order
+    # columns without a _pid partition and fail here.
     import re
 
     plan = explain_str(scaled_df, "formatted")
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "no window in plan?"
     for spec in specs:
-        first = spec.split(",")[0].strip()
-        partitioned_by_pid = re.fullmatch(r"_pid#\d+", first)
-        offsets_only = re.fullmatch(r"_pid#\d+ ASC NULLS FIRST", first)
+        parts = [p.strip() for p in spec.split(",")]
+        partitioned_by_pid = re.fullmatch(r"_pid#\d+", parts[0])
+        offsets_only = re.fullmatch(r"_w\d+#\d+", parts[0]) and re.fullmatch(
+            r"_pid#\d+ ASC NULLS FIRST", parts[1]
+        )
         assert partitioned_by_pid or offsets_only, (
             f"window spec neither _pid-partitioned nor offsets-only: {spec}"
         )
@@ -402,3 +406,48 @@ def test_global_running_max_matches_unpartitioned_window(spark):
     assert inc == want_inc
     assert exc == want_exc
     assert exc[0] is None
+
+
+def test_bounded_window_key_silences_and_matches(spark):
+    """bounded_window_key exists because Spark 4's
+    EliminateWindowPartitions strips FOLDABLE window partition keys —
+    a bare lit(0) reverts to the unpartitioned spec and its
+    `WARN WindowExec: No Partition Defined` line, which polluted the
+    driver's bench capture (VERDICT r9 item 4).  Pin the three load-
+    bearing properties: (1) the key survives optimization (the
+    optimized plan's windowspecdefinition keeps a partition column);
+    (2) results are bit-identical to the unpartitioned window,
+    INCLUDING null order keys (hash(null) = seed, not null, so nulls
+    stay in the same single partition); (3) the key is never null."""
+    import re
+
+    from pyspark.sql import Window
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        bounded_window_key,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (1.0, 2.0), (2.0, 3.0), (None, 4.0), (3.0, 5.0)],
+        "k double, v double",
+    )
+    cum = F.sum("v").over(
+        Window.partitionBy(bounded_window_key("k"))
+        .orderBy(F.asc_nulls_first("k"), "v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = df.withColumn("cum", cum)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    spec = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert spec and re.match(r"_w\d+#\d+", spec.group(1).split(",")[0].strip()), (
+        "constant partition key was optimized away — the WindowExec "
+        f"warning is back: {plan}"
+    )
+    naive = F.sum("v").over(
+        Window.orderBy(F.asc_nulls_first("k"), "v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    want = df.withColumn("cum", naive)
+    key = lambda r: (r["k"] is not None, r["k"] or 0.0, r["v"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)

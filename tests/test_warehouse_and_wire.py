@@ -185,3 +185,67 @@ def test_training_shards_deterministic_with_verifiable_manifest(spark, tmp_path)
     }
     for s in m1:
         assert redo[s["shard"]] == (s["n_rows"], s["key_checksum"])
+
+
+def test_kafka_sink_payload_roundtrips_through_source_parse(spark, tmp_path):
+    """VERDICT r9 item 8: the last untested arrow in the §2 table at
+    the level this engine owns — sink-payload → source-parse IDENTITY.
+    Raw wire lines are streamed through the file-replay source, folded
+    into kafka_sink's exact publish format (kafka_payload: to_json of
+    every column, cast binary) under a real streaming query, and the
+    captured binary values are then fed back through
+    parse_product_views as if consumed from the topic.  The re-parsed
+    rows must equal parsing the original lines directly — proving a
+    consumer of our published topic sees exactly what a consumer of
+    the producer's topic sees."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.json_events import (
+        json_file_stream,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.pipeline import (
+        PRODUCT_VIEW_SCHEMA,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        kafka_payload,
+    )
+    from .test_streaming import _mk_events, _write_file
+
+    lines = [e[2] for e in _mk_events(0, 45)]
+    lines.insert(7, "{broken json")  # malformed survives publish, dropped at parse
+    replay = str(tmp_path / "in")
+    _write_file(replay, "b1.json", lines)
+
+    # streaming half: raw line -> full wire struct -> kafka_payload,
+    # run under a real streaming query (the sink's own input shape)
+    raw = json_file_stream(spark, replay)
+    wire = raw.select(
+        F.from_json(F.col("value").cast("string"), PRODUCT_VIEW_SCHEMA).alias("r")
+    ).select("r.*")
+    payload = kafka_payload(wire)
+    assert dict(payload.dtypes) == {"value": "binary"}, payload.dtypes
+    q = (
+        payload.writeStream.format("memory")
+        .queryName("kafka_payload_capture")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    published = spark.sql("SELECT value FROM kafka_payload_capture")
+    assert published.count() == len(lines)  # publish drops nothing
+
+    # consume half: published binary values -> the S1 parse chain
+    reparsed = parse_product_views(published)
+    direct = parse_product_views(
+        spark.createDataFrame([(l.encode(),) for l in lines], "value binary")
+    )
+    key = lambda r: r["messageid"]  # noqa: E731
+    got = sorted(reparsed.collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert len(want) == 45 and got == want
