@@ -3684,3 +3684,67 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant_95"),
     )
+
+
+QSKETCH_PHIS = (0.25, 0.5, 0.75, 0.95)
+QSKETCH_ACCURACY = 10000  # rank-error guarantee 1/accuracy
+QSKETCH_TOLERANCE = 0.01  # asserted bound, slack over the guarantee
+
+
+@register(
+    "events_quantile_sketch_bound",
+    oracle="SELECT DISTINCT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS phi, "
+           "true AS within_bound FROM events",
+    doc=f"Accuracy-bound twin for APPROX_PERCENTILE — completes the "
+        f"sketch family (HLL distinct, CMS frequency, KMV distinct, "
+        f"Bloom prefilter) with the quantile sketch every 100 TB "
+        f"percentile dashboard actually runs: approx_percentile's "
+        f"Greenwald-Khanna state is mergeable map-side, so the corpus "
+        f"never sorts.  The estimate is engine-specific, so — exactly "
+        f"like events_hll_partial_merge_bound — the driver-checked "
+        f"contract is the BOUND: for each phi in {QSKETCH_PHIS}, the "
+        f"EXACT rank interval of the returned value (count-below, "
+        f"count-at-or-below — both computed in one conditional-sum "
+        f"scan) must straddle phi*n within {QSKETCH_TOLERANCE} "
+        f"(guarantee is 1/{QSKETCH_ACCURACY}); oracle = constant-true "
+        f"table.  Scale shape: one sketch agg (partial-merged "
+        f"map-side) + one conditional-sum scan against the broadcast "
+        f"1-row quantile array; no sort, no window.",
+    tags=("events", "approx", "sketch"),
+)
+def events_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qs = e.agg(
+        F.percentile_approx(
+            "value", list(QSKETCH_PHIS), QSKETCH_ACCURACY
+        ).alias("qarr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranks = e.crossJoin(F.broadcast(qs)).agg(
+        F.first("n").alias("n"),
+        *[
+            F.sum((F.col("value") < F.col("qarr")[i]).cast("bigint")).alias(f"lt_{i}")
+            for i in range(len(QSKETCH_PHIS))
+        ],
+        *[
+            F.sum((F.col("value") <= F.col("qarr")[i]).cast("bigint")).alias(f"le_{i}")
+            for i in range(len(QSKETCH_PHIS))
+        ],
+    )
+    per_phi = [
+        F.struct(
+            F.lit(phi).alias("phi"),
+            (
+                # rank interval [lt+1, le] must straddle phi*n within tol:
+                # lower edge not too far above, upper edge not too far below
+                ((F.col(f"lt_{i}") + 1) - F.lit(phi) * F.col("n")
+                 <= F.lit(QSKETCH_TOLERANCE) * F.col("n"))
+                & (F.lit(phi) * F.col("n") - F.col(f"le_{i}")
+                   <= F.lit(QSKETCH_TOLERANCE) * F.col("n"))
+            ).alias("within_bound"),
+        )
+        for i, phi in enumerate(QSKETCH_PHIS)
+    ]
+    return ranks.select(
+        F.explode(F.array(*per_phi)).alias("r")
+    ).select(F.col("r.phi").alias("phi"), F.col("r.within_bound").alias("within_bound"))

@@ -630,3 +630,104 @@ def document_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dangling"),
         )
     )
+
+
+# Standard training-batch aspect-ratio buckets (name, ratio w:h, pick order)
+AR_BUCKETS: tuple[tuple[str, int, int, int], ...] = (
+    ("square_1_1", 1, 1, 1),
+    ("landscape_4_3", 4, 3, 2),
+    ("wide_16_9", 16, 9, 3),
+    ("portrait_3_4", 3, 4, 4),
+    ("tall_9_16", 9, 16, 5),
+)
+
+
+def _duck_ar_buckets_values() -> str:
+    return ", ".join(f"('{n}', {nb}, {db}, {r})" for n, nb, db, r in AR_BUCKETS)
+
+
+@register(
+    "multimodal_aspect_ratio_buckets",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 512 AS BIGINT)       AS w,
+             CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS h
+      FROM documents
+    ), b(bucket, nb, db, pick) AS (
+      VALUES {_duck_ar_buckets_values()}
+    ), scored AS (
+      SELECT d.doc_id, b.bucket,
+             greatest(d.w * b.db, d.h * b.nb) AS num,
+             least(d.w * b.db, d.h * b.nb)    AS den,
+             b.pick
+      FROM dims d CROSS JOIN b
+    ), best AS (
+      SELECT doc_id, bucket,
+             (num - den) * 1000000 // num AS waste_e6
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY num * 1.0 / den, pick) = 1
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor((CAST(sum(waste_e6) AS BIGINT) * 1.0
+                  / (count(*) * 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_padding_waste,
+           floor((CAST(max(waste_e6) AS BIGINT) / 1000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS max_padding_waste
+    FROM best
+    GROUP BY bucket
+    """,
+    doc="Aspect-ratio bucketing for multimodal training batches: every "
+        "image is assigned to the nearest of five standard ratios "
+        "(1:1, 4:3, 16:9, 3:4, 9:16) so batches group same-shape "
+        "samples and padding waste is measured per bucket — the "
+        "standard fixed-shape-batch preprocessing step.  Dimensions "
+        "come from the container's documented deterministic decode "
+        "stub (fake_decode_rgb) via the same Arrow-batched mapInPandas "
+        "stage as multimodal_decode_features.  Nearest-ratio choice is "
+        "EXACT integer arithmetic: for bucket nb:db the misfit is the "
+        "ratio max(w*db, h*nb)/min(w*db, h*nb); the argmin over the "
+        "FIVE candidates is computed per row with array_min over "
+        "(misfit, pick_order) structs — zero shuffle, no per-doc "
+        "window — and per-doc padding waste ((num-den)*1e6 div num) "
+        "is integer division, so both engines agree bit-for-bit.  "
+        "Scale shape: one mapInPandas decode pass + per-row constant "
+        "array math + ONE partial-agg shuffle to 5 bucket cells.",
+    tags=("multimodal", "pandas-udf", "pipeline"),
+)
+def multimodal_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    feats = b.mapInPandas(_decode_batches, schema=_FEATURE_SCHEMA).select(
+        "doc_id",
+        F.col("fake_width").alias("w"),
+        F.col("fake_height").alias("h"),
+    )
+    cands = []
+    for name, nb, db, pick in AR_BUCKETS:
+        num = F.greatest(F.col("w") * F.lit(db), F.col("h") * F.lit(nb))
+        den = F.least(F.col("w") * F.lit(db), F.col("h") * F.lit(nb))
+        cands.append(
+            F.struct(
+                (num * F.lit(1.0) / den).alias("misfit"),
+                F.lit(pick).alias("pick"),
+                F.lit(name).alias("bucket"),
+                ((num - den) * F.lit(1000000) / num).cast("bigint").alias("waste_e6"),
+            )
+        )
+    best = feats.select(F.array_min(F.array(*cands)).alias("best"))
+    return (
+        best.groupBy(F.col("best.bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pround(
+                F.sum("best.waste_e6") * F.lit(1.0)
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_padding_waste"),
+            pround(F.max("best.waste_e6") / F.lit(1000000.0), 6).alias(
+                "max_padding_waste"
+            ),
+        )
+    )

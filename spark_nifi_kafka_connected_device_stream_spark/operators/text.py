@@ -1506,3 +1506,141 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TB_TOPK)
         .drop("_k")
     )
+
+
+LOGODDS_TOP = 5
+
+
+@register(
+    "text_token_fertility_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT)      AS n_tokens,
+             CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS BIGINT) AS n_chars,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           floor((CAST(sum(n_chars) AS BIGINT) * 1.0 / CAST(sum(n_tokens) AS BIGINT)) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+           floor((CAST(sum(n_bytes) AS BIGINT) * 1.0 / CAST(sum(n_tokens) AS BIGINT)) * 1000000.0 + 0.5) / 1000000.0 AS bytes_per_token,
+           floor((CAST(sum(n_tokens) AS BIGINT) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_doc
+    FROM per_doc
+    GROUP BY lang
+    """,
+    doc="Tokenizer-fertility health metric by language: chars/token, "
+        "bytes/token (the BPE-fertility proxy — languages whose bytes-"
+        "per-token drifts high are under-served by the tokenizer and "
+        "silently cost context budget), tokens/doc.  Scale shape: "
+        "per-row token/char/byte counts computed map-side in one "
+        "corpus scan, ONE partial-agg shuffle to |langs| cells; all "
+        "sums exact int64, the three ratios are single double "
+        "divisions of identical integers — bit-stable cross-engine.",
+    tags=("text", "tokens"),
+)
+def text_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.size(tokens(norm)).cast("bigint").alias("n_tokens"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        pround(F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        pround(F.sum("n_bytes") * F.lit(1.0) / F.sum("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+        pround(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@register(
+    "source_logodds_terms",
+    oracle=f"""
+    WITH cell AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ), cnt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS y
+      FROM cell GROUP BY source, token
+    ), src AS (
+      SELECT source, CAST(sum(y) AS BIGINT) AS n_s FROM cnt GROUP BY source
+    ), term AS (
+      SELECT token, CAST(sum(y) AS BIGINT) AS c_i FROM cnt GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n, CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM cnt
+    ), z AS (
+      SELECT c.source, c.token,
+             c.y AS y_si,
+             (ln((c.y + 1.0) / (s.n_s + t2.v - c.y - 1.0))
+              - ln((t.c_i - c.y + 1.0) / (t2.n - s.n_s + t2.v - (t.c_i - c.y) - 1.0)))
+             / sqrt(1.0 / (c.y + 1.0) + 1.0 / (t.c_i - c.y + 1.0)) AS zval
+      FROM cnt c JOIN src s USING (source) JOIN term t USING (token) CROSS JOIN tot t2
+    )
+    SELECT source, token, y_si,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY floor(zval * 10000.0 + 0.5) / 10000.0 DESC, token) AS INTEGER) AS rank,
+           floor(zval * 10000.0 + 0.5) / 10000.0 AS z
+    FROM z
+    QUALIFY rank <= {LOGODDS_TOP}
+    """,
+    doc=f"Distinguishing terms per source via Monroe et al.'s "
+        f"log-odds-ratio with an informative Dirichlet prior "
+        f"(\"Fightin' Words\", flat prior a_i=1, a0=|V|): "
+        f"z = [ln((y_si+1)/(n_s+V-y_si-1)) - ln((y_ri+1)/(n_r+V-y_ri-1))]"
+        f" / sqrt(1/(y_si+1) + 1/(y_ri+1)) — unlike raw TF-IDF this "
+        f"shrinks rare-term noise and surfaces what a source "
+        f"over-uses RELATIVE to the rest of the corpus; top-{LOGODDS_TOP} "
+        f"per source.  Scale shape: ONE corpus tokenize+agg to "
+        f"(source, token) cells; term margins join back on token "
+        f"(co-partitioned, vocab-sized — NOT broadcast: open-domain "
+        f"vocab outgrows a broadcast at 100 TB), |sources|-row and "
+        f"1-row margins broadcast; the top-k window partitions by "
+        f"source.  Ranking and output use the SAME 4dp-rounded z so "
+        f"cross-engine libm ULP drift cannot reorder ranks (ties "
+        f"break on token).",
+    tags=("text", "curation", "stats"),
+)
+def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    src = cnt.groupBy("source").agg(F.sum("y").cast("bigint").alias("n_s"))
+    term = cnt.groupBy("token").agg(F.sum("y").cast("bigint").alias("c_i"))
+    tot = cnt.agg(
+        F.sum("y").cast("bigint").alias("n"),
+        F.countDistinct("token").cast("bigint").alias("v"),
+    )
+    y, n_s, c_i, n, v = (F.col(c) for c in ("y", "n_s", "c_i", "n", "v"))
+    y_r = c_i - y
+    delta = F.log((y + F.lit(1.0)) / (n_s + v - y - F.lit(1.0))) - F.log(
+        (y_r + F.lit(1.0)) / (n - n_s + v - y_r - F.lit(1.0))
+    )
+    zval = delta / F.sqrt(F.lit(1.0) / (y + F.lit(1.0)) + F.lit(1.0) / (y_r + F.lit(1.0)))
+    z4 = pround(zval, 4)
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("token"))
+    return (
+        cnt.join(term, "token")  # vocab-sized: co-partitioned join, not broadcast
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "token", F.col("y").alias("y_si"), z4.alias("z"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= LOGODDS_TOP)
+        .select("source", "token", "y_si", "rank", "z")
+    )
