@@ -3748,3 +3748,133 @@ def events_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.explode(F.array(*per_phi)).alias("r")
     ).select(F.col("r.phi").alias("phi"), F.col("r.within_bound").alias("within_bound"))
+
+
+_XCORR_X, _XCORR_Y = "view", "purchase"
+_XCORR_LAGS = (-12, -6, -3, -1, 0, 1, 3, 6, 12)
+
+
+@register(
+    "events_xcorr_view_purchase",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('{_XCORR_X}', '{_XCORR_Y}')
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ), series AS (
+      SELECT g.h,
+             CAST(coalesce(x.n, 0) AS BIGINT) AS x,
+             CAST(coalesce(y.n, 0) AS BIGINT) AS y
+      FROM grid g
+      LEFT JOIN counts x ON x.h = g.h AND x.event_type = '{_XCORR_X}'
+      LEFT JOIN counts y ON y.h = g.h AND y.event_type = '{_XCORR_Y}'
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM series
+    ), dev AS (
+      SELECT se.h, se.x * st.t - st.sx AS dx, se.y * st.t - st.sy AS dy
+      FROM series se CROSS JOIN stats st
+    ), den AS (
+      SELECT CAST(sum(dx * dx) AS BIGINT) AS dxx,
+             CAST(sum(dy * dy) AS BIGINT) AS dyy
+      FROM dev
+    ), lags(lag) AS (
+      VALUES {", ".join(f"({L})" for L in _XCORR_LAGS)}
+    ), num AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.dx * b.dy) AS BIGINT) AS nxy
+      FROM lags l
+      JOIN dev a ON true
+      JOIN dev b ON b.h = a.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
+           floor((n.nxy / sqrt(CAST(d.dxx AS DOUBLE) * d.dyy)) * 1000000.0 + 0.5)
+             / 1000000.0 AS xcorr
+    FROM num n CROSS JOIN den d
+    """,
+    doc=f"Lead-lag cross-correlation between the zero-filled hourly "
+        f"'{_XCORR_X}' and '{_XCORR_Y}' volume series at lags "
+        f"{_XCORR_LAGS} (negative lag = {_XCORR_Y} leads) — the "
+        f"standard CCF normalization: full-series means and variances, "
+        f"r(L) = sum dx(t)dy(t+L) / sqrt(sum dx^2 * sum dy^2), the "
+        f"companion of events_hourly_acf for CROSS-series lead-lag "
+        f"discovery (does viewing precede purchasing, and by how many "
+        f"hours?).  Exact-integer trick shared with the ACF: "
+        f"deviations scaled by T (dx = x*T - Sx) so every sum is an "
+        f"order-free int64; the T^2 factors cancel in the ratio and "
+        f"the only float ops are one multiply and one sqrt on exact "
+        f"integers — bit-stable cross-engine.  Scale shape: ONE "
+        f"hash-agg over the fact table to hourly cells; the dense "
+        f"grid, deviations, lag join (|lags| x |hours| rows) and "
+        f"moments are all calendar-bounded metadata; int64 headroom "
+        f"matches the ACF note above.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XCORR_X, _XCORR_Y)
+    )
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    cx = counts.filter(F.col("event_type") == _XCORR_X).select("h", F.col("n").alias("nx"))
+    cy = counts.filter(F.col("event_type") == _XCORR_Y).select("h", F.col("n").alias("ny"))
+    series = (
+        grid.join(cx, "h", "left")
+        .join(cy, "h", "left")
+        .select(
+            "h",
+            F.coalesce("nx", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("ny", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "h",
+        (F.col("x") * F.col("t") - F.col("sx")).alias("dx"),
+        (F.col("y") * F.col("t") - F.col("sy")).alias("dy"),
+    )
+    dev = dev.localCheckpoint(eager=False)
+    den = dev.agg(
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("dxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("dyy"),
+    )
+    lags = spark.createDataFrame([(L,) for L in _XCORR_LAGS], "lag int")
+    b = dev.select(F.col("h").alias("hb"), F.col("dy").alias("dyb"))
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dx") * F.col("dyb")).cast("bigint").alias("nxy"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        pround(
+            F.col("nxy")
+            / F.sqrt(F.col("dxx").cast("double") * F.col("dyy")),
+            6,
+        ).alias("xcorr"),
+    )

@@ -1778,3 +1778,144 @@ def embedding_effective_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(pr, 6).alias("participation_ratio"),
         pround(pr / F.col("d"), 6).alias("pr_fraction"),
     )
+
+
+RP_K = 8  # target dimensionality of the random sign projection
+# LCG constants for the deterministic +/-1 sign matrix s(i, j)
+_RP_A, _RP_B, _RP_M = 1103515245, 12345, 65536
+
+
+@register(
+    "embedding_random_projection_distortion",
+    oracle=f"""
+    WITH x AS (
+      SELECT e.vec_id, gs.j,
+             CAST(floor(CAST(e.embedding[gs.j] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS x_e6
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS j) gs
+    ), signs AS (
+      SELECT i.i, j.j,
+             CAST(1 - 2 * (((j.j * {_RP_A} + i.i * {_RP_B}) // {_RP_M}) % 2)
+                  AS BIGINT) AS s
+      FROM (SELECT unnest(generate_series(1, {RP_K})) AS i) i
+      CROSS JOIN (SELECT DISTINCT j FROM x) j
+    ), y AS (
+      SELECT x.vec_id, s.i, CAST(sum(s.s * x.x_e6) AS BIGINT) AS y_e6
+      FROM x JOIN signs s USING (j)
+      GROUP BY x.vec_id, s.i
+    ), d2y AS (
+      SELECT a.vec_id,
+             CAST(sum((a.y_e6 - b.y_e6) * (a.y_e6 - b.y_e6)) AS BIGINT) AS dy
+      FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      GROUP BY a.vec_id
+    ), d2x AS (
+      SELECT a.vec_id,
+             CAST(sum((a.x_e6 - b.x_e6) * (a.x_e6 - b.x_e6)) AS BIGINT) AS dx
+      FROM x a JOIN x b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      GROUP BY a.vec_id
+    )
+    SELECT CAST((y.dy * 20) // ({RP_K} * x.dx) AS INTEGER) AS distortion_bucket,
+           floor(((y.dy * 20) // ({RP_K} * x.dx)) / 20.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM d2y y JOIN d2x x USING (vec_id)
+    WHERE x.dx > 0
+    GROUP BY 1, 2
+    """,
+    doc=f"Johnson-Lindenstrauss sign-projection distortion audit: "
+        f"embeddings are projected 64 -> {RP_K} dims with a "
+        f"DETERMINISTIC Achlioptas-style +/-1 matrix (sign from an LCG "
+        f"on (i, j), no stored matrix, reproducible on any executor), "
+        f"and the squared-distance distortion "
+        f"||y_a - y_b||^2 / (k/d-normalized ||x_a - x_b||^2) is "
+        f"histogrammed over the LINEAR pair sample (vec_id, vec_id+1) "
+        f"— the cheap pre-flight check before swapping full-dim "
+        f"distances for projected ones in ANN candidate generation.  "
+        f"Exactness: coordinates are fixed to e6 integers FIRST, so "
+        f"projections and both squared distances are order-free int64 "
+        f"sums, and the bucket is integer floor-division "
+        f"((dy*20) div (k*dx)) — no float enters until the printed "
+        f"bucket_lo label.  Scale shape: posexplode is map-side; the "
+        f"projection is a broadcast join against the {RP_K}x64-row "
+        f"sign table + ONE shuffle keyed (vec_id, i); pairs are "
+        f"consecutive-id (linear, never quadratic); int64 headroom: "
+        f"|y_e6| <= d*1e6 so the squared diff stays under ~2e16 at "
+        f"d=64, ~1e5x below the int64 ceiling.",
+    tags=("similarity", "embedding", "approx"),
+)
+def embedding_random_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("j0", "xv"),
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).alias("j"),
+        F.floor(F.col("xv").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x_e6"),
+    )
+    x = x.localCheckpoint(eager=False)
+    dims = x.select("j").distinct()
+    ks = spark.range(1, RP_K + 1).select(F.col("id").cast("bigint").alias("i"))
+    s = (
+        dims.crossJoin(F.broadcast(ks))
+        .select(
+            "i",
+            "j",
+            (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    F.floor(
+                        (
+                            F.col("j").cast("bigint") * F.lit(_RP_A)
+                            + F.col("i").cast("bigint") * F.lit(_RP_B)
+                        )
+                        / F.lit(_RP_M)
+                    ).cast("bigint")
+                    % F.lit(2)
+                )
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    y = (
+        x.join(F.broadcast(s), "j")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("s") * F.col("x_e6")).cast("bigint").alias("y_e6"))
+    )
+    yb = y.select((F.col("vec_id") - 1).alias("vec_id"), "i", F.col("y_e6").alias("y_b"))
+    d2y = (
+        y.join(yb, ["vec_id", "i"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("y_e6") - F.col("y_b")) * (F.col("y_e6") - F.col("y_b")))
+            .cast("bigint")
+            .alias("dy")
+        )
+    )
+    xb = x.select((F.col("vec_id") - 1).alias("vec_id"), "j", F.col("x_e6").alias("x_b"))
+    d2x = (
+        x.join(xb, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x_e6") - F.col("x_b")) * (F.col("x_e6") - F.col("x_b")))
+            .cast("bigint")
+            .alias("dx")
+        )
+    )
+    bucket = F.expr(f"(dy * 20) div ({RP_K} * dx)")
+    return (
+        d2y.join(d2x, "vec_id")
+        .filter(F.col("dx") > 0)
+        .groupBy(
+            bucket.cast("int").alias("distortion_bucket"),
+            pround(bucket / F.lit(20.0), 6).alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

@@ -1644,3 +1644,73 @@ def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= LOGODDS_TOP)
         .select("source", "token", "y_si", "rank", "z")
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS syllables
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(words) AS BIGINT)      AS total_words,
+           floor((CAST(sum(words) AS BIGINT) * 1.0 / CAST(sum(sentences) AS BIGINT))
+                 * 1000000.0 + 0.5) / 1000000.0 AS words_per_sentence,
+           floor((CAST(sum(syllables) AS BIGINT) * 1.0 / CAST(sum(words) AS BIGINT))
+                 * 1000000.0 + 0.5) / 1000000.0 AS syllables_per_word,
+           floor((206.835
+                  - 1.015 * (CAST(sum(words) AS BIGINT) * 1.0 / CAST(sum(sentences) AS BIGINT))
+                  - 84.6 * (CAST(sum(syllables) AS BIGINT) * 1.0 / CAST(sum(words) AS BIGINT)))
+                 * 10000.0 + 0.5) / 10000.0 AS flesch
+    FROM per_doc
+    GROUP BY lang
+    """,
+    doc="Flesch reading-ease by language — the classic readability "
+        "feature of text-quality scoring, computed from corpus-level "
+        "sums (not per-doc averages, which would weight short docs "
+        "up): 206.835 - 1.015*(words/sentences) - 84.6*(syllables/"
+        "words).  Syllables use the standard vowel-group proxy "
+        "(non-overlapping [aeiou]+ runs — spaces break runs, so "
+        "whole-text counting equals per-word counting); sentence "
+        "count is [.!?]+ runs clamped to >= 1.  Scale shape: three "
+        "regex/token counts per row map-side in ONE corpus scan, one "
+        "partial-agg shuffle to |langs| cells; all sums exact int64, "
+        "the formula is applied once per cell on identical integers — "
+        "bit-stable cross-engine.",
+    tags=("text", "curation"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(tokens(normalize_text(F.col("text")))).cast("bigint").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    words_per_sentence = F.sum("words") * F.lit(1.0) / F.sum("sentences")
+    syllables_per_word = F.sum("syllables") * F.lit(1.0) / F.sum("words")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        pround(words_per_sentence, 6).alias("words_per_sentence"),
+        pround(syllables_per_word, 6).alias("syllables_per_word"),
+        pround(
+            F.lit(206.835)
+            - F.lit(1.015) * words_per_sentence
+            - F.lit(84.6) * syllables_per_word,
+            4,
+        ).alias("flesch"),
+    )

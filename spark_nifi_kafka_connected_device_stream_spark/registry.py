@@ -190,13 +190,16 @@ DEFERRED: tuple[str, ...] = (
     "text_term_burstiness",
     "embedding_effective_dims",
     # round-10 additions (6 — registration cap kept well under 25 so
-    # the queue keeps shrinking; VERDICT r9 item 2)
+    # the queue keeps shrinking; VERDICT r9 item 2)  [+3 second wave below]
     "text_token_fertility_by_lang",
     "source_logodds_terms",
     "events_quantile_sketch_bound",
     "multimodal_aspect_ratio_buckets",
     "privacy_t_closeness_report",
     "lineitem_transit_overlap_by_part",
+    "text_readability_flesch",
+    "embedding_random_projection_distortion",
+    "events_xcorr_view_purchase",
 )
 
 
