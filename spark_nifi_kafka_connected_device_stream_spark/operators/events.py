@@ -3878,3 +3878,100 @@ def events_xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+@register(
+    "events_transition_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts) // 1000 ASC,
+                                             event_id ASC) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), rows_tot AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      FROM pairs GROUP BY from_type
+    ), cond AS (
+      SELECT p.from_type, r.n_from,
+             CAST(-sum(CAST(floor((p.n * 1.0 / r.n_from)
+                                  * log2(p.n * 1.0 / r.n_from)
+                                  * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS h_e9
+      FROM pairs p JOIN rows_tot r USING (from_type)
+      GROUP BY p.from_type, r.n_from
+    ), tot AS (
+      SELECT CAST(sum(n_from) AS BIGINT) AS c FROM rows_tot
+    )
+    SELECT c.from_type,
+           c.n_from AS n_transitions,
+           floor((c.h_e9 / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+             AS row_entropy_bits,
+           floor((CAST(sum(c.n_from * c.h_e9) OVER () AS BIGINT)
+                  / (t.c * 1000000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corpus_entropy_rate_bits
+    FROM cond c CROSS JOIN tot t
+    """,
+    doc="Empirical transition entropy of the per-user event-type chain: "
+        "per current state, H(next | current = s) = -sum_t p(t|s) "
+        "log2 p(t|s) in bits, plus the corpus conditional entropy rate "
+        "(the frequency-weighted average) — the predictability scalar "
+        "behind bot screens (near-0 bits = scripted loops) and "
+        "next-action model ceiling estimates, the scalar summary of "
+        "events_markov_transitions' full matrix.  Same sequencing "
+        "contract as that query (exact integer micros + event_id).  "
+        "Scale shape: ONE user_id shuffle for the lead(), a "
+        "|types|^2-row aggregate, and all entropy math on that "
+        "metadata-sized cell table; probabilities are ratios of exact "
+        "int64 counts so both engines feed log2 identical doubles.  "
+        "The weighted-average window runs over |types| rows "
+        "(bounded_window_key keeps it warning-free).",
+    tags=("events", "session", "stats"),
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import bounded_window_key
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    rows_tot = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    p = F.col("n") * F.lit(1.0) / F.col("n_from")
+    # per-term e9 quantization BEFORE the sum (hill-tail-index pattern):
+    # both engines feed log2 identical doubles, but a sum of doubles is
+    # order-dependent — an int64 sum of quantized terms is not.  int64
+    # headroom: sum(n_from * h_e9) <= C * log2(|types|) * 1e9, safe to
+    # ~1e8 transitions per type; decimal(38,0) swap beyond
+    # (warehouse.py:203 pattern).
+    term_e9 = F.floor(p * F.log2(p) * F.lit(1_000_000_000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cond = (
+        pairs.join(F.broadcast(rows_tot), "from_type")
+        .groupBy("from_type", "n_from")
+        .agg((-F.sum(term_e9)).cast("bigint").alias("h_e9"))
+    )
+    tot = rows_tot.agg(F.sum("n_from").cast("bigint").alias("c"))
+    wall = Window.partitionBy(bounded_window_key("from_type")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cond.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        F.col("n_from").alias("n_transitions"),
+        pround(F.col("h_e9") / F.lit(1_000_000_000.0), 6).alias("row_entropy_bits"),
+        pround(
+            F.sum(F.col("n_from") * F.col("h_e9")).over(wall)
+            / (F.col("c") * F.lit(1_000_000_000.0)),
+            6,
+        ).alias("corpus_entropy_rate_bits"),
+    )

@@ -459,3 +459,47 @@ def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num * F.lit(1.0) > F.lit(T_CLOSENESS_T) * den).alias("violates"),
         )
     )
+
+
+@register(
+    "privacy_sensitivity_report",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(n_u) AS BIGINT)   AS n_rows,
+           CAST(count(*) AS BIGINT)   AS n_users,
+           CAST(max(n_u) AS BIGINT)   AS l1_sensitivity,
+           floor((CAST(max(n_u) AS BIGINT) * 1.0 / CAST(sum(n_u) AS BIGINT))
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_user_share
+    FROM per_user
+    GROUP BY event_type
+    """,
+    doc="Differential-privacy PREP: the L1 sensitivity of per-type "
+        "count releases — the maximum number of rows any single user "
+        "contributes, which is exactly the noise scale a Laplace "
+        "mechanism must calibrate to (and the contribution-capping "
+        "threshold a DP pipeline clips at before aggregating).  "
+        "Complements the k-anonymity / l-diversity / t-closeness audit "
+        "ladder with the quantitative release-calibration number; the "
+        "max-user-share column is the skew flag (one device dominating "
+        "a 'per-type count' makes that release fragile regardless of "
+        "epsilon).  Deterministic by construction — the DP noise "
+        "itself is random and is NOT modeled here.  Scale shape: one "
+        "(type, user) partial-agg shuffle, then a |types|-row rollup; "
+        "exact int64 counts, one final double division.",
+    tags=("privacy", "events"),
+)
+def privacy_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_u").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("n_u").cast("bigint").alias("l1_sensitivity"),
+        pround(F.max("n_u") * F.lit(1.0) / F.sum("n_u"), 6).alias("max_user_share"),
+    )

@@ -200,6 +200,8 @@ DEFERRED: tuple[str, ...] = (
     "text_readability_flesch",
     "embedding_random_projection_distortion",
     "events_xcorr_view_purchase",
+    "events_transition_entropy",
+    "privacy_sensitivity_report",
 )
 
 
