@@ -2687,3 +2687,219 @@ def orders_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_join_rows"),
         )
     )
+
+
+# chi-square(1 dof) 95% critical value, scaled by 1000 for the exact
+# integer SRM comparison below
+_SRM_CRIT_E3 = 3841
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2
+                  AS INTEGER) AS arm
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           floor(((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           (n_a - n_b) * (n_a - n_b) * 1000 > {_SRM_CRIT_E3} * (n_a + n_b)
+             AS srm_flag
+    FROM arms
+    """,
+    doc="Sample-ratio-mismatch gate for the A/B assignment feeding "
+        "events_abtest_purchase_rate (same hash-parity arms): under a "
+        "healthy 50/50 split, chi2 = (n_a - n_b)^2 / n ~ chi2(1); a "
+        "significant imbalance means the randomization itself is "
+        "broken and any downstream lift number is invalid — the "
+        "standard pre-read gate of experiment platforms.  The flag "
+        "compares exact integers ((n_a-n_b)^2 * 1000 vs 3841 * n, the "
+        "95% critical value scaled e3) so no float feeds the decision; "
+        "chi2 itself is one double division of exact ints.  Scale "
+        "shape: one user-grain partial agg, then two conditional sums "
+        "to a 1-row report.",
+    tags=("events", "stats", "abtest"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (
+            F.min(F.get_json_object("props", "$.k").cast("bigint")) % 2
+        )
+        .cast("int")
+        .alias("arm")
+    )
+    arms = assign.agg(
+        F.sum((F.col("arm") == 0).cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    return arms.select(
+        "n_a",
+        "n_b",
+        pround(d * d * F.lit(1.0) / n, 6).alias("chi2"),
+        (d * d * F.lit(1000) > F.lit(_SRM_CRIT_E3) * n).alias("srm_flag"),
+    )
+
+
+@register(
+    "orders_duplicate_payment_screen",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS orderkey_a,
+           b.o_orderkey AS orderkey_b,
+           floor((a.cents / 100.0) * 100.0 + 0.5) / 100.0 AS amount_a,
+           floor((b.cents / 100.0) * 100.0 + 0.5) / 100.0 AS amount_b,
+           CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS INTEGER)
+             AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
+     AND abs(a.cents - b.cents) * 100 <= a.cents
+    """,
+    doc="Duplicate-payment audit screen: pairs of orders by the SAME "
+        "customer within 7 days whose amounts differ by at most 1% — "
+        "the double-charge / double-submit detector of payment-ops "
+        "audit (exact-amount equality alone misses resubmissions with "
+        "adjusted tax/shipping, and this synthetic ledger has no exact "
+        "repeats at all).  Amounts compared as exact integer cents "
+        "with an integer cross-multiplied tolerance (|ca-cb|*100 <= "
+        "ca) — no float enters the predicate.  Scale shape: self-join "
+        "EQUI on o_custkey — blocks are orders-per-customer (~30 at "
+        "every TPC-H SF), so the pair blow-up is block-bounded and "
+        "never all-pairs; date and amount tolerances run as join "
+        "residuals inside each block; output is the audit worklist "
+        "itself, uniquely keyed by the orderkey total order.",
+    tags=("relational", "audit", "join"),
+)
+def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap = F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+    near = (
+        F.abs(F.col("a.cents") - F.col("b.cents")) * F.lit(100) <= F.col("a.cents")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(gap) <= F.lit(7))
+            & near,
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            pround(F.col("a.cents") / F.lit(100.0), 2).alias("amount_a"),
+            pround(F.col("b.cents") / F.lit(100.0), 2).alias("amount_b"),
+            gap.cast("int").alias("day_gap"),
+        )
+    )
+
+
+# fixed spend-tier edges in exact cents (fixed thresholds, NOT
+# quantiles: tier membership must not drift with the other year's mix)
+_TIER_EDGES_CENTS = (10_000_000, 30_000_000)  # <100k low, <300k mid, else high
+
+
+def _spend_tier(cents_col):
+    return (
+        F.when(cents_col.isNull(), "none")
+        .when(cents_col < _TIER_EDGES_CENTS[0], "low")
+        .when(cents_col < _TIER_EDGES_CENTS[1], "mid")
+        .otherwise("high")
+    )
+
+
+@register(
+    "orders_customer_migration_matrix",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey, yr
+    ), matrix AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS ck,
+             CASE WHEN a.cents IS NULL THEN 'none'
+                  WHEN a.cents < {_TIER_EDGES_CENTS[0]} THEN 'low'
+                  WHEN a.cents < {_TIER_EDGES_CENTS[1]} THEN 'mid'
+                  ELSE 'high' END AS tier_1995,
+             CASE WHEN b.cents IS NULL THEN 'none'
+                  WHEN b.cents < {_TIER_EDGES_CENTS[0]} THEN 'low'
+                  WHEN b.cents < {_TIER_EDGES_CENTS[1]} THEN 'mid'
+                  ELSE 'high' END AS tier_1996
+      FROM (SELECT * FROM spend WHERE yr = 1995) a
+      FULL OUTER JOIN (SELECT * FROM spend WHERE yr = 1996) b
+        ON a.o_custkey = b.o_custkey
+    )
+    SELECT tier_1995, tier_1996, CAST(count(*) AS BIGINT) AS n_customers
+    FROM matrix GROUP BY tier_1995, tier_1996
+    """,
+    doc="Customer spend-tier migration matrix 1995 -> 1996 (the first "
+        "two full fixture years): annual spend (exact integer cents) "
+        "bucketed by FIXED thresholds (fixed, not quantile, so a tier "
+        "means the same thing in both years), full-outer-joined across "
+        "years with 'none' for customers absent in one — churn "
+        "(x -> none), acquisition (none -> x) and up/down-grades read "
+        "directly off the <=16 cells.  The year-over-year retention/"
+        "expansion report every revenue team runs.  Scale shape: one "
+        "(custkey, year) partial-agg shuffle with the year filter "
+        "pushed to the scan, one co-partitioned self-join on custkey, "
+        "16-cell rollup.",
+    tags=("analytics", "cohorts"),
+)
+def orders_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    spend = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = spend.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("cents").alias("c_y1")
+    )
+    b = spend.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("cents").alias("c_y2")
+    )
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            _spend_tier(F.col("c_y1")).alias("tier_1995"),
+            _spend_tier(F.col("c_y2")).alias("tier_1996"),
+        )
+        .groupBy("tier_1995", "tier_1996")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

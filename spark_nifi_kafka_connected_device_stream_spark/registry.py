@@ -202,6 +202,9 @@ DEFERRED: tuple[str, ...] = (
     "events_xcorr_view_purchase",
     "events_transition_entropy",
     "privacy_sensitivity_report",
+    "events_ab_srm_check",
+    "orders_duplicate_payment_screen",
+    "orders_customer_migration_matrix",
 )
 
 
