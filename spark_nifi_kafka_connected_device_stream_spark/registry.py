@@ -189,8 +189,8 @@ DEFERRED: tuple[str, ...] = (
     "events_pettitt_changepoint",
     "text_term_burstiness",
     "embedding_effective_dims",
-    # round-10 additions (6 — registration cap kept well under 25 so
-    # the queue keeps shrinking; VERDICT r9 item 2)  [+3 second wave below]
+    # round-10 additions (14 — registration cap kept under 25 so
+    # the queue keeps shrinking; VERDICT r9 item 2)
     "text_token_fertility_by_lang",
     "source_logodds_terms",
     "events_quantile_sketch_bound",
