@@ -81,6 +81,16 @@ TZ_SENSITIVE = [
     "events_fano_dispersion",
     # round-9 late: epoch-hour rank walk from ts_us
     "events_pettitt_changepoint",
+    # round-10: isodow/hour calendar fields over stored wall time
+    "privacy_t_closeness_report",
+    # round-10: epoch-hour buckets from ts_us (cross-correlation),
+    # ts_us sequence ordering (transition entropy)
+    "events_xcorr_view_purchase",
+    "events_transition_entropy",
+    # round-10: year/datediff calendar fields over ntz order wall time
+    "orders_customer_migration_matrix",
+    "orders_duplicate_payment_screen",
+    "lineitem_transit_overlap_by_part",
 ]
 
 
