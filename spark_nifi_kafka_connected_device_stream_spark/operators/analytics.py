@@ -2903,3 +2903,132 @@ def orders_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("tier_1995", "tier_1996")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+BOOTSTRAP_B = 100
+# Poisson(1) inverse-CDF thresholds as exact uint32 integers
+# (floor(cumP(k) * 2^32) for k = 0..5; u32 >= last -> w = 6).  The
+# weight branch compares INTEGERS, so both engines draw identical
+# weights from the identical md5-derived u32.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def _duck_bootstrap_u32(key_expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+def _duck_pois_w(u32: str) -> str:
+    cases = " ".join(
+        f"WHEN {u32} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "events_bootstrap_mean_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), w AS (
+      SELECT b.b, v.cents,
+             {_duck_pois_w(_duck_bootstrap_u32("CAST(v.event_id AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)"))} AS w
+      FROM v CROSS JOIN (SELECT unnest(generate_series(0, {BOOTSTRAP_B - 1})) AS b) b
+    ), res AS (
+      SELECT b, CAST(sum(w * cents) AS BIGINT) AS s, CAST(sum(w) AS BIGINT) AS n
+      FROM w GROUP BY b HAVING sum(w) > 0
+    ), means AS (
+      SELECT s * 1.0 / (n * 100.0) AS m FROM res
+    ), full_mean AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM v
+    )
+    SELECT f.n AS n_rows,
+           CAST((SELECT count(*) FROM res) AS BIGINT) AS n_resamples,
+           floor((f.s * 1.0 / (f.n * 100.0)) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_value,
+           floor((SELECT quantile_cont(m, 0.025) FROM means) * 1000000.0 + 0.5)
+             / 1000000.0 AS ci_lo,
+           floor((SELECT quantile_cont(m, 0.975) FROM means) * 1000000.0 + 0.5)
+             / 1000000.0 AS ci_hi
+    FROM full_mean f
+    """,
+    doc=f"Poisson bootstrap 95% CI for the mean purchase value — THE "
+        f"distributed-bootstrap formulation: instead of resampling n "
+        f"rows WITH replacement (which needs global coordination), "
+        f"each row independently draws a Poisson(1) weight per "
+        f"resample, so the whole B={BOOTSTRAP_B}-resample bootstrap is "
+        f"one stateless map over the data followed by a {BOOTSTRAP_B}-"
+        f"cell aggregate.  Determinism: the weight comes from an "
+        f"md5-derived u32 per (event_id, b) compared against exact "
+        f"integer Poisson CDF thresholds — both engines draw "
+        f"bit-identical weights, resample means are ratios of exact "
+        f"int64 sums, and Spark's percentile() equals DuckDB's "
+        f"quantile_cont() on identical double multisets (verified "
+        f"cross-engine property).  Scale shape: the B-fold explode is "
+        f"map-side and partial-aggregates into {BOOTSTRAP_B} cells "
+        f"before the only shuffle; nothing global until the "
+        f"{BOOTSTRAP_B}-row mean table.",
+    tags=("events", "stats", "approx"),
+)
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    v = e.select(
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wdf = v.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+        F.col("event_id"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(u32 < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(u32 < t, k)
+    w = w.otherwise(6)
+    res = (
+        wdf.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
+            F.sum("w").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    means = res.select((F.col("s") * F.lit(1.0) / (F.col("n") * F.lit(100.0))).alias("m"))
+    ci = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+        pround(F.expr("percentile(m, 0.025D)"), 6).alias("ci_lo"),
+        pround(F.expr("percentile(m, 0.975D)"), 6).alias("ci_hi"),
+    )
+    full = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        pround(F.sum("cents") * F.lit(1.0) / (F.count(F.lit(1)) * F.lit(100.0)), 6).alias(
+            "mean_value"
+        ),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "n_resamples", "mean_value", "ci_lo", "ci_hi"
+    )

@@ -189,7 +189,7 @@ DEFERRED: tuple[str, ...] = (
     "events_pettitt_changepoint",
     "text_term_burstiness",
     "embedding_effective_dims",
-    # round-10 additions (14 — registration cap kept under 25 so
+    # round-10 additions (15 — registration cap kept under 25 so
     # the queue keeps shrinking; VERDICT r9 item 2)
     "text_token_fertility_by_lang",
     "source_logodds_terms",
@@ -205,6 +205,7 @@ DEFERRED: tuple[str, ...] = (
     "events_ab_srm_check",
     "orders_duplicate_payment_screen",
     "orders_customer_migration_matrix",
+    "events_bootstrap_mean_ci",
 )
 
 
