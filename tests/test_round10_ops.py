@@ -424,3 +424,27 @@ def test_jl_distortion_matches_python_model(spark, tmp_path):
         for r in embedding_random_projection_distortion(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark, tmp_path):
+    """The 95% Poisson-bootstrap CI must bracket the full-sample mean
+    on a well-behaved sample, n_resamples == B, and the whole report
+    must be bit-identical across runs (hash-derived weights, no RNG)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        BOOTSTRAP_B,
+        events_bootstrap_mean_ci,
+    )
+
+    rows = [
+        (i, i, 1 + i % 7, "purchase", float(10 + (i * 13) % 50), "{}")
+        for i in range(500)
+    ]
+    rows.append((1000, 1000, 9, "view", 999.0, "{}"))  # non-purchase: excluded
+    sf = _write_events(spark, tmp_path, rows)
+    r1 = events_bootstrap_mean_ci(spark, sf).collect()[0]
+    r2 = events_bootstrap_mean_ci(spark, sf).collect()[0]
+    assert r1 == r2  # deterministic end to end
+    assert r1.n_rows == 500
+    assert r1.n_resamples == BOOTSTRAP_B
+    assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi  # non-degenerate interval
