@@ -368,3 +368,47 @@ def test_partition_pruning_on_partitioned_warehouse_write(spark, tmp_path):
     full = spark.read.parquet(loc).count()
     pruned = scan.count()
     assert 0 < pruned < full
+
+
+def test_round10_plan_shapes(spark):
+    """The round-10 ops keep their designed scale shapes.
+
+    - both range joins (transit overlap, duplicate-payment) must have
+      an EQUI key: no CartesianProduct / BroadcastNestedLoopJoin in
+      the plan — the interval/tolerance predicates ride as residuals
+      on a keyed join;
+    - the bootstrap's only aggregation input is the B-fold explode —
+      partial-aggregated map-side into B cells (HashAggregate directly
+      above Generate, no shuffle between them);
+    - the JL projection joins the sign table by BROADCAST (never
+      shuffles the exploded coordinates against an 8x64-row table);
+    - xcorr and transition entropy scan events exactly once.
+    """
+    for name in ("lineitem_transit_overlap_by_part", "orders_duplicate_payment_screen"):
+        df = SPECS[name].fn(spark, SF_SMALL)
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+            f"{name} lost its equi-join key:\n{plan}"
+        )
+
+    df = SPECS["events_bootstrap_mean_ci"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    gen = plan.find("Generate explode")
+    assert gen != -1
+    # the partial HashAggregate must sit between the explode and any
+    # exchange: no shuffle of the B-fold expanded rows
+    above = plan[:gen]
+    agg_at = above.rfind("HashAggregate")
+    exch_at = above.rfind("Exchange")
+    assert agg_at != -1 and agg_at > exch_at, (
+        "bootstrap explode is shuffled before partial aggregation:\n" + plan
+    )
+
+    df = SPECS["embedding_random_projection_distortion"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+
+    for name in ("events_xcorr_view_purchase", "events_transition_entropy"):
+        df = SPECS[name].fn(spark, SF_SMALL)
+        plan = explain_str(df)
+        assert plan.count("events.parquet") <= 1, f"{name} re-scans events"
