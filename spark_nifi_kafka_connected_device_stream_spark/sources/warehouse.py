@@ -58,8 +58,10 @@ def jdbc_export(
     """K6 (dag:83-90 Sqoop → MySQL): direct JDBC export.  `batchsize`
     controls insert batching; `numPartitions` bounds parallel
     connections (a 1000-executor cluster must not open 1000 DB
-    connections).  Untestable in this container (no database) — the
-    writer configuration is the contract."""
+    connections).  Executed live in tests against the embedded Derby
+    engine Spark ships (tests/test_warehouse_and_wire.py: export,
+    append, read-back equality) — the same JDBC code path a MySQL URL
+    takes, minus the network."""
     opts = dict(properties or {})
     opts.setdefault("batchsize", str(batch_size))
     w = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)

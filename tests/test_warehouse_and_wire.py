@@ -249,3 +249,46 @@ def test_kafka_sink_payload_roundtrips_through_source_parse(spark, tmp_path):
     got = sorted(reparsed.collect(), key=key)
     want = sorted(direct.collect(), key=key)
     assert len(want) == 45 and got == want
+
+
+def test_jdbc_export_live_roundtrip_embedded_derby(spark, tmp_path):
+    """K6 executed LIVE: Spark ships the Derby JDBC driver (its Hive
+    metastore backend), so the export path can be driven end-to-end
+    against a real SQL engine in this container — same JDBC writer a
+    MySQL URL takes, minus the network.  Covers overwrite, append
+    (batched inserts), and read-back equality through spark.read.jdbc."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        jdbc_export,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/k6db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    first = [(1, "a", 1.5), (2, "b", 2.5)]
+    more = [(3, "c", -0.5)]
+    schema = "id bigint, name string, v double"
+    jdbc_export(
+        spark.createDataFrame(first, schema),
+        url,
+        "exported",
+        mode="overwrite",
+        batch_size=100,
+        num_partitions=1,
+        properties=props,
+    )
+    jdbc_export(
+        spark.createDataFrame(more, schema),
+        url,
+        "exported",
+        mode="append",
+        batch_size=2,
+        num_partitions=1,
+        properties=props,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "exported")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(first + more)
