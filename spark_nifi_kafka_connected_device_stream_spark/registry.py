@@ -95,11 +95,20 @@ def register(
 # driver-checked — more than one window — so this round's 50 slots go
 # entirely to the FIRST 50 of that queue in registration order; no
 # stale re-checks this round.  Rotation plan pinned for round 11
-# (VERDICT r9 item 7): _PROMOTE takes the 21 remaining round-9 names
-# still on DEFERRED below, then any round-10 additions, then fills the
-# rest of the window with the stalest green re-checks — the r6-era
-# cohort deferred since round 9 (embedding_pca_topcomp onward in the
-# r6 CORRECTNESS file) before anything newer.
+# (VERDICT r9 item 7): _PROMOTE takes ALL 36 names on DEFERRED below
+# (21 remaining round-9 + 15 round-10 — they exactly consume 36
+# slots), then fills the remaining 14 with the stalest green
+# re-checks.  Computed from CORRECTNESS_r01..r09 at end of round 10,
+# the stale cohort is the 36 queries whose freshest green row is r6;
+# the alphabetically-first 14 are:
+#   embedding_near_dup_pairs, embedding_norm_stats,
+#   embedding_scalar_quantize, events_gapfill_hourly,
+#   events_hourly_stats, events_json_extract, events_retention_cohorts,
+#   events_sessionize, events_top_sources_per_window,
+#   funnel_view_click_purchase, lateral_top_order_per_customer,
+#   multimodal_decode_features, multimodal_frame_sample,
+#   multimodal_metadata
+# (the remaining 22 of the r6 cohort rotate in round 12).
 _PROMOTE: tuple[str, ...] = (
     # ex-DEFERRED round-9 additions, first 50 in registration order —
     # never driver-checked before this round
