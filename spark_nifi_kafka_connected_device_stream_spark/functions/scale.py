@@ -357,3 +357,40 @@ def global_running_max(
         )
         .drop("_pid", "_off")
     )
+
+
+def int64_headroom_guard(
+    result: Column, max_abs: Column, n_rows: Column, what: str
+) -> Column:
+    """Loud-failure guard for exact int64 fixed-point sums (PERF.md
+    "Exact-integer headroom note").
+
+    The fixed-point aggregates (q9's amount_e5, q11's value_e4) are
+    exact only while the sum fits int64 — documented to hold through
+    roughly SF 10k.  Non-ANSI Spark wraps a `sum(bigint)` overflow
+    SILENTLY; ANSI mode (this build's default) raises only when some
+    RUNNING partial sum overflows, which depends on row order and
+    partitioning — the same data can pass on one cluster layout and
+    die mid-job on another.  This turns the docstring bound into a
+    deterministic runtime check computed from data statistics alone:
+    `max_abs * n_rows < 9.0e18` (just under 2^63 ≈ 9.22e18) is a
+    SUFFICIENT no-overflow condition — `|sum| <= max|term| * count` —
+    evaluated in double so the check itself cannot overflow.  Both
+    inputs come from the SAME partial aggregate as the sum (a max and
+    a count are map-side-combinable), so the guard adds no shuffle and
+    no extra pass.
+
+    `result` is wrapped as `when(assert_true(ok).isNull(), result)`:
+    assert_true returns NULL when the condition holds, so the value is
+    unchanged on the happy path, the guard cannot be pruned away (it
+    lives inside a projected column), and past the bound the query
+    dies with an actionable message instead of emitting wrapped
+    garbage.  The escape hatch past the bound is decimal(38,0)
+    accumulation (the write_training_shards pattern)."""
+    ok = max_abs.cast("double") * n_rows.cast("double") < F.lit(9.0e18)
+    msg = (
+        f"{what}: int64 fixed-point headroom exceeded "
+        "(max|term| * rows >= 9.0e18); switch the accumulator to "
+        "decimal(38,0) — see the PERF.md headroom note"
+    )
+    return F.when(F.assert_true(ok, F.lit(msg)).isNull(), result)

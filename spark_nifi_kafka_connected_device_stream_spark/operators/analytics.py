@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
-from ..functions.scale import bounded_window_key
+from ..functions.scale import bounded_window_key, int64_headroom_guard
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -912,7 +912,10 @@ def events_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partial-aggregatable groupBy. Headroom: amount_e5 is "
         "~1e10-1e11 per row, so an int64 sum (~9.2e18) holds ~1e8 rows "
         "per (nation, o_year) group — ample through SF 10k; beyond "
-        "that, accumulate as decimal(38,0) (swap the .cast at the sum).",
+        "that, accumulate as decimal(38,0) (swap the .cast at the sum). "
+        "The bound is ENFORCED at runtime: int64_headroom_guard "
+        "(functions/scale.py) rides the same partial aggregate and "
+        "fails the query loudly past it instead of wrapping silently.",
     tags=("join", "agg"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,9 +949,22 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(
-            pround(F.sum("amount_e5").cast("double") / F.lit(100000.0), 2).alias(
-                "profit"
-            )
+            F.sum("amount_e5").alias("_sum_e5"),
+            # max|term| and count ride the SAME partial aggregate as the
+            # sum (map-side combinable) and feed the runtime headroom
+            # guard — the docstring's SF≈10k bound made loud.
+            F.max(F.abs(F.col("amount_e5"))).alias("_max_abs"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            int64_headroom_guard(
+                pround(F.col("_sum_e5").cast("double") / F.lit(100000.0), 2),
+                F.col("_max_abs"),
+                F.col("_n"),
+                "q9_product_type_profit",
+            ).alias("profit"),
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -993,7 +1009,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "~1e9-1e10 per row into int64, and the share filter multiplies "
         "it by n_parts — safe to ~1e6 parts x 1e12 totals; at larger SF "
         "run the filter in decimal(38,0) to keep the exact-integer "
-        "contract.",
+        "contract. The bound is ENFORCED at runtime: two "
+        "int64_headroom_guard wrappers inside the share filter cover "
+        "the per-part sum and the total/share products, failing loudly "
+        "past the bound instead of wrapping silently.",
     tags=("agg", "subquery"),
 )
 def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,14 +1025,17 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_3")
         .select("n_nationkey")
     )
-    value_e4 = F.sum(
-        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    )
+    term = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
     vals = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
-        .agg(value_e4.alias("value_e4"))
+        .agg(
+            F.sum(term).alias("value_e4"),
+            # same partial aggregate, feeds the runtime headroom guard
+            F.max(term).alias("_max_term"),
+            F.count(F.lit(1)).alias("_n_rows"),
+        )
         # both the grand total and the share filter consume vals; without
         # a checkpoint the two branches each re-run the lineitem scan +
         # aggregate.  vals is parts-sized (tiny next to the fact table),
@@ -1021,11 +1043,34 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     total = vals.agg(
-        F.sum("value_e4").alias("total_e4"), F.count(F.lit(1)).alias("n_parts")
+        F.sum("value_e4").alias("total_e4"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("_max_term").alias("_gmax_term"),
+        F.max("_n_rows").alias("_gmax_n"),
+        F.max("value_e4").alias("_gmax_val"),
+    )
+    # the share test runs on EVERY part row, so the guard lives in the
+    # filter condition itself (not a projected column a garbage filter
+    # could empty out): guard 1 = no per-part sum overflowed
+    # (max term x max rows-per-part), guard 2 = the total and the
+    # value*n_parts / 2*total share products fit (max part value x
+    # 2*n_parts — n_parts is parts-sized, the x2 never overflows).
+    share_cond = F.col("value_e4") * F.col("n_parts") > 2 * F.col("total_e4")
+    share_cond = int64_headroom_guard(
+        share_cond,
+        F.col("_gmax_term"),
+        F.col("_gmax_n"),
+        "q11_important_part_values per-part value_e4 sum",
+    )
+    share_cond = int64_headroom_guard(
+        share_cond,
+        F.col("_gmax_val"),
+        F.col("n_parts") * 2,
+        "q11_important_part_values total / share product",
     )
     return (
         vals.crossJoin(F.broadcast(total))
-        .filter(F.col("value_e4") * F.col("n_parts") > 2 * F.col("total_e4"))
+        .filter(share_cond)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             pround(F.col("value_e4").cast("double") / F.lit(10000.0), 2).alias(
@@ -2699,16 +2744,18 @@ _SRM_CRIT_E3 = 3841
     oracle=f"""
     WITH assign AS (
       SELECT user_id,
-             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2
-                  AS INTEGER) AS arm
+             CAST(((min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2)
+                   + 2) % 2 AS INTEGER) AS arm
       FROM events GROUP BY user_id
     ), arms AS (
       SELECT
         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unassigned
       FROM assign
     )
-    SELECT n_a, n_b,
+    SELECT n_a, n_b, n_unassigned,
            floor(((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b))
                  * 1000000.0 + 0.5) / 1000000.0 AS chi2,
            (n_a - n_b) * (n_a - n_b) * 1000 > {_SRM_CRIT_E3} * (n_a + n_b)
@@ -2720,19 +2767,25 @@ _SRM_CRIT_E3 = 3841
         "healthy 50/50 split, chi2 = (n_a - n_b)^2 / n ~ chi2(1); a "
         "significant imbalance means the randomization itself is "
         "broken and any downstream lift number is invalid — the "
-        "standard pre-read gate of experiment platforms.  The flag "
-        "compares exact integers ((n_a-n_b)^2 * 1000 vs 3841 * n, the "
-        "95% critical value scaled e3) so no float feeds the decision; "
-        "chi2 itself is one double division of exact ints.  Scale "
-        "shape: one user-grain partial agg, then two conditional sums "
-        "to a 1-row report.",
+        "standard pre-read gate of experiment platforms.  The arm is "
+        "pmod(min_k, 2) — written as ((k%2)+2)%2 in the oracle since "
+        "DuckDB's % follows the dividend sign — so negative keys land "
+        "in a real arm instead of vanishing, and users whose $.k is "
+        "absent/non-numeric are surfaced as n_unassigned rather than "
+        "silently dropped (an SRM gate that undercounts the assigned "
+        "population can read healthy while assignment coverage is "
+        "broken).  The flag compares exact integers ((n_a-n_b)^2 * "
+        "1000 vs 3841 * n, the 95% critical value scaled e3) so no "
+        "float feeds the decision; chi2 itself is one double division "
+        "of exact ints.  Scale shape: one user-grain partial agg, "
+        "then three conditional sums to a 1-row report.",
     tags=("events", "stats", "abtest"),
 )
 def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     assign = e.groupBy("user_id").agg(
-        (
-            F.min(F.get_json_object("props", "$.k").cast("bigint")) % 2
+        F.pmod(
+            F.min(F.get_json_object("props", "$.k").cast("bigint")), F.lit(2)
         )
         .cast("int")
         .alias("arm")
@@ -2740,12 +2793,16 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = assign.agg(
         F.sum((F.col("arm") == 0).cast("bigint")).cast("bigint").alias("n_a"),
         F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("n_b"),
+        F.sum(F.col("arm").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_unassigned"),
     )
     d = F.col("n_a") - F.col("n_b")
     n = F.col("n_a") + F.col("n_b")
     return arms.select(
         "n_a",
         "n_b",
+        "n_unassigned",
         pround(d * d * F.lit(1.0) / n, 6).alias("chi2"),
         (d * d * F.lit(1000) > F.lit(_SRM_CRIT_E3) * n).alias("srm_flag"),
     )

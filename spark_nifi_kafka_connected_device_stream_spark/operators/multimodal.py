@@ -708,12 +708,17 @@ def multimodal_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFra
     for name, nb, db, pick in AR_BUCKETS:
         num = F.greatest(F.col("w") * F.lit(db), F.col("h") * F.lit(nb))
         den = F.least(F.col("w") * F.lit(db), F.col("h") * F.lit(nb))
+        # exact integer floor division end-to-end (no double path): the
+        # oracle's `//` and this `div` agree bit-for-bit at ANY dims,
+        # not just while quotients stay clear of integer boundaries.
+        numi = f"greatest(CAST(w AS BIGINT) * {db}, CAST(h AS BIGINT) * {nb})"
+        deni = f"least(CAST(w AS BIGINT) * {db}, CAST(h AS BIGINT) * {nb})"
         cands.append(
             F.struct(
                 (num * F.lit(1.0) / den).alias("misfit"),
                 F.lit(pick).alias("pick"),
                 F.lit(name).alias("bucket"),
-                ((num - den) * F.lit(1000000) / num).cast("bigint").alias("waste_e6"),
+                F.expr(f"(({numi} - {deni}) * 1000000) div {numi}").alias("waste_e6"),
             )
         )
     best = feats.select(F.array_min(F.array(*cands)).alias("best"))

@@ -10,7 +10,7 @@ through untouched; brand-new keys open their first row.
 Plan shape: one shuffle on the business key (dedupe-updates window +
 full-outer join share the partitioning), then unions — no driver-side
 loops, scales with the dimension.  With Delta/Iceberg present
-(sources/lakehouse.py) the same logic is a single MERGE INTO.
+(sources/warehouse.py docstring) the same logic is a single MERGE INTO.
 """
 
 from __future__ import annotations
@@ -166,7 +166,7 @@ _CENTS = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
         "window and the full-outer join share it), then unions — the "
         "dimension is never driver-collected and with Delta/Iceberg "
         "jars the identical logic is a single MERGE INTO "
-        "(sources/lakehouse.py).  Balances in exact integer cents.",
+        "(sources/warehouse.py docstring).  Balances in exact integer cents.",
     tags=("scd", "change-data", "join"),
 )
 def scd2_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,92 +91,16 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 10 (VERDICT r9 item 1): 71 round-9 queries were never
-# driver-checked — more than one window — so this round's 50 slots go
-# entirely to the FIRST 50 of that queue in registration order; no
-# stale re-checks this round.  Rotation plan pinned for round 11
-# (VERDICT r9 item 7): _PROMOTE takes ALL 36 names on DEFERRED below
-# (21 remaining round-9 + 15 round-10 — they exactly consume 36
-# slots), then fills the remaining 14 with the stalest green
-# re-checks.  Computed from CORRECTNESS_r01..r09 at end of round 10,
-# the stale cohort is the 36 queries whose freshest green row is r6;
-# the alphabetically-first 14 are:
-#   embedding_near_dup_pairs, embedding_norm_stats,
-#   embedding_scalar_quantize, events_gapfill_hourly,
-#   events_hourly_stats, events_json_extract, events_retention_cohorts,
-#   events_sessionize, events_top_sources_per_window,
-#   funnel_view_click_purchase, lateral_top_order_per_customer,
-#   multimodal_decode_features, multimodal_frame_sample,
-#   multimodal_metadata
-# (the remaining 22 of the r6 cohort rotate in round 12).
+# modules.  Round 11 executes the rotation pinned at end of round 10
+# (VERDICT r10 item 1): the first 36 slots are ALL of round 10's
+# DEFERRED queue (21 round-9 + 15 round-10 additions — this drives the
+# never-driver-checked backlog to ZERO), and the remaining 14 are the
+# stalest green re-checks — the alphabetically-first half of the
+# 36-query cohort whose freshest green row is round 6 (computed from
+# CORRECTNESS_r01..r09; the other 22 of that cohort rotate in round
+# 12, together with round 11's ≤14 additions).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED round-9 additions, first 50 in registration order —
-    # never driver-checked before this round
-    "corpus_ingest_batch",
-    "privacy_pii_gate_batch",
-    "text_collocation_lift",
-    "text_bm25_search",
-    "events_hourly_acf",
-    "part_fuzzy_linkage_blocked",
-    "split_leakage_report",
-    "embedding_knn_bfs_hops",
-    "embedding_kcenter_coreset",
-    "source_crossentropy_matrix",
-    "events_peak_concurrency",
-    "orders_cohort_ltv_curve",
-    "events_debounce_stats",
-    "events_value_winsorized_stats",
-    "similarity_recall_report",
-    "orders_ship_latency_percentiles",
-    "events_dow_hour_profile",
-    "events_interarrival_burstiness",
-    "events_user_gini",
-    "text_zipf_fit",
-    "orders_interpurchase_intervals",
-    "lineitem_discount_elasticity",
-    "events_cms_frequency_bound",
-    "orders_bloom_prefilter_bound",
-    "privacy_l_diversity_report",
-    "documents_source_lang_mutual_info",
-    "nation_revenue_share_of_region",
-    "window_percent_rank_cume_dist",
-    "events_value_log2_histogram",
-    "documents_perplexity_buckets",
-    "dedup_survivorship_policy",
-    "events_session_trigrams",
-    "events_weekly_growth_accounting",
-    "dedup_sorted_neighborhood",
-    "dedup_exact_substring",
-    "events_theil_sen_trend",
-    "dedup_allpairs_prefix",
-    "events_mann_whitney_value",
-    "documents_heaps_law",
-    "events_spearman_hour_value",
-    "embedding_dim_correlation",
-    "dedup_lsh_recall_report",
-    "part_skyline_price_size",
-    "events_forecast_backtest",
-    "orders_column_profile",
-    "documents_quality_calibration",
-    "orders_monthly_seasonality",
-    "documents_length_anova_by_lang",
-    "lineitem_returns_pchart",
-    "customers_all_quarters_1995",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 10's window is fully consumed by the first 50 of round 9's
-# 71-query backlog (above), so the 21 remaining round-9 names stay
-# here, joined by any query ADDED in round 10 — together they are
-# first in line for the round-11 rotation (before the r6-era stale
-# re-checks; see the _PROMOTE comment).  Every name here must be
-# oracle-parity-green locally on every pytest run;
-# tests/test_oracle_parity.py asserts that any never-driver-checked
-# query is either inside the window or on this explicit queue — a
-# silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = (
-    # round-9 additions not reached by the round-10 window (21)
+    # ex-DEFERRED: round-9 additions never driver-checked (21)
     "events_bounce_rate_daily",
     "documents_source_simpson_diversity",
     "events_id_integrity_audit",
@@ -198,8 +122,7 @@ DEFERRED: tuple[str, ...] = (
     "events_pettitt_changepoint",
     "text_term_burstiness",
     "embedding_effective_dims",
-    # round-10 additions (15 — registration cap kept under 25 so
-    # the queue keeps shrinking; VERDICT r9 item 2)
+    # ex-DEFERRED: round-10 additions never driver-checked (15)
     "text_token_fertility_by_lang",
     "source_logodds_terms",
     "events_quantile_sketch_bound",
@@ -215,6 +138,35 @@ DEFERRED: tuple[str, ...] = (
     "orders_duplicate_payment_screen",
     "orders_customer_migration_matrix",
     "events_bootstrap_mean_ci",
+    # stale re-checks: alphabetically-first 14 of the r6-era cohort (14)
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "embedding_scalar_quantize",
+    "events_gapfill_hourly",
+    "events_hourly_stats",
+    "events_json_extract",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_top_sources_per_window",
+    "funnel_view_click_purchase",
+    "lateral_top_order_per_customer",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 11 consumed the entire round-10 backlog (see _PROMOTE), so this
+# queue restarts empty and collects ONLY round-11 additions — capped at
+# 14 (VERDICT r10 item 2) so round 12's window can take the remaining
+# 22 r6-era stale re-checks plus everything here.  Every name here must
+# be oracle-parity-green locally on every pytest run;
+# tests/test_oracle_parity.py asserts that any never-driver-checked
+# query is either inside the window or on this explicit queue — a
+# silent backlog stays impossible.
+DEFERRED: tuple[str, ...] = (
+    # round-11 additions (≤14)
 )
 
 

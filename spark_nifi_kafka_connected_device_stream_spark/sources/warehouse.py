@@ -4,6 +4,24 @@ The reference's Airflow DAG creates a Hive external table over the
 parquet dir Spark wrote (`dag_file.py:68-81`) and Sqoop-exports it to
 MySQL (`dag_file.py:83-90`).  Natively that is: `spark.sql(DDL)` /
 `saveAsTable`, and `df.write.jdbc` — one engine, no MapReduce hop.
+
+Lakehouse table formats (Delta Lake / Iceberg / Hudi): this container
+ships no lakehouse jars, so there is deliberately NO stub module for
+them — the parquet external-table path below is the in-container
+equivalent of every operation this engine needs (append, partition
+pruning, read-back).  On a cluster with the jars present, the drop-in
+upgrades are one-line format swaps, not new code paths:
+
+- Delta: ``spark.jars.packages=io.delta:delta-spark_2.13:<ver>`` +
+  the DeltaCatalog SQL extensions, then
+  ``df.write.format("delta").mode(mode).save(path)`` replaces
+  `write_warehouse_parquet`, and `operators/scd.py`'s SCD2 union
+  collapses into a single ``MERGE INTO``.
+- Iceberg: ``org.apache.iceberg:iceberg-spark-runtime`` + a
+  ``spark.sql.catalog.<name>`` conf, then ``df.writeTo(table)
+  .append()`` replaces the append path and the streaming compaction
+  sink (`streaming/sinks.py`) becomes Iceberg's own rewrite-data-files
+  maintenance.
 """
 
 from __future__ import annotations

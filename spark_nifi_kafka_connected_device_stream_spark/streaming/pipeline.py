@@ -25,8 +25,14 @@ fixes (SURVEY.md §6 "known inconsistencies"):
 Scale posture: the aggregation is watermark-bounded (state eviction),
 keys are (source × window) — low cardinality, no skew concern; for
 high-cardinality keys switch the state store to RocksDB
-(`spark.sql.streaming.stateStore.providerClass`) — noted, not needed
-for this key space.
+(`spark.sql.streaming.stateStore.providerClass`) — not needed for
+this key space, but PROVEN in this build, not just noted: this exact
+pipeline runs green under RocksDBStateStoreProvider
+(tests/test_scale_primitives.py::test_rocksdb_state_store_runs), and
+the high-cardinality-churn escape hatch it exists for is pinned by
+tests/test_stateful_streaming.py::
+test_streaming_heavy_hitters_bounded_under_rocksdb (needle survives
+eviction pressure across RocksDB-serialized micro-batches).
 """
 
 from __future__ import annotations

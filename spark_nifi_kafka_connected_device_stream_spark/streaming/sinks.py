@@ -345,7 +345,7 @@ def foreach_batch_scd2_upsert(
     (exactly-once, the corpus_dedup_epoch contract).  Full-snapshot
     versions are the plain-parquet price of file-level atomicity; in
     production the same merge lands behind Delta/Iceberg MERGE
-    (sources/lakehouse.py) and old versions are vacuumed.  The
+    (sources/warehouse.py docstring) and old versions are vacuumed.  The
     snapshot write is dimension-sized, not fact-sized — the standard
     SCD2 cost model.
     """

@@ -272,8 +272,10 @@ def test_global_running_sum_matches_unpartitioned_window(spark):
     for spec in specs:
         parts = [p.strip() for p in spec.split(",")]
         partitioned_by_pid = re.fullmatch(r"_pid#\d+", parts[0])
-        offsets_only = re.fullmatch(r"_w\d+#\d+", parts[0]) and re.fullmatch(
-            r"_pid#\d+ ASC NULLS FIRST", parts[1]
+        offsets_only = (
+            re.fullmatch(r"_w\d+#\d+", parts[0])
+            and len(parts) > 1
+            and re.fullmatch(r"_pid#\d+ ASC NULLS FIRST", parts[1])
         )
         assert partitioned_by_pid or offsets_only, (
             f"window spec neither _pid-partitioned nor offsets-only: {spec}"
@@ -451,3 +453,48 @@ def test_bounded_window_key_silences_and_matches(spark):
     want = df.withColumn("cum", naive)
     key = lambda r: (r["k"] is not None, r["k"] or 0.0, r["v"])  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_int64_headroom_guard_passes_within_bound(spark):
+    """Within the bound the guard is value-transparent."""
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        int64_headroom_guard,
+    )
+
+    df = spark.createDataFrame([(123, 1_000_000, 1000)], ["s", "m", "n"])
+    out = df.select(
+        int64_headroom_guard(F.col("s"), F.col("m"), F.col("n"), "t").alias("v")
+    ).collect()
+    assert out[0]["v"] == 123
+
+
+def test_int64_headroom_guard_fails_loudly_past_bound(spark):
+    """Synthetic over-bound data (VERDICT r10 item 5).  The terms are
+    +5e18 and -5e18: their SUM is 0 — no ARITHMETIC_OVERFLOW even under
+    ANSI mode, and silently "fine" under non-ANSI — but max|term| * n
+    = 1e19 breaches the sufficient-condition bound, so the guard must
+    fail the query with its actionable decimal(38,0) message.  (An
+    actually-overflowing sum also dies under this build's ANSI default;
+    the guard exists for the cancellation case above, where individual
+    PARTIAL sums can overflow invisibly even when the final total
+    fits, and for non-ANSI deployments.)"""
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        int64_headroom_guard,
+    )
+
+    big = 5_000_000_000_000_000_000
+    df = spark.createDataFrame([("g", big), ("g", -big)], ["k", "amt"])
+    g = df.groupBy("k").agg(
+        F.sum("amt").alias("_s"),
+        F.max(F.abs(F.col("amt"))).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    wrapped = g.select(
+        int64_headroom_guard(
+            F.col("_s"), F.col("_m"), F.col("_n"), "synthetic_q9_shape"
+        ).alias("v")
+    )
+    with pytest.raises(Exception, match="int64 fixed-point headroom"):
+        wrapped.collect()
