@@ -90,6 +90,41 @@ def jdbc_export(
     w.save()
 
 
+def jdbc_create_table_ddl(df: DataFrame, table: str, url: str) -> str:
+    """The exact CREATE TABLE statement the JDBC export path emits for
+    `df`'s schema against `url`'s database — rendered through Spark's
+    own per-database dialect registry (JdbcDialects.get(url) →
+    getJDBCType, falling back to the common JDBC mapping), so this IS
+    the writer's mapping, not a re-implementation that can drift.
+
+    Closes the K6 MySQL residual (dag_file.py:83-90 Sqoop-exports to
+    MySQL; the live Derby round-trip proves the writer, this pins the
+    MySQL-specific type mapping without a MySQL server): for a
+    jdbc:mysql URL, string→LONGTEXT, boolean→BIT(1), binary→BLOB,
+    double→DOUBLE PRECISION, identifiers backtick-quoted — asserted in
+    tests/test_warehouse_and_wire.py against both the MySQL and Derby
+    dialects so a silent dialect-dispatch regression cannot pass."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    jdbc_utils = jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    cols = []
+    for field in df.schema.fields:
+        jdt = jvm.org.apache.spark.sql.types.DataType.fromJson(field.dataType.json())
+        opt = dialect.getJDBCType(jdt)
+        if not opt.isDefined():
+            opt = jdbc_utils.getCommonJDBCType(jdt)
+        if not opt.isDefined():
+            raise ValueError(
+                f"no JDBC type for column {field.name!r} ({field.dataType.simpleString()}) "
+                f"under dialect {dialect.toString()}"
+            )
+        name = dialect.quoteIdentifier(field.name)
+        null = "" if field.nullable else " NOT NULL"
+        cols.append(f"{name} {opt.get().databaseTypeDefinition()}{null}")
+    return f"CREATE TABLE {table} ({', '.join(cols)})"
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,
