@@ -3089,3 +3089,408 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.crossJoin(F.broadcast(ci)).select(
         "n_rows", "n_resamples", "mean_value", "ci_lo", "ci_hi"
     )
+
+
+# --- round 11: experimentation-platform tier ---------------------------------
+# CUPED variance reduction, power/MDE, and a multiple-testing (BH-FDR)
+# screen — the three readouts that sit NEXT to the Welch t-test
+# (events_abtest_purchase_rate) and SRM gate (events_ab_srm_check) on
+# every experiment dashboard.
+
+# pre/post split for CUPED's covariate: 2024-01-16 00:00:00 UTC in
+# epoch micros (the events fixture spans 2024-01-01..01-30; ts_us
+# comparisons are tz-free)
+_CUPED_SPLIT_US = 1_705_363_200_000_000
+
+
+@register(
+    "events_abtest_cuped_adjusted",
+    oracle=f"""
+    WITH assign AS (
+      SELECT * FROM (
+        SELECT user_id,
+               CAST(((min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2)
+                     + 2) % 2 AS INTEGER) AS arm,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND epoch_ns(ts) // 1000 >= {_CUPED_SPLIT_US}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN epoch_ns(ts) // 1000 < {_CUPED_SPLIT_US}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+      ) WHERE arm IS NOT NULL
+    ), pooled AS (
+      SELECT covar_samp(x * 1.0, y * 1.0) / var_samp(x * 1.0) AS theta,
+             avg(x * 1.0) AS xbar
+      FROM assign
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             avg(y * 1.0) AS my, avg(x * 1.0) AS mx,
+             var_samp(y * 1.0) AS vy, var_samp(x * 1.0) AS vx,
+             covar_samp(x * 1.0, y * 1.0) AS cxy
+      FROM assign GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           floor(p.theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           floor((a.my - p.theta * (a.mx - p.xbar)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_adj_a,
+           floor((b.my - p.theta * (b.mx - p.xbar)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_adj_b,
+           floor(((a.my - b.my)
+                  / sqrt(a.vy / a.n + b.vy / b.n)) * 1000000.0 + 0.5)
+             / 1000000.0 AS tstat_raw,
+           floor((((a.my - p.theta * (a.mx - p.xbar))
+                   - (b.my - p.theta * (b.mx - p.xbar)))
+                  / sqrt((a.vy - 2.0 * p.theta * a.cxy
+                          + p.theta * p.theta * a.vx) / a.n
+                         + (b.vy - 2.0 * p.theta * b.cxy
+                            + p.theta * p.theta * b.vx) / b.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tstat_cuped,
+           floor((1.0 - ((a.vy - 2.0 * p.theta * a.cxy
+                          + p.theta * p.theta * a.vx)
+                         + (b.vy - 2.0 * p.theta * b.cxy
+                            + p.theta * p.theta * b.vx))
+                        / (a.vy + b.vy)) * 1000000.0 + 0.5)
+             / 1000000.0 AS var_reduction
+    FROM (SELECT * FROM arms WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+    CROSS JOIN pooled p
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013, the industry-"
+        "standard pre-experiment covariate adjustment): per assigned "
+        "user, Y = post-period purchases and X = pre-period activity "
+        "(all events before the split); theta = cov(X,Y)/var(X) pooled "
+        "across arms (unbiased under randomization), adjusted metric "
+        "Y - theta*(X - mean(X)).  Reports per-arm adjusted means, the "
+        "raw and CUPED Welch t statistics, and the achieved variance "
+        "reduction — all assembled in CLOSED FORM from per-arm "
+        "co-moments (var_adj = vy - 2*theta*cxy + theta^2*vx), so no "
+        "second pass joins theta back to user rows.  Assignment is the "
+        "SRM gate's pmod parity; unassigned users are excluded (they "
+        "are SURFACED by events_ab_srm_check).  Scale shape: ONE "
+        "user-grain partial agg over the events scan, a 2-row arm "
+        "rollup + 1-row pooled rollup, statistic on 3 broadcast rows.  "
+        "Inputs are exact integer counts, so both engines derive "
+        "identical doubles (the abtest/correlation precedent).",
+    tags=("events", "stats", "abtest"),
+)
+def events_abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            F.pmod(
+                F.min(F.get_json_object("props", "$.k").cast("bigint")), F.lit(2)
+            )
+            .cast("int")
+            .alias("arm"),
+            F.sum(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= _CUPED_SPLIT_US)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+            F.sum((F.col("ts_us") < _CUPED_SPLIT_US).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .filter(F.col("arm").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    xd, yd = F.col("x") * F.lit(1.0), F.col("y") * F.lit(1.0)
+    pooled = assign.agg(
+        (F.covar_samp(xd, yd) / F.var_samp(xd)).alias("theta"),
+        F.avg(xd).alias("xbar"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(yd).alias("my"),
+        F.avg(xd).alias("mx"),
+        F.var_samp(yd).alias("vy"),
+        F.var_samp(xd).alias("vx"),
+        F.covar_samp(xd, yd).alias("cxy"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("my").alias("my_a"),
+        F.col("mx").alias("mx_a"), F.col("vy").alias("vy_a"),
+        F.col("vx").alias("vx_a"), F.col("cxy").alias("cxy_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("my").alias("my_b"),
+        F.col("mx").alias("mx_b"), F.col("vy").alias("vy_b"),
+        F.col("vx").alias("vx_b"), F.col("cxy").alias("cxy_b"),
+    )
+    th = F.col("theta")
+    adj_a = F.col("my_a") - th * (F.col("mx_a") - F.col("xbar"))
+    adj_b = F.col("my_b") - th * (F.col("mx_b") - F.col("xbar"))
+    vadj_a = F.col("vy_a") - 2.0 * th * F.col("cxy_a") + th * th * F.col("vx_a")
+    vadj_b = F.col("vy_b") - 2.0 * th * F.col("cxy_b") + th * th * F.col("vx_b")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "n_a",
+            "n_b",
+            pround(th, 6).alias("theta"),
+            pround(adj_a, 6).alias("mean_adj_a"),
+            pround(adj_b, 6).alias("mean_adj_b"),
+            pround(
+                (F.col("my_a") - F.col("my_b"))
+                / F.sqrt(F.col("vy_a") / F.col("n_a") + F.col("vy_b") / F.col("n_b")),
+                6,
+            ).alias("tstat_raw"),
+            pround(
+                (adj_a - adj_b)
+                / F.sqrt(vadj_a / F.col("n_a") + vadj_b / F.col("n_b")),
+                6,
+            ).alias("tstat_cuped"),
+            pround(
+                F.lit(1.0) - (vadj_a + vadj_b) / (F.col("vy_a") + F.col("vy_b")), 6
+            ).alias("var_reduction"),
+        )
+    )
+
+
+# z_{0.975} + z_{0.80} pre-folded to ONE literal (the ULP rule: never
+# let the engines fold constant products differently)
+_MDE_ZSUM = 2.801585
+
+
+@register(
+    "events_abtest_power_mde",
+    oracle=f"""
+    WITH assign AS (
+      SELECT * FROM (
+        SELECT user_id,
+               CAST(((min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2)
+                     + 2) % 2 AS INTEGER) AS arm,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+      ) WHERE arm IS NOT NULL
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             avg(y * 1.0) AS my, var_samp(y * 1.0) AS vy
+      FROM assign GROUP BY arm
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           floor(a.my * 1000000.0 + 0.5) / 1000000.0 AS mean_control,
+           floor(sqrt(((a.n - 1) * a.vy + (b.n - 1) * b.vy)
+                      / (a.n + b.n - 2)) * 1000000.0 + 0.5) / 1000000.0
+             AS sd_pooled,
+           floor({_MDE_ZSUM} * sqrt(((a.n - 1) * a.vy + (b.n - 1) * b.vy)
+                                    / (a.n + b.n - 2))
+                 * sqrt(1.0 / a.n + 1.0 / b.n) * 1000000.0 + 0.5) / 1000000.0
+             AS mde_abs,
+           floor(({_MDE_ZSUM} * sqrt(((a.n - 1) * a.vy + (b.n - 1) * b.vy)
+                                     / (a.n + b.n - 2))
+                  * sqrt(1.0 / a.n + 1.0 / b.n) / a.my) * 1000000.0 + 0.5)
+             / 1000000.0 AS mde_rel
+    FROM (SELECT * FROM arms WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+    """,
+    doc="Power analysis for the running experiment: the minimum "
+        "detectable effect (MDE) at alpha=0.05 two-sided / 80% power, "
+        "MDE = (z_0.975 + z_0.80) * sd_pooled * sqrt(1/n_a + 1/n_b), "
+        "with the z-sum pre-folded to the single literal 2.801585 (the "
+        "cross-engine constant-folding rule) and sd_pooled the "
+        "standard two-sample pooled estimate.  This is the readout "
+        "that tells an experimenter whether a null result is POWERED "
+        "(could have seen the lift they care about) or just "
+        "underpowered — the required companion to any 'not "
+        "significant'.  Assignment and metric match the Welch t-test "
+        "query so the two reports describe the same experiment.  Scale "
+        "shape: one user-grain partial agg, 2-row arm rollup, "
+        "statistic on a broadcast pair.",
+    tags=("events", "stats", "abtest"),
+)
+def events_abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            F.pmod(
+                F.min(F.get_json_object("props", "$.k").cast("bigint")), F.lit(2)
+            )
+            .cast("int")
+            .alias("arm"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .filter(F.col("arm").isNotNull())
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(F.col("y") * F.lit(1.0)).alias("my"),
+        F.var_samp(F.col("y") * F.lit(1.0)).alias("vy"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("my").alias("my_a"), F.col("vy").alias("vy_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("my").alias("my_b"), F.col("vy").alias("vy_b")
+    )
+    sd_pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("vy_a") + (F.col("n_b") - 1) * F.col("vy_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    mde = (
+        F.lit(_MDE_ZSUM)
+        * sd_pooled
+        * F.sqrt(F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        pround(F.col("my_a"), 6).alias("mean_control"),
+        pround(sd_pooled, 6).alias("sd_pooled"),
+        pround(mde, 6).alias("mde_abs"),
+        pround(mde / F.col("my_a"), 6).alias("mde_rel"),
+    )
+
+
+@register(
+    "events_dow_value_ks_fdr",
+    oracle="""
+    WITH base AS (SELECT isodow(ts) AS g, value FROM events),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
+    ngt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM base GROUP BY g),
+    vc AS (SELECT g, value, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY g, value),
+    marg AS (SELECT value, CAST(sum(c) AS BIGINT) AS cv FROM vc GROUP BY value),
+    margc AS (SELECT value,
+                     CAST(sum(cv) OVER (ORDER BY value) AS BIGINT) AS cum_all
+              FROM marg),
+    grid AS (SELECT d.g, m.value, m.cum_all
+             FROM (SELECT DISTINCT g FROM vc) d CROSS JOIN margc m),
+    cg AS (SELECT grid.g, grid.value, grid.cum_all,
+                  CAST(sum(COALESCE(vc.c, 0))
+                       OVER (PARTITION BY grid.g ORDER BY grid.value)
+                       AS BIGINT) AS cum_g
+           FROM grid LEFT JOIN vc
+             ON vc.g = grid.g AND vc.value = grid.value),
+    dstat AS (SELECT cg.g, ngt.n_g, t.n_all,
+                     CAST(max(abs(cum_g * (t.n_all - ngt.n_g)
+                                  - (cum_all - cum_g) * ngt.n_g))
+                          AS BIGINT) AS dnum
+              FROM cg JOIN ngt ON ngt.g = cg.g CROSS JOIN tot t
+              GROUP BY cg.g, ngt.n_g, t.n_all),
+    pv AS (SELECT g, n_g,
+                  dnum * 1.0 / ((n_g * 1.0) * ((n_all - n_g) * 1.0)) AS d,
+                  least(1.0, 2.0 * exp(-2.0 * (dnum * 1.0) * (dnum * 1.0)
+                                       / ((n_g * 1.0) * ((n_all - n_g) * 1.0)
+                                          * (n_all * 1.0)))) AS p
+           FROM dstat),
+    rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS bh_rank
+           FROM pv),
+    ks AS (SELECT max(CASE WHEN p * 140.0 <= bh_rank * 1.0
+                      THEN bh_rank ELSE CAST(0 AS BIGINT) END) AS kstar
+           FROM rk)
+    SELECT CAST(g AS INTEGER) AS dow,
+           n_g AS n_events,
+           floor(d * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS p_value,
+           bh_rank,
+           bh_rank <= ks.kstar AS reject
+    FROM rk CROSS JOIN ks
+    """,
+    doc="Day-of-week value-distribution drift screen with multiple-"
+        "testing control: per ISO weekday, the two-sample KS statistic "
+        "of that day's `value` distribution against all other days "
+        "(exact-integer ECDF numerators: D = max|cum_g*n_rest - "
+        "cum_rest*n_g| / (n_g*n_rest)), the asymptotic p-value "
+        "2*exp(-2*m*D^2) (m = n_g*n_rest/n, the closed form that needs "
+        "no erf), and Benjamini-Hochberg FDR at alpha=0.05 across the "
+        "7 tests — reject p_(i) <= i*alpha/m, written as p*140 <= rank "
+        "so the only constants are exact literals.  Running 7 (or 700) "
+        "drift tests and flagging raw p<0.05 is how metric platforms "
+        "generate false alarms; BH is the standard correction.  Scale "
+        "shape: one (dow,value) partial agg, the pooled-ECDF "
+        "cumulative over DISTINCT values (single ordered chain here — "
+        "the kruskal precedent; swap in functions/scale."
+        "global_running_sum past ~1e7 distinct values), a 7x-dense "
+        "grid join, 7-row p table, bounded BH windows.  Exponent "
+        "inputs are exact ints, so both engines exponentiate identical "
+        "doubles.",
+    tags=("events", "stats"),
+)
+def events_dow_value_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select((F.weekday("ts") + 1).cast("int").alias("g"), "value")
+    vc = base.groupBy("g", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    ngt = vc.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    tot = vc.agg(F.sum("c").cast("bigint").alias("n_all"))
+    wm = (
+        Window.partitionBy(bounded_window_key("value"))
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    margc = (
+        vc.groupBy("value")
+        .agg(F.sum("c").cast("bigint").alias("cv"))
+        .withColumn("cum_all", F.sum("cv").over(wm).cast("bigint"))
+        .drop("cv")
+    )
+    dows = vc.select("g").distinct()
+    grid = margc.crossJoin(F.broadcast(dows))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cg = (
+        grid.join(vc, ["g", "value"], "left")
+        .withColumn("cum_g", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wg).cast("bigint"))
+    )
+    dstat = (
+        cg.join(F.broadcast(ngt), "g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("g", "n_g", "n_all")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_g") * (F.col("n_all") - F.col("n_g"))
+                    - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+                )
+            )
+            .cast("bigint")
+            .alias("dnum")
+        )
+    )
+    nd = F.col("dnum") * F.lit(1.0)
+    ngd = F.col("n_g") * F.lit(1.0)
+    nrd = (F.col("n_all") - F.col("n_g")) * F.lit(1.0)
+    nad = F.col("n_all") * F.lit(1.0)
+    pv = dstat.select(
+        "g",
+        "n_g",
+        (nd / (ngd * nrd)).alias("d"),
+        F.least(
+            F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * nd * nd / (ngd * nrd * nad))
+        ).alias("p"),
+    )
+    wr = Window.partitionBy(bounded_window_key("g")).orderBy("p", "g")
+    wall = Window.partitionBy(bounded_window_key("g")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = pv.withColumn("bh_rank", F.row_number().over(wr).cast("bigint"))
+    rk = rk.withColumn(
+        "kstar",
+        F.max(
+            F.when(F.col("p") * F.lit(140.0) <= F.col("bh_rank") * F.lit(1.0), F.col("bh_rank")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).over(wall),
+    )
+    return rk.select(
+        F.col("g").cast("int").alias("dow"),
+        F.col("n_g").alias("n_events"),
+        pround(F.col("d"), 6).alias("ks_d"),
+        pround(F.col("p"), 6).alias("p_value"),
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("kstar")).alias("reject"),
+    )

@@ -2308,3 +2308,102 @@ def documents_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(avg, 6).alias("avg_logprob"),
         pround(F.exp(-avg), 2).alias("ppl_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: interpolated Kneser-Ney bigram table (the standard n-gram
+# smoothing, next to the add-one LM above)
+# ---------------------------------------------------------------------------
+
+_KN_DISCOUNT = 0.75
+_KN_TOP = 50
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT tk[gs.i] AS w1, tk[gs.i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) gs
+    ), bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), w1c AS (
+      SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n_follow
+      FROM bgc GROUP BY w1
+    ), contc AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n_precede FROM bgc GROUP BY w2
+    ), types AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types FROM bgc
+    )
+    SELECT w1, w2, c2 AS c_bigram, c1 AS c_w1, n_follow, n_precede,
+           floor((greatest(c2 - {_KN_DISCOUNT}, 0.0) / c1
+                  + ({_KN_DISCOUNT} * n_follow / c1)
+                    * (n_precede * 1.0 / t.n_types))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_kn
+    FROM bgc JOIN w1c USING (w1) JOIN contc USING (w2) CROSS JOIN types t
+    ORDER BY c2 DESC, w1, w2
+    LIMIT {_KN_TOP}
+    """,
+    doc=f"Interpolated Kneser-Ney bigram probabilities (discount "
+        f"{_KN_DISCOUNT}) for the corpus's {_KN_TOP} most frequent "
+        "bigrams: P(w2|w1) = max(c12-D,0)/c1 + (D*N1+(w1,.)/c1) * "
+        "(N1+(.,w2)/|bigram types|) — the smoothing KenLM actually "
+        "ships (vs the add-one LM in text_bigram_logprob), where the "
+        "backoff weights CONTINUATION counts (in how many contexts a "
+        "word appears), the fix for add-one's overestimate of frequent-"
+        "but-context-bound words.  All inputs are exact integer counts "
+        "derived from ONE bigram-count aggregate (c1 and the follower-"
+        "type count fold over bgc, not the raw corpus), so both "
+        "engines derive identical doubles; the top-{_KN_TOP} cut is "
+        "totally ordered (count desc, then the bigram itself).  Scale "
+        "shape: one bigram-key partial-agg shuffle, two linear rollups "
+        "of the count table, a 1-row broadcast type count, "
+        "TakeOrdered for the cut.",
+    tags=("curation", "text"),
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
+    tk = F.col("tk")
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
+    )
+    bg = toks.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    ).localCheckpoint(eager=False)
+    w1c = bgc.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    contc = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_precede")
+    )
+    types = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c2") - F.lit(_KN_DISCOUNT), F.lit(0.0)) / F.col("c1")
+        + (F.lit(_KN_DISCOUNT) * F.col("n_follow") / F.col("c1"))
+        * (F.col("n_precede") * F.lit(1.0) / F.col("n_types"))
+    )
+    return (
+        bgc.join(w1c, "w1")
+        .join(contc, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("c_bigram"),
+            F.col("c1").alias("c_w1"),
+            "n_follow",
+            "n_precede",
+            pround(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_bigram"), "w1", "w2")
+        .limit(_KN_TOP)
+    )

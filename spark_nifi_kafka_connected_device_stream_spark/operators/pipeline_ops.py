@@ -736,3 +736,144 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e.n_docs").cast("bigint").alias("n_contaminated_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: per-epoch deterministic shuffle plan
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 4
+_EPOCH_SHARDS = 64
+
+
+def _duck_epoch_u32(key_expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "dataset_epoch_shuffle_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, e.e,
+             {_duck_epoch_u32("'ep' || CAST(e.e AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")}
+               % {_EPOCH_SHARDS} AS shard
+      FROM documents
+      CROSS JOIN (SELECT CAST(unnest(generate_series(0, {_EPOCHS - 1})) AS INTEGER) AS e) e
+    ), s0 AS (
+      SELECT doc_id, shard AS shard0 FROM s WHERE e = 0
+    ), loads AS (
+      SELECT e, shard, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY e, shard
+    ), per_epoch AS (
+      SELECT e, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS shards_used,
+             CAST(min(c) AS BIGINT) AS min_load,
+             CAST(max(c) AS BIGINT) AS max_load,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM loads GROUP BY e
+    ), coin AS (
+      SELECT s.e, CAST(sum(CASE WHEN s.shard = s0.shard0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_same
+      FROM s JOIN s0 USING (doc_id) GROUP BY s.e
+    )
+    SELECT p.e AS epoch, p.n_docs, p.shards_used, p.min_load, p.max_load,
+           floor((p.max_load * {_EPOCH_SHARDS}.0 / p.n_docs) * 1000000.0 + 0.5)
+             / 1000000.0 AS imbalance,
+           floor(({_EPOCH_SHARDS}.0 / p.n_docs * p.sum_c2 - p.n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_uniformity,
+           floor((c.n_same * 1.0 / p.n_docs) * 1000000.0 + 0.5) / 1000000.0
+             AS same_shard_as_epoch0
+    FROM per_epoch p JOIN coin c ON c.e = p.e
+    """,
+    doc=f"Deterministic per-epoch shuffle plan: every document's shard "
+        f"for epochs 0..{_EPOCHS - 1} is md5(epoch, doc_id) mod "
+        f"{_EPOCH_SHARDS} — the hash-reshuffle that gives each training "
+        "epoch a fresh data order WITHOUT materializing a permutation "
+        "(resumable mid-epoch from (epoch, shard) alone; the "
+        "tf.data/torchdata seed-per-epoch idiom as a table).  The plan "
+        "is AUDITED, not assumed: per epoch, shard-load min/max, "
+        "imbalance = max_load/(n/shards), the chi-square uniformity "
+        "statistic (shards/n * sum(c^2) - n, exact-int inputs), and "
+        "the share of docs landing on their epoch-0 shard (must sit "
+        f"near 1/{_EPOCH_SHARDS} — epochs genuinely decorrelate, the "
+        "thing a broken seed silently fails at).  Scale shape: the "
+        f"{_EPOCHS}-fold epoch explode is map-side, one "
+        f"(epoch, shard) partial agg to {_EPOCHS}x{_EPOCH_SHARDS} "
+        "cells; the epoch-0 coincidence join is per-doc but "
+        "hash-equi-partitioned on doc_id.",
+    tags=("pipeline", "curation"),
+)
+def dataset_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1))).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e").cast("int").alias("e"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ep"),
+                            F.col("e").cast("string"),
+                            F.lit("_"),
+                            F.col("doc_id").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_EPOCH_SHARDS),
+        ).alias("shard"),
+    ).localCheckpoint(eager=False)
+    s0 = s.filter(F.col("e") == 0).select("doc_id", F.col("shard").alias("shard0"))
+    loads = s.groupBy("e", "shard").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_epoch = loads.groupBy("e").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("shards_used"),
+        F.min("c").cast("bigint").alias("min_load"),
+        F.max("c").cast("bigint").alias("max_load"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    coin = (
+        s.join(s0, "doc_id")
+        .groupBy("e")
+        .agg(
+            F.sum((F.col("shard") == F.col("shard0")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_same")
+        )
+    )
+    return (
+        per_epoch.join(coin, "e")
+        .select(
+            F.col("e").alias("epoch"),
+            "n_docs",
+            "shards_used",
+            "min_load",
+            "max_load",
+            pround(
+                F.col("max_load") * F.lit(float(_EPOCH_SHARDS)) / F.col("n_docs"), 6
+            ).alias("imbalance"),
+            pround(
+                F.lit(float(_EPOCH_SHARDS)) / F.col("n_docs") * F.col("sum_c2")
+                - F.col("n_docs"),
+                6,
+            ).alias("chi2_uniformity"),
+            pround(F.col("n_same") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "same_shard_as_epoch0"
+            ),
+        )
+    )

@@ -503,3 +503,104 @@ def privacy_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_u").cast("bigint").alias("l1_sensitivity"),
         pround(F.max("n_u") * F.lit(1.0) / F.sum("n_u"), 6).alias("max_user_share"),
     )
+
+
+# --- round 11: the DP release itself --------------------------------------
+# contribution cap (= the calibrated L1 sensitivity after clamping) and
+# the Laplace scale b = cap / epsilon, pre-folded to single literals
+_DP_CAP = 5
+_DP_EPSILON = 1.0
+_DP_B = 5.0  # _DP_CAP / _DP_EPSILON
+
+
+def _duck_u32(key_expr: str) -> str:
+    """Exact uint32 from the first 8 hex chars of md5(key) — the
+    bootstrap op's cross-engine uniform (analytics._duck_bootstrap_u32
+    restated locally to keep the module self-contained)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "privacy_dp_laplace_counts",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+      FROM events GROUP BY event_type, user_id
+    ), rel AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)  AS n_users,
+             CAST(sum(n_u) AS BIGINT)  AS true_count,
+             CAST(sum(least(n_u, {_DP_CAP})) AS BIGINT) AS clamped_count
+      FROM per_user GROUP BY event_type
+    ), noised AS (
+      SELECT *,
+             ({_duck_u32("'dp_' || event_type")} + 0.5) / 4294967296.0 AS u
+      FROM rel
+    )
+    SELECT event_type, n_users, true_count, clamped_count,
+           CAST({_DP_EPSILON} AS DOUBLE) AS epsilon,
+           CAST({_DP_CAP} AS BIGINT) AS sensitivity_cap,
+           floor((clamped_count
+                  + CASE WHEN u >= 0.5
+                         THEN -{_DP_B} * ln(1.0 - 2.0 * (u - 0.5))
+                         ELSE  {_DP_B} * ln(1.0 - 2.0 * (0.5 - u))
+                    END) * 1000000.0 + 0.5) / 1000000.0 AS noisy_count
+    FROM noised
+    """,
+    doc="The differentially-private count release the sensitivity "
+        "report calibrates: per-user contributions CLAMPED to the cap "
+        "(bounding L1 sensitivity by construction, the standard "
+        "user-level-DP preprocessing), then Laplace(cap/epsilon) noise "
+        "added via the inverse CDF, noise = -b*sign(u-1/2)*"
+        "ln(1-2|u-1/2|).  The uniform u is the md5-derived u32 per "
+        "release key (the Poisson-bootstrap determinism pattern), so "
+        "this models the MECHANISM exactly while keeping the "
+        "oracle-checkable determinism the real release would get from "
+        "a secure RNG — swap the hash for the RNG and epsilon "
+        "bookkeeping is unchanged.  Reports true vs clamped vs noisy "
+        "so the clipping bias and noise magnitude are both visible.  "
+        "Scale shape: one (type,user) partial agg, a |types|-row "
+        "release table, per-row noise arithmetic on exact ints — both "
+        "engines take ln() of identical doubles.",
+    tags=("privacy", "events"),
+)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    rel = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_u").cast("bigint").alias("true_count"),
+        F.sum(F.least(F.col("n_u"), F.lit(_DP_CAP))).cast("bigint").alias(
+            "clamped_count"
+        ),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp_"), F.col("event_type")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = F.when(
+        u >= 0.5, F.lit(-_DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
+    ).otherwise(F.lit(_DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    return rel.select(
+        "event_type",
+        "n_users",
+        "true_count",
+        "clamped_count",
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.lit(_DP_CAP).cast("bigint").alias("sensitivity_cap"),
+        pround(F.col("clamped_count") + noise, 6).alias("noisy_count"),
+    )

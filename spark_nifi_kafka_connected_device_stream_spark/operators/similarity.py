@@ -1919,3 +1919,376 @@ def embedding_random_projection_distortion(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# --- round 11: matryoshka (prefix-dim) retrieval quality ---------------------
+
+MRL_PREFIXES = (8, 16, 32)
+
+_DUCK_COS_PREFIX = """
+  list_sum(list_transform(generate_series(1, p.dims),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, p.dims),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(generate_series(1, p.dims),
+           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+"""
+
+
+@register(
+    "embedding_matryoshka_prefix_recall",
+    # composes the registered brute-force query's own SQL as ground
+    # truth (the recall-report idiom), resolved at decoration time —
+    # similarity_topk_bruteforce registers earlier in this module
+    oracle=f"""
+    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
+    p AS (SELECT CAST(unnest([{", ".join(str(p) for p in MRL_PREFIXES)}]) AS INTEGER) AS dims),
+    pre AS (
+      SELECT * FROM (
+        SELECT p.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.dims, q.vec_id
+                                  ORDER BY {_DUCK_COS_PREFIX} DESC, c.vec_id ASC)
+                 AS rnk
+        FROM p CROSS JOIN embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    ),
+    hits AS (
+      SELECT pd.dims, bf.query_id,
+             CAST(count(pre.neighbor_id) AS BIGINT) AS n_hits
+      FROM (SELECT DISTINCT dims FROM p) pd
+      CROSS JOIN bf
+      LEFT JOIN pre ON pre.dims = pd.dims
+                   AND pre.query_id = bf.query_id
+                   AND pre.neighbor_id = bf.neighbor_id
+      GROUP BY pd.dims, bf.query_id
+    )
+    SELECT dims AS prefix_dims,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(avg(n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_recall,
+           floor(min(n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS min_recall
+    FROM hits
+    GROUP BY dims
+    """,
+    doc=f"Matryoshka-representation evaluation: recall@{TOP_K} of cosine "
+        f"top-k computed on only the FIRST p dims (p in {MRL_PREFIXES}) "
+        "against the full-dim exact ranking — the published MRL "
+        "(Kusupati et al. 2022) deployment question 'how few prefix "
+        "dims can the first-stage retriever keep?', answered as an "
+        "oracle-checked table.  Truncation is array slice(), no "
+        "re-embedding; the oracle composes the registered brute-force "
+        "query's own SQL for ground truth so the baseline cannot "
+        "drift.  Scale shape: the prefix rankings reuse the "
+        "broadcast-query-side nested-loop shape (candidates streamed, "
+        "never materialized as pairs), one ranking per prefix over the "
+        "SAME scan via the dims explode; the recall join touches only "
+        "k·|queries|·|prefixes| rows.  At 100 TB the decision this "
+        "feeds — store/scan 8 of 64 dims in the first stage — is an "
+        "8× scan-bytes reduction on the retrieval hot path.",
+    tags=("similarity", "ann", "quality"),
+)
+def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
+    prefixes = F.array(*[F.lit(p) for p in MRL_PREFIXES])
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(prefixes).alias("dims"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .select(
+            "query_id",
+            "dims",
+            F.slice(F.col("q_emb"), 1, F.col("dims")).alias("q_emb"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_emb")))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    sim = dot(F.col("q_pre"), F.col("c_pre")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    pre = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("c_pre", F.slice(F.col("c_emb"), 1, F.col("dims")))
+        .withColumn("q_pre", F.col("q_emb"))
+        .withColumn("c_norm", l2_norm(F.col("c_pre")))
+        .withColumn("raw_sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("dims", "query_id", "neighbor_id")
+    )
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    dims_dim = spark.range(0).sparkSession.createDataFrame(
+        [(p,) for p in MRL_PREFIXES], "dims int"
+    )
+    hits = (
+        bf.crossJoin(F.broadcast(dims_dim))
+        .join(
+            pre,
+            (bf.query_id == pre.query_id)
+            & (F.col("bf_neighbor") == pre.neighbor_id)
+            & (dims_dim.dims == pre.dims),
+            "left",
+        )
+        .groupBy(dims_dim.dims.alias("dims"), bf.query_id)
+        .agg(F.count(pre.neighbor_id).cast("bigint").alias("n_hits"))
+    )
+    return hits.groupBy(F.col("dims").cast("int").alias("prefix_dims")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        pround(F.avg(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+            "mean_recall"
+        ),
+        pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+            "min_recall"
+        ),
+    )
+
+
+# --- round 11: IVF nProbe sweep (recall/cost tuning curve) -------------------
+
+NPROBES = (1, 2, 4)
+
+# centroid dims and query dims quantized to e6 ints BEFORE the
+# query→cell ranking, so the probe order is exact integer arithmetic in
+# both engines (a raw avg() differs by ULP between engines and could
+# flip which cell ranks nprobe-th)
+_DUCK_QCELL_SCORE = """
+  (SELECT sum(qd.q_e6 * cd.c_e6) * 1.0
+          / (sqrt(sum(qd.q_e6 * qd.q_e6) * 1.0)
+             * sqrt(sum(cd.c_e6 * cd.c_e6) * 1.0))
+   FROM qdims qd JOIN cdims cd ON cd.i = qd.i AND cd.label = l.label
+   WHERE qd.query_id = q.vec_id)
+"""
+
+
+@register(
+    "similarity_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
+    cdims AS (
+      SELECT label, i,
+             CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS c_e6
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+      GROUP BY label, i
+    ),
+    qdims AS (
+      SELECT vec_id AS query_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS q_e6
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qcell AS (
+      SELECT q.vec_id AS query_id, l.label,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_DUCK_QCELL_SCORE} DESC, l.label ASC)
+               AS cell_rank
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q(vec_id)
+      CROSS JOIN (SELECT DISTINCT label FROM embeddings) l(label)
+    ),
+    np AS (SELECT CAST(unnest([{", ".join(str(p) for p in NPROBES)}]) AS INTEGER) AS nprobe),
+    cand AS (
+      SELECT np.nprobe, qc.query_id, c.vec_id AS neighbor_id, c.embedding
+      FROM np
+      JOIN qcell qc ON qc.cell_rank <= np.nprobe
+      JOIN embeddings c ON c.label = qc.label AND c.vec_id <> qc.query_id
+    ),
+    ranked AS (
+      SELECT * FROM (
+        SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY cand.nprobe, cand.query_id
+                 ORDER BY
+                   list_sum(list_transform(generate_series(1, len(q.embedding)),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(cand.embedding)),
+                        i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE)))))
+                   DESC, cand.neighbor_id ASC) AS rnk
+        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    cost AS (
+      SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
+      FROM cand GROUP BY nprobe, query_id
+    ),
+    hits AS (
+      SELECT np.nprobe, bf.query_id,
+             CAST(count(r.neighbor_id) AS BIGINT) AS n_hits
+      FROM np CROSS JOIN bf
+      LEFT JOIN ranked r ON r.nprobe = np.nprobe
+                        AND r.query_id = bf.query_id
+                        AND r.neighbor_id = bf.neighbor_id
+      GROUP BY np.nprobe, bf.query_id
+    )
+    SELECT h.nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(avg(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_recall,
+           floor(min(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS min_recall,
+           floor(avg(c.n_cand * 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_candidates
+    FROM hits h JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
+    GROUP BY h.nprobe
+    """,
+    doc=f"IVF tuning curve: recall@{TOP_K} AND candidates-scanned cost "
+        f"for nProbe in {NPROBES} — the table an ANN deployment reads "
+        "to pick its recall/latency point (the recall report flags the "
+        "1-cell search as low-recall; this quantifies what each extra "
+        "probed cell buys).  Cells are ranked per query by cosine to "
+        "the cell CENTROID — centroid and query dims quantized to e6 "
+        "ints first, so the probe order is exact cross-engine integer "
+        "arithmetic (a raw avg() ULP could flip the nprobe-th cell); "
+        "within-cell ranking reuses the exact brute-force cosine, and "
+        "ground truth composes the registered brute-force SQL.  Scale "
+        "shape: centroids = one (label, dim) partial agg; the "
+        "query×cell ranking is |queries|×|cells| (broadcast); "
+        "candidates stay cell-confined (nprobe× the IVF query's "
+        "candidates, never all-pairs); recall join on k·|queries| "
+        "rows.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(plan_parallelism(spark), "vec_id")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x_e6"),
+    )
+    cdims = dims.groupBy("label", "i").agg(
+        F.floor(F.avg(F.col("x_e6") / F.lit(1000000.0)) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c_e6")
+    )
+    qdims = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("x_e6").alias("q_e6")
+    )
+    qc = (
+        qdims.join(cdims, "i")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(F.col("q_e6") * F.col("c_e6")).cast("bigint").alias("dot_e"),
+            F.sum(F.col("q_e6") * F.col("q_e6")).cast("bigint").alias("qq"),
+            F.sum(F.col("c_e6") * F.col("c_e6")).cast("bigint").alias("cc"),
+        )
+        .select(
+            "query_id",
+            "label",
+            (
+                F.col("dot_e") * F.lit(1.0)
+                / (
+                    F.sqrt(F.col("qq") * F.lit(1.0))
+                    * F.sqrt(F.col("cc") * F.lit(1.0))
+                )
+            ).alias("score"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
+    qcell = qc.withColumn("cell_rank", F.row_number().over(wq)).select(
+        "query_id", "label", "cell_rank"
+    )
+    nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
+    probed = nps.join(
+        qcell, qcell.cell_rank <= nps.nprobe
+    ).select("nprobe", "query_id", "label")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    cand = (
+        c.join(
+            F.broadcast(probed),
+            (c.c_label == probed.label) & (F.col("neighbor_id") != probed.query_id),
+        )
+        .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("raw_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    ranked = (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            F.col("nprobe").alias("r_np"),
+            F.col("query_id").alias("r_qid"),
+            F.col("neighbor_id").alias("r_nid"),
+        )
+    )
+    cost = cand.groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    ).select(
+        F.col("nprobe").alias("c_np"),
+        F.col("query_id").alias("c_qid"),
+        "n_cand",
+    )
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        F.col("query_id").alias("bf_qid"), F.col("neighbor_id").alias("bf_neighbor")
+    )
+    hits = (
+        bf.crossJoin(F.broadcast(nps.select(F.col("nprobe").alias("np"))))
+        .join(
+            ranked,
+            (F.col("bf_qid") == F.col("r_qid"))
+            & (F.col("bf_neighbor") == F.col("r_nid"))
+            & (F.col("np") == F.col("r_np")),
+            "left",
+        )
+        .groupBy(F.col("np"), F.col("bf_qid"))
+        .agg(F.count(F.col("r_nid")).cast("bigint").alias("n_hits"))
+    )
+    return (
+        hits.join(
+            cost,
+            (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
+        )
+        .groupBy(F.col("np").cast("int").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            pround(F.avg(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "mean_recall"
+            ),
+            pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "min_recall"
+            ),
+            pround(F.avg(F.col("n_cand") * F.lit(1.0)), 6).alias("avg_candidates"),
+        )
+    )

@@ -1714,3 +1714,106 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: feature-hashing (hashing-trick) collision audit
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 16_384  # 2^14, a typical hashing-trick feature width
+
+
+def _duck_fh_u32(key_expr: str) -> str:
+    """Exact uint32 from the first 8 hex chars of md5(key) — the
+    cross-engine deterministic hash (bootstrap/DP-noise pattern)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "text_hashing_trick_collisions",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS occ,
+             {_duck_fh_u32("'fh_' || tok")} % {_FH_BUCKETS} AS bucket
+      FROM tok GROUP BY tok
+    ), buckets AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(occ) AS BIGINT) AS n_occ
+      FROM vocab GROUP BY bucket
+    )
+    SELECT CAST({_FH_BUCKETS} AS BIGINT)   AS n_buckets,
+           CAST(sum(n_terms) AS BIGINT)    AS vocab_size,
+           CAST(count(*) AS BIGINT)        AS buckets_used,
+           CAST(sum(CASE WHEN n_terms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS collision_buckets,
+           CAST(max(n_terms) AS BIGINT)    AS max_bucket_terms,
+           CAST(sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END) AS BIGINT)
+             AS colliding_terms,
+           floor((sum(CASE WHEN n_terms > 1 THEN n_occ ELSE 0 END) * 1.0
+                  / sum(n_occ)) * 1000000.0 + 0.5) / 1000000.0
+             AS colliding_occurrence_share
+    FROM buckets
+    """,
+    doc=f"Feature-hashing collision audit: the corpus vocabulary hashed "
+        f"into {_FH_BUCKETS} buckets (the hashing trick that replaces a "
+        "vocabulary dictionary in linear models / CountSketch "
+        "featurizers), reporting how many buckets collide, the worst "
+        "bucket, and — the number that actually matters for model "
+        "quality — the share of token OCCURRENCES whose bucket is "
+        "shared with another term (a collision on two rare terms is "
+        "harmless; on two frequent ones it aliases features).  The "
+        "bucket hash is the md5-derived u32 both engines compute "
+        "identically; at deploy time the same audit runs with the "
+        "production hash to size the width.  Scale shape: one "
+        "token-key partial agg (vocab-sized output), one bucket agg "
+        f"(≤{_FH_BUCKETS} cells), 1-row report — all exact integers "
+        "plus one exact share division.",
+    tags=("text", "profiling"),
+)
+def text_hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(plan_parallelism(spark), "doc_id")
+    tok = docs.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh_"), F.col("tok")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    vocab = vocab.select(
+        "occ", F.pmod(u32, F.lit(_FH_BUCKETS)).alias("bucket")
+    )
+    buckets = vocab.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("occ").cast("bigint").alias("n_occ"),
+    )
+    coll = F.col("n_terms") > 1
+    return buckets.agg(
+        F.lit(_FH_BUCKETS).cast("bigint").alias("n_buckets"),
+        F.sum("n_terms").cast("bigint").alias("vocab_size"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.sum(coll.cast("bigint")).cast("bigint").alias("collision_buckets"),
+        F.max("n_terms").cast("bigint").alias("max_bucket_terms"),
+        F.sum(F.when(coll, F.col("n_terms")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("colliding_terms"),
+        pround(
+            F.sum(F.when(coll, F.col("n_occ")).otherwise(F.lit(0)))
+            * F.lit(1.0)
+            / F.sum("n_occ"),
+            6,
+        ).alias("colliding_occurrence_share"),
+    )

@@ -166,7 +166,17 @@ _DEMOTE: tuple[str, ...] = ()
 # query is either inside the window or on this explicit queue — a
 # silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
-    # round-11 additions (≤14)
+    # round-11 additions (10 of the ≤14 cap)
+    "embedding_matryoshka_prefix_recall",
+    "similarity_ivf_nprobe_sweep",
+    "events_abtest_cuped_adjusted",
+    "events_abtest_power_mde",
+    "events_dow_value_ks_fdr",
+    "privacy_dp_laplace_counts",
+    "text_bigram_kneser_ney",
+    "text_hashing_trick_collisions",
+    "multimodal_format_magic_mismatch",
+    "dataset_epoch_shuffle_plan",
 )
 
 
