@@ -1559,3 +1559,112 @@ def lineitem_transit_overlap_by_part(spark: SparkSession, sf_dir: str) -> DataFr
             F.max("n_pairs").cast("bigint").alias("max_pairs_one_part"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: FIFO interval-alignment allocation
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_fifo_allocation",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+             CAST(l_quantity AS BIGINT) AS units
+      FROM lineitem WHERE l_linestatus = 'F'
+    ), demand AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+             CAST(l_quantity AS BIGINT) AS units
+      FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT s.l_partkey,
+           s.l_orderkey AS supply_orderkey, s.l_linenumber AS supply_line,
+           d.l_orderkey AS demand_orderkey, d.l_linenumber AS demand_line,
+           CAST(least(s.cum_end, d.cum_end)
+                - greatest(s.cum_end - s.units, d.cum_end - d.units)
+                AS BIGINT) AS alloc_units
+    FROM supply s JOIN demand d
+      ON d.l_partkey = s.l_partkey
+     AND s.cum_end - s.units < d.cum_end
+     AND d.cum_end - d.units < s.cum_end
+    """,
+    doc="FIFO allocation — the inventory/lot-matching operator class "
+        "(Kimball FIFO, broker tax-lot matching, payment application) "
+        "that has no native Spark node: within each part, completed "
+        "lines ('F') form the SUPPLY sequence and open lines ('O') the "
+        "DEMAND sequence, both in (shipdate, orderkey, linenumber) "
+        "order; each demand unit consumes the earliest remaining "
+        "supply unit.  The classical imperative queue becomes pure "
+        "relational algebra via running-sum INTERVALS: supply row i "
+        "covers units [cum_i - q_i, cum_i), demand row j likewise, and "
+        "an allocation is exactly a non-empty interval overlap — "
+        "alloc = min(ends) - max(starts).  Output is LINEAR, not "
+        "quadratic: consecutive intervals tile the line, so total "
+        "allocations ≤ n_supply + n_demand per part (each match "
+        "advances at least one of the two frontiers).  All exact "
+        "integers.  Scale shape: two per-part running-sum windows "
+        "(partition-parallel across parts; per-part depth = lines per "
+        "part, capacity-audited by orders_basket_size_histogram), one "
+        "part-keyed equi-join with the overlap band predicate — "
+        "co-partitioned on l_partkey, never all-pairs.",
+    tags=("join", "window", "orders"),
+)
+def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("units"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def side(status: str, prefix: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .withColumn("cum_end", F.sum("units").over(w).cast("bigint"))
+            .select(
+                F.col("l_partkey").alias(f"{prefix}_partkey"),
+                F.col("l_orderkey").alias(f"{prefix}_orderkey"),
+                F.col("l_linenumber").alias(f"{prefix}_line"),
+                F.col("cum_end").alias(f"{prefix}_end"),
+                (F.col("cum_end") - F.col("units")).alias(f"{prefix}_start"),
+            )
+        )
+
+    s = side("F", "s")
+    d = side("O", "d")
+    return (
+        s.join(
+            d,
+            (F.col("s_partkey") == F.col("d_partkey"))
+            & (F.col("s_start") < F.col("d_end"))
+            & (F.col("d_start") < F.col("s_end")),
+        )
+        .select(
+            F.col("s_partkey").alias("l_partkey"),
+            F.col("s_orderkey").alias("supply_orderkey"),
+            F.col("s_line").alias("supply_line"),
+            F.col("d_orderkey").alias("demand_orderkey"),
+            F.col("d_line").alias("demand_line"),
+            (
+                F.least(F.col("s_end"), F.col("d_end"))
+                - F.greatest(F.col("s_start"), F.col("d_start"))
+            )
+            .cast("bigint")
+            .alias("alloc_units"),
+        )
+    )

@@ -2182,11 +2182,23 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c_e6")
     )
-    qdims = dims.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "i", F.col("x_e6").alias("q_e6")
+    # query dims from the 10 filtered rows directly — not by re-running
+    # the full-corpus explode a second time
+    qdims = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("q_e6"),
+        )
     )
     qc = (
-        qdims.join(cdims, "i")
+        # cdims is |cells|·|dims| rows (~640) — broadcast kills the
+        # dim-key exchange on both sides
+        qdims.join(F.broadcast(cdims), "i")
         .groupBy("query_id", "label")
         .agg(
             F.sum(F.col("q_e6") * F.col("c_e6")).cast("bigint").alias("dot_e"),
@@ -2210,9 +2222,17 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "label", "cell_rank"
     )
     nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
-    probed = nps.join(
-        qcell, qcell.cell_rank <= nps.nprobe
-    ).select("nprobe", "query_id", "label")
+    # (cell, nprobe) fan-out as a map-side explode — the equivalent
+    # tiny-side theta-join plans as a nested-loop and costs seconds of
+    # pure overhead for 300 output rows
+    probe_arr = F.array(*[F.lit(p) for p in NPROBES])
+    probed = qcell.select(
+        F.explode(
+            F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
+        ).alias("nprobe"),
+        "query_id",
+        "label",
+    )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
@@ -2239,25 +2259,31 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("raw_sim"),
         )
-        .localCheckpoint(eager=False)
     )
     wr = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc("raw_sim"), F.asc("neighbor_id")
     )
+    # the candidates-scanned cost rides the SAME window pass as the
+    # ranking (count over the whole group), so the candidate set is
+    # generated exactly once — no checkpoint, no second scan branch
+    wall = Window.partitionBy("nprobe", "query_id")
     ranked = (
-        cand.withColumn("rnk", F.row_number().over(wr))
+        cand.withColumn("n_cand", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             F.col("nprobe").alias("r_np"),
             F.col("query_id").alias("r_qid"),
             F.col("neighbor_id").alias("r_nid"),
+            "n_cand",
         )
+        .localCheckpoint(eager=False)
     )
-    cost = cand.groupBy("nprobe", "query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    cost = ranked.groupBy("r_np", "r_qid").agg(
+        F.max("n_cand").cast("bigint").alias("n_cand")
     ).select(
-        F.col("nprobe").alias("c_np"),
-        F.col("query_id").alias("c_qid"),
+        F.col("r_np").alias("c_np"),
+        F.col("r_qid").alias("c_qid"),
         "n_cand",
     )
     bf = similarity_topk_bruteforce(spark, sf_dir).select(
@@ -2266,7 +2292,8 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         bf.crossJoin(F.broadcast(nps.select(F.col("nprobe").alias("np"))))
         .join(
-            ranked,
+            # k·|queries|·|nprobes| rows — broadcast, no exchange
+            F.broadcast(ranked),
             (F.col("bf_qid") == F.col("r_qid"))
             & (F.col("bf_neighbor") == F.col("r_nid"))
             & (F.col("np") == F.col("r_np")),
@@ -2277,7 +2304,7 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hits.join(
-            cost,
+            F.broadcast(cost),  # |nprobes|·|queries| rows
             (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
         )
         .groupBy(F.col("np").cast("int").alias("nprobe"))

@@ -166,7 +166,7 @@ _DEMOTE: tuple[str, ...] = ()
 # query is either inside the window or on this explicit queue — a
 # silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
-    # round-11 additions (10 of the ≤14 cap)
+    # round-11 additions (11 of the ≤14 cap)
     "embedding_matryoshka_prefix_recall",
     "similarity_ivf_nprobe_sweep",
     "events_abtest_cuped_adjusted",
@@ -177,6 +177,7 @@ DEFERRED: tuple[str, ...] = (
     "text_hashing_trick_collisions",
     "multimodal_format_magic_mismatch",
     "dataset_epoch_shuffle_plan",
+    "lineitem_fifo_allocation",
 )
 
 

@@ -564,3 +564,41 @@ def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
     naive_err = abs(naive - actual).mean()
     assert holt_err < naive_err
     assert holt_err < 0.2  # trend state converges toward slope 2
+
+
+def test_matryoshka_recall_monotone_in_prefix_dims(spark):
+    """More prefix dims can only help: recall@k must be non-decreasing
+    in the prefix width, and the full ordering sanity-holds (recall at
+    32 of 64 dims well above the 8-dim floor on this corpus)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        embedding_matryoshka_prefix_recall,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {
+        r["prefix_dims"]: r["mean_recall"]
+        for r in embedding_matryoshka_prefix_recall(spark, SF_SMALL).collect()
+    }
+    assert sorted(rows) == [8, 16, 32]
+    assert rows[8] <= rows[16] <= rows[32]
+    assert 0.0 <= rows[8] and rows[32] <= 1.0
+
+
+def test_ivf_nprobe_recall_and_cost_monotone(spark):
+    """Probing more cells can only add candidates: both recall and the
+    candidates-scanned cost must be non-decreasing in nProbe — the
+    tuning-curve property the sweep exists to expose."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+        similarity_ivf_nprobe_sweep,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {
+        r["nprobe"]: (r["mean_recall"], r["avg_candidates"])
+        for r in similarity_ivf_nprobe_sweep(spark, SF_SMALL).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1][0] <= rows[2][0] <= rows[4][0]
+    assert rows[1][1] <= rows[2][1] <= rows[4][1]
