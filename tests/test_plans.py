@@ -412,3 +412,45 @@ def test_round10_plan_shapes(spark):
         df = SPECS[name].fn(spark, SF_SMALL)
         plan = explain_str(df)
         assert plan.count("events.parquet") <= 1, f"{name} re-scans events"
+
+
+def test_round11_plan_shapes(spark):
+    """Plan posture of the round-11 additions that have one shape worth
+    pinning each."""
+    # FIFO allocation: the overlap join MUST be a part-keyed SortMerge
+    # (or hash) equi-join with the band predicates as residuals — a
+    # regression to a nested-loop over all (supply, demand) pairs is
+    # the quadratic failure the interval formulation exists to avoid
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["lineitem_fifo_allocation"].fn(spark, SF_SMALL)
+        plan = explain_str(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # nProbe sweep: the lazy localCheckpoint on the ranked candidates
+    # truncates the printable lineage (the inner map-side explode that
+    # replaced the seconds-costing theta-join prints as ExistingRDD),
+    # so pin what the FINAL plan exposes: every join downstream of the
+    # checkpoint is broadcast — no shuffle join, no cartesian — and the
+    # checkpointed ranking is reused by both consumers
+    df = SPECS["similarity_ivf_nprobe_sweep"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+    assert plan.count("Scan ExistingRDD[r_np") == 2, plan
+
+    # epoch shuffle plan: the (doc, epoch, shard) table is lazily
+    # checkpointed and shared by the load and coincidence branches
+    # (prints as ExistingRDD); no cartesian anywhere
+    df = SPECS["dataset_epoch_shuffle_plan"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "Cartesian" not in plan, plan
+
+    # KS-FDR: exactly one scan of events feeds the whole screen
+    df = SPECS["events_dow_value_ks_fdr"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert plan.count("events.parquet") <= 1, "ks_fdr re-scans events"
