@@ -3494,3 +3494,148 @@ def events_dow_value_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_rank",
         (F.col("bh_rank") <= F.col("kstar")).alias("reject"),
     )
+
+
+# mixture variance for the mSPRT (a fixed prior on the effect size;
+# one literal so both engines fold identically)
+_MSPRT_TAU2 = 0.01
+_MSPRT_ALPHA_INV = 20.0  # 1 / alpha, alpha = 0.05
+_EPOCH_DAY_2024_01_01 = 19723
+
+
+@register(
+    "events_abtest_msprt_scan",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(((epoch_ns(ts) // 1000) // 86400000000)
+                  - {_EPOCH_DAY_2024_01_01} AS INTEGER) AS day,
+             CAST(((CAST(json_extract(props, '$.k') AS BIGINT) % 2) + 2) % 2
+                  AS INTEGER) AS arm,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND json_extract(props, '$.k') IS NOT NULL
+    ), daily AS (
+      SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM ev GROUP BY day, arm
+    ), cum AS (
+      SELECT day, arm,
+             CAST(sum(n)  OVER w AS BIGINT) AS cn,
+             CAST(sum(s)  OVER w AS BIGINT) AS cs,
+             CAST(sum(ss) OVER w AS BIGINT) AS css
+      FROM daily
+      WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), wide AS (
+      SELECT a.day,
+             a.cn AS n_a, b.cn AS n_b,
+             a.cs * 1.0 / (a.cn * 100.0) AS m_a,
+             b.cs * 1.0 / (b.cn * 100.0) AS m_b,
+             (a.css * 1.0 / 10000.0 / a.cn
+              - (a.cs * 1.0 / (a.cn * 100.0)) * (a.cs * 1.0 / (a.cn * 100.0)))
+               / a.cn
+             + (b.css * 1.0 / 10000.0 / b.cn
+                - (b.cs * 1.0 / (b.cn * 100.0)) * (b.cs * 1.0 / (b.cn * 100.0)))
+               / b.cn AS v
+      FROM (SELECT * FROM cum WHERE arm = 0) a
+      JOIN (SELECT * FROM cum WHERE arm = 1) b USING (day)
+    ), lam AS (
+      SELECT day, n_a, n_b,
+             floor((m_a - m_b) * 1000000.0 + 0.5) / 1000000.0 AS delta,
+             sqrt(v / (v + {_MSPRT_TAU2}))
+               * exp((m_a - m_b) * (m_a - m_b) * {_MSPRT_TAU2}
+                     / (2.0 * v * (v + {_MSPRT_TAU2}))) AS lambda_raw
+      FROM wide WHERE v > 0.0
+    )
+    SELECT day, n_a, n_b, delta,
+           floor(lambda_raw * 1000000.0 + 0.5) / 1000000.0 AS mixture_lr,
+           lambda_raw >= {_MSPRT_ALPHA_INV} AS reject_h0
+    FROM lam
+    """,
+    doc="Always-valid sequential monitoring (mSPRT, the "
+        "Johari/Koomen/Pekelis 'peeking problem' fix experimentation "
+        "platforms ship): per calendar day, the CUMULATIVE mixture "
+        "likelihood ratio for the purchase-value difference between "
+        "the hash-assigned arms — a normal mixture with fixed prior "
+        "tau^2 gives the closed form Lambda_n = sqrt(V/(V+tau^2)) * "
+        "exp(delta^2 tau^2 / (2V(V+tau^2))), and rejecting when "
+        "Lambda >= 1/alpha is valid at EVERY look, unlike re-running "
+        "the fixed-horizon t-test daily (which inflates false "
+        "positives ~5x over 30 peeks).  Completes the experimentation "
+        "tier: SRM gate, Welch test, CUPED, power/MDE, FDR screen, "
+        "sequential scan.  Values are quantized to exact cents before "
+        "any sum (the bootstrap determinism pattern), so cumulative "
+        "moments are exact int64 and both engines exponentiate "
+        "identical doubles.  Scale shape: one (day, arm) partial agg "
+        "(60 cells), cumulative windows over 30 rows per arm, a "
+        "30-row day join — nothing beyond the first agg touches the "
+        "corpus.",
+    tags=("events", "stats", "abtest"),
+)
+def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull()
+    )
+    ev = e.select(
+        (
+            (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+            - F.lit(_EPOCH_DAY_2024_01_01)
+        )
+        .cast("int")
+        .alias("day"),
+        F.pmod(F.get_json_object("props", "$.k").cast("bigint"), F.lit(2))
+        .cast("int")
+        .alias("arm"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+        F.sum("ss").over(w).cast("bigint").alias("css"),
+    )
+    a = cum.filter(F.col("arm") == 0).select(
+        "day", F.col("cn").alias("n_a"), F.col("cs").alias("cs_a"),
+        F.col("css").alias("css_a"),
+    )
+    b = cum.filter(F.col("arm") == 1).select(
+        "day", F.col("cn").alias("n_b"), F.col("cs").alias("cs_b"),
+        F.col("css").alias("css_b"),
+    )
+    m_a = F.col("cs_a") * F.lit(1.0) / (F.col("n_a") * F.lit(100.0))
+    m_b = F.col("cs_b") * F.lit(1.0) / (F.col("n_b") * F.lit(100.0))
+    v = (
+        F.col("css_a") * F.lit(1.0) / F.lit(10000.0) / F.col("n_a") - m_a * m_a
+    ) / F.col("n_a") + (
+        F.col("css_b") * F.lit(1.0) / F.lit(10000.0) / F.col("n_b") - m_b * m_b
+    ) / F.col("n_b")
+    delta = m_a - m_b
+    lam = F.sqrt(v / (v + F.lit(_MSPRT_TAU2))) * F.exp(
+        delta * delta * F.lit(_MSPRT_TAU2) / (F.lit(2.0) * v * (v + F.lit(_MSPRT_TAU2)))
+    )
+    return (
+        a.join(b, "day")
+        .filter(v > F.lit(0.0))
+        .select(
+            "day",
+            "n_a",
+            "n_b",
+            pround(delta, 6).alias("delta"),
+            pround(lam, 6).alias("mixture_lr"),
+            (lam >= F.lit(_MSPRT_ALPHA_INV)).alias("reject_h0"),
+        )
+    )

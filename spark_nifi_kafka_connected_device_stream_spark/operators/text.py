@@ -1817,3 +1817,155 @@ def text_hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("colliding_occurrence_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: Gopher quality rules as a per-rule attribution audit
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "is")
+_GOPHER_RULES = (
+    "word_count_50_100k",
+    "mean_word_len_3_10",
+    "alpha_words_80pct",
+    "min_2_stopwords",
+    "ellipsis_lines_30pct",
+)
+
+
+@register(
+    "documents_gopher_rules_audit",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform({_DUCK_TOKENS}, t -> length(t)))
+                  AS BIGINT) AS tok_chars,
+             CAST(len(list_filter({_DUCK_TOKENS},
+                                  t -> regexp_matches(t, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(list_filter({_DUCK_TOKENS},
+                  t -> t IN ('the', 'a', 'and', 'of', 'to', 'is'))))
+                  AS BIGINT) AS n_stop_distinct,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> ends_with(l, '...')))
+                  AS BIGINT) AS n_ellipsis
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             NOT (n_tok >= 50 AND n_tok <= 100000)        AS f1,
+             NOT (tok_chars >= 3 * n_tok
+                  AND tok_chars <= 10 * n_tok)            AS f2,
+             NOT (5 * n_alpha >= 4 * n_tok)               AS f3,
+             NOT (n_stop_distinct >= 2)                   AS f4,
+             (10 * n_ellipsis > 3 * n_lines)              AS f5
+      FROM feat
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM flags
+    ), ex AS (
+      SELECT rules.rule, rules.fail,
+             (CASE WHEN f1 THEN 1 ELSE 0 END + CASE WHEN f2 THEN 1 ELSE 0 END
+              + CASE WHEN f3 THEN 1 ELSE 0 END + CASE WHEN f4 THEN 1 ELSE 0 END
+              + CASE WHEN f5 THEN 1 ELSE 0 END) AS n_failed
+      FROM flags,
+      LATERAL (VALUES ('{_GOPHER_RULES[0]}', f1), ('{_GOPHER_RULES[1]}', f2),
+                      ('{_GOPHER_RULES[2]}', f3), ('{_GOPHER_RULES[3]}', f4),
+                      ('{_GOPHER_RULES[4]}', f5)) rules(rule, fail)
+    )
+    SELECT rule,
+           CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           floor((sum(CASE WHEN fail THEN 1 ELSE 0 END) * 1.0 / t.n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS fail_share,
+           CAST(sum(CASE WHEN fail AND n_failed = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_only
+    FROM ex CROSS JOIN tot t
+    GROUP BY rule, t.n_docs
+    """,
+    doc="The published Gopher quality rules (Rae et al. 2021 §A1.1) as "
+        "a RULE-ATTRIBUTION audit, not just a pass/fail gate: per rule "
+        "— word count in [50, 100k], mean word length in [3, 10], "
+        "≥80% of words containing an alphabetic character, ≥2 distinct "
+        "required stopwords, ≤30% of lines ending in ellipsis — how "
+        "many documents fail it, the failure share, and how many fail "
+        "ONLY that rule (the marginal kill count that tells a curation "
+        "team which threshold to tune; a rule whose failures are all "
+        "covered by other rules is free to tighten).  Bounds compare "
+        "as cross-multiplied exact integers (3 ≤ chars/words ≤ 10 "
+        "becomes 3·words ≤ chars ≤ 10·words), so no ratio ever "
+        "touches a float.  Scale shape: map-only feature extraction "
+        "(one pass over text, all five flags from one token fold), a "
+        "5-way rule explode of the per-doc flag vector, one partial "
+        "agg to 5 rule cells.",
+    tags=("text", "quality", "curation"),
+)
+def documents_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(plan_parallelism(spark), "doc_id")
+    tk = tokens(normalize_text(F.col("text")))
+    lines = F.split(F.col("text"), "\n")
+    feat = docs.select(
+        F.size(tk).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+        F.size(F.filter(tk, lambda t: t.rlike("[a-z]"))).cast("bigint").alias(
+            "n_alpha"
+        ),
+        F.size(
+            F.array_distinct(
+                F.filter(tk, lambda t: t.isin(*_GOPHER_STOPS))
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        .cast("bigint")
+        .alias("n_ellipsis"),
+    )
+    flags = feat.select(
+        (~((F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000))).alias("f1"),
+        (
+            ~(
+                (F.col("tok_chars") >= 3 * F.col("n_tok"))
+                & (F.col("tok_chars") <= 10 * F.col("n_tok"))
+            )
+        ).alias("f2"),
+        (~(5 * F.col("n_alpha") >= 4 * F.col("n_tok"))).alias("f3"),
+        (~(F.col("n_stop_distinct") >= 2)).alias("f4"),
+        (10 * F.col("n_ellipsis") > 3 * F.col("n_lines")).alias("f5"),
+    )
+    n_failed = sum(
+        F.col(f).cast("int") for f in ("f1", "f2", "f3", "f4", "f5")
+    )
+    rule_arr = F.array(
+        *[
+            F.struct(F.lit(rule).alias("rule"), F.col(flag).alias("fail"))
+            for rule, flag in zip(_GOPHER_RULES, ("f1", "f2", "f3", "f4", "f5"))
+        ]
+    )
+    ex = flags.select(
+        n_failed.alias("n_failed"), F.explode(rule_arr).alias("r")
+    ).select("n_failed", F.col("r.rule").alias("rule"), F.col("r.fail").alias("fail"))
+    tot = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        ex.groupBy("rule")
+        .agg(
+            F.sum(F.col("fail").cast("bigint")).cast("bigint").alias("n_fail"),
+            F.sum((F.col("fail") & (F.col("n_failed") == 1)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_fail_only"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rule",
+            "n_fail",
+            pround(F.col("n_fail") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+                "fail_share"
+            ),
+            "n_fail_only",
+        )
+    )
