@@ -877,3 +877,143 @@ def dataset_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: Horvitz-Thompson estimator audit for the sampling tier
+# ---------------------------------------------------------------------------
+
+# inclusion scale: pi_i = min(1, n_chars / _HT_SCALE) — size-biased
+# Poisson sampling (longer docs likelier), one exact-integer constant
+_HT_SCALE = 2000
+_TWO_33 = 8_589_934_592  # 2^33
+
+# DuckDB twins of the tokenizer and the op's md5 uniform
+_HT_DUCK_TOKENS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
+)
+_HT_DUCK_U32 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('ht_' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "dataset_ht_estimator_check",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS chars,
+             CAST(len({_HT_DUCK_TOKENS}) AS BIGINT) AS toks,
+             {_HT_DUCK_U32} AS u32
+      FROM documents
+    ), marked AS (
+      SELECT *,
+             (chars >= {_HT_SCALE}
+              OR (2 * u32 + 1) * {_HT_SCALE} < chars * {_TWO_33}) AS sampled
+      FROM base
+    ), est AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_population,
+        CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(sum(toks) AS BIGINT) AS true_total_tokens,
+        CAST(sum(CASE WHEN sampled THEN
+              CASE WHEN chars >= {_HT_SCALE} THEN toks * 1000000
+                   ELSE (toks * {_HT_SCALE} * 1000000) // chars END
+             ELSE 0 END) AS BIGINT) AS ht_e6,
+        CAST(sum(CASE WHEN sampled AND chars < {_HT_SCALE} THEN
+              (toks * toks * {_HT_SCALE} * ({_HT_SCALE} - chars) * 1000)
+                // (chars * chars)
+             ELSE 0 END) AS BIGINT) AS var_e3
+      FROM marked
+    )
+    SELECT n_population, n_sampled, true_total_tokens,
+           floor((ht_e6 * 1.0 / 1000000.0) * 100.0 + 0.5) / 100.0
+             AS ht_estimate,
+           floor(((ht_e6 * 1.0 / 1000000.0 - true_total_tokens)
+                  / true_total_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS rel_error,
+           floor(sqrt(var_e3 * 1.0 / 1000.0) * 100.0 + 0.5) / 100.0 AS ht_se,
+           abs(ht_e6 * 1.0 / 1000000.0 - true_total_tokens)
+             <= 2.0 * sqrt(var_e3 * 1.0 / 1000.0) AS within_2se
+    FROM est
+    """,
+    doc="Horvitz-Thompson estimator audit for the sampling tier: docs "
+        "enter a Poisson sample with size-proportional inclusion "
+        "pi = min(1, n_chars/2000) (deterministic md5 uniform, the "
+        "sampler idiom), and the sampled docs' token counts are "
+        "inverse-probability weighted to estimate the CORPUS total "
+        "tokens — the unbiasedness check every weighted-sampling "
+        "pipeline owes its consumers, plus the HT variance estimate "
+        "sum(t_i^2 (1-pi_i)/pi_i^2) and a within-2-SE verdict.  Every "
+        "sum is quantized to exact integers BEFORE aggregation "
+        "(tokens*scale*1e6 div chars), so both engines sum identical "
+        "int64 terms in any order — the inclusion test itself is the "
+        "exact cross-multiplication (2u+1)*scale < chars*2^33, no "
+        "float ever compared.  At 100 TB this is how you audit a "
+        "sampled dry-run against the full-corpus number it predicts.  "
+        "Scale shape: map-only marking + one 1-row aggregate.",
+    tags=("pipeline", "sampling", "stats"),
+)
+def dataset_ht_estimator_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ht_"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = d.select(
+        F.col("n_chars").cast("bigint").alias("chars"),
+        F.size(tokens(normalize_text(F.col("text")))).cast("bigint").alias("toks"),
+        u32.alias("u32"),
+    )
+    sampled = (F.col("chars") >= _HT_SCALE) | (
+        (2 * F.col("u32") + 1) * _HT_SCALE < F.col("chars") * F.lit(_TWO_33)
+    )
+    ht_term = F.when(
+        sampled,
+        F.when(
+            F.col("chars") >= _HT_SCALE, F.col("toks") * F.lit(1_000_000)
+        ).otherwise(
+            F.expr(f"(toks * {_HT_SCALE} * 1000000) div chars")
+        ),
+    ).otherwise(F.lit(0))
+    var_term = F.when(
+        sampled & (F.col("chars") < _HT_SCALE),
+        F.expr(
+            f"(toks * toks * {_HT_SCALE} * ({_HT_SCALE} - chars) * 1000) "
+            "div (chars * chars)"
+        ),
+    ).otherwise(F.lit(0))
+    est = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_population"),
+        F.sum(sampled.cast("bigint")).cast("bigint").alias("n_sampled"),
+        F.sum("toks").cast("bigint").alias("true_total_tokens"),
+        F.sum(ht_term).cast("bigint").alias("ht_e6"),
+        F.sum(var_term).cast("bigint").alias("var_e3"),
+    )
+    ht = F.col("ht_e6") * F.lit(1.0) / F.lit(1_000_000.0)
+    se = F.sqrt(F.col("var_e3") * F.lit(1.0) / F.lit(1000.0))
+    return est.select(
+        "n_population",
+        "n_sampled",
+        "true_total_tokens",
+        pround(ht, 2).alias("ht_estimate"),
+        pround(
+            (ht - F.col("true_total_tokens")) / F.col("true_total_tokens"), 6
+        ).alias("rel_error"),
+        pround(se, 2).alias("ht_se"),
+        (F.abs(ht - F.col("true_total_tokens")) <= F.lit(2.0) * se).alias(
+            "within_2se"
+        ),
+    )
+

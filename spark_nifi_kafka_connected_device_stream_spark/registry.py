@@ -166,7 +166,7 @@ _DEMOTE: tuple[str, ...] = ()
 # query is either inside the window or on this explicit queue — a
 # silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
-    # round-11 additions (13 of the ≤14 cap)
+    # round-11 additions (14 — the full cap)
     "embedding_matryoshka_prefix_recall",
     "similarity_ivf_nprobe_sweep",
     "events_abtest_cuped_adjusted",
@@ -180,6 +180,7 @@ DEFERRED: tuple[str, ...] = (
     "lineitem_fifo_allocation",
     "events_abtest_msprt_scan",
     "documents_gopher_rules_audit",
+    "dataset_ht_estimator_check",
 )
 
 
