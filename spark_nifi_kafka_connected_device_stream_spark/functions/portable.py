@@ -31,3 +31,29 @@ def pround(col: Column | str, n: int) -> Column:
 def duck_pround(expr: str, n: int) -> str:
     scale = float(10**n)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def spark_u32(key: Column) -> Column:
+    """Exact uint32 from the first 8 hex chars of md5(key) — the
+    cross-engine deterministic uniform used by the bootstrap, DP-noise,
+    feature-hashing, epoch-shuffle, and HT-sampling operators.  `key`
+    must be a STRING column built identically to the oracle's
+    `duck_u32` argument (same prefix, same '||' concatenation)."""
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def duck_u32(key_expr: str) -> str:
+    """DuckDB twin of spark_u32: uint32 from the first 8 md5 hex chars,
+    assembled nibble-by-nibble (DuckDB has no hex→int cast that is
+    guaranteed stable across versions)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )

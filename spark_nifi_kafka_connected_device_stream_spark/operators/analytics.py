@@ -3354,7 +3354,8 @@ def events_abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_dow_value_ks_fdr",
     oracle="""
-    WITH base AS (SELECT isodow(ts) AS g, value FROM events),
+    WITH base AS (SELECT isodow(ts) AS g, value FROM events
+                  WHERE value IS NOT NULL),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base),
     ngt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM base GROUP BY g),
     vc AS (SELECT g, value, CAST(count(*) AS BIGINT) AS c
@@ -3418,7 +3419,13 @@ def events_abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_dow_value_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    base = e.select((F.weekday("ts") + 1).cast("int").alias("g"), "value")
+    # NULL values must be excluded explicitly: the engines order NULL
+    # ECDF keys differently (Spark NULLS FIRST, DuckDB NULLS LAST) and
+    # the grid equality join drops them from cum_g but not n_g —
+    # parity on NULL-free fixtures would be data luck, not correctness
+    base = e.filter(F.col("value").isNotNull()).select(
+        (F.weekday("ts") + 1).cast("int").alias("g"), "value"
+    )
     vc = base.groupBy("g", "value").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).localCheckpoint(eager=False)
@@ -3496,50 +3503,62 @@ def events_dow_value_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mixture variance for the mSPRT (a fixed prior on the effect size;
-# one literal so both engines fold identically)
-_MSPRT_TAU2 = 0.01
+# mixture variance for the mSPRT: the prior scale of the effect we
+# care to detect (~$5 on per-user spend), one literal so both engines
+# fold identically
+_MSPRT_TAU2 = 25.0
 _MSPRT_ALPHA_INV = 20.0  # 1 / alpha, alpha = 0.05
 _EPOCH_DAY_2024_01_01 = 19723
+_MSPRT_DAYS = 30  # the events fixture spans 2024-01-01 .. 01-30
 
 
 @register(
     "events_abtest_msprt_scan",
     oracle=f"""
-    WITH ev AS (
-      SELECT CAST(((epoch_ns(ts) // 1000) // 86400000000)
+    WITH users AS (
+      SELECT * FROM (
+        SELECT user_id,
+               CAST(((min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2)
+                     + 2) % 2 AS INTEGER) AS arm
+        FROM events GROUP BY user_id
+      ) WHERE arm IS NOT NULL
+    ), p AS (
+      SELECT user_id,
+             CAST(((epoch_ns(ts) // 1000) // 86400000000)
                   - {_EPOCH_DAY_2024_01_01} AS INTEGER) AS day,
-             CAST(((CAST(json_extract(props, '$.k') AS BIGINT) % 2) + 2) % 2
-                  AS INTEGER) AS arm,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM events
       WHERE event_type = 'purchase' AND value IS NOT NULL
-        AND json_extract(props, '$.k') IS NOT NULL
-    ), daily AS (
-      SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(cents * cents) AS BIGINT) AS ss
-      FROM ev GROUP BY day, arm
+      GROUP BY user_id, day
+    ), grid AS (
+      SELECT u.user_id, u.arm, d.day
+      FROM users u CROSS JOIN
+           (SELECT CAST(unnest(generate_series(0, {_MSPRT_DAYS - 1}))
+                   AS INTEGER) AS day) d
     ), cum AS (
-      SELECT day, arm,
-             CAST(sum(n)  OVER w AS BIGINT) AS cn,
-             CAST(sum(s)  OVER w AS BIGINT) AS cs,
-             CAST(sum(ss) OVER w AS BIGINT) AS css
-      FROM daily
-      WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+      SELECT g.user_id, g.arm, g.day,
+             CAST(sum(COALESCE(p.cents, 0))
+                  OVER (PARTITION BY g.user_id ORDER BY g.day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccents
+      FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day
+    ), stats AS (
+      SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ccents) AS BIGINT) AS s,
+             CAST(sum(ccents * ccents) AS BIGINT) AS ss
+      FROM cum GROUP BY day, arm
     ), wide AS (
-      SELECT a.day,
-             a.cn AS n_a, b.cn AS n_b,
-             a.cs * 1.0 / (a.cn * 100.0) AS m_a,
-             b.cs * 1.0 / (b.cn * 100.0) AS m_b,
-             (a.css * 1.0 / 10000.0 / a.cn
-              - (a.cs * 1.0 / (a.cn * 100.0)) * (a.cs * 1.0 / (a.cn * 100.0)))
-               / a.cn
-             + (b.css * 1.0 / 10000.0 / b.cn
-                - (b.cs * 1.0 / (b.cn * 100.0)) * (b.cs * 1.0 / (b.cn * 100.0)))
-               / b.cn AS v
-      FROM (SELECT * FROM cum WHERE arm = 0) a
-      JOIN (SELECT * FROM cum WHERE arm = 1) b USING (day)
+      SELECT a.day, a.n AS n_a, b.n AS n_b,
+             a.s * 1.0 / (a.n * 100.0) AS m_a,
+             b.s * 1.0 / (b.n * 100.0) AS m_b,
+             ((a.ss * 1.0 / 10000.0
+               - a.n * (a.s * 1.0 / (a.n * 100.0))
+                     * (a.s * 1.0 / (a.n * 100.0))) / (a.n - 1)) / a.n
+             + ((b.ss * 1.0 / 10000.0
+                 - b.n * (b.s * 1.0 / (b.n * 100.0))
+                       * (b.s * 1.0 / (b.n * 100.0))) / (b.n - 1)) / b.n AS v
+      FROM (SELECT * FROM stats WHERE arm = 0) a
+      JOIN (SELECT * FROM stats WHERE arm = 1) b USING (day)
     ), lam AS (
       SELECT day, n_a, n_b,
              floor((m_a - m_b) * 1000000.0 + 0.5) / 1000000.0 AS delta,
@@ -3555,73 +3574,94 @@ _EPOCH_DAY_2024_01_01 = 19723
     """,
     doc="Always-valid sequential monitoring (mSPRT, the "
         "Johari/Koomen/Pekelis 'peeking problem' fix experimentation "
-        "platforms ship): per calendar day, the CUMULATIVE mixture "
-        "likelihood ratio for the purchase-value difference between "
-        "the hash-assigned arms — a normal mixture with fixed prior "
-        "tau^2 gives the closed form Lambda_n = sqrt(V/(V+tau^2)) * "
-        "exp(delta^2 tau^2 / (2V(V+tau^2))), and rejecting when "
-        "Lambda >= 1/alpha is valid at EVERY look, unlike re-running "
-        "the fixed-horizon t-test daily (which inflates false "
-        "positives ~5x over 30 peeks).  Completes the experimentation "
-        "tier: SRM gate, Welch test, CUPED, power/MDE, FDR screen, "
-        "sequential scan.  Values are quantized to exact cents before "
-        "any sum (the bootstrap determinism pattern), so cumulative "
-        "moments are exact int64 and both engines exponentiate "
-        "identical doubles.  Scale shape: one (day, arm) partial agg "
-        "(60 cells), cumulative windows over 30 rows per arm, a "
-        "30-row day join — nothing beyond the first agg touches the "
-        "corpus.",
+        "platforms ship), on the SAME randomization unit as the rest "
+        "of the tier: users are assigned once by the SRM gate's "
+        "pmod(min k) parity, and the monitored metric is each user's "
+        "CUMULATIVE purchase spend to date — so per day the mixture "
+        "likelihood ratio Lambda = sqrt(V/(V+tau^2)) * exp(delta^2 "
+        "tau^2 / (2V(V+tau^2))) compares user-level means with "
+        "V = s_a^2/n_a + s_b^2/n_b across users (a per-event unit "
+        "would split one user's purchases across arms and monitor a "
+        "non-randomized quantity — the review finding this rewrite "
+        "closes).  Rejecting when Lambda >= 1/alpha is valid at EVERY "
+        "look; tau is the ~$5 effect scale of interest.  Cents-exact "
+        "cumulative moments: the user x day grid is dense (absent "
+        "days coalesce to 0 spend), sums are int64, both engines "
+        "exponentiate identical doubles.  Scale shape: one user-grain "
+        "assignment agg, one (user, day) purchase agg, a "
+        f"{_MSPRT_DAYS}x map-side day explode of the user table, "
+        "per-user cumulative windows (30 rows each, user-partitioned), "
+        "a 60-cell (day, arm) rollup, 30-row output.",
     tags=("events", "stats", "abtest"),
 )
 def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase")
-        & F.col("value").isNotNull()
-        & F.get_json_object("props", "$.k").isNotNull()
-    )
-    ev = e.select(
-        (
-            (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
-            - F.lit(_EPOCH_DAY_2024_01_01)
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.pmod(
+                F.min(F.get_json_object("props", "$.k").cast("bigint")), F.lit(2)
+            )
+            .cast("int")
+            .alias("arm")
         )
-        .cast("int")
-        .alias("day"),
-        F.pmod(F.get_json_object("props", "$.k").cast("bigint"), F.lit(2))
-        .cast("int")
-        .alias("arm"),
-        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("cents"),
+        .filter(F.col("arm").isNotNull())
     )
-    daily = ev.groupBy("day", "arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    p = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(
+            "user_id",
+            (
+                (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+                - F.lit(_EPOCH_DAY_2024_01_01)
+            )
+            .cast("int")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
     )
+    grid = users.select(
+        "user_id",
+        "arm",
+        F.explode(F.sequence(F.lit(0), F.lit(_MSPRT_DAYS - 1))).alias("day"),
+    ).select("user_id", "arm", F.col("day").cast("int").alias("day"))
     w = (
-        Window.partitionBy("arm")
+        Window.partitionBy("user_id")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = daily.select(
-        "day",
-        "arm",
-        F.sum("n").over(w).cast("bigint").alias("cn"),
-        F.sum("s").over(w).cast("bigint").alias("cs"),
-        F.sum("ss").over(w).cast("bigint").alias("css"),
+    cum = (
+        grid.join(p, ["user_id", "day"], "left")
+        .withColumn(
+            "ccents",
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).over(w).cast("bigint"),
+        )
     )
-    a = cum.filter(F.col("arm") == 0).select(
-        "day", F.col("cn").alias("n_a"), F.col("cs").alias("cs_a"),
-        F.col("css").alias("css_a"),
+    stats = cum.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ccents").cast("bigint").alias("s"),
+        F.sum(F.col("ccents") * F.col("ccents")).cast("bigint").alias("ss"),
     )
-    b = cum.filter(F.col("arm") == 1).select(
-        "day", F.col("cn").alias("n_b"), F.col("cs").alias("cs_b"),
-        F.col("css").alias("css_b"),
+    a = stats.filter(F.col("arm") == 0).select(
+        "day", F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
     )
-    m_a = F.col("cs_a") * F.lit(1.0) / (F.col("n_a") * F.lit(100.0))
-    m_b = F.col("cs_b") * F.lit(1.0) / (F.col("n_b") * F.lit(100.0))
+    b = stats.filter(F.col("arm") == 1).select(
+        "day", F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    m_a = F.col("s_a") * F.lit(1.0) / (F.col("n_a") * F.lit(100.0))
+    m_b = F.col("s_b") * F.lit(1.0) / (F.col("n_b") * F.lit(100.0))
     v = (
-        F.col("css_a") * F.lit(1.0) / F.lit(10000.0) / F.col("n_a") - m_a * m_a
+        (F.col("ss_a") * F.lit(1.0) / F.lit(10000.0) - F.col("n_a") * m_a * m_a)
+        / (F.col("n_a") - 1)
     ) / F.col("n_a") + (
-        F.col("css_b") * F.lit(1.0) / F.lit(10000.0) / F.col("n_b") - m_b * m_b
+        (F.col("ss_b") * F.lit(1.0) / F.lit(10000.0) - F.col("n_b") * m_b * m_b)
+        / (F.col("n_b") - 1)
     ) / F.col("n_b")
     delta = m_a - m_b
     lam = F.sqrt(v / (v + F.lit(_MSPRT_TAU2))) * F.exp(

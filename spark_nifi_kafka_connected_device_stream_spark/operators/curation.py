@@ -2357,7 +2357,7 @@ _KN_TOP = 50
         "but-context-bound words.  All inputs are exact integer counts "
         "derived from ONE bigram-count aggregate (c1 and the follower-"
         "type count fold over bgc, not the raw corpus), so both "
-        "engines derive identical doubles; the top-{_KN_TOP} cut is "
+        f"engines derive identical doubles; the top-{_KN_TOP} cut is "
         "totally ordered (count desc, then the bigram itself).  Scale "
         "shape: one bigram-key partial-agg shuffle, two linear rollups "
         "of the count table, a 1-row broadcast type count, "

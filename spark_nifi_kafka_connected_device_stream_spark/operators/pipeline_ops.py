@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import pround
+from ..functions.portable import duck_u32, pround, spark_u32
 from ..functions.scale import bounded_window_key
 from ..functions.textfns import normalize_text, tokens
 from ..registry import register
@@ -746,16 +746,7 @@ _EPOCHS = 4
 _EPOCH_SHARDS = 64
 
 
-def _duck_epoch_u32(key_expr: str) -> str:
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
-            f"* {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        + ")"
-    )
+
 
 
 @register(
@@ -763,7 +754,7 @@ def _duck_epoch_u32(key_expr: str) -> str:
     oracle=f"""
     WITH s AS (
       SELECT doc_id, e.e,
-             {_duck_epoch_u32("'ep' || CAST(e.e AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")}
+             {duck_u32("'ep' || CAST(e.e AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")}
                % {_EPOCH_SHARDS} AS shard
       FROM documents
       CROSS JOIN (SELECT CAST(unnest(generate_series(0, {_EPOCHS - 1})) AS INTEGER) AS e) e
@@ -819,22 +810,14 @@ def dataset_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("e").cast("int").alias("e"),
         F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("ep"),
-                            F.col("e").cast("string"),
-                            F.lit("_"),
-                            F.col("doc_id").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            spark_u32(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("e").cast("string"),
+                    F.lit("_"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
             F.lit(_EPOCH_SHARDS),
         ).alias("shard"),
     ).localCheckpoint(eager=False)
@@ -892,15 +875,7 @@ _TWO_33 = 8_589_934_592  # 2^33
 _HT_DUCK_TOKENS = (
     "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
 )
-_HT_DUCK_U32 = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('ht_' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
-        f"* {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")"
-)
+_HT_DUCK_U32 = duck_u32("'ht_' || CAST(doc_id AS VARCHAR)")
 
 
 @register(
@@ -962,15 +937,7 @@ _HT_DUCK_U32 = (
 )
 def dataset_ht_estimator_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ht_"), F.col("doc_id").cast("string")).cast("binary")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u32 = spark_u32(F.concat(F.lit("ht_"), F.col("doc_id").cast("string")))
     base = d.select(
         F.col("n_chars").cast("bigint").alias("chars"),
         F.size(tokens(normalize_text(F.col("text")))).cast("bigint").alias("toks"),

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import pround
+from ..functions.portable import duck_u32, pround, spark_u32
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -513,19 +513,7 @@ _DP_EPSILON = 1.0
 _DP_B = 5.0  # _DP_CAP / _DP_EPSILON
 
 
-def _duck_u32(key_expr: str) -> str:
-    """Exact uint32 from the first 8 hex chars of md5(key) — the
-    bootstrap op's cross-engine uniform (analytics._duck_bootstrap_u32
-    restated locally to keep the module self-contained)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
-            f"* {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        + ")"
-    )
+
 
 
 @register(
@@ -542,7 +530,7 @@ def _duck_u32(key_expr: str) -> str:
       FROM per_user GROUP BY event_type
     ), noised AS (
       SELECT *,
-             ({_duck_u32("'dp_' || event_type")} + 0.5) / 4294967296.0 AS u
+             ({duck_u32("'dp_' || event_type")} + 0.5) / 4294967296.0 AS u
       FROM rel
     )
     SELECT event_type, n_users, true_count, clamped_count,
@@ -584,13 +572,7 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped_count"
         ),
     )
-    u32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("dp_"), F.col("event_type")).cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u32 = spark_u32(F.concat(F.lit("dp_"), F.col("event_type")))
     u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
     noise = F.when(
         u >= 0.5, F.lit(-_DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))

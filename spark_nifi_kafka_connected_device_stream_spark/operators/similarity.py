@@ -2029,9 +2029,7 @@ def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> Data
     bf = similarity_topk_bruteforce(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("bf_neighbor")
     )
-    dims_dim = spark.range(0).sparkSession.createDataFrame(
-        [(p,) for p in MRL_PREFIXES], "dims int"
-    )
+    dims_dim = spark.createDataFrame([(p,) for p in MRL_PREFIXES], "dims int")
     hits = (
         bf.crossJoin(F.broadcast(dims_dim))
         .join(
@@ -2078,8 +2076,9 @@ _DUCK_QCELL_SCORE = """
     WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
     cdims AS (
       SELECT label, i,
-             CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5)
-                  AS BIGINT) AS c_e6
+             CAST(floor((2 * sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                             * 1000000.0 + 0.5) AS BIGINT))
+                         + count(*)) * 1.0 / (2 * count(*))) AS BIGINT) AS c_e6
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
       GROUP BY label, i
@@ -2177,8 +2176,19 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x_e6"),
     )
+    # centroid dim = round(mean of the QUANTIZED dims) computed as the
+    # pure-integer identity floor(s/n + 1/2) = floor((2s+n)/(2n)) over
+    # exact int64 sums — order-free AND byte-identical to the oracle
+    # (a raw avg() of doubles differs by summation-order ULP between
+    # engines and re-rounding a pre-rounded mean rounds a DIFFERENT
+    # quantity than the oracle's round-of-raw-mean; both failure modes
+    # found by review, both eliminated by rounding the same exact ints)
     cdims = dims.groupBy("label", "i").agg(
-        F.floor(F.avg(F.col("x_e6") / F.lit(1000000.0)) * F.lit(1000000.0) + F.lit(0.5))
+        F.floor(
+            (2 * F.sum("x_e6") + F.count(F.lit(1)))
+            * F.lit(1.0)
+            / (2 * F.count(F.lit(1)))
+        )
         .cast("bigint")
         .alias("c_e6")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, tokens
-from ..functions.portable import pround
+from ..functions.portable import duck_u32, pround, spark_u32
 from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
@@ -1723,18 +1723,7 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FH_BUCKETS = 16_384  # 2^14, a typical hashing-trick feature width
 
 
-def _duck_fh_u32(key_expr: str) -> str:
-    """Exact uint32 from the first 8 hex chars of md5(key) — the
-    cross-engine deterministic hash (bootstrap/DP-noise pattern)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
-            f"* {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        + ")"
-    )
+
 
 
 @register(
@@ -1744,7 +1733,7 @@ def _duck_fh_u32(key_expr: str) -> str:
       SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
     ), vocab AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS occ,
-             {_duck_fh_u32("'fh_' || tok")} % {_FH_BUCKETS} AS bucket
+             {duck_u32("'fh_' || tok")} % {_FH_BUCKETS} AS bucket
       FROM tok GROUP BY tok
     ), buckets AS (
       SELECT bucket,
@@ -1787,11 +1776,7 @@ def text_hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame
     tok = docs.select(
         F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
     )
-    u32 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("fh_"), F.col("tok")).cast("binary")), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
+    u32 = spark_u32(F.concat(F.lit("fh_"), F.col("tok")))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
     vocab = vocab.select(
         "occ", F.pmod(u32, F.lit(_FH_BUCKETS)).alias("bucket")
