@@ -3644,15 +3644,19 @@ def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cum.groupBy("day", "arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("ccents").cast("bigint").alias("s"),
+        # ss sums squared cumulative cents — the guard's max|term| and
+        # count ride the same partial agg (the q9/q11 headroom idiom:
+        # ~1e12/term holds ~1e6 users/arm; loud past that, not wrapped)
         F.sum(F.col("ccents") * F.col("ccents")).cast("bigint").alias("ss"),
+        F.max(F.col("ccents") * F.col("ccents")).cast("bigint").alias("mx"),
     )
     a = stats.filter(F.col("arm") == 0).select(
         "day", F.col("n").alias("n_a"), F.col("s").alias("s_a"),
-        F.col("ss").alias("ss_a"),
+        F.col("ss").alias("ss_a"), F.col("mx").alias("mx_a"),
     )
     b = stats.filter(F.col("arm") == 1).select(
         "day", F.col("n").alias("n_b"), F.col("s").alias("s_b"),
-        F.col("ss").alias("ss_b"),
+        F.col("ss").alias("ss_b"), F.col("mx").alias("mx_b"),
     )
     m_a = F.col("s_a") * F.lit(1.0) / (F.col("n_a") * F.lit(100.0))
     m_b = F.col("s_b") * F.lit(1.0) / (F.col("n_b") * F.lit(100.0))
@@ -3675,7 +3679,17 @@ def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             pround(delta, 6).alias("delta"),
-            pround(lam, 6).alias("mixture_lr"),
+            int64_headroom_guard(
+                int64_headroom_guard(
+                    pround(lam, 6),
+                    F.col("mx_a"),
+                    F.col("n_a"),
+                    "events_abtest_msprt_scan arm-a ccents^2 sum",
+                ),
+                F.col("mx_b"),
+                F.col("n_b"),
+                "events_abtest_msprt_scan arm-b ccents^2 sum",
+            ).alias("mixture_lr"),
             (lam >= F.lit(_MSPRT_ALPHA_INV)).alias("reject_h0"),
         )
     )
