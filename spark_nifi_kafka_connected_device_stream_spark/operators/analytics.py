@@ -1878,7 +1878,7 @@ _MW_B = "view"
     oracle=f"""
     WITH ev AS (
       SELECT isodow(ts) AS dow, event_type, value FROM events
-      WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+      WHERE event_type IN ('{_MW_A}', '{_MW_B}') AND value IS NOT NULL
     ), vc AS (
       SELECT dow, value,
              CAST(count(*) FILTER (WHERE event_type = '{_MW_A}') AS BIGINT) AS ca,
@@ -1937,8 +1937,12 @@ _MW_B = "view"
     tags=("events", "stats"),
 )
 def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value IS NOT NULL is explicit, not data luck: the rank cumulative
+    # orders by value, and the engines place NULL keys at opposite ends
+    # (Spark NULLS FIRST, DuckDB NULLS LAST) — the KS-screen review
+    # finding, applied to every value-ordered ECDF in the module
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(_MW_A, _MW_B)
+        F.col("event_type").isin(_MW_A, _MW_B) & F.col("value").isNotNull()
     )
     vc = (
         e.groupBy(
@@ -2558,7 +2562,7 @@ _KW_CRIT = 12.592
     oracle=f"""
     WITH ev AS (
       SELECT isodow(ts) AS g, value FROM events
-      WHERE event_type = '{_KW_TYPE}'
+      WHERE event_type = '{_KW_TYPE}' AND value IS NOT NULL
     ), vc AS (
       SELECT g, value, CAST(count(*) AS BIGINT) AS c
       FROM ev GROUP BY g, value
@@ -2618,8 +2622,9 @@ _KW_CRIT = 12.592
     tags=("events", "stats"),
 )
 def events_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit NULL exclusion — see events_mann_whitney_value
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == _KW_TYPE
+        (F.col("event_type") == _KW_TYPE) & F.col("value").isNotNull()
     )
     vc = e.groupBy(
         (F.weekday("ts") + 1).cast("int").alias("g"), F.col("value")
