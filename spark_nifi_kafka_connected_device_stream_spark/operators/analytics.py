@@ -2005,7 +2005,7 @@ def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS (
       SELECT event_type, CAST(hour(ts) AS BIGINT) AS x, value AS y,
              CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2, 3
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
     ), xm AS (
       SELECT event_type, x, CAST(sum(c) AS BIGINT) AS cx,
              CAST(sum(sum(c)) OVER (PARTITION BY event_type ORDER BY x
@@ -2071,7 +2071,10 @@ def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "stats"),
 )
 def events_spearman_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # explicit NULL-value exclusion: the y-marginal cumulative orders by
+    # value, where the engines place NULL keys at opposite ends — see
+    # events_mann_whitney_value
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # cells feed three consumers (two marginals + the rank join); a lazy
     # localCheckpoint materializes the events scan + first agg ONCE —
     # without it the plan re-scans events three times (q11 pattern)
@@ -3649,19 +3652,21 @@ def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cum.groupBy("day", "arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("ccents").cast("bigint").alias("s"),
-        # ss sums squared cumulative cents — the guard's max|term| and
-        # count ride the same partial agg (the q9/q11 headroom idiom:
-        # ~1e12/term holds ~1e6 users/arm; loud past that, not wrapped)
+        # ss sums squared cumulative cents (~1e12/term holds ~1e6
+        # users/arm).  The guard input is max|ccents| — NOT
+        # max(ccents^2), whose per-row int64 square could itself wrap
+        # before the max is taken — squared later in DOUBLE where it
+        # cannot (the q9 max(abs(raw term)) pattern)
         F.sum(F.col("ccents") * F.col("ccents")).cast("bigint").alias("ss"),
-        F.max(F.col("ccents") * F.col("ccents")).cast("bigint").alias("mx"),
+        F.max(F.abs(F.col("ccents"))).cast("bigint").alias("mc"),
     )
     a = stats.filter(F.col("arm") == 0).select(
         "day", F.col("n").alias("n_a"), F.col("s").alias("s_a"),
-        F.col("ss").alias("ss_a"), F.col("mx").alias("mx_a"),
+        F.col("ss").alias("ss_a"), F.col("mc").alias("mc_a"),
     )
     b = stats.filter(F.col("arm") == 1).select(
         "day", F.col("n").alias("n_b"), F.col("s").alias("s_b"),
-        F.col("ss").alias("ss_b"), F.col("mx").alias("mx_b"),
+        F.col("ss").alias("ss_b"), F.col("mc").alias("mc_b"),
     )
     m_a = F.col("s_a") * F.lit(1.0) / (F.col("n_a") * F.lit(100.0))
     m_b = F.col("s_b") * F.lit(1.0) / (F.col("n_b") * F.lit(100.0))
@@ -3676,25 +3681,34 @@ def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = F.sqrt(v / (v + F.lit(_MSPRT_TAU2))) * F.exp(
         delta * delta * F.lit(_MSPRT_TAU2) / (F.lit(2.0) * v * (v + F.lit(_MSPRT_TAU2)))
     )
+    # the guards live in the FILTER condition, not a projected column:
+    # an overflowed ss makes v negative, and a guard placed after
+    # `.filter(v > 0)` would never evaluate for the silently-dropped
+    # row (the q11 share-filter rule, analytics.py q11 comment).
+    # max|ccents| squares in DOUBLE inside the guard input, so the
+    # bound itself cannot wrap.
+    keep = v > F.lit(0.0)
+    keep = int64_headroom_guard(
+        keep,
+        (F.col("mc_a") * F.lit(1.0)) * (F.col("mc_a") * F.lit(1.0)),
+        F.col("n_a"),
+        "events_abtest_msprt_scan arm-a ccents^2 sum",
+    )
+    keep = int64_headroom_guard(
+        keep,
+        (F.col("mc_b") * F.lit(1.0)) * (F.col("mc_b") * F.lit(1.0)),
+        F.col("n_b"),
+        "events_abtest_msprt_scan arm-b ccents^2 sum",
+    )
     return (
         a.join(b, "day")
-        .filter(v > F.lit(0.0))
+        .filter(keep)
         .select(
             "day",
             "n_a",
             "n_b",
             pround(delta, 6).alias("delta"),
-            int64_headroom_guard(
-                int64_headroom_guard(
-                    pround(lam, 6),
-                    F.col("mx_a"),
-                    F.col("n_a"),
-                    "events_abtest_msprt_scan arm-a ccents^2 sum",
-                ),
-                F.col("mx_b"),
-                F.col("n_b"),
-                "events_abtest_msprt_scan arm-b ccents^2 sum",
-            ).alias("mixture_lr"),
+            pround(lam, 6).alias("mixture_lr"),
             (lam >= F.lit(_MSPRT_ALPHA_INV)).alias("reject_h0"),
         )
     )
