@@ -15,6 +15,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.json_events import json_file_stream
 from .pipeline import parse_product_views, windowed_source_counts
@@ -110,6 +111,18 @@ DOC_WIRE_SCHEMA = "doc_id long, text string, source string, ts string"
 DOC_TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def parse_doc_wire(raw: DataFrame) -> DataFrame:
+    """The document-wire deserialization shared by every doc-stream job
+    (ingest, PII gate): from_json against DOC_WIRE_SCHEMA + the
+    validity filter.  ONE definition so the jobs cannot silently
+    diverge on what counts as a valid document."""
+    return (
+        raw.select(F.from_json("value", DOC_WIRE_SCHEMA).alias("d"))
+        .select("d.*")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+
+
 def run_corpus_ingest_job(
     spark: SparkSession,
     input_dir: str,
@@ -144,9 +157,7 @@ def run_corpus_ingest_job(
 
     raw = json_file_stream(spark, input_dir)
     parsed = (
-        raw.select(F.from_json("value", DOC_WIRE_SCHEMA).alias("d"))
-        .select("d.*")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        parse_doc_wire(raw)
         .withColumn("event_ts", F.to_timestamp("ts", DOC_TS_FMT))
         .filter(F.col("event_ts").isNotNull())
     )
@@ -213,7 +224,13 @@ def run_seasonal_anomaly_job(
     def score(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        seasonal_score(batch_df, baseline).write.mode("append").parquet(out_dir)
+        # epoch-partition overwrite, NOT append: a replayed epoch (crash
+        # between the write and the checkpoint commit) must rewrite its
+        # own partition instead of duplicating scored rows — the same
+        # exactly-once idiom as every other foreachBatch sink here
+        seasonal_score(batch_df, baseline).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
 
     w = (
         hourly.writeStream.outputMode("append")
@@ -255,11 +272,7 @@ def run_pii_gate_job(
     from ..operators.privacy import pii_counts, pii_redact
 
     raw = json_file_stream(spark, input_dir)
-    parsed = (
-        raw.select(F.from_json("value", DOC_WIRE_SCHEMA).alias("d"))
-        .select("d.*")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-    )
+    parsed = parse_doc_wire(raw)
     n_em, n_ph, n_id = pii_counts(F.col("text"))
     scanned = parsed.select(
         "doc_id",

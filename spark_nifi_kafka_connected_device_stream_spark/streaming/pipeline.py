@@ -63,9 +63,18 @@ TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSZ"
 
 def parse_product_views(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Kafka-payload deserialization chain (SURVEY.md §2.2 P1-P4, P7):
-    binary→string cast, from_json with declared schema (malformed rows
-    → null struct, dropped), nested projection, explicit timestamp
-    parse.  Works identically on batch and streaming DataFrames.
+    binary→string cast, from_json with declared schema, nested
+    projection, explicit timestamp parse.  Works identically on batch
+    and streaming DataFrames.
+
+    Malformed-row semantics, precisely: Spark 4's from_json returns an
+    ALL-NULL struct for unparseable JSON (not a NULL struct — see
+    observe_parse_quality below), so the isNotNull struct filter drops
+    only NULL payloads; malformed-JSON rows are dropped by the
+    timestamp-isNotNull filter at the end (their parsed timestamp is
+    null).  Anyone relaxing the timestamp filter must add an explicit
+    parse-validity gate or malformed rows flow through as all-null
+    records.
 
     Output: (messageid, userid, productid, source, timestamp:Timestamp)
     """

@@ -286,7 +286,31 @@ def corpus_dedup_bloom_epoch(
         )
         if condition != "PATH_NOT_FOUND":
             raise
-        first_epoch = True
+        # the bits are DERIVED state: a missing bloom_dir does NOT mean
+        # an empty corpus (a pipeline may have run the exact path
+        # before, or the bits were retention-cleaned).  Rebuild from
+        # the corpus store when it exists — treating this as "first
+        # epoch" would skip the probe and write duplicates permanently.
+        try:
+            corpus_prev = spark.read.parquet(corpus_dir).filter(
+                F.col("epoch") < epoch_id
+            )
+            bits = (
+                _bloom_positions(corpus_prev, fingerprint_col)
+                .select("pos")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            first_epoch = False
+        except AnalysisException as exc2:
+            condition2 = (
+                exc2.getCondition()
+                if hasattr(exc2, "getCondition")
+                else exc2.getErrorClass()
+            )
+            if condition2 != "PATH_NOT_FOUND":
+                raise
+            first_epoch = True
     if first_epoch:
         fresh = batch
     else:
@@ -419,17 +443,25 @@ def foreach_batch_agg_upsert(
     sum/count maintained from the stream into a versioned parquet
     store.  The lambda-architecture MV: unlike the in-state running
     totals (`stateful.running_totals`, applyInPandasWithState), the
-    result here lives as PLAIN PARQUET any batch reader can scan, and
-    survives total checkpoint loss (the store itself carries the
-    state).
+    result here lives as PLAIN PARQUET any batch reader can scan.
 
     Epoch N: partial-aggregate the batch (map-side combinable), read
-    the latest store version `< N` (partition-pruned), full-outer
-    merge (sums add, counts add, absent side = zero), overwrite
-    `v=N` — the `scd2_upsert_epoch` exactly-once contract: a crashed
-    epoch's re-run reads the same input and rewrites the same output.
-    Store size is |distinct keys|, dimension-sized; the per-epoch cost
-    is one key-partitioned merge join, never a rescan of history.
+    the latest store version `< N` (partition-pruned), union +
+    re-aggregate (NULL keys merge as one group), overwrite `v=N` — the
+    `scd2_upsert_epoch` exactly-once contract: a crashed epoch's
+    re-run reads the same input and rewrites the same output.  Store
+    size is |distinct keys|, dimension-sized; the per-epoch cost is
+    one key shuffle, never a rescan of history.
+
+    Durability contract, stated precisely: exactly-once across ANY
+    crash/replay within one checkpoint lineage (the `v < N` probe is
+    what makes a replayed epoch idempotent).  The ACCUMULATED data
+    outlives a lost checkpoint as plain parquet, but a restart with a
+    FRESH checkpoint restarts epoch numbering at 0 and the `v < 0`
+    probe treats the store as empty — to resume accumulation after
+    checkpoint loss, re-base by copying the latest `v=K` partition to
+    a new store_dir (or seed it as `v=-1`); continuing blindly
+    overwrites low-numbered versions and abandons the prior totals.
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
@@ -474,22 +506,23 @@ def agg_upsert_epoch(
     if prev is None:
         merged = part
     else:
-        cur = spark.read.parquet(store_dir).filter(F.col("v") == prev).drop("v")
-        c = cur.select(
-            *keys,
-            F.col("total").alias("_ct"),
-            F.col("n_rows").alias("_cn"),
+        # union + re-aggregate, NOT a full-outer join on key names: the
+        # join's null-UNSAFE equality can never match a NULL-key batch
+        # row to the store's NULL-key row, so that group fragments into
+        # one more row every epoch and its total never sums.  groupBy
+        # treats NULL as one group — the correct upsert semantics —
+        # and costs the same single keys-shuffle.
+        cur = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("v") == prev)
+            .select(*keys, "total", F.col("n_rows").cast("bigint").alias("n_rows"))
         )
         merged = (
-            part.join(c, list(keys), "full_outer")
-            .select(
-                *keys,
-                (
-                    F.coalesce("total", F.lit(0.0)) + F.coalesce("_ct", F.lit(0.0))
-                ).alias("total"),
-                (
-                    F.coalesce("n_rows", F.lit(0)) + F.coalesce("_cn", F.lit(0))
-                ).cast("bigint").alias("n_rows"),
+            part.unionByName(cur)
+            .groupBy(*keys)
+            .agg(
+                F.sum("total").cast("double").alias("total"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
             )
         )
     # reads come from v=prev, the write targets v=epoch_id — distinct

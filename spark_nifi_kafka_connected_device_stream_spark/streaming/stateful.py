@@ -86,7 +86,11 @@ def stream_stream_interval_join(
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {interval}"))
+        # side-qualified bound: a bare F.expr(f"{left_ts} + interval")
+        # resolves by NAME and is ambiguous when both streams carry the
+        # same timestamp column — the key comparison already supports
+        # same-named columns, so the bound must too
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {interval}"))
     )
     return lw.join(rw, cond, how).drop(rw[key])
 
@@ -552,10 +556,19 @@ def _streaming_ewma_fn(
     else:
         n, y = 0, 0.0
     batch_events = 0
-    for pdf in pdfs:
+    # a key's micro-batch arrives as an ITERATOR of Arrow chunks (split
+    # at arrow.maxRecordsPerBatch): concatenate BEFORE the sort, or a
+    # later chunk holding earlier timestamps folds after later ones and
+    # the documented event-time-order contract silently breaks for any
+    # key with >10k rows per batch.  NaN values (null value_col) are
+    # dropped — one NaN would otherwise poison the EWMA state forever.
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True)
+        allrows = allrows[allrows["value"].notna()]
         # mergesort = stable: equal timestamps keep arrival order
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        for x in pdf["value"].to_numpy():
+        allrows = allrows.sort_values("ts", kind="mergesort")
+        for x in allrows["value"].to_numpy():
             y = float(x) if n == 0 else (1.0 - a) * y + a * float(x)
             n += 1
             batch_events += 1

@@ -1161,3 +1161,114 @@ def test_corpus_dedup_bloom_drift_raises(spark, tmp_path):
         corpus_dedup_bloom_epoch(
             b1, 1, str(tmp_path / "c"), str(tmp_path / "o"), bloom
         )
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: the EWMA fold function only
+    touches .exists / .get / .update."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_streaming_ewma_folds_across_arrow_chunks_in_event_time_order():
+    """A key's micro-batch arrives as an ITERATOR of Arrow chunks; the
+    fold must sort the WHOLE batch by event time, not each chunk
+    independently (a later chunk holding earlier timestamps used to
+    fold after later ones).  NULL values must be dropped, not folded
+    (one NaN would poison the state forever)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        EWMA_STREAM_ALPHA,
+        _streaming_ewma_fn,
+    )
+
+    # chunk 2 carries EARLIER timestamps than chunk 1, plus a NaN
+    chunk1 = pd.DataFrame({"ts": [3, 4], "value": [30.0, 40.0]})
+    chunk2 = pd.DataFrame({"ts": [1, 2, 5], "value": [10.0, 20.0, np.nan]})
+    state = _FakeGroupState()
+    [out] = list(_streaming_ewma_fn(("k",), iter([chunk1, chunk2]), state))
+
+    a = EWMA_STREAM_ALPHA
+    y = 10.0
+    for x in (20.0, 30.0, 40.0):  # event-time order, NaN dropped
+        y = (1.0 - a) * y + a * x
+    assert out["ewma"].iloc[0] == y
+    assert out["batch_events"].iloc[0] == 4
+    assert state.get == (4, y)
+
+
+def test_agg_upsert_merges_null_key_group(spark, tmp_path):
+    """NULL-key rows must accumulate as ONE store group per epoch — the
+    old full-outer join on key names could never match NULL to NULL and
+    fragmented the group into an extra row every epoch."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        agg_upsert_epoch,
+    )
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([(None, 1.0), ("a", 2.0)], "k string, x double")
+    agg_upsert_epoch(b, 0, store, ("k",), "x")
+    agg_upsert_epoch(b, 1, store, ("k",), "x")
+    agg_upsert_epoch(b, 2, store, ("k",), "x")
+    latest = spark.read.parquet(store).filter(F.col("v") == 2)
+    rows = {r["k"]: (r["total"], r["n_rows"]) for r in latest.collect()}
+    assert len(rows) == 2, rows  # exactly one NULL-key row, not three
+    assert rows[None] == (3.0, 3)
+    assert rows["a"] == (6.0, 3)
+
+
+def test_bloom_dedup_rebuilds_bits_from_existing_corpus(spark, tmp_path):
+    """A missing bloom_dir with an EXISTING corpus store (exact-path
+    history, or bits retention-cleaned) must rebuild the bits and keep
+    deduplicating — treating it as 'first epoch' admitted duplicates
+    permanently."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        corpus_dedup_bloom_epoch,
+        corpus_dedup_epoch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    bloom = str(tmp_path / "bloom")  # never written before the switch
+    b0 = spark.createDataFrame([("f1", 1), ("f2", 2)], "fingerprint string, x int")
+    corpus_dedup_epoch(b0, 0, corpus, out)  # exact path seeds the corpus
+    # switch to the bloom path: f1 is a known duplicate, f3 is fresh
+    b1 = spark.createDataFrame([("f1", 3), ("f3", 4)], "fingerprint string, x int")
+    corpus_dedup_bloom_epoch(b1, 1, corpus, out, bloom)
+    fresh = {r["fingerprint"] for r in
+             spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert fresh == {"f3"}, fresh  # f1 screened out via rebuilt bits
+
+
+def test_interval_join_supports_same_named_timestamp_columns(spark):
+    """Both streams carrying a 'timestamp' column must analyze: the
+    upper bound used to resolve by bare column name and hit
+    AMBIGUOUS_REFERENCE."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00")], "uid string, timestamp string"
+    ).select("uid", F.col("timestamp").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 10:05:00")], "uid string, timestamp string"
+    ).select("uid", F.col("timestamp").cast("timestamp"))
+    joined = stream_stream_interval_join(
+        left, right, key="uid", left_ts="timestamp", right_ts="timestamp"
+    )
+    assert joined.count() == 1  # analyzes and matches within the interval
