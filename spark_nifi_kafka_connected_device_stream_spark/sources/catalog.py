@@ -61,11 +61,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         tests/test_timezone_robustness.py."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # the directory mtime is part of the key: a cached plan captures the
+    # FILE LISTING at analysis time, so an in-session rewrite of the
+    # same path (the skew/stress tooling does this) would otherwise
+    # fail with FAILED_READ_FILE.FILE_NOT_EXIST — or silently read
+    # stale rows.  A missing path is never cached (mtime -1): the read
+    # below still raises the clean PATH_NOT_FOUND callers probe for.
+    mtime = os.path.getmtime(path) if os.path.exists(path) else -1.0
     key = (
         spark.sparkContext.applicationId,
         spark.conf.get("spark.sql.session.timeZone"),
         os.path.abspath(sf_dir),
-        name,
+        f"{name}@{mtime}",
     )
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
@@ -73,7 +81,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # evict entries from previous sessions so the cache stays bounded
     for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
         del _PLAN_CACHE[k]
-    path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         df = spark.read.parquet(path)
         _PLAN_CACHE[key] = df

@@ -52,17 +52,28 @@ def json_file_stream(
     directory: str,
     max_files_per_trigger: int | None = None,
     clean_source: str | None = None,
+    source_archive_dir: str | None = None,
 ) -> DataFrame:
     """S2 (NiFi GetFile, XML:1452-1606): watch a directory of JSON-lines
     event files.  Returns rows in the wire schema with a `value` column
     of raw JSON text so the SAME parse chain as Kafka applies
     (`parse_product_views(df)`).  cleanSource='delete' reproduces
-    NiFi's Keep Source File=false."""
+    NiFi's Keep Source File=false; cleanSource='archive' (NiFi's move-
+    to-archive) REQUIRES `source_archive_dir` — Spark's file source
+    rejects archive mode without it, so this function does too, at
+    call time instead of query start."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if clean_source:
+        if clean_source == "archive" and not source_archive_dir:
+            raise ValueError(
+                "json_file_stream: cleanSource='archive' requires "
+                "source_archive_dir (Spark's sourceArchiveDir option)"
+            )
         reader = reader.option("cleanSource", clean_source)
+        if source_archive_dir:
+            reader = reader.option("sourceArchiveDir", source_archive_dir)
     return reader.load(directory)
 
 

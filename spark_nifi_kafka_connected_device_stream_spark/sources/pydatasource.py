@@ -90,14 +90,22 @@ class _RegistryReader(DataSourceReader):
         self.regions: set[str] | None = None  # pushdown state
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # ABSORBED filters are final: Spark only re-applies filters this
+        # method YIELDS back, so multiple absorbed region predicates
+        # must INTERSECT (conjunction), never overwrite — an overwrite
+        # returned rows the earlier filter had already excluded
+        # (confirmed against PySpark 4.1: .filter(region='eu')
+        # .filter(region in ('na','latam')) must return 0 rows).
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("region",):
-                self.regions = {f.value}
+                new = {f.value}
             elif isinstance(f, In) and f.attribute == ("region",):
-                self.regions = set(f.value)
+                new = set(f.value)
             else:
                 # anything else is the engine's job — yield it back
                 yield f
+                continue
+            self.regions = new if self.regions is None else (self.regions & new)
 
     def partitions(self) -> Sequence[InputPartition]:
         n, p = self.n_devices, self.n_partitions
@@ -108,7 +116,8 @@ class _RegistryReader(DataSourceReader):
         for i in range(partition.start, partition.end):
             row = registry_row(i)
             # pushdown honored at generation time: filtered regions
-            # never materialize (Spark still re-applies the predicate)
+            # never materialize.  Spark does NOT re-apply absorbed
+            # filters — this check IS the filter.
             if self.regions is None or row[1] in self.regions:
                 yield row
 
@@ -151,7 +160,15 @@ class _EventsStreamReader(DataSourceStreamReader):
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        a, b = start["offset"], end["offset"]
+        # a restarted query hands the CHECKPOINTED start to a fresh
+        # reader whose _current restarted at 0: the reported latest can
+        # regress below the committed offset, which would compute
+        # decreasing bounds and stall every trigger.  Fast-forward the
+        # cursor to the committed position — the offset contract is
+        # monotone from the checkpoint, not from reader birth.
+        if getattr(self, "_current", 0) < start["offset"]:
+            self._current = start["offset"]
+        a, b = start["offset"], max(end["offset"], start["offset"])
         p = self.n_partitions
         bounds = [a + (b - a) * i // p for i in range(p + 1)]
         return [_RangePartition(x, y) for x, y in zip(bounds, bounds[1:]) if x < y]
@@ -308,7 +325,14 @@ class _AuditWriter(DataSourceWriter):
     the write visible by writing the `_manifest.json` naming the
     staged parts — a reader that trusts only manifested files never
     sees a partial job.  abort() removes the staged files, so a failed
-    or speculatively-duplicated task leaves nothing visible."""
+    or speculatively-duplicated task leaves nothing visible.
+
+    `path` must be a SHARED filesystem (NFS/object-store mount, or
+    local mode): write() runs on executors while commit()/abort() run
+    on the driver, so on a multi-node cluster with node-local paths
+    the manifest would name files the driver never saw and abort()
+    could not remove the staged parts.  A production sink targets
+    object storage, where the same two-phase shape holds."""
 
     def __init__(self, options):
         self.path = options.get("path")

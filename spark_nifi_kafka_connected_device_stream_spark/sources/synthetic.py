@@ -7,8 +7,10 @@ schema-compatible mini-warehouse whose fact tables carry a deliberate
 hot key (~50% of all rows), following the fixtures' protocol:
 deterministic (seed folded into xxhash64 — no rand(), identical output
 every run on every box), same column names/types as
-/root/testdata/sf*/ so `sources.catalog.load_table` and every
-registered query run on it unchanged.
+/root/testdata/sf*/ for the tables it writes — nation, supplier,
+part, orders, lineitem, events — so `sources.catalog.load_table` and
+any query over THAT subset (q9, the skew pair, the events tier) runs
+unchanged; customer/region/documents/embeddings are not generated.
 
 Skew shape:
 - `lineitem`: l_orderkey = 1 on every even row (~50% of the fact) —
@@ -178,5 +180,7 @@ def reducer_share(df: DataFrame, keys: list, n_partitions: int = 32) -> float:
     share IS the straggler wall-clock."""
     part = F.pmod(F.hash(*keys), F.lit(n_partitions)).alias("_p")
     counts = df.select(part).groupBy("_p").count().collect()
+    if not counts:
+        return 0.0  # empty input: no reducer receives anything
     total = sum(r["count"] for r in counts)
     return max(r["count"] for r in counts) / total

@@ -44,8 +44,17 @@ def create_external_table(
 ) -> None:
     """K5 (dag:68-81): register an external parquet table.  Requires a
     Hive-enabled session (`enableHiveSupport`, v2:24); on a plain
-    session falls back to a parquet-backed view — same read path,
-    no metastore."""
+    in-memory-catalog session falls back to a parquet-backed view —
+    same read path, no metastore.
+
+    The fallback is gated on the CATALOG IMPLEMENTATION, not a bare
+    except: on a Hive session a genuine DDL failure (caller-supplied
+    ddl typo, unreachable location, metastore permissions) must
+    propagate — swallowing it would report success while no table
+    exists for any other session."""
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive":
+        spark.sql(ddl.format(table=table, location=location))
+        return
     try:
         spark.sql(ddl.format(table=table, location=location))
     except Exception:
@@ -131,6 +140,7 @@ def compact_parquet(
     dst_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int]:
     """Small-files compaction: rewrite a parquet directory into files
     sized for the scan path.  Streaming sinks emit one file per
@@ -146,6 +156,13 @@ def compact_parquet(
     `dst_dir` (never in place — readers of `src_dir` are unaffected;
     the caller swaps directories or updates the table location).
     Returns (files_before, files_after).
+
+    Hive-partitioned input: partition-discovery columns arrive as data
+    columns, so compacting a key=value layout WITHOUT `partition_by`
+    would flatten it and destroy partition pruning for the swapped-in
+    table — pass the partition columns to preserve the layout (the
+    function refuses to guess and raises if the input looks
+    partitioned but partition_by is empty).
     """
     import glob
     import math
@@ -160,6 +177,24 @@ def compact_parquet(
     src_files = _parquet_files(src_dir)
     if not src_files:
         raise FileNotFoundError(f"compact_parquet: no parquet files under {src_dir!r}")
+    if not partition_by:
+        # key=value subdirectories mean hive partitioning: refuse to
+        # silently flatten the layout
+        parted = sorted(
+            {
+                seg.split("=", 1)[0]
+                for f in src_files
+                for seg in os.path.relpath(f, src_dir).split(os.sep)[:-1]
+                if "=" in seg
+            }
+        )
+        if parted:
+            raise ValueError(
+                f"compact_parquet: {src_dir!r} is hive-partitioned on "
+                f"{parted}; pass partition_by={tuple(parted)} (or compact "
+                "one partition directory at a time) — compacting without "
+                "it would flatten the layout and break partition pruning"
+            )
     files_before = len(src_files)
     total_bytes = sum(os.path.getsize(p) for p in src_files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -170,7 +205,10 @@ def compact_parquet(
         df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
     else:
         df = df.repartition(n_out)
-    df.write.mode("overwrite").parquet(dst_dir)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst_dir)
     files_after = len(_parquet_files(dst_dir))
     return files_before, files_after
 

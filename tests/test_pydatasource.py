@@ -198,3 +198,31 @@ def test_custom_connector_pipeline_end_to_end(spark, tmp_path):
         n, c = expect.get(region, (0, 0))
         expect[region] = (n + 1, c + cents)
     assert {r["region"]: (r["n"], r["cents"]) for r in got} == expect
+
+
+def test_registry_conjunctive_region_filters_intersect(spark):
+    """Absorbed filters are FINAL (Spark re-applies only yielded
+    filters), so two absorbed region predicates must INTERSECT — the
+    old overwrite returned rows the earlier filter had excluded
+    (live-confirmed: eq 'eu' then in ('na','latam') returned 78 rows
+    instead of 0)."""
+    r = _RegistryReader({"n_devices": "100"})
+    assert list(
+        r.pushFilters([EqualTo(("region",), "eu")])
+    ) == []
+    assert list(
+        r.pushFilters([In(("region",), ("na", "latam"))])
+    ) == []
+    assert r.regions == set()  # eu ∩ {na, latam} = ∅
+    assert [row for p in r.partitions() for row in r.read(p)] == []
+
+    # end-to-end through the planner: conjunctive filters on the real
+    # source must return the true intersection (zero rows here)
+    df = (
+        spark.read.format("device_registry")
+        .option("n_devices", 200)
+        .load()
+        .filter("region = 'eu'")
+        .filter("region in ('na', 'latam')")
+    )
+    assert df.count() == 0

@@ -92,10 +92,22 @@ def test_compact_parquet_hive_partitioned_dirs(spark, tmp_path):
     spark.range(2000).selectExpr("id", "id % 4 AS part").repartition(20).write.partitionBy(
         "part"
     ).parquet(src)
-    before, after = compact_parquet(spark, src, dst, target_file_bytes=4096)
+    # round 11: compacting a partitioned layout WITHOUT partition_by
+    # must refuse (it would silently flatten the layout and kill
+    # partition pruning for the swapped-in table)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, src, dst, target_file_bytes=4096)
+    before, after = compact_parquet(
+        spark, src, dst, target_file_bytes=4096, partition_by=("part",)
+    )
     assert before >= 20  # counted the nested files, not 0
     assert after > 1  # sized from real bytes → multiple output files
     assert spark.read.parquet(dst).count() == 2000
+    # the key=value layout survives compaction
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(dst, "part=*")), os.listdir(dst)
     with pytest.raises(FileNotFoundError, match="no parquet files"):
         compact_parquet(spark, str(tmp_path / "empty_src"), dst)
 
