@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 
 
 def pround(col: Column | str, n: int) -> Column:
+    # Magnitude bound: Spark's floor(double) returns BIGINT and
+    # saturates at 2^63-1 while DuckDB's floor stays double, so parity
+    # holds only while |x| * 10^n < ~9.2e18 (n=6 → |x| < ~9.2e12).
+    # Every registered query rounds values far below that (shares,
+    # stats, dollar amounts); a query rounding ASTRONOMIC aggregates
+    # must pre-scale — the int64_headroom_guard family is the pattern.
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**n)
     return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

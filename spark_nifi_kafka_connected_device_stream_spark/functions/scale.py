@@ -101,7 +101,15 @@ def salted_agg(
         if merge not in _MERGE_FNS:
             raise ValueError(f"salted_agg merge must be one of {sorted(_MERGE_FNS)}: {merge!r}")
         normalized[name] = (expr, merge)
-    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts).alias("_salt")
+    # pmod, NOT abs(hash)%n: F.hash returns IntegerType and under ANSI
+    # mode (this build's default) abs(Integer.MIN_VALUE) raises
+    # ARITHMETIC_OVERFLOW — a 2^-32-per-row landmine that WILL fire on
+    # billion-row inputs.  pmod is total on the full int range.
+    # Known limitation (documented, deterministic by design): the salt
+    # hashes the ROW, so fully-duplicate rows under a hot key share a
+    # salt and are not split — include a high-cardinality column
+    # (event id, offset) in `df` when rows can repeat exactly.
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[expr.alias(f"_p_{name}") for name, (expr, _) in normalized.items()]
     )
@@ -265,6 +273,16 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     Delta/Iceberg OPTIMIZE ZORDER, here as a plain column expression
     (pure JVM bit math, codegen'd, map-only).  Columns must already be
     non-negative and < 2^bits (callers bucket/modulo them first)."""
+    if len(cols) * bits > 63:
+        # shift (bits-1)*n + (n-1) = n*bits - 1 must stay below the
+        # int64 sign bit: hitting it makes half the codes negative
+        # (sorting BEFORE all positives — locality silently broken) and
+        # shifts >= 64 wrap mod 64 in the JVM, colliding with low bits
+        raise ValueError(
+            f"zorder_key: {len(cols)} cols x {bits} bits = "
+            f"{len(cols) * bits} interleaved bits exceeds the 63 an "
+            "int64 code can hold; reduce bits or split the key"
+        )
     z = F.lit(0).cast("bigint")
     n = len(cols)
     for b in range(bits):
@@ -387,7 +405,12 @@ def int64_headroom_guard(
     dies with an actionable message instead of emitting wrapped
     garbage.  The escape hatch past the bound is decimal(38,0)
     accumulation (the write_training_shards pattern)."""
-    ok = max_abs.cast("double") * n_rows.cast("double") < F.lit(9.0e18)
+    # NULL max_abs (a group with zero non-null terms) must PASS: Spark's
+    # assert_true raises on a NULL condition exactly like false, which
+    # would fail all-NULL groups that are nowhere near overflow
+    ok = max_abs.isNull() | (
+        max_abs.cast("double") * n_rows.cast("double") < F.lit(9.0e18)
+    )
     msg = (
         f"{what}: int64 fixed-point headroom exceeded "
         "(max|term| * rows >= 9.0e18); switch the accumulator to "

@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 
 def normalize_text(col: Column) -> Column:
-    """lowercase + collapse whitespace runs + trim.
+    """lowercase + collapse SPACE runs (' +' — tabs/newlines are kept,
+    deliberately matching the DuckDB twin; the fixtures are single-line
+    space-separated text) + trim.
 
     DuckDB oracle: ``trim(regexp_replace(lower(x), ' +', ' ', 'g'))``.
     """
@@ -54,6 +56,13 @@ def portable_md5(*cols: Column | str) -> Column:
     """md5 hex of the concatenation — the engine-portable hash.
 
     DuckDB oracle: ``md5(a || b || ...)``.
+
+    Boundary hazard for MULTI-column fingerprints: the concatenation
+    carries no separator, so ('ab','c') and ('a','bc') collide —
+    callers hashing 2+ free-text columns must insert a delimiter on
+    BOTH engine sides (concat_ws in Spark, ||'\x1f'|| in the oracle)
+    or distinct records silently merge.  Single-column use (the only
+    in-repo use) is unaffected.
     """
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.md5(F.concat(*[p.cast("string") for p in parts]).cast("binary"))
