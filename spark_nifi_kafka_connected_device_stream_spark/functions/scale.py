@@ -15,9 +15,9 @@
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,6 +56,66 @@ def plan_parallelism(df_or_spark) -> int:
     repartitions stay consistent with implicit ones."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    nparts: int,
+    partial: Column,
+    merge_fn: Callable[[Column], Column],
+    zero: Column | None = None,
+    totals: Sequence[tuple[str, Callable[[Column], Column]]] = (),
+) -> DataFrame:
+    """Shared scaffolding for the four `global_*` primitives below:
+    range-repartition on the order key (parallel sort), stamp the
+    physical partition id, compute `partial` per partition, turn the
+    per-partition values into an EXCLUSIVE running `merge_fn` prefix
+    (`_off` — what strictly-preceding partitions contribute), and join
+    the broadcast offsets back.  The only unpartitioned window runs
+    over `nparts` metadata rows, constant-size at any data scale.
+
+    - `zero` replaces the NULL offset of the first partition (sums
+      want 0; max wants NULL so `greatest` ignores it downstream).
+    - `totals` adds all-partition reductions of the same per-partition
+      values (name, fn) — ntile's `_total`, running_sum's
+      `_grand_total` — for free from the same metadata rows.
+    - the localCheckpoint is load-bearing: `part` feeds BOTH the
+      offsets and the final output, and `_pid` must be IDENTICAL in
+      both branches for correctness, not just cost — without the
+      checkpoint that guarantee rests on physical exchange reuse,
+      which silently degrades if spark.sql.exchange.reuse is off or
+      AQE reshapes one branch.  Lazy (eager=False): the offsets job
+      materializes it, no dedicated barrier job.
+
+    Callers must pass a total order in `order_cols` when row-level
+    results depend on rank uniqueness (see each primitive's contract).
+    """
+    part = (
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    per = part.groupBy("_pid").agg(partial.alias("_part"))
+    running = (
+        Window.partitionBy(bounded_window_key("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = merge_fn(F.col("_part")).over(running)
+    if zero is not None:
+        off = F.coalesce(off, zero)
+    cols = [F.col("_pid"), off.alias("_off")]
+    if totals:
+        everything = (
+            Window.partitionBy(bounded_window_key("_pid"))
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        for name, fn in totals:
+            cols.append(fn(F.col("_part")).over(everything).alias(name))
+    offsets = per.select(*cols)
+    return part.join(F.broadcast(offsets), "_pid")
 
 
 def salted_agg(
@@ -130,49 +190,26 @@ def global_ntile(
     """Exact SQL `ntile(n) OVER (ORDER BY ...)` WITHOUT the single-task
     global sort an unpartitioned window forces.
 
-    Plan: range-repartition on the order key (parallel sort), row_number
-    WITHIN each range partition, then add broadcast per-partition offsets
-    to get exact global ranks; the tile is pure arithmetic on the rank.
-    The only unpartitioned work is the running-sum window over the
-    per-partition COUNTS — num_partitions rows of metadata, constant-size
-    at any data scale.  Matches SQL ntile bit-for-bit (first N%n tiles
-    get the extra row) provided `order_cols` is a total order — callers
-    must tie-break to uniqueness, or ranks (and thus tiles) are
-    engine-dependent.
+    Plan (via `_ranged_with_offsets`): range-repartition on the order
+    key (parallel sort), row_number WITHIN each range partition, then
+    add broadcast per-partition offsets to get exact global ranks; the
+    tile is pure arithmetic on the rank.  Matches SQL ntile bit-for-bit
+    (first N%n tiles get the extra row) provided `order_cols` is a
+    total order — callers must tie-break to uniqueness, or ranks (and
+    thus tiles) are engine-dependent.
     """
-    spark = df.sparkSession
-    # conf, not sparkContext.defaultParallelism: the SparkContext is
-    # unavailable under Spark Connect, and shuffle.partitions is the
-    # knob that already sizes every other exchange in the plan
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    # localCheckpoint: `part` feeds BOTH the per-partition counts and
-    # the ranked output.  Without it the single-computation guarantee
-    # rests on physical exchange reuse, which silently degrades if
-    # spark.sql.exchange.reuse is off or AQE reshapes one branch — and
-    # _pid must be identical in both branches for correctness, not just
-    # cost.  Lazy (eager=False): the counts job materializes it, no
-    # dedicated barrier job.
-    part = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    from pyspark.sql import Window
-
-    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    everything = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(running), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(everything).alias("_total"),
+    nparts = num_partitions or plan_parallelism(df)
+    joined = _ranged_with_offsets(
+        df,
+        order_cols,
+        nparts,
+        partial=F.count(F.lit(1)),
+        merge_fn=F.sum,
+        zero=F.lit(0),
+        totals=[("_total", F.sum)],
     )
     rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)) + F.col("_off")
-    ranked = part.join(F.broadcast(offsets), "_pid").withColumn("_rn", rn)
+    ranked = joined.withColumn("_rn", rn)
     # SQL ntile: with N rows, q = N div n, r = N mod n — the first r
     # tiles hold q+1 rows, the rest q.  All exact integer math via
     # `div`; CASE branches evaluate lazily, so the `div q` arm is never
@@ -210,26 +247,15 @@ def global_running_sum(
     `value_col` SHOULD be an exact (integer/decimal) type — the
     per-partition re-association changes float summation order.
     """
-    spark = df.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    part = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
-    from pyspark.sql import Window
-
-    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    everything = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = sums.select(
-        "_pid",
-        F.coalesce(F.sum("_psum").over(running), F.lit(0)).alias("_off"),
-        F.sum("_psum").over(everything).alias("_grand_total"),
+    nparts = num_partitions or plan_parallelism(df)
+    joined = _ranged_with_offsets(
+        df,
+        order_cols,
+        nparts,
+        partial=F.sum(value_col),
+        merge_fn=F.sum,
+        zero=F.lit(0),
+        totals=[("_grand_total", F.sum)],
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -237,7 +263,7 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        part.join(F.broadcast(offsets), "_pid")
+        joined
         .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("_off"))
         .drop("_pid", "_off")
     )
@@ -305,28 +331,17 @@ def global_row_number(
     add broadcast per-partition count offsets.  The only unpartitioned
     window runs over num_partitions metadata rows.  `order_cols` must
     be a total order or ranks are engine-dependent."""
-    spark = df.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    part = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    from pyspark.sql import Window
-
-    running = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(running), F.lit(0)).alias("_off")
+    nparts = num_partitions or plan_parallelism(df)
+    joined = _ranged_with_offsets(
+        df,
+        order_cols,
+        nparts,
+        partial=F.count(F.lit(1)),
+        merge_fn=F.sum,
+        zero=F.lit(0),
     )
     rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)) + F.col("_off")
-    return (
-        part.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, rn.cast("bigint"))
-        .drop("_pid", "_off")
-    )
+    return joined.withColumn(out_col, rn.cast("bigint")).drop("_pid", "_off")
 
 
 def global_running_max(
@@ -349,27 +364,23 @@ def global_running_max(
     `order_cols` must then be a total order (ties would see each other
     as predecessors non-deterministically).  The only unpartitioned
     window runs over num_partitions metadata rows."""
-    spark = df.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    nparts = num_partitions or plan_parallelism(df)
+    # zero=None: the first partition's offset stays NULL so `greatest`
+    # below ignores it (greatest skips NULLs unless all args are NULL)
+    joined = _ranged_with_offsets(
+        df,
+        order_cols,
+        nparts,
+        partial=F.max(value_col),
+        merge_fn=F.max,
     )
-    part = (
-        df.repartitionByRange(nparts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    pmax = part.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
-    from pyspark.sql import Window
-
-    preceding = Window.partitionBy(bounded_window_key("_pid")).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = pmax.select("_pid", F.max("_pmax").over(preceding).alias("_off"))
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     )
     return (
-        part.join(F.broadcast(offsets), "_pid")
+        joined
         .withColumn(
             out_col, F.greatest(F.max(value_col).over(w_in), F.col("_off"))
         )

@@ -3392,9 +3392,10 @@ def events_abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        / ((n_g * 1.0) * ((n_all - n_g) * 1.0)
                                           * (n_all * 1.0)))) AS p
            FROM dstat),
-    rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS bh_rank
+    rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS bh_rank,
+                  CAST(count(*) OVER () AS BIGINT) AS m_tests
            FROM pv),
-    ks AS (SELECT max(CASE WHEN p * 140.0 <= bh_rank * 1.0
+    ks AS (SELECT max(CASE WHEN p * m_tests * 20.0 <= bh_rank * 1.0
                       THEN bh_rank ELSE CAST(0 AS BIGINT) END) AS kstar
            FROM rk)
     SELECT CAST(g AS INTEGER) AS dow,
@@ -3412,8 +3413,11 @@ def events_abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_rest*n_g| / (n_g*n_rest)), the asymptotic p-value "
         "2*exp(-2*m*D^2) (m = n_g*n_rest/n, the closed form that needs "
         "no erf), and Benjamini-Hochberg FDR at alpha=0.05 across the "
-        "7 tests — reject p_(i) <= i*alpha/m, written as p*140 <= rank "
-        "so the only constants are exact literals.  Running 7 (or 700) "
+        "observed tests — reject p_(i) <= i*alpha/m, written as "
+        "p*m*20 <= rank (m = the ACTUAL surviving group count, not a "
+        "hardcoded 7: a filtered fixture with fewer weekdays must not "
+        "over-correct) so the only constants are exact literals.  "
+        "Running 7 (or 700) "
         "drift tests and flagging raw p<0.05 is how metric platforms "
         "generate false alarms; BH is the standard correction.  Scale "
         "shape: one (dow,value) partial agg, the pooled-ECDF "
@@ -3493,12 +3497,18 @@ def events_dow_value_ks_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     rk = pv.withColumn("bh_rank", F.row_number().over(wr).cast("bigint"))
+    # m = the observed test count (7 on the full fixture), NOT a literal:
+    # BH's threshold i*alpha/m over-corrects if fewer groups survive the
+    # NOT NULL filter than the hardcoded family size
+    rk = rk.withColumn("m_tests", F.count(F.lit(1)).over(wall).cast("bigint"))
     rk = rk.withColumn(
         "kstar",
         F.max(
-            F.when(F.col("p") * F.lit(140.0) <= F.col("bh_rank") * F.lit(1.0), F.col("bh_rank")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+            F.when(
+                F.col("p") * F.col("m_tests") * F.lit(20.0)
+                <= F.col("bh_rank") * F.lit(1.0),
+                F.col("bh_rank"),
+            ).otherwise(F.lit(0).cast("bigint"))
         ).over(wall),
     )
     return rk.select(

@@ -91,82 +91,17 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 11 executes the rotation pinned at end of round 10
-# (VERDICT r10 item 1): the first 36 slots are ALL of round 10's
-# DEFERRED queue (21 round-9 + 15 round-10 additions — this drives the
-# never-driver-checked backlog to ZERO), and the remaining 14 are the
-# stalest green re-checks — the alphabetically-first half of the
-# 36-query cohort whose freshest green row is round 6 (computed from
-# CORRECTNESS_r01..r09; the other 22 of that cohort rotate in round
-# 12, together with round 11's ≤14 additions).
+# modules.  Round 12 executes the rotation pinned at end of round 11
+# (VERDICT r11 item 1): the first 14 slots are ALL of round 11's
+# DEFERRED queue (keeping the never-driver-checked backlog at ZERO),
+# the next 22 are the remaining r6-era stale cohort (the
+# alphabetically-second half deferred from round 11's rotation), and
+# the final 14 are the alphabetically-first slice of the 50-query
+# cohort whose freshest green row is round 7 (computed fresh from
+# CORRECTNESS_r01..r11; the remaining 36 of that cohort rotate in
+# round 13).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-9 additions never driver-checked (21)
-    "events_bounce_rate_daily",
-    "documents_source_simpson_diversity",
-    "events_id_integrity_audit",
-    "events_value_impute_median",
-    "events_markov_stationary",
-    "documents_length_tukey_pairs",
-    "lineitem_simpson_paradox_screen",
-    "embedding_silhouette_by_label",
-    "events_retention_halflife",
-    "events_audience_overlap",
-    "events_hill_tail_index",
-    "events_kruskal_wallis_dow",
-    "orders_basket_size_histogram",
-    "events_lorenz_curve",
-    "events_kmv_distinct_users",
-    "dedup_threshold_sensitivity",
-    "documents_holdout_perplexity",
-    "events_fano_dispersion",
-    "events_pettitt_changepoint",
-    "text_term_burstiness",
-    "embedding_effective_dims",
-    # ex-DEFERRED: round-10 additions never driver-checked (15)
-    "text_token_fertility_by_lang",
-    "source_logodds_terms",
-    "events_quantile_sketch_bound",
-    "multimodal_aspect_ratio_buckets",
-    "privacy_t_closeness_report",
-    "lineitem_transit_overlap_by_part",
-    "text_readability_flesch",
-    "embedding_random_projection_distortion",
-    "events_xcorr_view_purchase",
-    "events_transition_entropy",
-    "privacy_sensitivity_report",
-    "events_ab_srm_check",
-    "orders_duplicate_payment_screen",
-    "orders_customer_migration_matrix",
-    "events_bootstrap_mean_ci",
-    # stale re-checks: alphabetically-first 14 of the r6-era cohort (14)
-    "embedding_near_dup_pairs",
-    "embedding_norm_stats",
-    "embedding_scalar_quantize",
-    "events_gapfill_hourly",
-    "events_hourly_stats",
-    "events_json_extract",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_top_sources_per_window",
-    "funnel_view_click_purchase",
-    "lateral_top_order_per_customer",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 11 consumed the entire round-10 backlog (see _PROMOTE), so this
-# queue restarts empty and collects ONLY round-11 additions — capped at
-# 14 (VERDICT r10 item 2) so round 12's window can take the remaining
-# 22 r6-era stale re-checks plus everything here.  Every name here must
-# be oracle-parity-green locally on every pytest run;
-# tests/test_oracle_parity.py asserts that any never-driver-checked
-# query is either inside the window or on this explicit queue — a
-# silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = (
-    # round-11 additions (14 — the full cap)
+    # ex-DEFERRED: round-11 additions never driver-checked (14)
     "embedding_matryoshka_prefix_recall",
     "similarity_ivf_nprobe_sweep",
     "events_abtest_cuped_adjusted",
@@ -181,7 +116,57 @@ DEFERRED: tuple[str, ...] = (
     "events_abtest_msprt_scan",
     "documents_gopher_rules_audit",
     "dataset_ht_estimator_check",
+    # stale re-checks: remaining 22 of the r6-era cohort (22)
+    "pack_sequences",
+    "product_view_counts",
+    "product_view_distinct_users",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume_shipping",
+    "similarity_lsh_buckets",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_quantized",
+    "stratified_sample_per_source",
+    "text_bigram_logprob",
+    "text_boilerplate_ngrams",
+    "text_char_entropy",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "window_first_last",
+    "window_topk_per_group",
+    # stale re-checks: alphabetically-first 14 of the r7 cohort (14)
+    "agg_cube",
+    "agg_distinct_exact",
+    "agg_pivot_status",
+    "agg_rollup",
+    "customer_rfm_segments",
+    "dataset_split_assign",
+    "embedding_label_centroids",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_outer_null_fill",
+    "join_semi",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_shipmode_case_agg",
 )
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 12's window consumed the entire round-11 backlog (see
+# _PROMOTE), so this queue restarts empty and collects ONLY round-12
+# additions — capped at 14 (VERDICT r11 item 2) so round 13's window
+# can keep absorbing stale re-checks.  Every name here must be
+# oracle-parity-green locally on every pytest run;
+# tests/test_oracle_parity.py asserts that any never-driver-checked
+# query is either inside the window or on this explicit queue — a
+# silent backlog stays impossible.
+DEFERRED: tuple[str, ...] = ()
 
 
 def _load() -> None:

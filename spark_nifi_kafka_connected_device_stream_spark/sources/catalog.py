@@ -30,16 +30,41 @@ TABLES = (
 )
 
 
-# Analyzed-plan cache: (applicationId, session tz, abs sf_dir, table) ->
-# DataFrame.  A DataFrame is an immutable logical plan, so reuse within
-# one session is safe — this skips the parquet footer/schema capture
-# (~0.1-0.25s per read.parquet call) that otherwise repeats for EVERY
-# query in a multi-query session (the driver runs ~90).  Keyed by
-# applicationId so a stopped/rebuilt session can't serve stale plans,
-# and by session timezone because the events plan embeds the tz in its
-# wall-time correction (tests flip tz mid-session); failed reads (bad
-# path) are never cached, so missing-path errors still surface per call.
-_PLAN_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+# Analyzed-plan cache: (applicationId, session tz, abs sf_dir, table,
+# listing fingerprint) -> DataFrame.  A DataFrame is an immutable
+# logical plan, so reuse within one session is safe — this skips the
+# parquet footer/schema capture (~0.1-0.25s per read.parquet call) that
+# otherwise repeats for EVERY query in a multi-query session (the
+# driver runs ~90).  Keyed by applicationId so a stopped/rebuilt
+# session can't serve stale plans, and by session timezone because the
+# events plan embeds the tz in its wall-time correction (tests flip tz
+# mid-session); failed reads (bad path) are never cached, so
+# missing-path errors still surface per call.
+_PLAN_CACHE: dict[tuple[str, str, str, str, str], DataFrame] = {}
+
+
+def _listing_fingerprint(path: str) -> str:
+    """Change-detection key for a parquet path: dir mtime alone misses
+    same-second rewrites on coarse (1s) mtime filesystems, so fold in
+    the recursive file count and total byte size.  The walk touches
+    only fixture/tooling-scale dirs (this cache exists for the
+    multi-query driver and the in-session rewrite tooling); a cached
+    plan still captures the file LISTING at analysis time, which is
+    exactly what this key invalidates."""
+    if not os.path.exists(path):
+        return "missing"
+    mtime = os.path.getmtime(path)
+    if os.path.isfile(path):
+        return f"{mtime}:1:{os.path.getsize(path)}"
+    nfiles, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            nfiles += 1
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return f"{mtime}:{nfiles}:{total}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,24 +87,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # the directory mtime is part of the key: a cached plan captures the
-    # FILE LISTING at analysis time, so an in-session rewrite of the
-    # same path (the skew/stress tooling does this) would otherwise
-    # fail with FAILED_READ_FILE.FILE_NOT_EXIST — or silently read
-    # stale rows.  A missing path is never cached (mtime -1): the read
-    # below still raises the clean PATH_NOT_FOUND callers probe for.
-    mtime = os.path.getmtime(path) if os.path.exists(path) else -1.0
+    # the listing fingerprint (mtime + file count + bytes) is part of
+    # the key: a cached plan captures the FILE LISTING at analysis
+    # time, so an in-session rewrite of the same path (the skew/stress
+    # tooling does this) would otherwise fail with
+    # FAILED_READ_FILE.FILE_NOT_EXIST — or silently read stale rows.
+    # A missing path is never cached: the read below still raises the
+    # clean PATH_NOT_FOUND callers probe for.
     key = (
         spark.sparkContext.applicationId,
         spark.conf.get("spark.sql.session.timeZone"),
         os.path.abspath(sf_dir),
-        f"{name}@{mtime}",
+        name,
+        _listing_fingerprint(path),
     )
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    # evict entries from previous sessions so the cache stays bounded
-    for k in [k for k in _PLAN_CACHE if k[0] != key[0]]:
+    # evict entries from previous sessions, and SUPERSEDED fingerprints
+    # of this same (app, tz, dir, table) — repeated in-session fixture
+    # rewrites must replace their old entries, not accumulate them
+    for k in [
+        k for k in _PLAN_CACHE if k[0] != key[0] or (k[:4] == key[:4] and k != key)
+    ]:
         del _PLAN_CACHE[k]
     if name != "events":
         df = spark.read.parquet(path)

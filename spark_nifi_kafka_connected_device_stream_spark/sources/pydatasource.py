@@ -45,6 +45,7 @@ Fields (shared by generator, oracle, and tests):
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -147,6 +148,32 @@ class _EventsStreamReader(DataSourceStreamReader):
         self.total = int(options.get("total_events", 100))
         self.batch = int(options.get("events_per_batch", 40))
         self.n_partitions = int(options.get("n_partitions", 4))
+        # restart safety: a RESTARTED query builds a FRESH reader and
+        # calls latestOffset() on it BEFORE any partitions(start, ...)
+        # call can reveal the checkpointed position — a cursor reborn at
+        # 0 would then report latest < committed, that regressed latest
+        # is written to the offset WAL as the batch end, and the NEXT
+        # batch re-emits [latest, checkpoint) as duplicates.  A real
+        # broker-backed source never has this problem (the broker owns
+        # the high watermark); this synthetic feed's watermark lives in
+        # the reader, so to survive restarts it must be persisted OUT of
+        # the reader: `cursor_path` names a side file the cursor is
+        # written through (atomic rename).  Without the option the
+        # source is exactly-once only WITHIN one query run — documented
+        # first-trigger gap, asserted by tests.
+        self.cursor_path = options.get("cursor_path")
+        self._current = 0
+        if self.cursor_path and os.path.exists(self.cursor_path):
+            with open(self.cursor_path) as fh:
+                self._current = int(fh.read().strip() or 0)
+
+    def _persist_cursor(self) -> None:
+        if not self.cursor_path:
+            return
+        tmp = f"{self.cursor_path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(self._current))
+        os.replace(tmp, self.cursor_path)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -154,20 +181,20 @@ class _EventsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # a real feed asks the broker; this deterministic feed grows by
         # `events_per_batch` per trigger until the configured total
-        if not hasattr(self, "_current"):
-            self._current = 0
         self._current = min(self._current + self.batch, self.total)
+        self._persist_cursor()
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # a restarted query hands the CHECKPOINTED start to a fresh
-        # reader whose _current restarted at 0: the reported latest can
-        # regress below the committed offset, which would compute
-        # decreasing bounds and stall every trigger.  Fast-forward the
-        # cursor to the committed position — the offset contract is
-        # monotone from the checkpoint, not from reader birth.
-        if getattr(self, "_current", 0) < start["offset"]:
+        # second line of defense when no cursor_path was given: the
+        # CHECKPOINTED start arrives here, so fast-forward the cursor —
+        # the offset contract is monotone from the checkpoint, not from
+        # reader birth.  This repairs every trigger AFTER the first; the
+        # first post-restart batch's regressed end is already in the WAL
+        # by now (see __init__), which is exactly why cursor_path exists.
+        if self._current < start["offset"]:
             self._current = start["offset"]
+            self._persist_cursor()
         a, b = start["offset"], max(end["offset"], start["offset"])
         p = self.n_partitions
         bounds = [a + (b - a) * i // p for i in range(p + 1)]

@@ -201,8 +201,31 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     if sort_col is not None:
         # repartitionByRange + sortWithinPartitions = globally ordered
-        # files with tight per-file min/max stats
-        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+        # files with tight per-file min/max stats.  With partition_by
+        # the range key LEADS with the partition columns so each output
+        # task holds contiguous slices of few partition values — without
+        # that, every task spans every partition value and the writer
+        # emits up to n_out x |partitions| small files, defeating
+        # target_file_bytes (the exact disease this function cures)
+        range_cols = [*partition_by, sort_col]
+        df = df.repartitionByRange(n_out, *range_cols).sortWithinPartitions(
+            *range_cols
+        )
+    elif partition_by:
+        # co-locate whole partition values per task, salted so a huge
+        # partition still splits across ~ceil(n_out/|values|) files:
+        # total output files ~ n_out (+ one per partition value), never
+        # the n_out x |partitions| a value-blind repartition produces.
+        # The distinct-count is a tiny aggregate (one row per partition
+        # VALUE, the same cardinality the writer creates directories
+        # for) — acceptable for an offline maintenance pass.
+        n_values = max(1, df.select(*partition_by).distinct().count())
+        per_value = max(1, math.ceil(n_out / n_values))
+        data_cols = [c for c in df.columns if c not in partition_by]
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(F.hash(*data_cols), F.lit(per_value))
+        df = df.repartition(n_out, *partition_by, salt)
     else:
         df = df.repartition(n_out)
     w = df.write.mode("overwrite")

@@ -199,10 +199,19 @@ def run_seasonal_anomaly_job(
     Plan: stream → watermark → 1-hour tumbling count (append mode:
     only watermark-finalized hours are scored — a half-full hour would
     z-score as a false dip) → foreachBatch joins the tiny broadcast
-    baseline and appends scored rows to parquet.  Streaming state is
+    baseline and writes scored rows to parquet.  Streaming state is
     one count per open hour; the baseline is |24| rows refreshed by
     re-running the batch job and restarting (or swapping a Delta table
     in production).  Returns the StreamingQuery handle.
+
+    Sink layout (changed in round 11, with the exactly-once fix): the
+    output is PARTITIONED as `out_dir/epoch=N/part-*.parquet` — each
+    micro-batch owns one overwritable partition — not the flat
+    append-only file pile earlier rounds wrote.  Consumers must read
+    the whole dir with `spark.read.parquet(out_dir)` and treat the
+    discovered `epoch` column as sink bookkeeping, not data: either
+    `.drop("epoch")` or select the scored columns explicitly.  Readers
+    that globbed flat part files directly will find none.
     """
     from pyspark.sql import functions as F
 

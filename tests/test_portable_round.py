@@ -66,6 +66,86 @@ def test_pround_matches_duckdb_exactly(spark):
         assert not diffs, f"n={n}: {len(diffs)} diverging values, first: {diffs[:3]}"
 
 
+def test_pround_saturation_bound(spark):
+    """Pin the documented pround magnitude bound (portable.py:26-31):
+    Spark's floor(double) goes through BIGINT and SATURATES at ±(2^63-1)
+    while DuckDB's floor stays double — so parity holds below
+    |x|·10^n < 2^63 and breaks above, with Spark emitting the saturated
+    constant.  If the implementation ever changes (e.g. to a
+    decimal-based floor), this test forces the docstring to follow."""
+    import pyspark.sql.functions as F
+
+    n = 2  # scale 100 → bound |x| < 2^63/100 ≈ 9.2233720368547758e16
+    below = [9.0e16, 9.2e16, -9.2e16]          # inside the bound: exact
+    above = [9.3e16, 1.0e17, -1.0e17, 1.0e20]  # past it: Spark saturates
+    sat = float(2**63 - 1) / 100.0             # 9.223372036854776e16
+
+    sdf = spark.createDataFrame(
+        [(v,) for v in below + above], "x double"
+    ).select("x", pround(F.col("x"), n).alias("r"))
+    got = {r["x"]: r["r"] for r in sdf.collect()}
+
+    for v in below:
+        d = duckdb.sql(
+            f"SELECT {duck_pround('x', n)} FROM (SELECT ? AS x)", params=[v]
+        ).fetchone()[0]
+        assert got[v] == d, f"below-bound divergence at {v}: spark={got[v]} duck={d}"
+    for v in above:
+        assert got[v] == (sat if v > 0 else -sat), (
+            f"saturation contract changed at {v}: got {got[v]}, "
+            f"expected ±{sat} — update portable.py's docstring bound"
+        )
+        d = duckdb.sql(
+            f"SELECT {duck_pround('x', n)} FROM (SELECT ? AS x)", params=[v]
+        ).fetchone()[0]
+        assert got[v] != d, (
+            f"past-bound value {v} unexpectedly MATCHES DuckDB — the "
+            "documented saturation hazard no longer exists; update the "
+            "portable.py docstring (and consider widening the contract)"
+        )
+
+
+def test_portable_md5_call_sites_are_single_column():
+    """Enforce the portable_md5 contract (textfns.py docstring): the
+    concatenation carries NO separator, so multi-column fingerprints
+    over free text silently merge distinct records (('ab','c') ==
+    ('a','bc')).  The docstring claims single-column use is the only
+    in-repo use — this walks every call site in the package and tests
+    with ast and FAILS if anyone passes 2+ arguments (or *args, which
+    the analysis can't bound)."""
+    import ast
+    import pathlib
+
+    import spark_nifi_kafka_connected_device_stream_spark as pkg
+
+    roots = [
+        pathlib.Path(pkg.__file__).parent,
+        pathlib.Path(__file__).parent,
+    ]
+    offenders = []
+    for root in roots:
+        for py in root.rglob("*.py"):
+            tree = ast.parse(py.read_text(), filename=str(py))
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                fn = node.func
+                name = fn.id if isinstance(fn, ast.Name) else (
+                    fn.attr if isinstance(fn, ast.Attribute) else None
+                )
+                if name != "portable_md5":
+                    continue
+                starred = any(isinstance(a, ast.Starred) for a in node.args)
+                if len(node.args) != 1 or starred or node.keywords:
+                    offenders.append(f"{py}:{node.lineno}")
+    assert not offenders, (
+        "portable_md5 called with 2+ (or unbounded *) columns — the "
+        "separator-free concatenation makes boundary collisions: use "
+        "the delimiter pattern from the textfns.py docstring instead. "
+        f"Sites: {offenders}"
+    )
+
+
 def test_tokenize_normalize_matches_duckdb_exactly(spark):
     """Cross-engine fuzz of the tokenization contract: normalize_text +
     tokens (the base of every text/dedup operator) must produce

@@ -112,6 +112,83 @@ def test_stream_source_replay_is_deterministic():
     assert first == second == [event_row(i) for i in range(10, 40)]
 
 
+def test_stream_source_cursor_survives_reader_rebirth(tmp_path):
+    """Clean-restart duplicate hazard (ADVICE r11): Spark calls
+    latestOffset() on a FRESH reader before partitions() can reveal the
+    checkpointed start, so an in-memory cursor reborn at 0 reports a
+    regressed latest, the WAL records it, and the next batch re-emits
+    [latest, checkpoint) as duplicates.  With cursor_path the watermark
+    outlives the reader: a reborn reader resumes from the persisted
+    position and every latestOffset it ever reports is >= the last one
+    the dead reader reported."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        _EventsStreamReader,
+    )
+
+    cur = str(tmp_path / "cursor")
+    opts = {
+        "total_events": "1000",
+        "events_per_batch": "40",
+        "cursor_path": cur,
+    }
+    a = _EventsStreamReader(opts)
+    last = 0
+    for _ in range(5):
+        last = a.latestOffset()["offset"]
+    assert last == 200
+
+    reborn = _EventsStreamReader(opts)  # same options → same side file
+    first_after_rebirth = reborn.latestOffset()["offset"]
+    assert first_after_rebirth >= last, (
+        "reborn reader regressed the offset — clean restarts would "
+        f"re-emit duplicates ({first_after_rebirth} < {last})"
+    )
+
+    # without cursor_path the rebirth DOES regress (the documented
+    # first-trigger gap) — pin it so the docstring can't silently rot
+    blind = _EventsStreamReader({k: v for k, v in opts.items() if k != "cursor_path"})
+    assert blind.latestOffset()["offset"] < last
+
+
+def test_stream_source_exactly_once_across_query_restart(spark, tmp_path):
+    """Full clean-restart proof: run the stream against a checkpoint,
+    stop it, start a NEW query on the same checkpoint + cursor_path,
+    drain to the cap — the union of both runs must be every event
+    exactly once (the fresh reader's first latestOffset resumes from
+    the persisted cursor instead of regressing below the checkpoint)."""
+    register_python_sources(spark)
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("device_events")
+            .option("total_events", 120)
+            .option("events_per_batch", 30)
+            .option("n_partitions", 3)
+            .option("cursor_path", str(tmp_path / "cursor"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # first run: some prefix of the feed
+    finally:
+        q.stop()
+    q2 = start()  # fresh query, fresh reader — the hazard path
+    try:
+        for _ in range(6):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert rows == sorted(event_row(i) for i in range(120))  # all, no dupes
+
+
 def test_audit_writer_commit_protocol(spark, tmp_path):
     """The Python WRITE path: tasks stage uniquely-named part files
     and report commit messages; the driver-side commit() writes the

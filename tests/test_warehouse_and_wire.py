@@ -102,6 +102,27 @@ def test_compact_parquet_hive_partitioned_dirs(spark, tmp_path):
     )
     assert before >= 20  # counted the nested files, not 0
     assert after > 1  # sized from real bytes → multiple output files
+    # ADVICE r11: output files must be bounded by ~n_out, NOT
+    # n_out x |partitions| (a value-blind repartition lets every task
+    # write one file per partition value).  The co-locating repartition
+    # guarantees <= n_values * ceil(n_out / n_values) <= n_out + n_values - 1.
+    import glob
+    import math
+    import os
+
+    n_out = max(
+        1,
+        math.ceil(
+            sum(
+                os.path.getsize(f)
+                for f in glob.glob(
+                    os.path.join(src, "**", "*.parquet"), recursive=True
+                )
+            )
+            / 4096
+        ),
+    )
+    assert after <= n_out + 3, (after, n_out)
     assert spark.read.parquet(dst).count() == 2000
     # the key=value layout survives compaction
     import glob
