@@ -572,3 +572,184 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("n_both") * F.lit(1.0) / union, 6).alias("jaccard"),
         )
     )
+
+
+# --- round 12 additions: engagement-ratio cohort family --------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id
+      FROM events
+    ), daily AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY day
+    ), weekly AS (
+      SELECT day // 7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY day // 7
+    ), dsum AS (
+      SELECT day // 7 AS week,
+             CAST(sum(dau) AS BIGINT) AS dau_sum,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY day // 7
+    )
+    SELECT CAST(w.week AS BIGINT) AS week,
+           s.dau_sum, s.n_days, w.wau,
+           floor((s.dau_sum * 1.0 / (s.n_days * 1.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_dau,
+           floor((s.dau_sum * 1.0 / (s.n_days * 1.0 * w.wau)) * 1000000.0 + 0.5)
+             / 1000000.0 AS stickiness
+    FROM weekly w JOIN dsum s ON s.week = w.week
+    """,
+    doc="DAU/WAU stickiness — the engagement-depth ratio product teams "
+        "track weekly (stickiness 1/7 = users touch once a week, 1.0 = "
+        "every day).  Day and week are exact integer arithmetic on the "
+        "stored epoch micros (day = us div 86400e6, week = day div 7), "
+        "so both engines bucket identically with no calendar/timezone "
+        "surface.  Scale shape: two partial-aggregated distinct counts "
+        "(per-day, per-week — each one shuffle on (bucket, user)), then "
+        "a |weeks|-row join; the averaging is exact ints until one "
+        "final division.  At 100 TB the exact distincts swap for "
+        "approx_count_distinct without changing the plan shape.",
+    tags=("events", "cohort"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("ts_us") / _DAY_US).cast("bigint").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    weekly = e.select(
+        (F.col("day") / 7).cast("bigint").alias("week"), "user_id"
+    ).groupBy("week").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    dsum = daily.groupBy((F.col("day") / 7).cast("bigint").alias("week")).agg(
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    avg_dau = F.col("dau_sum") * F.lit(1.0) / (F.col("n_days") * F.lit(1.0))
+    return weekly.join(dsum, "week").select(
+        F.col("week").cast("bigint").alias("week"),
+        "dau_sum",
+        "n_days",
+        "wau",
+        pround(avg_dau, 6).alias("avg_dau"),
+        pround(
+            F.col("dau_sum")
+            * F.lit(1.0)
+            / (F.col("n_days") * F.lit(1.0) * F.col("wau")),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+@register(
+    "events_rolling_retention",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             min((epoch_ns(ts) // 1000) // 86400000000) AS first_day,
+             max((epoch_ns(ts) // 1000) // 86400000000) AS last_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(first_day AS BIGINT) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN last_day - first_day >= 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained_7d,
+           floor((sum(CASE WHEN last_day - first_day >= 7
+                           THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rolling_retention_7d
+    FROM span GROUP BY first_day
+    """,
+    doc="Rolling (unbounded) retention: a user counts as day-7-retained "
+        "if they return on day 7 OR ANY LATER day — the metric that "
+        "does not punish weekly-cadence products the way classic day-N "
+        "retention does.  Needs only each user's activity SPAN "
+        "(min/max day), not the full activity matrix: one partial-agg "
+        "shuffle on user_id, then a |cohort-days|-row rollup — strictly "
+        "cheaper than the retention-triangle query and the right first "
+        "screen at 100 TB.  Day arithmetic on exact integer micros.",
+    tags=("events", "cohort"),
+)
+def events_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts_us") / _DAY_US).cast("bigint").alias("day")
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    retained = F.sum(
+        F.when(F.col("last_day") - F.col("first_day") >= 7, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("bigint")
+    return span.groupBy(F.col("first_day").cast("bigint").alias("cohort_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        retained.alias("retained_7d"),
+        pround(retained * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "rolling_retention_7d"
+        ),
+    )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM d JOIN firsts f ON f.user_id = d.user_id
+    GROUP BY d.day
+    """,
+    doc="New-vs-returning daily split: each active (day, user) pair is "
+        "classified by whether that day is the user's FIRST day — the "
+        "acquisition-vs-engagement decomposition of a DAU curve.  "
+        "Scale shape: one distinct on (day, user) — the partial-agg "
+        "dedupe — one per-user min (same user_id partitioning, no "
+        "second wide shuffle), one co-partitioned equi-join back, one "
+        "|days|-row rollup.  Exact integer day buckets from stored "
+        "micros.",
+    tags=("events", "cohort"),
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("ts_us") / _DAY_US).cast("bigint").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(firsts, "user_id")
+        .groupBy(F.col("day").cast("bigint").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )

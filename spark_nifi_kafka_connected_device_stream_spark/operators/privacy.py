@@ -586,3 +586,157 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_CAP).cast("bigint").alias("sensitivity_cap"),
         pround(F.col("clamped_count") + noise, 6).alias("noisy_count"),
     )
+
+
+# --- round 12 additions: the DP-histogram release + generalization ladder --
+
+
+@register(
+    "privacy_dp_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT CAST(floor(value / 50.0) AS BIGINT) AS bucket, user_id
+      FROM events WHERE value IS NOT NULL
+    ), rel AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS true_count
+      FROM b GROUP BY bucket
+    ), noised AS (
+      SELECT *,
+             ({duck_u32("'dph_' || CAST(bucket AS VARCHAR)")} + 0.5)
+               / 4294967296.0 AS u
+      FROM rel
+    )
+    SELECT bucket, true_count,
+           CAST({_DP_EPSILON} AS DOUBLE) AS epsilon,
+           floor((true_count
+                  + CASE WHEN u >= 0.5
+                         THEN -{1.0 / _DP_EPSILON} * ln(1.0 - 2.0 * (u - 0.5))
+                         ELSE  {1.0 / _DP_EPSILON} * ln(1.0 - 2.0 * (0.5 - u))
+                    END) * 1000000.0 + 0.5) / 1000000.0 AS noisy_count
+    FROM noised
+    """,
+    doc="The differentially-private HISTOGRAM release — the twin of "
+        "privacy_dp_laplace_counts for distributions instead of "
+        "per-type totals: `value` bucketed at width 50, each user's "
+        "contribution per bucket capped at 1 by a (bucket, user) "
+        "DISTINCT (so the release counts USERS per bucket and a "
+        "histogram query has L1 sensitivity 1 per bucket; a user "
+        "appearing in k buckets costs k — the documented composition, "
+        "bounded by |buckets|), then Laplace(1/epsilon) noise via the "
+        "same deterministic inverse-CDF uniform (md5-keyed per bucket) "
+        "as the counts release.  Only OBSERVED buckets are released — "
+        "a production release over a public bucket grid would add "
+        "noise to empty buckets too (documented, needs no data).  "
+        "Scale shape: one (bucket, user) dedupe shuffle, a "
+        "|buckets|-row release table, per-row noise arithmetic.",
+    tags=("privacy", "events"),
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"),
+            "user_id",
+        )
+        .distinct()
+    )
+    rel = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u32 = spark_u32(F.concat(F.lit("dph_"), F.col("bucket").cast("string")))
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    scale = 1.0 / _DP_EPSILON
+    noise = F.when(
+        u >= 0.5, F.lit(-scale) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
+    ).otherwise(F.lit(scale) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    return rel.select(
+        "bucket",
+        "true_count",
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        pround(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )
+
+
+@register(
+    "privacy_k_anonymity_generalization",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ), lv AS (
+      SELECT 0 AS level, seg, CAST(nat AS BIGINT) AS nat, bal_band FROM base
+      UNION ALL
+      SELECT 1, seg, CAST(nat AS BIGINT), CAST(NULL AS BIGINT) FROM base
+      UNION ALL
+      SELECT 2, seg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM base
+    ), grp AS (
+      SELECT level, CAST(count(*) AS BIGINT) AS grp_n
+      FROM lv GROUP BY level, seg, nat, bal_band
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT)  AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN grp_n < {K_ANONYMITY} THEN grp_n ELSE 0 END)
+                AS BIGINT)            AS rows_suppressed,
+           floor((sum(CASE WHEN grp_n < {K_ANONYMITY} THEN grp_n ELSE 0 END)
+                  * 1.0 / sum(grp_n)) * 1000000.0 + 0.5) / 1000000.0
+                                      AS suppression_rate
+    FROM grp GROUP BY level
+    """,
+    doc="The k-anonymity GENERALIZATION LADDER — not just the audit "
+        "(privacy_k_anonymity_report) but the decision table: quasi-"
+        "identifiers (segment, nation, $1000 balance band) generalized "
+        "level by level (L0 full QI, L1 drops the balance band, L2 "
+        "keeps only segment), reporting per level the minimum group "
+        "size and how many rows a release-with-suppression would drop. "
+        "The analyst picks the first level whose k_min clears the "
+        "policy (K={K_ANONYMITY}) or whose suppression cost is "
+        "acceptable — the standard Samarati lattice walk, linearized "
+        "to its diagonal.  Scale shape: Catalyst folds the 3-level "
+        "union into one Expand over ONE scan (grouping-sets shape), "
+        "one grouped count per level, then a |levels|-row rollup; no "
+        "joins, no windows.",
+    tags=("privacy", "relational"),
+)
+def privacy_k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_band"),
+    )
+    lv = (
+        base.select(F.lit(0).alias("level"), "seg", "nat", "bal_band")
+        .unionByName(
+            base.select(
+                F.lit(1).alias("level"),
+                "seg",
+                "nat",
+                F.lit(None).cast("bigint").alias("bal_band"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit(2).alias("level"),
+                "seg",
+                F.lit(None).cast("bigint").alias("nat"),
+                F.lit(None).cast("bigint").alias("bal_band"),
+            )
+        )
+    )
+    grp = lv.groupBy("level", "seg", "nat", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n")
+    )
+    suppressed = F.sum(
+        F.when(F.col("grp_n") < K_ANONYMITY, F.col("grp_n")).otherwise(F.lit(0))
+    ).cast("bigint")
+    return grp.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("grp_n").cast("bigint").alias("k_min"),
+        suppressed.alias("rows_suppressed"),
+        pround(suppressed * F.lit(1.0) / F.sum("grp_n"), 6).alias(
+            "suppression_rate"
+        ),
+    )

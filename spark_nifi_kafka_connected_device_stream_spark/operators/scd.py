@@ -384,3 +384,347 @@ def orders_pointintime_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# --- round 12 additions: the as-of family + store maintenance --------------
+#
+# Epoch-day constants for the deterministic version store (exact
+# integers on both engines; datediff from 1970-01-01):
+_D1995 = 9131   # 1995-01-01
+_D1997H = 10043  # 1997-07-01
+_D1999 = 10623  # 1999-02-01
+
+
+@register(
+    "customer_asof_balance_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey AS custkey, {_D1995} AS vday, {_CENTS} AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, {_D1997H}, {_CENTS} + 10000
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, {_D1999}, {_CENTS} + 25000
+      FROM customer WHERE c_custkey % 4 = 0
+    ), probes AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS oday,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT p.o_year,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           CAST(sum(d.bal_cents) AS BIGINT) AS asof_bal_cents,
+           CAST(sum(p.price_cents) AS BIGINT) AS price_cents
+    FROM probes p ASOF JOIN dim d
+      ON p.custkey = d.custkey AND p.oday >= d.vday
+    GROUP BY p.o_year
+    """,
+    doc="AS-OF join — the temporal-join primitive Spark lacks as a "
+        "keyword, re-expressed at scale as UNION + ORDERED WINDOW "
+        "instead of a range join: dimension versions (3 deterministic "
+        "balance versions per customer) and order probes are unioned "
+        "into one stream, sorted per key by (day, is_probe) so a "
+        "version sorts before probes on its effective day, and "
+        "last(bal, ignorenulls) carries each version forward to every "
+        "probe until the next version — EXACTLY one pass, one shuffle "
+        "on the key, no candidate multiplication, no theta-join (the "
+        "BroadcastNestedLoop trap the r11 nProbe sweep hit).  The "
+        "oracle runs DuckDB's NATIVE `ASOF JOIN` — the engine-level "
+        "cross-check that the window encoding implements the textbook "
+        "semantics (latest version with vday <= order day).  Output "
+        "aggregated per calendar year as a checksum over all ~150k "
+        "asof matches at sf0.1.  Asof keys are exact epoch-day ints; "
+        "balances in exact cents.",
+    tags=("scd", "temporal", "join", "asof"),
+)
+def customer_asof_balance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    dim = (
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(_D1995).alias("day"),
+            cents.alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                F.col("c_custkey").alias("custkey"),
+                F.lit(_D1997H).alias("day"),
+                (cents + 10000).alias("bal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 4 == 0).select(
+                F.col("c_custkey").alias("custkey"),
+                F.lit(_D1999).alias("day"),
+                (cents + 25000).alias("bal"),
+            )
+        )
+        .select("custkey", "day", F.lit(0).alias("is_probe"), "bal",
+                F.lit(None).cast("int").alias("o_year"),
+                F.lit(None).cast("bigint").alias("price_cents"))
+    )
+    probes = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("bal"),
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    # the asof carry-forward: versions sort before probes on the same
+    # day (is_probe tiebreak), last(ignorenulls) fills each probe with
+    # the newest version at-or-before it
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("day", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        dim.unionByName(probes)
+        .withColumn("bal_asof", F.last("bal", ignorenulls=True).over(w))
+        .filter((F.col("is_probe") == 1) & F.col("bal_asof").isNotNull())
+    )
+    return (
+        matched.select("o_year", "bal_asof", "price_cents")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("bal_asof").cast("bigint").alias("asof_bal_cents"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "scd2_interval_integrity_audit",
+    oracle="""
+    WITH store AS (
+      SELECT c_custkey AS k, DATE '2023-01-01' AS vf, CAST(NULL AS DATE) AS vt
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, DATE '2022-01-01', DATE '2023-01-01'
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, DATE '2022-06-01', DATE '2023-06-01'
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey, DATE '2021-01-01', DATE '2021-06-01'
+      FROM customer WHERE c_custkey % 19 = 0
+      UNION ALL
+      SELECT c_custkey, DATE '2024-01-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 23 = 0
+    ), seq AS (
+      SELECT k, vf, vt,
+             lead(vf) OVER (PARTITION BY k ORDER BY vf) AS next_vf
+      FROM store
+    ), per_key AS (
+      SELECT k,
+             CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+             max(CASE WHEN next_vf IS NOT NULL
+                       AND (vt IS NULL OR next_vf < vt)
+                      THEN 1 ELSE 0 END) AS has_overlap,
+             max(CASE WHEN next_vf IS NOT NULL AND vt IS NOT NULL
+                       AND next_vf > vt
+                      THEN 1 ELSE 0 END) AS has_gap
+      FROM seq GROUP BY k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n_open <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_bad_open_count,
+           CAST(sum(has_overlap) AS BIGINT) AS keys_with_overlap,
+           CAST(sum(has_gap) AS BIGINT)     AS keys_with_gap,
+           CAST(sum(CASE WHEN n_open = 1 AND has_overlap = 0 AND has_gap = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS keys_clean
+    FROM per_key
+    """,
+    doc="SCD2 store INTEGRITY AUDIT — the invariant check every "
+        "dimension pipeline runs before trusting point-in-time joins: "
+        "per business key, exactly ONE open row (valid_to IS NULL), no "
+        "overlapping validity intervals (next valid_from < valid_to, "
+        "or any row AFTER an open row), no coverage gaps (next "
+        "valid_from > valid_to).  The store under audit is derived "
+        "deterministically with INJECTED violations (key%17 overlap, "
+        "key%19 gap, key%23 second open row, key%7 a clean closed "
+        "chain) so both engines agree on the expected counts and the "
+        "classifier provably fires on each class.  Scale shape: one "
+        "shuffle on the key for the lead() window, one per-key "
+        "partial agg, one single-row rollup — |store| rows in, 1 row "
+        "out, no joins.",
+    tags=("scd", "change-data", "audit"),
+)
+def scd2_interval_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+
+    def rows(pred, vf, vt):
+        base = c.filter(pred) if pred is not None else c
+        return base.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(vf).cast("date").alias("vf"),
+            (F.lit(vt).cast("date") if vt else F.lit(None).cast("date")).alias("vt"),
+        )
+
+    store = (
+        rows(None, "2023-01-01", None)
+        .unionByName(rows(F.col("c_custkey") % 7 == 0, "2022-01-01", "2023-01-01"))
+        .unionByName(rows(F.col("c_custkey") % 17 == 0, "2022-06-01", "2023-06-01"))
+        .unionByName(rows(F.col("c_custkey") % 19 == 0, "2021-01-01", "2021-06-01"))
+        .unionByName(rows(F.col("c_custkey") % 23 == 0, "2024-01-01", None))
+    )
+    seq = store.withColumn(
+        "next_vf", F.lead("vf").over(Window.partitionBy("k").orderBy("vf"))
+    )
+    per_key = seq.groupBy("k").agg(
+        F.sum(F.when(F.col("vt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.max(
+            F.when(
+                F.col("next_vf").isNotNull()
+                & (F.col("vt").isNull() | (F.col("next_vf") < F.col("vt"))),
+                1,
+            ).otherwise(0)
+        ).alias("has_overlap"),
+        F.max(
+            F.when(
+                F.col("next_vf").isNotNull()
+                & F.col("vt").isNotNull()
+                & (F.col("next_vf") > F.col("vt")),
+                1,
+            ).otherwise(0)
+        ).alias("has_gap"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("n_open") != 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("keys_bad_open_count"),
+        F.sum("has_overlap").cast("bigint").alias("keys_with_overlap"),
+        F.sum("has_gap").cast("bigint").alias("keys_with_gap"),
+        F.sum(
+            F.when(
+                (F.col("n_open") == 1)
+                & (F.col("has_overlap") == 0)
+                & (F.col("has_gap") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("keys_clean"),
+    )
+
+
+@register(
+    "scd2_compact_versions",
+    oracle="""
+    WITH store AS (
+      SELECT c_custkey AS k, DATE '1995-01-01' AS vf, DATE '1997-01-01' AS vt,
+             c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, DATE '1997-01-01', DATE '1999-01-01',
+             CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE 'SHIFTED' END
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, DATE '1999-01-01', CAST(NULL AS DATE),
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+                  WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE 'SHIFTED' END
+      FROM customer
+    ), runs AS (
+      SELECT k, vf, vt, seg,
+             CASE WHEN lag(seg) OVER w IS NULL
+                       OR seg <> lag(seg) OVER w THEN 1 ELSE 0 END AS is_new
+      FROM store WINDOW w AS (PARTITION BY k ORDER BY vf)
+    ), numbered AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY k ORDER BY vf
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS run_id
+      FROM runs
+    )
+    SELECT CAST(k AS BIGINT) AS c_custkey, seg,
+           strftime(min(vf), '%Y-%m-%d') AS valid_from,
+           CASE WHEN max(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) = 1
+                THEN NULL ELSE strftime(max(vt), '%Y-%m-%d') END AS valid_to
+    FROM numbered
+    GROUP BY k, run_id, seg
+    """,
+    doc="SCD2 store COMPACTION: collapse runs of consecutive versions "
+        "with identical attributes into one interval (first valid_from, "
+        "last valid_to; a run containing the open row stays open).  "
+        "No-op updates leak redundant versions into every real SCD2 "
+        "store (the scd2_customer_batch dedupe prevents same-batch "
+        "no-ops, not cross-batch ones); compaction is the periodic "
+        "maintenance that keeps version counts - and every downstream "
+        "point-in-time join's candidate set - from growing without "
+        "bound.  The store is derived deterministically (3 versions "
+        "per key; key%2 repeats its segment in v2, key%6 in {0,4} "
+        "carries it through v3, so run lengths 1-3 all occur) and the "
+        "FULL compacted store is value-checked row-for-row.  Scale "
+        "shape: one shuffle on the key shared by the lag window, the "
+        "running-sum run numbering, and the final (k, run) group-by - "
+        "classic island detection, no joins.",
+    tags=("scd", "change-data"),
+)
+def scd2_compact_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg2 = F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment")).otherwise(
+        F.lit("SHIFTED")
+    )
+    seg3 = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("SHIFTED"))
+    )
+
+    def ver(vf, vt, seg):
+        return c.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(vf).cast("date").alias("vf"),
+            (F.lit(vt).cast("date") if vt else F.lit(None).cast("date")).alias("vt"),
+            seg.alias("seg"),
+        )
+
+    store = (
+        ver("1995-01-01", "1997-01-01", F.col("c_mktsegment"))
+        .unionByName(ver("1997-01-01", "1999-01-01", seg2))
+        .unionByName(ver("1999-01-01", None, seg3))
+    )
+    wk = Window.partitionBy("k").orderBy("vf")
+    runs = store.withColumn(
+        "is_new",
+        F.when(
+            F.lag("seg").over(wk).isNull() | (F.col("seg") != F.lag("seg").over(wk)),
+            1,
+        ).otherwise(0),
+    )
+    numbered = runs.withColumn(
+        "run_id",
+        F.sum("is_new")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return (
+        numbered.groupBy("k", "run_id", "seg")
+        .agg(
+            F.min("vf").alias("min_vf"),
+            F.max(F.when(F.col("vt").isNull(), 1).otherwise(0)).alias("has_open"),
+            F.max("vt").alias("max_vt"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("c_custkey"),
+            "seg",
+            F.date_format("min_vf", "yyyy-MM-dd").alias("valid_from"),
+            F.when(F.col("has_open") == 1, F.lit(None).cast("string"))
+            .otherwise(F.date_format("max_vt", "yyyy-MM-dd"))
+            .alias("valid_to"),
+        )
+    )

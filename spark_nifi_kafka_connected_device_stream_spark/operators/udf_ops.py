@@ -197,3 +197,148 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --- round 12 additions: the remaining Python-boundary surfaces ------------
+
+
+def _cents_batches(it):
+    """mapInArrow kernel: pure pyarrow.compute per RecordBatch — no
+    pandas materialization at all, the cheapest Python boundary Spark
+    offers.  floor(value*100 + 0.5) in exact double→int64, NULL values
+    dropped BEFORE Python would pay for them (mask pushed into the
+    batch filter)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        tbl = pa.Table.from_batches([batch])
+        tbl = tbl.filter(pc.is_valid(tbl["value"]))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        out = pa.table(
+            {"event_type": tbl["event_type"], "cents": cents}
+        )
+        for ob in out.to_batches():
+            yield ob
+
+
+@register(
+    "mapinarrow_value_cents_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="mapInArrow (RecordBatch in / RecordBatch out, NO pandas "
+        "conversion) — the fifth and lowest-overhead Python boundary, "
+        "value-checked end-to-end: per-batch pyarrow.compute converts "
+        "`value` to exact integer cents, the JVM aggregates.  Compared "
+        "to mapInPandas this skips the Arrow→pandas→Arrow copy, which "
+        "is the boundary cost that dominates when the kernel itself is "
+        "trivial — the right surface for byte-level/columnar kernels "
+        "(the multimodal tier uses it for payload scans).  Scale "
+        "shape: map-only Python stage (NULLs filtered inside the "
+        "batch), then one partial-agg shuffle on event_type; the "
+        "Python stage parallelizes per input partition.",
+    tags=("udf", "arrow"),
+)
+def mapinarrow_value_cents_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cents = e.mapInArrow(_cents_batches, schema="event_type string, cents bigint")
+    return cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+    )
+
+
+_SPEND_SCHEMA = (
+    "custkey bigint, bal_cents bigint, n_orders bigint, revenue_cents bigint"
+)
+
+
+def _spend_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped applyInPandas kernel: one customer row (left) joined
+    in Python with that customer's orders (right).  All money columns
+    arrive as exact int64 cents (computed JVM-side) so the pandas sum
+    is integer-exact; a customer with no orders gets n_orders=0, and
+    orders whose key vanished from the dimension contribute nothing
+    (the kernel emits only dimension-backed keys — left-join
+    semantics, pinned by the oracle)."""
+    if left.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in
+             ("custkey", "bal_cents", "n_orders", "revenue_cents")}
+        )
+    return pd.DataFrame(
+        {
+            "custkey": [int(left["c_custkey"].iloc[0])],
+            "bal_cents": [int(left["bal_cents"].iloc[0])],
+            "n_orders": [int(len(right))],
+            "revenue_cents": [int(right["price_cents"].sum()) if len(right) else 0],
+        }
+    )
+
+
+@register(
+    "cogrouped_applyinpandas_spend",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+      FROM orders WHERE o_custkey <= 2000
+    )
+    SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+           CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+           CAST(count(o.pc) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(o.pc), 0) AS BIGINT) AS revenue_cents
+    FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 2000
+    GROUP BY c.c_custkey, bal_cents
+    """,
+    doc="Cogrouped applyInPandas (groupBy().cogroup().applyInPandas — "
+        "the two-sided grouped-map surface): customer and that "
+        "customer's orders arrive as two aligned pandas frames per "
+        "key; the kernel computes the per-customer order rollup, "
+        "value-checked against the pure-SQL left join.  This is the "
+        "template for Python-side feature joins (per-entity model "
+        "features from two tables) when the combine logic outgrows "
+        "SQL.  HONEST perf note: one Python call PER KEY — the "
+        "documented slow path for high-cardinality keys (bounded here "
+        "to custkey <= 2000, pushed to both scans before the Python "
+        "stage); the JVM join+agg (the oracle's own shape) is what the "
+        "hot path uses.  Scale shape: both sides shuffle once on the "
+        "key (co-partitioned), kernel state is one customer's rows.",
+    tags=("udf", "join"),
+)
+def cogrouped_applyinpandas_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 2000)
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 2000)
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(_spend_cogroup, schema=_SPEND_SCHEMA)
+    )

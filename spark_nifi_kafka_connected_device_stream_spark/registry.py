@@ -166,7 +166,19 @@ _DEMOTE: tuple[str, ...] = ()
 # tests/test_oracle_parity.py asserts that any never-driver-checked
 # query is either inside the window or on this explicit queue — a
 # silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = ()
+DEFERRED: tuple[str, ...] = (
+    # round-12 additions (10 of the 14-slot cap)
+    "customer_asof_balance_join",
+    "scd2_interval_integrity_audit",
+    "scd2_compact_versions",
+    "privacy_dp_histogram",
+    "privacy_k_anonymity_generalization",
+    "events_dau_wau_stickiness",
+    "events_rolling_retention",
+    "events_new_vs_returning_daily",
+    "mapinarrow_value_cents_sum",
+    "cogrouped_applyinpandas_spend",
+)
 
 
 def _load() -> None:
