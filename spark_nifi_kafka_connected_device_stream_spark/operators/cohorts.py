@@ -576,7 +576,12 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 12 additions: engagement-ratio cohort family --------------------
 
-_DAY_US = 86_400_000_000
+# exact integer day bucket (matches DuckDB's `//`, which — verified —
+# TRUNCATES toward zero exactly like Spark's `div`; integer form also
+# avoids double-division rounding at extreme magnitudes, unlike a
+# float divide + cast)
+_DAY = 'div 86400000000L'
+
 
 
 @register(
@@ -619,15 +624,15 @@ _DAY_US = 86_400_000_000
 )
 def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
-        (F.col("ts_us") / _DAY_US).cast("bigint").alias("day"), "user_id"
+        F.expr(f"ts_us {_DAY}").alias("day"), "user_id"
     )
     daily = e.groupBy("day").agg(
         F.countDistinct("user_id").cast("bigint").alias("dau")
     )
     weekly = e.select(
-        (F.col("day") / 7).cast("bigint").alias("week"), "user_id"
+        F.expr("day div 7L").alias("week"), "user_id"
     ).groupBy("week").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
-    dsum = daily.groupBy((F.col("day") / 7).cast("bigint").alias("week")).agg(
+    dsum = daily.groupBy(F.expr("day div 7L").alias("week")).agg(
         F.sum("dau").cast("bigint").alias("dau_sum"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
@@ -677,7 +682,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.col("ts_us") / _DAY_US).cast("bigint").alias("day")
+        "user_id", F.expr(f"ts_us {_DAY}").alias("day")
     )
     span = e.groupBy("user_id").agg(
         F.min("day").alias("first_day"), F.max("day").alias("last_day")
@@ -727,7 +732,7 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     d = (
         load_table(spark, sf_dir, "events")
         .select(
-            (F.col("ts_us") / _DAY_US).cast("bigint").alias("day"), "user_id"
+            F.expr(f"ts_us {_DAY}").alias("day"), "user_id"
         )
         .distinct()
         .localCheckpoint(eager=False)

@@ -694,10 +694,14 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The analyst picks the first level whose k_min clears the "
         "policy (K={K_ANONYMITY}) or whose suppression cost is "
         "acceptable — the standard Samarati lattice walk, linearized "
-        "to its diagonal.  Scale shape: Catalyst folds the 3-level "
-        "union into one Expand over ONE scan (grouping-sets shape), "
-        "one grouped count per level, then a |levels|-row rollup; no "
-        "joins, no windows.",
+        "to its diagonal.  Scale shape: the ladder IS "
+        "rollup(seg, nat, band) + grouping_id (the grand-total rung "
+        "filtered out) — ONE scan + ONE Expand, a plan the review "
+        "found the earlier union-of-3-projections draft did NOT "
+        "produce (it scanned the table three times); then one grouped "
+        "count and a |levels|-row rollup.  No joins, no windows.  The "
+        "DuckDB oracle keeps the explicit 3-way union — oracles are "
+        "judged on semantics, not plan shape.",
     tags=("privacy", "relational"),
 )
 def privacy_k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,27 +711,27 @@ def privacy_k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> Data
         F.col("c_nationkey").cast("bigint").alias("nat"),
         F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_band"),
     )
-    lv = (
-        base.select(F.lit(0).alias("level"), "seg", "nat", "bal_band")
-        .unionByName(
-            base.select(
-                F.lit(1).alias("level"),
-                "seg",
-                "nat",
-                F.lit(None).cast("bigint").alias("bal_band"),
-            )
+    # rollup is the real one-scan grouping-sets form of the ladder —
+    # Catalyst plans ONE scan + ONE Expand (the union-of-3-projections
+    # alternative scans the table three times).  grouping_id bits for
+    # rollup(seg, nat, bal_band): 0 = (seg,nat,band) = L0, 1 = band
+    # rolled up = L1, 3 = (seg) = L2; 7 = the grand total, which is not
+    # a rung on the ladder and is filtered out.  nat/bal_band are
+    # non-null by fixture contract, so rolled-up NULLs cannot collide
+    # with data NULLs — and even if they did, gid separates the levels.
+    grp = (
+        base.rollup("seg", "nat", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+            F.grouping_id().alias("gid"),
         )
-        .unionByName(
-            base.select(
-                F.lit(2).alias("level"),
-                "seg",
-                F.lit(None).cast("bigint").alias("nat"),
-                F.lit(None).cast("bigint").alias("bal_band"),
-            )
+        .filter(F.col("gid") != 7)
+        .withColumn(
+            "level",
+            F.when(F.col("gid") == 0, F.lit(0))
+            .when(F.col("gid") == 1, F.lit(1))
+            .otherwise(F.lit(2)),
         )
-    )
-    grp = lv.groupBy("level", "seg", "nat", "bal_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("grp_n")
     )
     suppressed = F.sum(
         F.when(F.col("grp_n") < K_ANONYMITY, F.col("grp_n")).otherwise(F.lit(0))

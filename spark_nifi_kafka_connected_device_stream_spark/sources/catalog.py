@@ -46,25 +46,36 @@ _PLAN_CACHE: dict[tuple[str, str, str, str, str], DataFrame] = {}
 def _listing_fingerprint(path: str) -> str:
     """Change-detection key for a parquet path: dir mtime alone misses
     same-second rewrites on coarse (1s) mtime filesystems, so fold in
-    the recursive file count and total byte size.  The walk touches
-    only fixture/tooling-scale dirs (this cache exists for the
-    multi-query driver and the in-session rewrite tooling); a cached
-    plan still captures the file LISTING at analysis time, which is
-    exactly what this key invalidates."""
+    the recursive file count, total byte size, the MAX per-file mtime,
+    and a digest of the sorted relative file names — a Spark overwrite
+    mints fresh UUID part-file names, so even a same-second rewrite
+    that happens to preserve count and bytes (deterministic
+    regeneration) perturbs the name digest.  The walk touches only
+    fixture/tooling-scale dirs (this cache exists for the multi-query
+    driver and the in-session rewrite tooling); a cached plan still
+    captures the file LISTING at analysis time, which is exactly what
+    this key invalidates."""
+    import hashlib
+
     if not os.path.exists(path):
         return "missing"
     mtime = os.path.getmtime(path)
     if os.path.isfile(path):
         return f"{mtime}:1:{os.path.getsize(path)}"
-    nfiles, total = 0, 0
+    nfiles, total, max_mtime = 0, 0, 0.0
+    names = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             nfiles += 1
+            fp = os.path.join(root, f)
+            names.append(os.path.relpath(fp, path))
             try:
-                total += os.path.getsize(os.path.join(root, f))
+                total += os.path.getsize(fp)
+                max_mtime = max(max_mtime, os.path.getmtime(fp))
             except OSError:
                 pass
-    return f"{mtime}:{nfiles}:{total}"
+    digest = hashlib.md5("\n".join(sorted(names)).encode()).hexdigest()[:12]
+    return f"{mtime}:{nfiles}:{total}:{max_mtime}:{digest}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -224,7 +224,14 @@ def compact_parquet(
         data_cols = [c for c in df.columns if c not in partition_by]
         from pyspark.sql import functions as F
 
-        salt = F.pmod(F.hash(*data_cols), F.lit(per_value))
+        # every column can be a partition column (pure-dimension
+        # layouts): F.hash() with zero args raises, so fall back to the
+        # input partition id — placement-stable within a run, and the
+        # rows of one value are interchangeable anyway
+        salt = F.pmod(
+            F.hash(*data_cols) if data_cols else F.spark_partition_id(),
+            F.lit(per_value),
+        )
         df = df.repartition(n_out, *partition_by, salt)
     else:
         df = df.repartition(n_out)

@@ -125,9 +125,6 @@ def test_compact_parquet_hive_partitioned_dirs(spark, tmp_path):
     assert after <= n_out + 3, (after, n_out)
     assert spark.read.parquet(dst).count() == 2000
     # the key=value layout survives compaction
-    import glob
-    import os
-
     assert glob.glob(os.path.join(dst, "part=*")), os.listdir(dst)
     with pytest.raises(FileNotFoundError, match="no parquet files"):
         compact_parquet(spark, str(tmp_path / "empty_src"), dst)
