@@ -758,3 +758,88 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("returning_users"),
         )
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+             0 AS is_probe, event_type AS touch_type,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'click')
+      UNION ALL
+      SELECT user_id, epoch_ns(ts) // 1000, event_id,
+             1, CAST(NULL AS VARCHAR),
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), carried AS (
+      SELECT *,
+             last_value(touch_type IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY us, is_probe, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lt
+      FROM stream
+    )
+    SELECT coalesce(lt, 'none') AS touch_type,
+           CAST((us // 3600000000) % 24 AS INTEGER) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM carried WHERE is_probe = 1
+    GROUP BY coalesce(lt, 'none'), (us // 3600000000) % 24
+    """,
+    doc="LAST-TOUCH ATTRIBUTION — each purchase credits the user's most "
+        "recent at-or-before view/click (purchases with no prior touch "
+        "report as 'none'): the marketing-attribution primitive, and "
+        "the second production use of the union + ordered-window AS-OF "
+        "encoding (customer_asof_balance_join is the dimension form; "
+        "this is the event-stream form).  One shuffle on user_id, no "
+        "touch x purchase join, no candidate multiplication; the order "
+        "key (us, is_probe, event_id) is a TOTAL order so ties — a "
+        "touch and a purchase in the same microsecond, or two "
+        "same-instant touches — resolve identically in both engines "
+        "(the reason the oracle is the windowed-SQL form rather than "
+        "DuckDB's ASOF JOIN, whose tie-breaking is unspecified).  "
+        "Report keyed by (touch type, purchase hour-of-day) in exact "
+        "integer cents / exact integer hour buckets.",
+    tags=("events", "cohort", "asof"),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        "event_id",
+        F.lit(0).alias("is_probe"),
+        F.col("event_type").alias("touch_type"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        "event_id",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = touches.unionByName(purchases).withColumn(
+        "lt", F.last("touch_type", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .groupBy(
+            F.coalesce(F.col("lt"), F.lit("none")).alias("touch_type"),
+            (F.expr("us div 3600000000L") % 24).cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )

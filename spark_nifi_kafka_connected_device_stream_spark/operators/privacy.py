@@ -744,3 +744,98 @@ def privacy_k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> Data
             "suppression_rate"
         ),
     )
+
+
+# DP mean-release constants: row-value clamp bound (L_inf of one row's
+# contribution to the sum, in cents) and the two Laplace scales,
+# pre-folded to single literals so both engines fold identically
+_DPM_CLAMP = 50000  # $500.00
+_DPM_B_SUM = 50000.0  # _DPM_CLAMP / _DP_EPSILON
+_DPM_B_CNT = 1.0      # 1 / _DP_EPSILON
+
+
+@register(
+    "privacy_dp_mean_release",
+    oracle=f"""
+    WITH rel AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(least(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                            {_DPM_CLAMP})) AS BIGINT) AS clamped_sum
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0
+      GROUP BY event_type
+    ), noised AS (
+      SELECT *,
+             ({duck_u32("'dpm_s_' || event_type")} + 0.5) / 4294967296.0 AS us_,
+             ({duck_u32("'dpm_c_' || event_type")} + 0.5) / 4294967296.0 AS uc_
+      FROM rel
+    ), lap AS (
+      SELECT event_type, n_rows, clamped_sum,
+             clamped_sum + CASE WHEN us_ >= 0.5
+                  THEN -{_DPM_B_SUM} * ln(1.0 - 2.0 * (us_ - 0.5))
+                  ELSE  {_DPM_B_SUM} * ln(1.0 - 2.0 * (0.5 - us_)) END
+               AS noisy_sum,
+             n_rows + CASE WHEN uc_ >= 0.5
+                  THEN -{_DPM_B_CNT} * ln(1.0 - 2.0 * (uc_ - 0.5))
+                  ELSE  {_DPM_B_CNT} * ln(1.0 - 2.0 * (0.5 - uc_)) END
+               AS noisy_n
+      FROM noised
+    )
+    SELECT event_type, n_rows, clamped_sum,
+           floor((clamped_sum * 1.0 / n_rows) * 1000000.0 + 0.5) / 1000000.0
+             AS true_mean_cents,
+           floor((noisy_sum / noisy_n) * 1000000.0 + 0.5) / 1000000.0
+             AS dp_mean_cents
+    FROM lap
+    """,
+    doc="The DP MEAN release — third of the release family (counts, "
+        "histogram, mean): per-row values clamped to [0, $500] cents "
+        "(bounding one row's sum contribution), then the standard "
+        "noisy-sum / noisy-count quotient with Laplace(clamp/eps) on "
+        "the sum and Laplace(1/eps) on the count (eps each, 2·eps "
+        "total by composition — the bookkeeping a DP accountant "
+        "tracks).  Noise uniforms are the md5-derived deterministic "
+        "u32s (one per release key per statistic), so the MECHANISM is "
+        "modeled exactly and oracle-checkable; a production release "
+        "swaps the hash for a secure RNG and nothing else changes.  "
+        "Scale shape: one partial-agg shuffle to a |types|-row release "
+        "table, per-row noise arithmetic; clamped sums are exact int64 "
+        "(cap 5e4 x row count — int64-safe past 1e14 rows/type).",
+    tags=("privacy", "events"),
+)
+def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    rel = (
+        e.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.least(cents, F.lit(_DPM_CLAMP))).cast("bigint").alias(
+                "clamped_sum"
+            ),
+        )
+    )
+
+    def lap(u_col, b):
+        return F.when(
+            u_col >= 0.5,
+            F.lit(-b) * F.log(F.lit(1.0) - F.lit(2.0) * (u_col - F.lit(0.5))),
+        ).otherwise(
+            F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u_col))
+        )
+
+    us_ = (spark_u32(F.concat(F.lit("dpm_s_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
+    uc_ = (spark_u32(F.concat(F.lit("dpm_c_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
+    noisy_sum = F.col("clamped_sum") + lap(us_, _DPM_B_SUM)
+    noisy_n = F.col("n_rows") + lap(uc_, _DPM_B_CNT)
+    return rel.select(
+        "event_type",
+        "n_rows",
+        "clamped_sum",
+        pround(F.col("clamped_sum") * F.lit(1.0) / F.col("n_rows"), 6).alias(
+            "true_mean_cents"
+        ),
+        pround(noisy_sum / noisy_n, 6).alias("dp_mean_cents"),
+    )

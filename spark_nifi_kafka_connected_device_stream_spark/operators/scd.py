@@ -728,3 +728,117 @@ def scd2_compact_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("valid_to"),
         )
     )
+
+
+# bitemporal constants: correction-wave transaction days and the as-was
+# report date, as epoch days (exact ints both engines)
+_TX_WAVE1 = 9862   # 1997-01-01: +200-cent restatement for orderkey%7
+_TX_WAVE2 = 10227  # 1998-01-01: +500-cent restatement for orderkey%13
+_REPORT_DAY = 10042  # 1997-06-30: the as-was report date
+
+
+@register(
+    "orders_bitemporal_correction_report",
+    oracle=f"""
+    WITH facts AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS vday,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) <= DATE '1997-06-30'
+    ), versions AS (
+      SELECT o_orderkey, o_year, vday AS tx_day, 0 AS seq, cents FROM facts
+      UNION ALL
+      SELECT o_orderkey, o_year, {_TX_WAVE1}, 1, cents + 200
+      FROM facts WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_year, {_TX_WAVE2}, 2, cents + 500
+      FROM facts WHERE o_orderkey % 13 = 0
+    ), picked AS (
+      SELECT o_orderkey, o_year,
+             max_by(cents, tx_day * 4 + seq)
+               FILTER (tx_day <= {_REPORT_DAY}) AS cents_was,
+             max_by(cents, tx_day * 4 + seq) AS cents_now
+      FROM versions GROUP BY o_orderkey, o_year
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents_was) AS BIGINT) AS rev_as_was_cents,
+           CAST(sum(cents_now) AS BIGINT) AS rev_as_now_cents,
+           CAST(sum(cents_now - cents_was) AS BIGINT) AS restatement_cents,
+           CAST(sum(CASE WHEN cents_now <> cents_was THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_restated
+    FROM picked GROUP BY o_year
+    """,
+    doc="BITEMPORAL correction report — valid time x transaction time: "
+        "orders are restated by two correction waves (orderkey%7 "
+        "+2.00 recorded 1997-01-01, orderkey%13 +5.00 recorded "
+        "1998-01-01), and the report answers 'what did the books say "
+        "ON 1997-06-30 vs what do they say NOW' for every order "
+        "year — wave 1 is visible in BOTH views (recorded before the "
+        "report date), wave 2 only as-now, so the delta column "
+        "isolates exactly the late-arriving restatements; the audit "
+        "regulators actually ask for.  Both temporal picks are ONE "
+        "grouped max_by over the (order, year) key with the as-was "
+        "pick as a FILTERed aggregate — Spark and DuckDB each evaluate "
+        "the same (tx_day, seq) lexicographic argmax, no window, no "
+        "self-join, one shuffle.  Money in exact integer cents; days "
+        "as exact epoch-day ints.",
+    tags=("scd", "temporal", "change-data", "audit"),
+)
+def orders_bitemporal_correction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.filter(
+        F.col("o_orderdate").cast("date") <= F.lit("1997-06-30").cast("date")
+    ).select(
+        "o_orderkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("vday"),
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    versions = (
+        facts.select(
+            "o_orderkey", "o_year",
+            F.col("vday").alias("tx_day"), F.lit(0).alias("seq"), "cents",
+        )
+        .unionByName(
+            facts.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey", "o_year",
+                F.lit(_TX_WAVE1).alias("tx_day"), F.lit(1).alias("seq"),
+                (F.col("cents") + 200).alias("cents"),
+            )
+        )
+        .unionByName(
+            facts.filter(F.col("o_orderkey") % 13 == 0).select(
+                "o_orderkey", "o_year",
+                F.lit(_TX_WAVE2).alias("tx_day"), F.lit(2).alias("seq"),
+                (F.col("cents") + 500).alias("cents"),
+            )
+        )
+    )
+    # lexicographic (tx_day, seq) argmax, encoded as ONE exact integer
+    # (seq < 4, so tx_day*4 + seq orders identically to the tuple) —
+    # DuckDB's max_by accepts only scalar ordering keys
+    key = F.col("tx_day") * 4 + F.col("seq")
+    asof = versions.groupBy("o_orderkey", "o_year").agg(
+        F.max_by(
+            F.col("cents"),
+            F.when(F.col("tx_day") <= _REPORT_DAY, key),
+        ).alias("cents_was"),
+        F.max_by(F.col("cents"), key).alias("cents_now"),
+    )
+    return asof.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents_was").cast("bigint").alias("rev_as_was_cents"),
+        F.sum("cents_now").cast("bigint").alias("rev_as_now_cents"),
+        F.sum(F.col("cents_now") - F.col("cents_was"))
+        .cast("bigint")
+        .alias("restatement_cents"),
+        F.sum(
+            F.when(F.col("cents_now") != F.col("cents_was"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_restated"),
+    )
