@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import pround
+from ..functions.portable import duck_u32, pround, spark_u32
 from ..functions.scale import bounded_window_key, int64_headroom_guard
 from ..registry import register
 from ..sources.catalog import load_table
@@ -1114,16 +1114,32 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_correlation_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        pround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        pround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "covar_qty_price"
-        ),
-        pround(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
-        pround(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-        pround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
-    ).filter((F.col("std_qty") > 0) & (F.col("std_price") > 0))
+    # the zero-variance filter must test the RAW stddev (the oracle's
+    # HAVING does): filtering the rounded column would drop a group
+    # whose stddev rounds to 0.00 but is genuinely nonzero — a real
+    # cross-engine row-set divergence (r12 review fix; the sibling
+    # stats_linear_regression already filtered raw)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            pround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            pround(F.corr("l_extendedprice", "l_discount"), 6).alias(
+                "corr_price_disc"
+            ),
+            pround(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            pround(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.stddev_samp("l_quantity").alias("_sq_raw"),
+            F.stddev_samp("l_extendedprice").alias("_sp_raw"),
+        )
+        .filter((F.col("_sq_raw") > 0) & (F.col("_sp_raw") > 0))
+        .drop("_sq_raw", "_sp_raw")
+    )
 
 
 # Pareto class boundaries on cumulative revenue share
@@ -1204,9 +1220,11 @@ BASKET_MIN_SUPPORT = 2
 @register(
     "orders_basket_pairs",
     oracle=f"""
-    WITH pairs AS (
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
       SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
     ), sup AS (
       SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
@@ -1228,16 +1246,26 @@ BASKET_MIN_SUPPORT = 2
     """,
     doc=f"Market-basket association pairs: co-occurrence support of part "
         f"pairs within an order (support >= {BASKET_MIN_SUPPORT}) plus "
-        f"lift against the independent-purchase baseline.  Scale shape: "
-        f"the pair generation is a self-equi-join on the order key, so "
-        f"the blow-up is bounded by basket size squared (~7 lines/order "
-        f"-> <=21 pairs), NEVER all-pairs over parts; per-item order "
-        f"counts are a |parts|-row table joined back (broadcastable), "
-        f"and the distinct-order total is one broadcast scalar.",
+        f"lift against the independent-purchase baseline.  The fact "
+        f"table is deduped to DISTINCT (order, part) FIRST — a part on "
+        f"two lines of one order is still ONE basket membership, so "
+        f"support counts ORDERS (r12 review fix: the line-level join "
+        f"inflated support/lift for multi-line parts, 55 live cases at "
+        f"sf0.01, and mismatched the distinct-order marginals in the "
+        f"lift denominator).  Scale shape: the pair generation is a "
+        f"self-equi-join on the order key, so the blow-up is bounded "
+        f"by basket size squared (~7 lines/order -> <=21 pairs), NEVER "
+        f"all-pairs over parts; per-item order counts are a "
+        f"|parts|-row table joined back (broadcastable), and the "
+        f"distinct-order total is one broadcast scalar.",
     tags=("stats", "join"),
 )
 def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
@@ -1397,8 +1425,8 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH assign AS (
       SELECT user_id,
-             CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2
-                  AS INTEGER)                                    AS arm,
+             CAST(((min(CAST(json_extract(props, '$.k') AS BIGINT)) % 2)
+                   + 2) % 2 AS INTEGER)                          AS arm,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT)                                     AS purchases
       FROM events GROUP BY user_id
@@ -1439,7 +1467,13 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_abtest_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     assign = e.groupBy("user_id").agg(
-        (F.min(F.get_json_object("props", "$.k").cast("bigint")) % 2)
+        # pmod, not %: a negative $.k would land in arm -1 under
+        # sign-following % and silently vanish from BOTH arms, while
+        # the SRM/CUPED/MDE/mSPRT siblings pmod the same hash into
+        # arms 0/1 — the t-test must analyze the population its SRM
+        # gate validates (r12 review fix; oracle uses ((k%2)+2)%2,
+        # DuckDB's % also follows sign)
+        F.pmod(F.min(F.get_json_object("props", "$.k").cast("bigint")), F.lit(2))
         .cast("int")
         .alias("arm"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -1561,8 +1595,13 @@ _BENFORD = {
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS digit
       FROM orders WHERE o_totalprice >= 1
-    ), obs AS (
+    ), raw AS (
       SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), dom AS (
+      SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit
+    ), obs AS (
+      SELECT d.digit, CAST(coalesce(r.n, 0) AS BIGINT) AS n
+      FROM dom d LEFT JOIN raw r ON r.digit = d.digit
     ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
     SELECT o.digit, o.n,
            floor(CAST(o.n AS DOUBLE) / t.t * 1000000.0 + 0.5) / 1000000.0
@@ -1584,9 +1623,12 @@ _BENFORD = {
         "price generator flunks it too, which is itself a useful "
         "fixture diagnostic).  The Benford constants are pre-rounded "
         "single literals in BOTH engines — computing log10 in-engine "
-        "would diverge by ULP across libms.  Scale shape: digit "
-        "extraction is map-only string math on exact integers, one "
-        "9-row aggregate, total broadcast.",
+        "would diverge by ULP across libms.  The observed counts are "
+        "LEFT-JOINED onto the constant 1..9 domain so never-occurring "
+        "digits emit n=0 rows with their full t*p_d chi-square term "
+        "(r12 review fix).  Scale shape: digit extraction is map-only "
+        "string math on exact integers, one 9-row aggregate, total "
+        "broadcast.",
     tags=("stats", "dq", "agg"),
 )
 def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,8 +1636,17 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+    raw = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # left-join the full 1..9 domain: a digit that never occurs must
+    # emit n=0 with its chi2 term t*p_d — the LARGEST possible term —
+    # not vanish from the screen (r12 review fix: observed-digits-only
+    # grouping understated the statistic exactly when the Benford
+    # violation was most extreme)
+    dom = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    obs = dom.join(raw, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
     )
     tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
     bshare = F.create_map(
@@ -2555,9 +2606,18 @@ def lineitem_simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 _KW_TYPE = "purchase"
-# chi-square df=6 95th percentile, pinned as ONE pre-rounded literal
-# (the events_chi2_mix_drift_daily pattern)
-_KW_CRIT = 12.592
+# chi-square 95th-percentile critical values BY df (1..6), each a
+# pre-rounded literal (the events_chi2_mix_drift_daily pattern).  The
+# value must be SELECTED by the observed group count — r12 review fix:
+# a single pinned df=6 literal under-rejects whenever fewer than 7
+# weekday groups survive the filters (the same hardcoded-family-size
+# class as the round-11 BH m=7 bug).
+_KW_CRIT_BY_DF = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.07, 6: 12.592}
+_KW_CRIT_SQL = (
+    "CASE k - 1 "
+    + " ".join(f"WHEN {df} THEN {v}" for df, v in sorted(_KW_CRIT_BY_DF.items()))
+    + " ELSE 12.592 END"
+)
 
 
 @register(
@@ -2599,7 +2659,7 @@ _KW_CRIT = 12.592
            CAST(CASE WHEN (12.0 / (n * (n + 1.0)) * (sq_e2 / 100.0)
                            - 3.0 * (n + 1.0))
                           / (1.0 - t3 * 1.0 / (n * 1.0 * n * n - n))
-                          > {_KW_CRIT}
+                          > ({_KW_CRIT_SQL})
                 THEN 1 ELSE 0 END AS INTEGER) AS significant_95
     FROM tot CROSS JOIN ties
     """,
@@ -2615,8 +2675,9 @@ _KW_CRIT = 12.592
         "R2_g^2/(4 n_g) terms are floor-quantized to int64 CENTS "
         "before the cross-group sum (the ANOVA device — a float fold "
         "over 7 groups is order-dependent), so H and even the "
-        "significance comparison against the pinned df=6 chi-square "
-        "literal are identical scalar trees.  Scale shape: one "
+        "significance comparison against the df-SELECTED pinned "
+        "chi-square literal (k-1 observed, not a hardcoded 6 — r12 "
+        "review fix) are identical scalar trees.  Scale shape: one "
         "partial-agg shuffle to (dow, value) cells bounded by the "
         "2-dp value DOMAIN, a |values|-row cumulative window, 7-row "
         "group fold, 1-row output.  int64 headroom: R2_g^2*100 "
@@ -2666,12 +2727,13 @@ def events_kruskal_wallis_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12.0) / (n * (n + one)) * (F.col("sq_e2") / F.lit(100.0))
         - F.lit(3.0) * (n + one)
     ) / (one - F.col("t3") * one / (n * one * n * n - n))
+    crit = F.expr(_KW_CRIT_SQL)
     return tot.crossJoin(F.broadcast(ties)).select(
         F.col("k").cast("int").alias("k_groups"),
         "n",
         (F.col("k") - 1).cast("bigint").alias("df"),
         pround(h_raw, 6).alias("h_stat"),
-        F.when(h_raw > _KW_CRIT, 1).otherwise(0).cast("int").alias(
+        F.when(h_raw > crit, 1).otherwise(0).cast("int").alias(
             "significant_95"
         ),
     )
@@ -2836,7 +2898,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.o_custkey = b.o_custkey
      AND a.o_orderkey < b.o_orderkey
      AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 7
-     AND abs(a.cents - b.cents) * 100 <= a.cents
+     AND abs(a.cents - b.cents) * 100 <= least(a.cents, b.cents)
     """,
     doc="Duplicate-payment audit screen: pairs of orders by the SAME "
         "customer within 7 days whose amounts differ by at most 1% — "
@@ -2845,7 +2907,10 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adjusted tax/shipping, and this synthetic ledger has no exact "
         "repeats at all).  Amounts compared as exact integer cents "
         "with an integer cross-multiplied tolerance (|ca-cb|*100 <= "
-        "ca) — no float enters the predicate.  Scale shape: self-join "
+        "least(ca, cb) — symmetric in the amounts; r12 review fix, "
+        "the earlier a-side baseline made boundary pairs depend on "
+        "which order drew the smaller key) — no float enters the "
+        "predicate.  Scale shape: self-join "
         "EQUI on o_custkey — blocks are orders-per-customer (~30 at "
         "every TPC-H SF), so the pair blow-up is block-bounded and "
         "never all-pairs; date and amount tolerances run as join "
@@ -2864,8 +2929,14 @@ def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFra
     )
     a, b = o.alias("a"), o.alias("b")
     gap = F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+    # tolerance baselined on the SMALLER amount: a function of the
+    # amounts alone, symmetric in the pair — baselining on the
+    # lower-ORDERKEY side made near-boundary classification depend on
+    # arbitrary key assignment (r12 review fix), and least() is also
+    # the stricter of the two readings
     near = (
-        F.abs(F.col("a.cents") - F.col("b.cents")) * F.lit(100) <= F.col("a.cents")
+        F.abs(F.col("a.cents") - F.col("b.cents")) * F.lit(100)
+        <= F.least(F.col("a.cents"), F.col("b.cents"))
     )
     return (
         a.join(
@@ -2978,16 +3049,12 @@ BOOTSTRAP_B = 100
 _POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
 
 
-def _duck_bootstrap_u32(key_expr: str) -> str:
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i + 1}, 1)) - 1) "
-            f"* {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        + ")"
-    )
+# the md5→uint32 derivation is the SHARED cross-engine primitive in
+# functions/portable (spark_u32 / duck_u32) — the bootstrap used to
+# carry a byte-identical private copy of each half, which a future fix
+# to the shared pair would silently miss (r12 review fix: alias, not
+# copy)
+_duck_bootstrap_u32 = duck_u32
 
 
 def _duck_pois_w(u32: str) -> str:
@@ -3056,19 +3123,11 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
         F.col("event_id"),
     )
-    u32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
-                ).cast("binary")
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u32 = spark_u32(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
+        )
+    )
     w = F.when(u32 < _POIS_T[0], 0)
     for k, t in enumerate(_POIS_T[1:], start=1):
         w = w.when(u32 < t, k)
