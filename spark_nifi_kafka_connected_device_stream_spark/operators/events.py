@@ -130,13 +130,20 @@ def _sessionized(e):
     """30-min-gap sessionization over exact integer microseconds: adds
     `session_seq` per user via the shared lag + running-sum window pair
     (ONE user-key exchange serves both).  Used by events_sessionize and
-    events_bounce_rate_daily — one definition, one gap constant."""
+    events_bounce_rate_daily — one definition, one gap constant.
+
+    Boundary contract: a gap of EXACTLY 30:00 starts a NEW session
+    (`>=`), matching F.session_window's half-open [ts, ts+gap) — r12
+    review fix: the lag-based family used `>` while the native op and
+    the streaming twin split at equality, so batch-vs-streaming session
+    counts could disagree on exact-gap events despite every op passing
+    its own mirrored oracle."""
     w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("us").over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("us") - prev) >= 1_800_000_000), 1).otherwise(0),
     )
     return flagged.withColumn(
         "session_seq", F.sum("new_session").over(wrun).cast("bigint")
@@ -150,7 +157,7 @@ def _sessionized(e):
       SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
     ), flagged AS (
       SELECT user_id, event_id, us,
-             CASE WHEN us - lag(us) OVER w > 1800000000
+             CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
@@ -224,15 +231,15 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_gapfill_hourly",
     oracle="""
-    WITH buckets AS (
-      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                                    TIMESTAMP '2024-01-31 00:00:00',
-                                    INTERVAL 1 HOUR)) AS h
-    ), types AS (
-      SELECT DISTINCT event_type FROM events
-    ), counts AS (
+    WITH counts AS (
       SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
       FROM events GROUP BY 1, 2
+    ), buckets AS (
+      SELECT unnest(generate_series((SELECT min(h) FROM counts),
+                                    (SELECT max(h) FROM counts),
+                                    INTERVAL 1 HOUR)) AS h
+    ), types AS (
+      SELECT DISTINCT event_type FROM counts
     )
     SELECT strftime(b.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            t.event_type,
@@ -243,28 +250,35 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Time-series gap filling: dense hourly grid (sequence+explode × "
         "distinct keys) left-joined with actual counts, zeros filled — the "
-        "resample-with-gaps primitive. Grid generation is O(buckets×keys), "
-        "independent of fact size; the counts side is one hash-agg.",
+        "resample-with-gaps primitive. Grid bounds are DERIVED from the "
+        "data's min/max hour (r12 review fix: the old hardcoded "
+        "2024-01-01..31 grid silently dropped any event outside it and "
+        "reported confident zeros for weeks the data never covered — "
+        "fine until the fixture span moved). Grid generation is "
+        "O(buckets×keys), independent of fact size; the counts side is "
+        "one hash-agg feeding both the grid bounds and the join.",
     tags=("events", "timeseries"),
 )
 def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    buckets = spark.sql(
-        """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
-                                   timestamp'2024-01-31 00:00:00',
-                                   interval 1 hour)) AS h"""
-    )
-    types = e.select("event_type").distinct()
     counts = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("ct")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    buckets = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = counts.select("ct").distinct()
+    # USING-join on the shared names: the grid derives FROM counts, so
+    # column-object join conditions would be ambiguous self-join refs
     return (
         buckets.crossJoin(F.broadcast(types))
-        .join(counts, (counts.h == buckets.h) & (counts.ct == types.event_type), "left")
+        .join(counts, ["h", "ct"], "left")
         .select(
-            F.date_format(buckets.h, TS_FMT_SPARK).alias("hour_start"),
-            types.event_type,
-            F.coalesce(counts.n, F.lit(0)).alias("n"),
+            F.date_format("h", TS_FMT_SPARK).alias("hour_start"),
+            F.col("ct").alias("event_type"),
+            F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
 
@@ -482,12 +496,23 @@ ANOMALY_Z = 3.0
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
       FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT min(h) FROM hourly),
+                    (SELECT max(h) FROM hourly),
+                    INTERVAL 1 HOUR)) AS h) g
+    ), dense AS (
+      SELECT g.event_type, g.h, CAST(coalesce(x.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN hourly x
+        ON x.event_type = g.event_type AND x.h = g.h
     ), scored AS (
       SELECT event_type, h, n,
              count(*)        OVER trail AS n_prev,
              avg(n)          OVER trail AS trail_mean,
              stddev_samp(n)  OVER trail AS trail_std
-      FROM hourly
+      FROM dense
       WINDOW trail AS (PARTITION BY event_type ORDER BY h
                        ROWS BETWEEN {ANOMALY_TRAIL_HOURS} PRECEDING
                                 AND 1 PRECEDING)
@@ -509,25 +534,39 @@ ANOMALY_Z = 3.0
         f"(mean/stddev over a ROWS frame that EXCLUDES the current hour), "
         f"|z| > {ANOMALY_Z} flagged — the pipeline-health screen that "
         f"catches a source going dark or a duplicate flood before it "
-        f"poisons a training snapshot.  Rows with under "
-        f"{ANOMALY_MIN_HISTORY}h of history are withheld (cold-start).  "
-        f"Scale shape: one grouped hourly rollup (map-side combine), "
-        f"then a window over (type, hour) — partition count = |types|, "
-        f"each a bounded time series, so the window never sees a "
-        f"data-sized partition.",
+        f"poisons a training snapshot.  The hourly series is DENSIFIED "
+        f"over the full min..max hour grid with zero-count rows (r12 "
+        f"review fix): without the zero-fill a silent hour produced NO "
+        f"scored row at all — the going-dark case could never flag — "
+        f"and the ROWS frame spanned arbitrary wall time on sparse "
+        f"series.  Rows with under {ANOMALY_MIN_HISTORY}h of history "
+        f"are withheld (cold-start).  Scale shape: one grouped hourly "
+        f"rollup (map-side combine), a broadcast grid densify, then a "
+        f"window over (type, hour) — partition count = |types|, each a "
+        f"bounded time series, so the window never sees a data-sized "
+        f"partition.",
     tags=("events", "window-agg", "monitoring"),
 )
 def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(F.broadcast(hourly.select("event_type").distinct()))
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
     trail = (
         Window.partitionBy("event_type")
         .orderBy("h")
         .rowsBetween(-ANOMALY_TRAIL_HOURS, -1)
     )
-    scored = hourly.select(
+    scored = dense.select(
         "event_type",
         "h",
         "n",
@@ -1161,26 +1200,34 @@ ATTRIBUTION_LOOKBACK_US = 3_600_000_000  # credit clicks from the prior hour
       SELECT user_id, event_id AS p_event, epoch_ns(ts) // 1000 AS p_us
       FROM events WHERE event_type = 'purchase'
     ), c AS (
-      SELECT user_id, epoch_ns(ts) // 1000 AS c_us,
+      SELECT user_id, event_id AS c_event, epoch_ns(ts) // 1000 AS c_us,
              CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign
       FROM events WHERE event_type = 'click'
     ), touches AS (
       SELECT p.p_event, c.campaign,
-             count(*) OVER (PARTITION BY p.p_event) AS n_touches
+             count(*) OVER (PARTITION BY p.p_event) AS n_touches,
+             row_number() OVER (PARTITION BY p.p_event
+                                ORDER BY c.c_us, c.c_event) AS touch_rank
       FROM p JOIN c ON c.user_id = p.user_id
        AND c.c_us >= p.p_us - {ATTRIBUTION_LOOKBACK_US} AND c.c_us < p.p_us
     )
     SELECT campaign,
            CAST(count(*) AS BIGINT)                  AS n_touches,
            CAST(count(DISTINCT p_event) AS BIGINT)   AS n_purchases,
-           CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_ppm
+           CAST(sum(1000000 // n_touches
+                    + CASE WHEN touch_rank <= 1000000 % n_touches
+                           THEN 1 ELSE 0 END) AS BIGINT) AS credit_ppm
     FROM touches GROUP BY campaign
     """,
     doc="Multi-touch LINEAR attribution: every click by the purchasing "
         "user in the hour before a purchase shares that purchase's "
         "credit equally (the complement of asof_join_last_click's "
         "last-touch model).  Credit is EXACT integer parts-per-million "
-        "(1e6 div n_touches) so cross-engine sums cannot drift the way "
+        "— 1e6 div n per touch plus one extra ppm to the first "
+        "(1e6 mod n) touches in (time, click-id) order, so every "
+        "purchase distributes EXACTLY 1e6 ppm (r12 review fix: the "
+        "plain floor leaked the remainder and campaign totals stopped "
+        "reconciling) — and cross-engine sums cannot drift the way "
         "float 1/n summation order would.  Scale shape: the touch join "
         "is an equi-join on user_id with the time-range predicate "
         "applied inside the match — pair blow-up bounded per user, "
@@ -1197,6 +1244,7 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
         F.col("ts_us").alias("c_us"),
         (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("campaign"),
     )
@@ -1206,16 +1254,26 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_us") >= F.col("p_us") - ATTRIBUTION_LOOKBACK_US)
         & (F.col("c_us") < F.col("p_us")),
     )
+    # credit CONSERVATION (r12 review fix): floor(1e6/n) per touch
+    # leaked (1e6 mod n) ppm per purchase, so campaign credit no longer
+    # reconciled against 1e6 x purchases.  The remainder goes to the
+    # FIRST (1e6 mod n) touches in the deterministic (c_us, click id)
+    # order — every purchase now hands out exactly 1,000,000 ppm.
     w = Window.partitionBy("p_event")
-    credited = touches.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    w_rank = Window.partitionBy("p_event").orderBy("c_us", "c_event")
+    credited = touches.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w)
+    ).withColumn("touch_rank", F.row_number().over(w_rank))
+    credit = F.expr(
+        "CAST(1000000 div n_touches AS BIGINT)"
+        " + CASE WHEN touch_rank <= 1000000 % n_touches THEN 1 ELSE 0 END"
+    )
     return (
         credited.groupBy("campaign")
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
             F.countDistinct("p_event").alias("n_purchases"),
-            F.sum(F.expr("CAST(1000000 div n_touches AS BIGINT)"))
-            .cast("bigint")
-            .alias("credit_ppm"),
+            F.sum(credit).cast("bigint").alias("credit_ppm"),
         )
     )
 
@@ -1372,7 +1430,24 @@ def events_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CHI2_DRIFT_THRESHOLD = 9.488  # chi-square 95th pct, dof=4 (5 event types)
+# chi-square 95th-percentile critical values by dof (1..6), each a
+# pre-rounded single literal.  SELECTED by the observed per-day dof —
+# r12 review fix, twice over: the old pinned 9.488 assumed dof=4 ("5
+# event types") while the fixture alphabet has 4 types (dof=3, crit
+# 7.815), and zero-observed cells were dropped from the statistic
+# entirely (a type VANISHING — the strongest composition drift — only
+# shrank dof instead of contributing its full exp-sized term).
+_CHI2_CRIT_BY_DF = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.07, 6: 12.592}
+
+
+def _chi2_crit_sql(dof_expr: str) -> str:
+    return (
+        f"CASE {dof_expr} "
+        + " ".join(
+            f"WHEN {df} THEN {v}" for df, v in sorted(_CHI2_CRIT_BY_DF.items())
+        )
+        + " ELSE 12.592 END"
+    )
 
 
 @register(
@@ -1382,17 +1457,26 @@ CHI2_DRIFT_THRESHOLD = 9.488  # chi-square 95th pct, dof=4 (5 event types)
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              CAST(count(*) AS BIGINT) AS obs
       FROM events GROUP BY day, event_type
+    ), grid AS (
+      SELECT d.day, t.event_type
+      FROM (SELECT DISTINCT day FROM cell) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+    ), full_cell AS (
+      SELECT g.day, g.event_type, CAST(coalesce(c.obs, 0) AS BIGINT) AS obs
+      FROM grid g LEFT JOIN cell c
+        ON c.day = g.day AND c.event_type = g.event_type
     ), day_tot AS (
-      SELECT day, CAST(sum(obs) AS BIGINT) AS n_d FROM cell GROUP BY day
+      SELECT day, CAST(sum(obs) AS BIGINT) AS n_d FROM full_cell GROUP BY day
     ), type_tot AS (
-      SELECT event_type, CAST(sum(obs) AS BIGINT) AS c_t FROM cell GROUP BY event_type
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS c_t
+      FROM full_cell GROUP BY event_type
     ), grand AS (
-      SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell
+      SELECT CAST(sum(obs) AS BIGINT) AS n FROM full_cell
     ), terms AS (
       SELECT c.day,
              pow(c.obs - CAST(d.n_d AS DOUBLE) * t.c_t / g.n, 2)
                / (CAST(d.n_d AS DOUBLE) * t.c_t / g.n) AS term
-      FROM cell c
+      FROM full_cell c
       JOIN day_tot d ON d.day = c.day
       JOIN type_tot t ON t.event_type = c.event_type
       CROSS JOIN grand g
@@ -1400,23 +1484,30 @@ CHI2_DRIFT_THRESHOLD = 9.488  # chi-square 95th pct, dof=4 (5 event types)
     SELECT strftime(day, '%Y-%m-%d')           AS day,
            CAST(count(*) - 1 AS INTEGER)       AS dof,
            floor(sum(term) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
-           sum(term) > {CHI2_DRIFT_THRESHOLD}  AS drift_flag
+           sum(term) > ({_chi2_crit_sql('CAST(count(*) - 1 AS INTEGER)')})
+             AS drift_flag
     FROM terms GROUP BY day
     """,
-    doc=f"Categorical mix-drift screen (the chi-square complement of "
-        f"the KS length-drift op): each day's event-type mix tested "
-        f"against the all-time mix — expected cell count = day total x "
-        f"global type share, chi2 = sum (obs-exp)^2/exp, flagged past "
-        f"the 95th-percentile critical value for dof=4 "
-        f"({CHI2_DRIFT_THRESHOLD}).  Catches a day where the TYPE "
-        f"composition shifted (error spike, signup flood) even when "
-        f"total volume looks normal — the companion to "
-        f"events_rate_anomaly, which sees volume but not composition.  "
-        f"Scale shape: ONE grouped agg collapses the corpus to "
-        f"|days|x|types| cells; margins derive from the cells (corpus "
-        f"scanned once, cell table checkpointed); everything after is "
-        f"grid math with broadcast margins.  Exact integer counts; "
-        f"per-cell double terms rounded post-sum at 6dp.",
+    doc="Categorical mix-drift screen (the chi-square complement of "
+        "the KS length-drift op): each day's event-type mix tested "
+        "against the all-time mix over the FULL day x global-alphabet "
+        "grid — a (day, type) cell with zero events still contributes "
+        "its (0-exp)^2/exp = exp term, which is exactly the signal "
+        "when a type vanishes for a day (r12 review fix; the old "
+        "observed-cells-only grouping understated chi2 and shrank dof "
+        "in that case).  Flagged past the 95th-percentile critical "
+        "value SELECTED by the per-day dof (= |alphabet|-1; the old "
+        "pinned dof=4 literal under-rejected on the 4-type fixture).  "
+        "Catches a day where the TYPE composition shifted (error "
+        "spike, signup flood) even when total volume looks normal — "
+        "the companion to events_rate_anomaly, which sees volume but "
+        "not composition.  Scale shape: ONE grouped agg collapses the "
+        "corpus to |days|x|types| cells, densified by a broadcast "
+        "cross with the tiny type alphabet; margins derive from the "
+        "cells (corpus scanned once, cell table checkpointed); "
+        "everything after is grid math with broadcast margins.  "
+        "Exact integer counts; per-cell double terms rounded post-sum "
+        "at 6dp.",
     tags=("events", "drift", "stats"),
 )
 def events_chi2_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,23 +1519,38 @@ def events_chi2_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
         .localCheckpoint(eager=False)
     )
-    day_tot = cell.groupBy("day").agg(F.sum("obs").cast("bigint").alias("n_d"))
-    type_tot = cell.groupBy("event_type").agg(
+    grid = cell.select("day").distinct().crossJoin(
+        F.broadcast(cell.select("event_type").distinct())
+    )
+    full_cell = grid.join(cell, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+    )
+    day_tot = full_cell.groupBy("day").agg(
+        F.sum("obs").cast("bigint").alias("n_d")
+    )
+    type_tot = full_cell.groupBy("event_type").agg(
         F.sum("obs").cast("bigint").alias("c_t")
     )
-    grand = cell.agg(F.sum("obs").cast("bigint").alias("n"))
+    grand = full_cell.agg(F.sum("obs").cast("bigint").alias("n"))
     exp = F.col("n_d").cast("double") * F.col("c_t") / F.col("n")
     term = F.pow(F.col("obs") - exp, F.lit(2)) / exp
+    dof = (F.count(F.lit(1)) - 1).cast("int")
+    crit = F.lit(None).cast("double")
+    for df_, v in sorted(_CHI2_CRIT_BY_DF.items(), reverse=True):
+        crit = F.when(dof == df_, F.lit(v)).otherwise(crit)
+    crit = F.coalesce(crit, F.lit(12.592))
     return (
-        cell.join(F.broadcast(day_tot), "day")
+        full_cell.join(F.broadcast(day_tot), "day")
         .join(F.broadcast(type_tot), "event_type")
         .crossJoin(F.broadcast(grand))
         .select("day", term.alias("term"))
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
-            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+            dof.alias("dof"),
             pround(F.sum("term"), 6).alias("chi2"),
-            (F.sum("term") > F.lit(CHI2_DRIFT_THRESHOLD)).alias("drift_flag"),
+            (F.sum("term") > crit).alias("drift_flag"),
         )
     )
 
@@ -1496,6 +1602,7 @@ def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ), stats AS (
       SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
       FROM ordered WHERE rn <= n_obs // 2 GROUP BY event_type
+      HAVING count(*) >= 2 AND stddev_samp(x) > 0
     ), seq AS (
       SELECT o.event_type, o.hour, o.x, s.mu, s.sd, o.rn
       FROM ordered o JOIN stats s ON s.event_type = o.event_type
@@ -1557,10 +1664,22 @@ def events_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timeline), not the whole series: a level shift inside the window
     # would otherwise contaminate its own reference and halve the
     # detector's sensitivity (the mixture-mean trap)
+    # degenerate-burn-in guard (r12 review fix): a 1-row burn-in gives
+    # sd NULL (NaN z silently coerced by Python max()), a constant
+    # burn-in gives sd=0 (division by zero → inf cusum, permanent
+    # alarms) — both must drop the type from the scored output, same
+    # HAVING predicate as the oracle (the rate-anomaly trail_std > 0
+    # precedent)
     stats = (
         ordered.filter(F.col("rn") <= F.expr("n_obs div 2"))
         .groupBy("event_type")
-        .agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+        .agg(
+            F.avg("x").alias("mu"),
+            F.stddev_samp("x").alias("sd"),
+            F.count(F.lit(1)).alias("_bn"),
+        )
+        .filter((F.col("_bn") >= 2) & (F.col("sd") > 0))
+        .drop("_bn")
     )
     seq = ordered.join(F.broadcast(stats), "event_type").select(
         "event_type",
@@ -1664,7 +1783,7 @@ PATH_LEN = 3  # entry-path prefix length
       FROM events
     ), flagged AS (
       SELECT user_id, event_id, event_type, us,
-             CASE WHEN us - lag(us) OVER w > 1800000000
+             CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
@@ -1716,7 +1835,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("us").over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("us") - prev) >= 1_800_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
     wses = Window.partitionBy("user_id", "session_seq").orderBy(
@@ -1923,7 +2042,7 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
     ), flagged AS (
       SELECT user_id, us, event_id,
-             CASE WHEN us - lag(us) OVER w > 1800000000
+             CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
@@ -1986,7 +2105,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("us").over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("us") - prev) >= 1_800_000_000), 1).otherwise(0),
     )
     sessions = flagged.withColumn("session_seq", F.sum("new_session").over(wrun))
     intervals = (
@@ -2325,7 +2444,7 @@ CMS_TOP = 20
 @register(
     "events_cms_frequency_bound",
     oracle=f"""
-    SELECT user_id, true AS within_bound
+    SELECT user_id, true AS within_lower_bound, true AS within_prob_bound
     FROM (
       SELECT user_id FROM events
       GROUP BY user_id
@@ -2340,10 +2459,19 @@ CMS_TOP = 20
         f"answers any date-range point-frequency query without "
         f"re-scanning the corpus.  Point estimates (min over rows of "
         f"the hashed cell) for the {CMS_TOP} heaviest users are "
-        f"audited against exact counts via the deterministic CMS "
-        f"guarantee est ≥ true and est − true ≤ d·N/w; the oracle "
-        f"pins the audited key set and the all-true outcome.  The "
-        f"exact-count side exists only for this gate — production "
+        f"audited against exact counts via the ACTUAL CMS contract "
+        f"(r12 review fix — the old single check est−true ≤ d·N/w is "
+        f"not a CMS guarantee at all; depth d buys confidence, not a "
+        f"bound, and no deterministic sub-N error bound exists): "
+        f"`within_lower_bound` pins the DETERMINISTIC half, est ≥ "
+        f"true; `within_prob_bound` pins est − true ≤ e·N/w (e the "
+        f"pre-rounded literal 2.718282), which each key violates with "
+        f"probability ≤ e^−d ≈ 1.8% under random hashing — on this "
+        f"deterministic corpus the max overestimate is 0 at both SFs, "
+        f"measured, so the pinned all-true outcome is exact, and a "
+        f"sketch-implementation bug inflating error past e·N/w now "
+        f"FAILS the audit instead of hiding under the looser d·N/w.  "
+        f"The exact-count side exists only for this gate — production "
         f"keeps the sketch path.  Probes and cells are tiny "
         f"broadcast-side tables after the one corpus aggregate.",
     tags=("events", "approx", "sketch"),
@@ -2379,13 +2507,11 @@ def events_cms_frequency_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = e.agg(F.count(F.lit(1)).alias("n"))
     return est.crossJoin(F.broadcast(total)).select(
         "user_id",
+        (F.col("est") >= F.col("true_cnt")).alias("within_lower_bound"),
         (
-            (F.col("est") >= F.col("true_cnt"))
-            & (
-                F.col("est") - F.col("true_cnt")
-                <= F.lit(CMS_D) * F.col("n") / F.lit(CMS_W)
-            )
-        ).alias("within_bound"),
+            F.col("est") - F.col("true_cnt")
+            <= F.lit(2.718282) * F.col("n") / F.lit(CMS_W)
+        ).alias("within_prob_bound"),
     )
 
 
@@ -2437,7 +2563,7 @@ def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
     ), flagged AS (
       SELECT user_id, event_id, event_type, us,
-             CASE WHEN us - lag(us) OVER w > 1800000000
+             CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
@@ -2450,7 +2576,7 @@ def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS session_seq
       FROM flagged
     ), tri AS (
-      SELECT user_id * 1000000 + session_seq AS sid,
+      SELECT user_id, session_seq,
              event_type AS t1,
              lead(event_type, 1) OVER w2 AS t2,
              lead(event_type, 2) OVER w2 AS t3
@@ -2458,7 +2584,7 @@ def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY us ASC, event_id ASC)
     )
     SELECT t1, t2, t3,
-           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT) AS n_sessions,
            CAST(count(*) AS BIGINT) AS n_occurrences
     FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
     GROUP BY t1, t2, t3
@@ -2487,13 +2613,19 @@ def events_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("us").over(w)
     sess = e.withColumn(
         "new_session",
-        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("us") - prev) >= 1_800_000_000), 1).otherwise(0),
     ).withColumn("session_seq", F.sum("new_session").over(wrun).cast("bigint"))
     w2 = Window.partitionBy("user_id", "session_seq").orderBy(
         F.asc("us"), F.asc("event_id")
     )
+    # the session identity is the (user_id, session_seq) PAIR, counted
+    # distinct as a two-column key (r12 review fix: the old
+    # user_id*1e6+seq encoding collided for >=1e6 sessions/user and
+    # overflowed int64 past user_id ~9.2e12 — an unvalidated capacity
+    # assumption countDistinct never needed)
     tri = sess.select(
-        (F.col("user_id") * F.lit(1_000_000) + F.col("session_seq")).alias("sid"),
+        "user_id",
+        "session_seq",
         F.col("event_type").alias("t1"),
         F.lead("event_type", 1).over(w2).alias("t2"),
         F.lead("event_type", 2).over(w2).alias("t3"),
@@ -2501,7 +2633,9 @@ def events_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tri.groupBy("t1", "t2", "t3")
         .agg(
-            F.countDistinct("sid").cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id", "session_seq")
+            .cast("bigint")
+            .alias("n_sessions"),
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         )
         .orderBy(
@@ -2862,7 +2996,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
     ), flagged AS (
       SELECT user_id, event_id, us,
-             CASE WHEN us - lag(us) OVER w > 1800000000
+             CASE WHEN us - lag(us) OVER w >= 1800000000
                     OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM ev
@@ -3470,20 +3604,21 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, epoch_us(ts) // 86400000000 AS d,
              CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS n FROM daily
     ), agg AS (
       SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c) AS BIGINT) AS s,
              CAST(sum(c * c) AS BIGINT) AS ss
       FROM daily GROUP BY event_type
     )
-    SELECT event_type, n AS n_days, s AS n_events,
-           floor((s * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0
+    SELECT event_type, p.n AS n_days, s AS n_events,
+           floor((s * 1.0 / p.n) * 1000000.0 + 0.5) / 1000000.0
              AS mean_daily,
-           floor(((n * 1.0 * ss - s * 1.0 * s) / (n * 1.0 * (n - 1.0)))
-                 / (s * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0
+           floor(((p.n * 1.0 * ss - s * 1.0 * s) / (p.n * 1.0 * (p.n - 1.0)))
+                 / (s * 1.0 / p.n) * 1000000.0 + 0.5) / 1000000.0
              AS fano_factor
-    FROM agg WHERE n > 1 AND s > 0
+    FROM agg CROSS JOIN span p WHERE p.n > 1 AND s > 0
     """,
     doc="Fano factor (variance-to-mean ratio) of DAILY event counts per "
         "type: a Poisson arrival process has F = 1 exactly, so F >> 1 "
@@ -3494,7 +3629,12 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of the per-event GAPS (a feed can be gap-bursty yet "
         "day-regular, and vice versa; reading both localizes the "
         "scale of the burstiness).  Days are tz-free epoch buckets "
-        "from stored micros.  Exact arithmetic: daily-count sums and "
+        "from stored micros, and n is the GLOBAL observation-span day "
+        "count so a type's silent days count as zeros (r12 review "
+        "fix: active-days-only n overstated the mean and understated "
+        "the variance for intermittent types — the exact pattern the "
+        "metric exists to flag; zeros add nothing to s/ss, so only n "
+        "changes).  Exact arithmetic: daily-count sums and "
         "sums of squares are int64; the sample variance and the ratio "
         "are one identical scalar double tree; degenerate types "
         "(single day, zero events) are excluded by the same integer "
@@ -3507,15 +3647,26 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.expr("ts_us div 86400000000L").cast("bigint").alias("d"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000L").cast("bigint").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # n = the GLOBAL observation-span day count, not the per-type count
+    # of ACTIVE days (r12 review fix): a type active 3 days out of 30
+    # has 27 zero days whose huge variance-to-mean is the very signal;
+    # zeros contribute nothing to s or ss, so only n changes — no
+    # grid densify needed
+    span = daily.agg(
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("n")
+    )
     agg = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
-    )
+    ).crossJoin(F.broadcast(span))
     one = F.lit(1.0)
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     var = (n * one * ss - s * one * s) / (n * one * (n - one))

@@ -342,7 +342,10 @@ def test_cms_bound_holds_and_pins_heavy_keys(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     out = events_cms_frequency_bound(spark, sf).collect()
     assert sorted(r.user_id for r in out) == [1, 2, 3]
-    assert all(r.within_bound for r in out)
+    # r12 contract split: est >= true (deterministic) AND
+    # est - true <= e*N/w (the actual probabilistic CMS bound)
+    assert all(r.within_lower_bound for r in out)
+    assert all(r.within_prob_bound for r in out)
 
 
 def test_bloom_prefilter_no_false_negatives_tiny(spark, tmp_path):
