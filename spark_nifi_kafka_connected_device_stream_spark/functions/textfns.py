@@ -66,3 +66,29 @@ def portable_md5(*cols: Column | str) -> Column:
     """
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.md5(F.concat(*[p.cast("string") for p in parts]).cast("binary"))
+
+
+def bigram_pairs(tokens_col: Column) -> Column:
+    """Adjacent-token pairs as an array of (w1, w2) structs — ONE
+    guarded JVM expression shared by every bigram operator (LM logprob,
+    holdout perplexity, Kneser-Ney, cross-entropy).
+
+    The `greatest(size-1, 0)` guard is load-bearing: documents with
+    fewer than 2 tokens must yield [] — an unguarded
+    `sequence(1, size-1)` DESCENDS for size<2 (Spark's default step is
+    -1 when start>stop) and indexes out of bounds, which under this
+    build's default ANSI mode aborts the whole job (r12 review: the one
+    hand-rolled copy that skipped the guard was a live crash on any
+    empty/one-word doc).
+
+    DuckDB oracle twin:
+    ``list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))``
+    (generate_series(1,0) is empty in DuckDB, so the guard is only
+    needed on the Spark side; keeping it in the twin documents intent).
+    """
+    n = F.greatest(F.size(tokens_col) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(tokens_col, 1, n).alias("w1"),
+        F.slice(tokens_col, 2, n).alias("w2"),
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import pround
 from ..functions.scale import bounded_window_key
-from ..functions.textfns import normalize_text, shingles, tokens
+from ..functions.textfns import bigram_pairs, normalize_text, shingles, tokens
 from ..registry import register
 from ..sources.catalog import load_table
 from .dedup import _DUCK_TOKENS, _documents_parallel
@@ -273,11 +273,19 @@ def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean1 = dims.groupBy("cid", "j").agg(
         pround(F.avg("x"), CENTROID_DECIMALS).alias("m")
     )
-    cent1 = mean1.groupBy("cid").agg(
+    cent_means = mean1.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
-        ).alias("c")
+        ).alias("cm")
     )
+    # empty-cluster retention (r12 review fix): if an init vector is a
+    # DUPLICATE of a lower-cid one, the tie-to-lowest assignment empties
+    # its cluster, recentering drops the cid, and the advertised k
+    # silently shrinks — standard Lloyd practice keeps the old centroid
+    # for an empty cluster, so every cid survives to the final assign
+    cent1 = init.select("cid", F.col("c").alias("c0")).join(
+        cent_means, "cid", "left"
+    ).select("cid", F.coalesce(F.col("cm"), F.col("c0")).alias("c"))
     return _assign(emb, cent1)
 
 
@@ -308,8 +316,11 @@ _KMEANS_SQL_CTES = f"""
       FROM a1 JOIN e USING (vec_id),
            LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) gs
       GROUP BY a1.cid, gs.j
-    ), cent1 AS (
+    ), cent_means AS (
       SELECT cid, list(m ORDER BY j) AS c FROM mean1 GROUP BY cid
+    ), cent1 AS (
+      SELECT i.cid, coalesce(cm.c, i.c) AS c
+      FROM init i LEFT JOIN cent_means cm USING (cid)
     ), d2 AS (
       SELECT e.vec_id, c1.cid,
              list_sum(list_transform(generate_series(1, len(e.v)),
@@ -385,17 +396,17 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_parallel(spark, sf_dir)
     norm = docs.select("doc_id", normalize_text(F.col("text")).alias("t"))
-    # bind `t` to a column attribute BEFORE the transform lambda: a
-    # lambda over an expression subtree re-evaluates the subtree (the
-    # regexp) per element — the HOF recompute trap
-    chars = norm.select(
+    # split("") is the LINEAR char explode (one pass, code-point safe;
+    # empirically ['a','b','c'] with no trailing empty) — r12 review
+    # fix, twice over: the old transform(sequence(1, length)) +
+    # per-index substr was O(n^2) per document (each substr rescans to
+    # byte offset i), and an EMPTY normalized doc made sequence(1, 0)
+    # descend to [1, 0], fabricating two phantom ''-chars the oracle
+    # (empty generate_series, doc absent) never emits.  The length
+    # filter matches the oracle: zero-char docs have no entropy row.
+    chars = norm.filter(F.length("t") > 0).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t")),
-                lambda i: F.col("t").substr(i, F.lit(1)),
-            )
-        ).alias("ch"),
+        F.explode(F.split("t", "")).alias("ch"),
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
     n = F.sum("cnt")
@@ -599,12 +610,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(normalize_text(F.col("text"))).alias("tk")
     )
     tk = F.col("tk")
-    # adjacent pairs via two slices zipped — single JVM expression, and
-    # `tk` is a bound column so the HOF lambdas don't recompute upstream
-    pairs = F.arrays_zip(
-        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
-        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
-    )
+    pairs = bigram_pairs(tk)
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
@@ -1421,6 +1427,7 @@ KS_DRIFT_THRESHOLD = 0.15
     JOIN gcum g ON g.n_chars = cum.n_chars
     JOIN totals t ON t.source = cum.source
     CROSS JOIN gtotal gt
+    WHERE gt.n_g > t.n_s
     GROUP BY cum.source, t.n_s
     """,
     doc=f"Two-sample Kolmogorov-Smirnov drift screen: for every source, "
@@ -1481,6 +1488,12 @@ def documents_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(F.broadcast(gcum), "n_chars")
         .join(F.broadcast(totals), "source")
         .crossJoin(F.broadcast(gtotal))
+        # degenerate-source guard (r12 review fix): a source holding
+        # 100% of the corpus has an EMPTY rest-of-corpus complement —
+        # its n_g - n_s = 0 denominator raised DIVIDE_BY_ZERO under
+        # this build's default ANSI mode (NaN drift flags under
+        # non-ANSI).  No two-sample statistic exists for it; skip it.
+        .filter(F.col("n_g") > F.col("n_s"))
         .groupBy("source", F.col("n_s").alias("n_docs"))
         .agg(
             pround(F.max(gap), 6).alias("ks_stat"),
@@ -1666,14 +1679,12 @@ def corpus_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_crossentropy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents_parallel(spark, sf_dir)
     tk = d.select("source", tokens(normalize_text(F.col("text"))).alias("tk"))
+    # shared guarded pair expression (r12 review fix: the hand-rolled
+    # transform(sequence(1, size-1)) here skipped the short-array guard
+    # and crashed under ANSI on any doc with <2 tokens — Spark's
+    # sequence(1, 0) DESCENDS)
     bg = tk.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
-            )
-        ).alias("b"),
+        "source", F.explode(bigram_pairs(F.col("tk"))).alias("b")
     ).select("source", "b.w1", "b.w2")
     bgc = (
         bg.groupBy("source", "w1", "w2")
@@ -2253,10 +2264,7 @@ def documents_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(normalize_text(F.col("text"))).alias("tk"),
     ).localCheckpoint(eager=False)
     tk = F.col("tk")
-    pairs = F.arrays_zip(
-        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
-        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
-    )
+    pairs = bigram_pairs(tk)
     tr = toks.filter(F.col("split") == "train")
     tr_uni = (
         tr.select(F.explode(tk).alias("w1"))
@@ -2368,10 +2376,7 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_parallel(spark, sf_dir)
     toks = docs.select("doc_id", tokens(normalize_text(F.col("text"))).alias("tk"))
     tk = F.col("tk")
-    pairs = F.arrays_zip(
-        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
-        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
-    )
+    pairs = bigram_pairs(tk)
     bg = toks.select(F.explode(pairs).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
