@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import normalize_text, tokens
+from ..functions.textfns import bigram_pairs, normalize_text, tokens
 from ..functions.portable import duck_u32, pround, spark_u32
 from ..functions.scale import plan_parallelism
 from ..registry import register
@@ -48,6 +48,15 @@ _MARKERS = {
                  for lg, ws in _MARKERS.items()
              )}
       FROM toks GROUP BY doc_id, lang
+    ), full_hits AS (
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+             {", ".join(
+                 f"coalesce(h.hits_{lg}, 0) AS hits_{lg}"
+                 for lg in _MARKERS
+             )}
+      FROM documents d LEFT JOIN hits h
+        ON h.doc_id = d.doc_id AND h.lang = d.lang
     )
     SELECT doc_id, lang AS lang_label, n_tokens,
            CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
@@ -55,11 +64,15 @@ _MARKERS = {
                 WHEN hits_de >= greatest(hits_fr, hits_es) THEN 'de'
                 WHEN hits_fr >= hits_es THEN 'fr'
                 ELSE 'es' END AS lang_guess
-    FROM hits
+    FROM full_hits
     """,
     doc="Stopword-marker language ID: token-set hits against per-language "
         "marker lists, argmax with deterministic tie order. Linear scan + "
-        "one hash-agg on doc_id.",
+        "one hash-agg on doc_id, left-joined back to the corpus so a "
+        "zero-token document is CLASSIFIED as 'und' rather than silently "
+        "dropped from the output (r12 review fix: explode emits no rows "
+        "for an empty token array, which made the canonical 'und' case "
+        "unreachable and shrank the confusion-matrix denominator).",
     tags=("text",),
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +83,17 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lg, ws in _MARKERS.items()
     ]
     hits = toks.groupBy("doc_id", "lang").agg(*aggs)
+    full_hits = d.select("doc_id", "lang").join(
+        hits, ["doc_id", "lang"], "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        *[
+            F.coalesce(f"hits_{lg}", F.lit(0)).alias(f"hits_{lg}")
+            for lg in _MARKERS
+        ],
+    )
     others = lambda *cols: F.greatest(*[F.col(c) for c in cols])  # noqa: E731
     guess = (
         F.when(F.greatest(F.col("hits_en"), F.col("hits_de"), F.col("hits_fr"), F.col("hits_es")) == 0, "und")
@@ -78,7 +102,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("hits_fr") >= F.col("hits_es"), "fr")
         .otherwise("es")
     )
-    return hits.select("doc_id", F.col("lang").alias("lang_label"), "n_tokens", guess.alias("lang_guess"))
+    return full_hits.select("doc_id", F.col("lang").alias("lang_label"), "n_tokens", guess.alias("lang_guess"))
 
 
 @register(
@@ -88,21 +112,38 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              CAST(length(text) AS BIGINT) AS n_chars_raw,
              CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform({_DUCK_TOKENS},
+                                                   t -> len(t))), 0)
+                  AS BIGINT) AS tok_chars,
              CAST(len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS BIGINT)
                AS n_stopwords,
              CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_unique_tokens
       FROM documents
     )
     SELECT doc_id, source, n_chars_raw, n_tokens, n_stopwords, n_unique_tokens,
-           floor((CAST(n_chars_raw AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0       AS avg_token_len,
-           floor((CAST(n_stopwords AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0       AS stopword_ratio,
-           floor((CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0   AS unique_ratio,
-           (n_tokens >= 20 AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.2) AS passes_quality
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+             floor((CAST(tok_chars AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 END AS avg_token_len,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+             floor((CAST(n_stopwords AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 END AS stopword_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+             floor((CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 END AS unique_ratio,
+           (n_tokens >= 20 AND
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(n_unique_tokens AS DOUBLE) / n_tokens END >= 0.2)
+             AS passes_quality
     FROM feat
     """,
     doc="Per-document quality features (length, stopword ratio, lexical "
         "diversity) + a boolean gate — the pre-training filter shape "
-        "(Gopher/C4-style rules). Map-only: no shuffle at all.",
+        "(Gopher/C4-style rules). Map-only: no shuffle at all.  r12 "
+        "review fixes: avg_token_len is the TRUE mean token length "
+        "(per-token char sum / token count — the raw-text-length "
+        "numerator counted separators and overstated it by ~1, "
+        "unboundedly for space runs, miscalibrating any 3-10 "
+        "mean-word-length rule applied to it); and every ratio guards "
+        "n_tokens = 0 (the quality_features precedent) so an empty "
+        "document scores 0.0 instead of aborting the job under this "
+        "build's default ANSI mode.",
     tags=("text",),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,22 +156,39 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tk = F.col("tk")
     stop = F.filter(tk, lambda t: t.isin("the", "a", "and", "of", "to", "is"))
+    tok_chars = F.aggregate(
+        F.transform(tk, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     feat = with_tokens.select(
         "doc_id",
         "source",
         "n_chars_raw",
         F.size(tk).cast("bigint").alias("n_tokens"),
+        tok_chars.alias("tok_chars"),
         F.size(stop).cast("bigint").alias("n_stopwords"),
         F.size(F.array_distinct(tk)).cast("bigint").alias("n_unique_tokens"),
     )
+
+    def ratio(num):
+        return F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / F.col("n_tokens")
+        )
+
     return feat.select(
-        "*",
-        pround(F.col("n_chars_raw").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
-        pround(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        pround(F.col("n_unique_tokens").cast("double") / F.col("n_tokens"), 4).alias("unique_ratio"),
+        "doc_id",
+        "source",
+        "n_chars_raw",
+        "n_tokens",
+        "n_stopwords",
+        "n_unique_tokens",
+        pround(ratio(F.col("tok_chars")), 4).alias("avg_token_len"),
+        pround(ratio(F.col("n_stopwords")), 4).alias("stopword_ratio"),
+        pround(ratio(F.col("n_unique_tokens")), 4).alias("unique_ratio"),
         (
             (F.col("n_tokens") >= 20)
-            & (F.col("n_unique_tokens").cast("double") / F.col("n_tokens") >= 0.2)
+            & (ratio(F.col("n_unique_tokens")) >= 0.2)
         ).alias("passes_quality"),
     )
 
@@ -804,15 +862,17 @@ _COLL_TOP = 50
 )
 def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(tokens(normalize_text(F.col("text"))).alias("tk"))
-    bg = tk.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    # shared guarded pair expression + checkpointed token table: the
+    # hand-rolled transform(sequence(1, size-1)) crashed under ANSI on
+    # any doc with <2 tokens (Spark's sequence(1, 0) DESCENDS), and the
+    # tokenize subtree was re-evaluated independently by the bg and
+    # uni branches — r12 review fixes
+    tk = docs.select(
+        tokens(normalize_text(F.col("text"))).alias("tk")
+    ).localCheckpoint(eager=False)
+    bg = tk.select(F.explode(bigram_pairs(F.col("tk"))).alias("b")).select(
+        "b.w1", "b.w2"
+    )
     uni = tk.select(F.explode("tk").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     totals = uni_counts.agg(
@@ -1079,6 +1139,7 @@ _HEAPS_SCALE = 10_000
                      / (n_docs * {_HEAPS_SCALE}.0))
                  * 1000000.0 + 0.5) / 1000000.0 AS geo_vocab_ratio
     FROM src CROSS JOIN fit
+    WHERE n * sxx - sx * sx > 0
     """,
     doc="Heaps'-law vocabulary-growth audit: V = k*N^beta fitted by "
         "log-log least squares over one (tokens, distinct tokens) "
@@ -1148,12 +1209,22 @@ def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gy") - beta * F.col("gx") - F.col("n_docs") * lnk_scaled)
         / (F.col("n_docs") * scale)
     )
-    return src.crossJoin(F.broadcast(fit)).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        pround(beta, 6).alias("heaps_beta"),
-        pround(geo, 6).alias("geo_vocab_ratio"),
+    return (
+        src.crossJoin(F.broadcast(fit))
+        # degenerate-variance guard (r12 review fix): if every doc has
+        # the SAME token count, all xi are equal and n*sxx - sx^2 is
+        # exactly 0 (integer co-moments make exact equality the rule,
+        # not a float fluke) — no slope exists, and the division
+        # aborted under this build's default ANSI mode.  The filter
+        # runs BEFORE the projection's divisions (exact int predicate).
+        .filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            pround(beta, 6).alias("heaps_beta"),
+            pround(geo, 6).alias("geo_vocab_ratio"),
+        )
     )
 
 
@@ -1189,6 +1260,7 @@ def documents_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (((sst * 100 - sgr_e2) * 1.0) / (nt - k))
                  * 1000000.0 + 0.5) / 1000000.0 AS f_stat
     FROM tot
+    WHERE k > 1 AND nt > k AND sst * 100 - sgr_e2 > 0
     """,
     doc="One-way ANOVA of document length across languages — the "
         "k-group generalization the stats tier was missing next to the "
@@ -1231,6 +1303,15 @@ def documents_length_anova_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
     one = F.lit(1.0)
     ssb_e2 = F.col("sgr_e2") - F.expr("st * st * 100L div nt")
     ssw_e2 = F.col("sst") * 100 - F.col("sgr_e2")
+    # undefined-F guard (r12 review fix): k=1 (single language) zeroes
+    # df_between, nt=k (one doc per language) zeroes df_within, and
+    # zero within-group variance zeroes the denominator — each raised
+    # DIVIDE_BY_ZERO under this build's default ANSI mode instead of
+    # yielding "no test exists".  Exact integer predicate, filtered
+    # BEFORE the projection's divisions; same WHERE in the oracle.
+    tot = tot.filter(
+        (F.col("k") > 1) & (F.col("nt") > F.col("k")) & (ssw_e2 > 0)
+    )
     return tot.select(
         F.col("k").cast("int").alias("k_groups"),
         F.col("nt").alias("n_docs"),
@@ -1328,11 +1409,19 @@ def documents_source_simpson_diversity(
 # Tukey HSD post-hoc pairs (which languages actually differ)
 # ---------------------------------------------------------------------------
 
-# studentized-range 95% critical value for k=5 groups at df=inf,
-# pre-rounded to ONE literal shared by both engines (the
-# events_chi2_mix_drift_daily constant-pinning pattern); exact per-df
-# lookup is a table the caller swaps in when groups are small
-_TUKEY_Q = 3.858
+# studentized-range 95% critical values q(k, df=inf) BY group count,
+# each pre-rounded to one literal shared by both engines (the
+# chi-square constant-pinning pattern).  SELECTED by the observed k —
+# r12 review fix: the old single k=5 literal broke the family-wise
+# error guarantee whenever the language cardinality differed (k=4
+# wants 3.633, k=6 wants 4.030); past k=8 the largest value is used
+# and the docstring flags the approximation.
+_TUKEY_Q_BY_K = {2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858, 6: 4.030, 7: 4.170, 8: 4.286}
+_TUKEY_Q_SQL = (
+    "CASE k "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(_TUKEY_Q_BY_K.items()))
+    + " ELSE 4.286 END"
+)
 
 
 @register(
@@ -1354,13 +1443,15 @@ _TUKEY_Q = 3.858
     SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b,
            floor(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n) * 10000.0 + 0.5)
              / 10000.0 AS mean_diff,
-           floor({_TUKEY_Q} * sqrt(((sst * 100 - sgr_e2) / 100.0 / (nt - k))
-                                   / 2.0 * (1.0 / a.n + 1.0 / b.n))
+           floor(({_TUKEY_Q_SQL})
+                 * sqrt(((sst * 100 - sgr_e2) / 100.0 / (nt - k))
+                        / 2.0 * (1.0 / a.n + 1.0 / b.n))
                  * 10000.0 + 0.5) / 10000.0 AS hsd,
            CAST(CASE WHEN abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)
-                       > {_TUKEY_Q} * sqrt(((sst * 100 - sgr_e2) / 100.0
-                                            / (nt - k))
-                                           / 2.0 * (1.0 / a.n + 1.0 / b.n))
+                       > ({_TUKEY_Q_SQL})
+                         * sqrt(((sst * 100 - sgr_e2) / 100.0
+                                 / (nt - k))
+                                / 2.0 * (1.0 / a.n + 1.0 / b.n))
                 THEN 1 ELSE 0 END AS INTEGER) AS significant
     FROM g a JOIN g b ON a.lang < b.lang CROSS JOIN tot
     """,
@@ -1371,10 +1462,13 @@ _TUKEY_Q = 3.858
         "comparisons at once (pairwise t-tests at 5% would inflate the "
         "family error toward 40% at k=5).  Unbalanced groups use the "
         "Tukey-Kramer SE sqrt(MSW/2*(1/n_a+1/n_b)); the 95% critical "
-        f"value q = {_TUKEY_Q} (k=5, df=inf) is pinned as ONE pre-"
-        "rounded literal shared by both engines (the chi2-critical-"
-        "value pattern — an in-engine inverse-CDF would not be "
-        "cross-libm exact).  MSW reuses the ANOVA's cents-quantized "
+        "value q(k, df=inf) is SELECTED by the observed group count "
+        "from pinned pre-rounded literals (k=2..8; the largest is used "
+        "past 8 — slightly conservative there) shared by both engines "
+        "(the chi2-critical-value pattern — an in-engine inverse-CDF "
+        "would not be cross-libm exact; r12 review fix: a single k=5 "
+        "literal broke the family-wise guarantee at any other "
+        "cardinality).  MSW reuses the ANOVA's cents-quantized "
         "integer decomposition, so means, SE, HSD, and even the "
         "significance COMPARISON are identical scalar double trees on "
         "exact int64 inputs.  Scale shape: the same one-shuffle "
@@ -1406,7 +1500,11 @@ def documents_length_tukey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sst") * 100 - F.col("sgr_e2")) / F.lit(100.0) / (F.col("nt") - F.col("k"))
     )
     diff = F.abs(F.col("s_a") * one / F.col("n_a") - F.col("s_b") * one / F.col("n_b"))
-    hsd = F.lit(_TUKEY_Q) * F.sqrt(
+    q = F.lit(None).cast("double")
+    for kk, v in sorted(_TUKEY_Q_BY_K.items(), reverse=True):
+        q = F.when(F.col("k") == kk, F.lit(v)).otherwise(q)
+    q = F.coalesce(q, F.lit(4.286))
+    hsd = q * F.sqrt(
         msw / F.lit(2.0) * (one / F.col("n_a") + one / F.col("n_b"))
     )
     return (
@@ -1529,6 +1627,7 @@ LOGODDS_TOP = 5
            floor((CAST(sum(n_tokens) AS BIGINT) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_doc
     FROM per_doc
     GROUP BY lang
+    HAVING sum(n_tokens) > 0
     """,
     doc="Tokenizer-fertility health metric by language: chars/token, "
         "bytes/token (the BPE-fertility proxy — languages whose bytes-"
@@ -1549,16 +1648,31 @@ def text_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars"),
         F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
     )
-    return per_doc.groupBy("lang").agg(
+    # degenerate-group guard (r12 review fix): a lang whose docs all
+    # tokenize to [] has sum(n_tokens)=0 and the per-token ratios
+    # raised DIVIDE_BY_ZERO under this build's default ANSI mode,
+    # aborting every other language's report — no fertility exists for
+    # it, so it is filtered BEFORE the divisions are formed (a filter
+    # after an agg that already divides would still evaluate the
+    # division per group; the oracle's HAVING is safe because DuckDB
+    # doubles divide-by-zero to inf rather than raising)
+    sums = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        pround(F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 6).alias(
+        F.sum("n_chars").cast("bigint").alias("_sc"),
+        F.sum("n_bytes").cast("bigint").alias("_sb"),
+    )
+    return sums.filter(F.col("total_tokens") > 0).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        pround(F.col("_sc") * F.lit(1.0) / F.col("total_tokens"), 6).alias(
             "chars_per_token"
         ),
-        pround(F.sum("n_bytes") * F.lit(1.0) / F.sum("n_tokens"), 6).alias(
+        pround(F.col("_sb") * F.lit(1.0) / F.col("total_tokens"), 6).alias(
             "bytes_per_token"
         ),
-        pround(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+        pround(F.col("total_tokens") * F.lit(1.0) / F.col("n_docs"), 6).alias(
             "tokens_per_doc"
         ),
     )
@@ -1671,6 +1785,7 @@ def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 10000.0 + 0.5) / 10000.0 AS flesch
     FROM per_doc
     GROUP BY lang
+    HAVING sum(words) > 0
     """,
     doc="Flesch reading-ease by language — the classic readability "
         "feature of text-quality scoring, computed from corpus-level "
@@ -1700,11 +1815,23 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("syllables"),
     )
-    words_per_sentence = F.sum("words") * F.lit(1.0) / F.sum("sentences")
-    syllables_per_word = F.sum("syllables") * F.lit(1.0) / F.sum("words")
-    return per_doc.groupBy("lang").agg(
+    # degenerate-group guard (r12 review fix): a lang whose docs are
+    # all zero-token has sum(words)=0 and syllables_per_word raised
+    # DIVIDE_BY_ZERO under this build's default ANSI mode — sum first,
+    # filter, THEN divide (sentences is clamped >= 1 per doc, so only
+    # the words denominator can vanish)
+    sums = per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("sentences").cast("bigint").alias("_ss"),
+        F.sum("syllables").cast("bigint").alias("_sy"),
+    )
+    words_per_sentence = F.col("total_words") * F.lit(1.0) / F.col("_ss")
+    syllables_per_word = F.col("_sy") * F.lit(1.0) / F.col("total_words")
+    return sums.filter(F.col("total_words") > 0).select(
+        "lang",
+        "n_docs",
+        "total_words",
         pround(words_per_sentence, 6).alias("words_per_sentence"),
         pround(syllables_per_word, 6).alias("syllables_per_word"),
         pround(
