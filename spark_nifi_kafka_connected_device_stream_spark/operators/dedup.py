@@ -193,7 +193,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MinHash recall test.",
     tags=("dedup",),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
     # Materialize the RAW shingle table once (localCheckpoint),
     # BEFORE the df cap: the cap itself needs two reads of the shingles
     # (the df aggregation + the anti-join probe), and checkpointing after
@@ -208,7 +210,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes it as a side effect instead of a dedicated serial
     # barrier job.  At 100 TB the equivalent is materializing the
     # inverted index to parquet once and reusing it across dedup tiers.
-    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+    sh = cap_shingle_df(
+        shingle_df
+        if shingle_df is not None
+        else _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -262,8 +268,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_ngram_jaccard; only the final arithmetic differs.",
     tags=("dedup",),
 )
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
+    sh = cap_shingle_df(
+        shingle_df
+        if shingle_df is not None
+        else _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -300,13 +312,17 @@ _MH_PRIME = 4294967291
 _MH_COEFFS = [(2 * i * i + 2 * i + 1, 7919 * (i + 1)) for i in range(N_PERM)]
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s0..s11): min over shingles of affine permutations of a
     single 32-bit md5-prefix hash — ONE md5 per (doc, shingle), twelve
     multiply-mods, and no 12× row explosion before the shuffle (the
     previous seed-cross-join pushed N_PERM× rows through the exchange).
+    `shingle_df` lets a composing report inject ONE shared
+    (checkpointed) shingle table instead of re-exploding the corpus.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = shingle_df if shingle_df is not None else _doc_shingles(spark, sf_dir)
     h32 = F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("bigint")
     hashed = sh.select("doc_id", h32.alias("h"))
     aggs = [
@@ -377,7 +393,9 @@ _DUCK_SIGS = f"""
         "exact Jaccard asserted in tests.",
     tags=("dedup", "lsh"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
     # Checkpoint the SIGNATURE table, not the exploded band table: sigs
     # is the top of the expensive subtree (shingle explosion + 12
     # min-aggs) at one row per doc — 4× smaller than bands — and the
@@ -389,7 +407,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regression.  localCheckpoint (not persist): blocks are
     # GC-reclaimed after the driver drops the result (see
     # dedup_ngram_jaccard for the rationale).
-    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = _minhash_signatures(spark, sf_dir, shingle_df).localCheckpoint(
+        eager=False
+    )
     # single pass: explode one array of (band_id, bucket) structs rather
     # than a 4-way union that recomputes the signature subtree per band
     band_structs = F.array(
@@ -1123,8 +1143,11 @@ from ..registry import _REGISTRY as _REG  # noqa: E402  (intra-module reuse)
         "like any other query (the oracle composes the two registered "
         "queries' own SQL as CTEs, so the report can never drift from "
         "what they return; same contract as similarity_recall_report "
-        "on the ANN tier).  The 4x3 banding's s-curve puts ~97% "
-        "expected recall at J = 0.8 (1-(1-0.8^3)^4), so a LOW number "
+        "on the ANN tier).  The 4x3 banding's s-curve puts ~94.3% "
+        "expected recall at J = 0.8 (1-(1-0.8^3)^4 = 1-0.488^4 — the "
+        "same arithmetic test_quality.py pins as a ~5.6% miss rate; "
+        "r12 review fixed the doc's earlier ~97% misquote of its own "
+        "formula), so a LOW number "
         "here is the operational signal that the permutation count or "
         "band shape no longer matches the corpus, BEFORE silently "
         "under-deduplicating a training set; candidate precision "
@@ -1139,8 +1162,14 @@ from ..registry import _REGISTRY as _REG  # noqa: E402  (intra-module reuse)
     tags=("dedup", "lsh", "quality"),
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    # ONE shared checkpointed shingle table feeds BOTH arms (r12 review
+    # fix: each arm built its own tokenize+shingle-explode subtree —
+    # the most expensive stage in the file ran twice for one report row)
+    shared = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    truth = dedup_ngram_jaccard(spark, sf_dir, shingle_df=shared).select(
+        "doc_a", "doc_b"
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir, shingle_df=shared)
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     h = truth.join(cand, ["doc_a", "doc_b"]).agg(
@@ -1223,10 +1252,16 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verify threshold.",
     tags=("dedup", "quality"),
 )
-def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str, shingle_df: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql import Window
 
-    sh = cap_shingle_df(_doc_shingles(spark, sf_dir).localCheckpoint(eager=False))
+    sh = cap_shingle_df(
+        shingle_df
+        if shingle_df is not None
+        else _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1241,9 +1276,15 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # NO broadcast hint on the sizes joins (r12 review fix): sizes is
+    # one row PER DOCUMENT — unbounded at corpus scale — and a forced
+    # broadcast overrides autoBroadcastJoinThreshold into a driver OOM
+    # at exactly the 100 TB operating point this op's doc claims; the
+    # sibling dedup ops join the identical table hint-free and let AQE
+    # pick the strategy from measured sizes
     hist = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             F.expr("nc * 20L div (na + nb - nc)").alias("b20"),
         )
@@ -1257,4 +1298,88 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         (F.col("b20") * 5).cast("int").alias("threshold_pct"),
         F.sum("c").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 12: fuzzy-tier coverage audit (which docs the fuzzy tiers CANNOT see)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_short_doc_coverage",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                  AS BIGINT) AS n_chars
+      FROM documents
+    ), tiers AS (
+      SELECT 'shingle_3gram' AS tier, 3 AS min_unit,
+             CAST(sum(CASE WHEN n_tokens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_below,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM feat
+      UNION ALL
+      SELECT 'substring_window', {SUBSTR_WIN},
+             CAST(sum(CASE WHEN n_chars < {SUBSTR_WIN} THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM feat
+    )
+    SELECT tier, CAST(min_unit AS INTEGER) AS min_unit, n_docs_below, n_docs,
+           floor((n_docs_below * 1.0 / n_docs) * 1000000.0 + 0.5) / 1000000.0
+             AS share_below
+    FROM tiers
+    """,
+    doc=f"Fuzzy-tier COVERAGE audit (r12 review finding made "
+        f"measurable): every fuzzy dedup tier has a minimum analysis "
+        f"unit below which a document produces NO signal — <3 tokens "
+        f"yields zero 3-gram shingles (no MinHash signature, no LSH "
+        f"bucket, no Jaccard pair, no novelty row), <{SUBSTR_WIN} "
+        f"normalized chars yields zero substring windows — and such "
+        f"docs silently pass every fuzzy screen (only byte-identical "
+        f"copies are caught, by dedup_exact).  A pipeline that treats "
+        f"'no dup signal' as 'unique' would keep unbounded short-doc "
+        f"spam; this report tells the curator how large that blind "
+        f"spot IS per tier, the number that decides whether to add a "
+        f"dedicated short-doc rule (exact dedup + a length gate is the "
+        f"standard answer).  Scale shape: one map-side feature pass, "
+        f"two-branch aggregate to 2 rows; no joins, no windows.",
+    tags=("dedup", "audit"),
+)
+def dedup_short_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    feat = d.select(
+        F.size(tokens(norm)).cast("bigint").alias("n_tokens"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+    ).localCheckpoint(eager=False)
+
+    def tier(name, min_unit, below_col):
+        agg = feat.agg(
+            F.sum(F.when(below_col, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_below"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        return agg.select(
+            F.lit(name).alias("tier"),
+            F.lit(min_unit).cast("int").alias("min_unit"),
+            "n_docs_below",
+            "n_docs",
+        )
+
+    tiers = tier("shingle_3gram", 3, F.col("n_tokens") < 3).unionByName(
+        tier("substring_window", SUBSTR_WIN, F.col("n_chars") < SUBSTR_WIN)
+    )
+    return tiers.select(
+        "tier",
+        "min_unit",
+        "n_docs_below",
+        "n_docs",
+        pround(F.col("n_docs_below") * F.lit(1.0) / F.col("n_docs"), 6).alias(
+            "share_below"
+        ),
     )

@@ -178,10 +178,11 @@ DEFERRED: tuple[str, ...] = (
     "events_new_vs_returning_daily",
     "mapinarrow_value_cents_sum",
     "cogrouped_applyinpandas_spend",
-    # round-12 additions, second wave (13 of 14 total)
+    # round-12 additions, second wave (14 of 14 — the cap)
     "events_last_touch_attribution",
     "privacy_dp_mean_release",
     "orders_bitemporal_correction_report",
+    "dedup_short_doc_coverage",
 )
 
 
