@@ -15,6 +15,18 @@ arithmetic; similarities are rounded to 6 dp in both engines (the fold
 order is fixed left-to-right in both, but rounding also guards the
 final division).  Ranks use a unique (similarity DESC, neighbor ASC)
 order so the top-k SET is deterministic.
+
+DATA CONTRACT — nonzero norms (r12 review): every cosine here divides
+by ||q||·||c|| unguarded, and under this build's default ANSI mode a
+zero-norm vector (or zero-norm PREFIX in the matryoshka op) aborts the
+query with DIVIDE_BY_ZERO rather than ranking quietly.  That is the
+intended posture: cosine similarity is UNDEFINED for the zero vector,
+and silently assigning it a rank would corrupt top-k results; the
+corpus must be screened first.  `embedding_norm_stats` is the
+enforcement profile (min/avg norm per label — a 0.0 min is the signal
+to drop or re-embed those rows before any similarity op runs), and
+vectors with empty arrays surface there via try_element_at instead of
+crashing the profile itself.
 """
 
 from __future__ import annotations
@@ -186,12 +198,9 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bucket = None
     for p, row in enumerate(_PLANES):
-        plane = F.array(*[F.lit(x) for x in row])
-        dp = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # shared guarded dot (r12): dimension mismatch fails loudly
+        # instead of silently bucketing everything to 0
+        dp = _plane_dot(F.col("embedding"), row)
         term = F.when(dp > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return e.select("vec_id", bucket.cast("bigint").alias("bucket"))
@@ -249,10 +258,26 @@ _NB_PLANES = _hyperplanes(_NB_BANDS * _NB_ROWS)  # first 8 rows == _PLANES
 
 
 def _plane_dot(emb: F.Column, row: list[float]) -> F.Column:
+    """Plane·embedding dot with a LOUD dimension guard (r12 review
+    fix): the hyperplanes are generated for a fixed length, and
+    zip_with pads a shorter/longer side with NULL — one NULL poisons
+    the whole fold, every sign test reads false, and EVERY vector
+    silently lands in bucket 0, degenerating LSH to a single bucket
+    (the capped candidate join then becomes all-pairs with no error).
+    assert_true in the fold's start value can't be pruned: a
+    wrong-dimension corpus now fails with an actionable message."""
     plane = F.array(*[F.lit(x) for x in row])
+    ok = F.assert_true(
+        F.size(emb) == len(row),
+        F.lit(
+            f"LSH hyperplanes are {len(row)}-dim but the embedding column "
+            "has a different length; regenerate _hyperplanes(dims=...) "
+            "for this corpus"
+        ),
+    )
     return F.aggregate(
         F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
+        F.when(ok.isNull(), F.lit(0.0)),
         lambda acc, x: acc + x,
     )
 
@@ -379,8 +404,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         pround(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_l2_norm"),
-        pround(F.min(F.element_at("embedding", 1).cast("double")), 6).alias("min_first_dim"),
-        pround(F.max(F.element_at("embedding", 1).cast("double")), 6).alias("max_first_dim"),
+        # try_element_at (r12 review fix): a zero-length embedding made
+        # plain element_at raise INVALID_ARRAY_INDEX under ANSI and kill
+        # the sanity profile that should run BEFORE trusting the data;
+        # DuckDB's embedding[1] already yields NULL there
+        pround(F.min(F.try_element_at("embedding", F.lit(1)).cast("double")), 6).alias("min_first_dim"),
+        pround(F.max(F.try_element_at("embedding", F.lit(1)).cast("double")), 6).alias("max_first_dim"),
     )
 
 
@@ -556,8 +585,14 @@ def similarity_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("query_id", "neighbor_id", "approx_raw")
     )
     # exact re-rank: fetch full-precision vectors for the k-bounded
-    # candidate set only
-    qv_full = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_v"))
+    # candidate set only.  The QUERY-side broadcast is filtered to the
+    # N_QUERIES rows FIRST (r12 review fix: broadcasting the unfiltered
+    # per-row table shipped the whole full-precision corpus to every
+    # executor — the unbounded-broadcast class, an OOM at the scale
+    # this op's own doc claims); the candidate side stays a plain join.
+    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
     cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
     exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
         l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
@@ -1015,9 +1050,11 @@ def embedding_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(count(*) AS BIGINT)                    AS n_nodes,
            CAST(sum(d.d) / 2 AS BIGINT)                AS n_edges,
            CAST(coalesce(any_value(t.n_triangles), 0) AS BIGINT) AS n_triangles,
-           floor(3.0 * coalesce(any_value(t.n_triangles), 0)
-                 / sum(d.d * (d.d - 1) / 2)
-                 * 1000000.0 + 0.5) / 1000000.0        AS clustering_coeff
+           CASE WHEN sum(d.d * (d.d - 1) / 2) > 0 THEN
+             floor(3.0 * coalesce(any_value(t.n_triangles), 0)
+                   / sum(d.d * (d.d - 1) / 2)
+                   * 1000000.0 + 0.5) / 1000000.0
+           ELSE 0.0 END                                AS clustering_coeff
     FROM deg d LEFT JOIN tri t ON t.label = d.label
     GROUP BY d.label
     """,
@@ -1078,12 +1115,21 @@ def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.first("n_triangles"), F.lit(0))
             .cast("bigint")
             .alias("n_triangles"),
-            pround(
-                F.lit(3.0)
-                * F.coalesce(F.first("n_triangles"), F.lit(0))
-                / wedges,
-                6,
-            ).alias("clustering_coeff"),
+            # wedge guard (r12 review fix): a cell whose kNN graph has
+            # all degrees <= 1 (e.g. 2 vectors picking each other) has
+            # ZERO wedges, and the ratio raised DIVIDE_BY_ZERO under
+            # this build's default ANSI mode, killing every label's row
+            F.when(
+                wedges > 0,
+                pround(
+                    F.lit(3.0)
+                    * F.coalesce(F.first("n_triangles"), F.lit(0))
+                    / wedges,
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
         )
     )
 
@@ -1205,10 +1251,6 @@ def embedding_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KCENTER_K = 8
-
-
-def _duck_cos_qc() -> str:
-    return _DUCK_COS
 
 
 def _kcenter_oracle(k: int) -> str:
@@ -1725,10 +1767,12 @@ _ED_VSCALE = 100_000_000
       FROM vq WHERE v > 0
     )
     SELECT CAST(d AS INTEGER) AS n_dims_active,
-           floor((sv * 1.0 * sv) / svv * 1000000.0 + 0.5) / 1000000.0
-             AS participation_ratio,
-           floor((sv * 1.0 * sv) / svv / d * 1000000.0 + 0.5) / 1000000.0
-             AS pr_fraction
+           CASE WHEN svv > 0 THEN
+             floor((sv * 1.0 * sv) / svv * 1000000.0 + 0.5) / 1000000.0
+           ELSE 0.0 END AS participation_ratio,
+           CASE WHEN svv > 0 THEN
+             floor((sv * 1.0 * sv) / svv / d * 1000000.0 + 0.5) / 1000000.0
+           ELSE 0.0 END AS pr_fraction
     FROM folded
     """,
     doc="Effective dimensionality of the embedding space via the "
@@ -1773,10 +1817,18 @@ def embedding_effective_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1.0)
     pr = (F.col("sv") * one * F.col("sv")) / F.col("svv")
+    # degenerate guard (r12 review fix): constant (or sub-quantization-
+    # spread) embeddings leave NO dimension past the v > 0 cut — d=0,
+    # svv=0 — and the ratio raised DIVIDE_BY_ZERO under this build's
+    # default ANSI mode; report n_dims_active=0 with 0.0 ratios instead
     return folded.select(
         F.col("d").cast("int").alias("n_dims_active"),
-        pround(pr, 6).alias("participation_ratio"),
-        pround(pr / F.col("d"), 6).alias("pr_fraction"),
+        F.when(F.col("svv") > 0, pround(pr, 6)).otherwise(F.lit(0.0)).alias(
+            "participation_ratio"
+        ),
+        F.when(F.col("svv") > 0, pround(pr / F.col("d"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pr_fraction"),
     )
 
 
@@ -2141,9 +2193,9 @@ _DUCK_QCELL_SCORE = """
              AS mean_recall,
            floor(min(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
              AS min_recall,
-           floor(avg(c.n_cand * 1.0) * 1000000.0 + 0.5) / 1000000.0
+           floor(avg(coalesce(c.n_cand, 0) * 1.0) * 1000000.0 + 0.5) / 1000000.0
              AS avg_candidates
-    FROM hits h JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
+    FROM hits h LEFT JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
     GROUP BY h.nprobe
     """,
     doc=f"IVF tuning curve: recall@{TOP_K} AND candidates-scanned cost "
@@ -2313,10 +2365,17 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.col("r_nid")).cast("bigint").alias("n_hits"))
     )
     return (
+        # LEFT join + coalesce (r12 review fix): cost rows exist only
+        # for (nprobe, query) groups with >= 1 candidate, so an inner
+        # join DROPPED queries whose probed cells held nothing —
+        # inflating mean/min recall exactly when probing fails; a
+        # failed query must count with recall 0 and 0 candidates
         hits.join(
             F.broadcast(cost),  # |nprobes|·|queries| rows
             (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
+            "left",
         )
+        .withColumn("n_cand", F.coalesce(F.col("n_cand"), F.lit(0)))
         .groupBy(F.col("np").cast("int").alias("nprobe"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
