@@ -201,8 +201,10 @@ def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     oracle="""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS linestatus,
            floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0     AS sum_qty,
            count(*)                      AS n_rows
     FROM lineitem
@@ -214,12 +216,25 @@ def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # grouping(), not coalesce (r12 review fix): a genuine NULL group
+    # value would alias with the subtotal rows under coalesce;
+    # grouping()=1 is the unambiguous subtotal marker (it must be
+    # computed INSIDE the agg, where grouping-set context exists)
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(pround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping("l_returnflag").alias("_g1"),
+            F.grouping("l_linestatus").alias("_g2"),
+        )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.when(F.col("_g1") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.col("_g2") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
             "sum_qty",
             "n_rows",
         )
@@ -229,8 +244,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_cube",
     oracle="""
-    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
-           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+    SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END   AS orderstatus,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS orderpriority,
            count(*)                         AS n_orders,
            floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0      AS avg_price
     FROM orders
@@ -241,12 +258,22 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # grouping() marker, same rationale and shape as agg_rollup (r12)
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), pround(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            pround(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.grouping("o_orderstatus").alias("_g1"),
+            F.grouping("o_orderpriority").alias("_g2"),
+        )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.when(F.col("_g1") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("orderstatus"),
+            F.when(F.col("_g2") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("orderpriority"),
             "n_orders",
             "avg_price",
         )
@@ -583,7 +610,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    # distinct FIRST, then subtract (r12 review fix): exceptAll()
+    # .distinct() is multiplicity arithmetic — a left key appearing 3x
+    # against 1 right occurrence survives with 2 copies and leaks
+    # through distinct(), where SQL EXCEPT (the oracle) removes it
+    # entirely.  c_custkey happens to be unique so the fixtures never
+    # exposed it; subtract() is also cheaper than multiplicity tracking.
+    return c.distinct().subtract(o)
 
 
 # ---------------------------------------------------------------------------
@@ -1142,10 +1175,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one linear plan (single lineitem scan) at the cost of one
     # offers-sized shuffle on partkey — many distinct keys, no skew.
     w = Window.partitionBy("l_partkey")
+    # size-15 part filter BEFORE the window (r12 review fix): the
+    # per-part min is unaffected by removing whole partkey partitions,
+    # so the broadcast part join first prunes ~98% of the offers before
+    # the window's partkey exchange — identical result, a fraction of
+    # the shuffle/sort work
     return (
-        asia.withColumn("best_c", F.min("cost_c").over(w))
+        asia.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .withColumn("best_c", F.min("cost_c").over(w))
         .filter(F.col("cost_c") == F.col("best_c"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -1351,7 +1389,16 @@ def part_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state.filter(F.col("cur") >= BOM_FANOUT).isEmpty():
             break
         state = (
-            state.join(e2, "cur")
+            # LEFT join (r12 review fix): an inner join silently DROPPED
+            # any chain whose current key is absent from the edge table
+            # (dangling parent in a sparse key set) — a lost row instead
+            # of a surfaced unresolved root.  With the left join a
+            # missing node behaves like a root edge (nxt NULL → the row
+            # freezes at its current key, loop stays depth-bounded);
+            # contiguous fixture keys make this a no-op there, and the
+            # arithmetic-chase oracle agrees on any referentially
+            # intact BOM.
+            state.join(e2, "cur", "left")
             .select(
                 "part",
                 F.when(F.col("nxt").isNotNull(), F.col("nxt"))
@@ -1407,9 +1454,14 @@ BLOOM_FP_BOUND = 0.05  # ~2x the theoretical (1 - e^{-kn/m})^k at sf0.1
            true AS zero_false_negatives,
            true AS fp_within_bound
     """,
-    doc=f"Bloom-filter semi-join prefilter audit: a {BLOOM_K}-hash, "
-        f"{BLOOM_M}-bit Bloom set over URGENT orderkeys probed by every "
-        f"distinct lineitem orderkey.  Checks the admissibility "
+    doc=f"Bloom-filter semi-join prefilter audit: a {BLOOM_K}-hash "
+        f"Bloom set over URGENT orderkeys — sized FROM the member "
+        f"count to hold the {BLOOM_FP_BOUND:.0%} bound at any SF "
+        f"(power-of-two ceiling of -k*n/ln(1-bound^(1/k)), floored at "
+        f"the legacy 2^18; r12 review fix — the pinned constant would "
+        f"have flipped the audit red around sf1 on a healthy engine) — "
+        f"probed by every distinct lineitem orderkey.  Checks the "
+        f"admissibility "
         f"contract of runtime row-level filtering — no member key is "
         f"ever dropped (Bloom's deterministic no-false-negative "
         f"guarantee) and the false-positive pass-through stays under "
@@ -1431,12 +1483,32 @@ def orders_bloom_prefilter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    # size m FROM the member count (r12 review fix): a pinned 2^18-bit
+    # constant was sized for sf0.1 (~30k members, FP ~2.5%) and the
+    # audit would flip red around sf1 (~300k members → FP ~90%) with
+    # the Bloom code behaving exactly as designed.  Solve
+    # (1 - e^{-k n/m})^k <= bound for m, round up to a power of two,
+    # floor at the legacy 2^18.  The count is ONE bounded scalar
+    # action on the member set the sketch is about to hash anyway; the
+    # audit's output (cardinalities + bound booleans) is m-invariant
+    # as long as the bound holds, so the oracle is untouched.
+    import math
+
+    n_members = members.count()
+    if n_members > 0:
+        m_needed = -BLOOM_K * n_members / math.log(
+            1.0 - BLOOM_FP_BOUND ** (1.0 / BLOOM_K)
+        )
+        bloom_m = max(BLOOM_M, 1 << math.ceil(math.log2(m_needed)))
+    else:
+        bloom_m = BLOOM_M
     hashes = F.array(*[F.lit(i) for i in range(BLOOM_K)])
     bits = (
         members.withColumn("h", F.explode(hashes))
-        .select(F.pmod(F.xxhash64("key", "h"), F.lit(BLOOM_M)).alias("pos"))
+        .select(F.pmod(F.xxhash64("key", "h"), F.lit(bloom_m)).alias("pos"))
         .distinct()
     )
     probed = (
@@ -1444,7 +1516,7 @@ def orders_bloom_prefilter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "h",
-            F.pmod(F.xxhash64("key", "h"), F.lit(BLOOM_M)).alias("pos"),
+            F.pmod(F.xxhash64("key", "h"), F.lit(bloom_m)).alias("pos"),
         )
         .join(bits, "pos", "left_semi")
         .groupBy("key")
@@ -1488,6 +1560,7 @@ def orders_bloom_prefilter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
              o.o_orderdate AS start_d, l.l_shipdate AS end_d
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
     ), pairs AS (
       SELECT a.l_partkey, count(*) AS n_pairs
       FROM iv a JOIN iv b
@@ -1529,12 +1602,21 @@ def lineitem_transit_overlap_by_part(spark: SparkSession, sf_dir: str) -> DataFr
         "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("o_orderdate").alias("start_d"),
-        F.col("l_shipdate").alias("end_d"),
+    # non-empty-window guard (r12 review fix): ~49% of fixture lines
+    # ship BEFORE their order date (measured) — an inverted window
+    # [start > end] is an EMPTY interval, and counting it as overlapping
+    # anything that spans it fabricated phantom pairs; the statistic is
+    # "part on two OPEN orders at once", which needs a real open span
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderdate").alias("start_d"),
+            F.col("l_shipdate").alias("end_d"),
+        )
     )
     a, b = iv.alias("a"), iv.alias("b")
     order_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
