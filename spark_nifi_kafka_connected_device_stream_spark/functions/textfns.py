@@ -92,3 +92,13 @@ def bigram_pairs(tokens_col: Column) -> Column:
         F.slice(tokens_col, 1, n).alias("w1"),
         F.slice(tokens_col, 2, n).alias("w2"),
     )
+
+
+# The DuckDB twin of `tokens(normalize_text(text))` — the canonical
+# oracle-side tokenizer fragment.  Lives HERE (no registration side
+# effects) so every operator module aliases ONE definition instead of
+# carrying byte-identical private copies that can drift (r12 review).
+DUCK_TOKENS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), "
+    "' '), t -> t <> '')"
+)

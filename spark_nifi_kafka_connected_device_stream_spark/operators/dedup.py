@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import normalize_text, shingles, tokens
+from ..functions.textfns import DUCK_TOKENS, normalize_text, shingles, tokens
 from ..functions.portable import pround
 from ..functions.scale import bounded_window_key, plan_parallelism
 from ..registry import register
@@ -52,7 +52,7 @@ MAX_SHINGLE_DF = 64     # drop shingles present in > this many documents
 MAX_BUCKET_SIZE = 64    # drop LSH band-buckets holding > this many docs
 
 # DuckDB-side building blocks (mirror functions/textfns.py exactly)
-_DUCK_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
+_DUCK_TOKENS = DUCK_TOKENS  # canonical fragment from functions.textfns (r12)
 _DUCK_SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)), "
     f"i -> array_to_string({_DUCK_TOKENS}[i:i+2], ' ')))"

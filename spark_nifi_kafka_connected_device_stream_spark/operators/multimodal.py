@@ -198,9 +198,12 @@ def _route_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              WHEN 1 THEN octet_length(encode(text)) // 16
              ELSE octet_length(encode(text)) END AS f_a,
            CASE doc_id % 3
-             WHEN 0 THEN CAST(ascii(substr(text, 1, 1)) AS BIGINT)
+             WHEN 0 THEN CASE WHEN length(text) = 0 THEN -1
+                              ELSE CAST(ascii(substr(text, 1, 1)) AS BIGINT) END
              WHEN 1 THEN octet_length(encode(text)) % 256
-             ELSE CAST(ascii(substr(text, 1, 1)) AS BIGINT) END AS f_b
+             ELSE CASE WHEN length(text) = 0 THEN -1
+                       ELSE CAST(ascii(substr(text, 1, 1)) AS BIGINT) END
+           END AS f_b
     FROM documents
     """,
     doc="Modality routing: a mixed-modality corpus (modality derived "
@@ -210,8 +213,10 @@ def _route_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "corpus scan serves every decoder, instead of one filtered "
         "scan per modality.  Decoders are the documented deterministic "
         "stubs (no codecs in-container); the oracle replays their "
-        "arithmetic per modality branch, value-checking the routing "
-        "end-to-end.",
+        "arithmetic per modality branch — including the empty-payload "
+        "branch, where the stub's first-byte feature is -1 and DuckDB's "
+        "ascii('') would otherwise read 0 (r12 review fix) — "
+        "value-checking the routing end-to-end.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +277,7 @@ def _byte_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     oracle="""
     WITH ch AS (
       SELECT doc_id, unnest(split(text, '')) AS c FROM documents
+      WHERE length(text) > 0
     ), st AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT)          AS n_bytes,
@@ -299,7 +305,17 @@ def _byte_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    # zero-length guard (r12 review fix): DuckDB's split('', '') is
+    # [''] so an empty payload would read as 1 phantom byte with a
+    # control-byte flag on the oracle side while the numpy path
+    # returns zeros — filter empties on BOTH sides, the established
+    # sibling guard (chunk_payloads n_bytes>0, payload_stats_arrow
+    # CASE length>0); an empty payload has no byte stats to report
+    b = (
+        binary_documents(spark, sf_dir)
+        .filter(F.length("payload") > 0)
+        .select("doc_id", "payload")
+    )
     return b.mapInPandas(_byte_stats_batches, schema=_BYTE_STATS_SCHEMA)
 
 
@@ -560,10 +576,13 @@ def multimodal_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "document_embedding_coverage",
     oracle="""
-    WITH idx AS (
+    WITH off AS (
+      SELECT CAST(max(doc_id) + 1 AS BIGINT) AS o FROM documents
+    ), idx AS (
       SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0
       UNION ALL
-      SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 19 = 0
+      SELECT vec_id + off.o FROM embeddings CROSS JOIN off
+      WHERE vec_id % 19 = 0
     ), joined AS (
       SELECT d.doc_id, d.source, i.vec_id
       FROM documents d FULL OUTER JOIN idx i ON i.vec_id = d.doc_id
@@ -595,13 +614,20 @@ def multimodal_payload_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFram
 def document_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     e = load_table(spark, sf_dir, "embeddings")
+    # the synthetic dangling ids start at max(doc_id)+1, DERIVED from
+    # the data (r12 review fix: a hardcoded +100000 offset stops being
+    # dangling once the corpus passes 100001 docs — the fabricated ids
+    # then collide with real doc_ids, the audit's two orphan classes
+    # report wrong numbers, and the oracle mirrors the same constant so
+    # parity can't catch it).  The 1-row max broadcasts for free.
+    off = d.agg((F.max("doc_id") + 1).cast("bigint").alias("o"))
     idx = (
         e.filter(F.col("vec_id") % 17 != 0)
         .select("vec_id")
         .unionByName(
-            e.filter(F.col("vec_id") % 19 == 0).select(
-                (F.col("vec_id") + 100000).alias("vec_id")
-            )
+            e.filter(F.col("vec_id") % 19 == 0)
+            .crossJoin(F.broadcast(off))
+            .select((F.col("vec_id") + F.col("o")).alias("vec_id"))
         )
     )
     j = d.join(idx, d.doc_id == idx.vec_id, "full_outer")

@@ -6,7 +6,7 @@ These are the ops between "raw corpus" and "training shards":
 - `dataset_mix_sample`: reproducible weighted subsampling per source
   via content hashing — no rand(), so every run (and every engine)
   selects the same rows.  Oracle-checked.
-- `pack_sequences`: greedy first-fit packing of documents into
+- `pack_sequences`: greedy next-fit packing of documents into
   fixed-token-budget bins, per source partition (the sequence-packing
   step before tokenizer sharding).  Inherently order-dependent →
   rows-only + property tests.
@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import duck_u32, pround, spark_u32
-from ..functions.scale import bounded_window_key
-from ..functions.textfns import normalize_text, tokens
+from ..functions.scale import bounded_window_key, int64_headroom_guard
+from ..functions.textfns import DUCK_TOKENS, normalize_text, tokens
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -141,8 +141,6 @@ def _pack_sequences_oracle() -> str:
     tags=("pipeline", "udf"),
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textfns import normalize_text, tokens
-
     d = load_table(spark, sf_dir, "documents")
     with_tokens = d.select(
         "source",
@@ -213,7 +211,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(10):
+    # iterate UNTIL CONVERGED (r12 review fix): a fixed 10-round loop
+    # silently returned un-converged labels for any component whose
+    # diameter exceeds 10 — one true cluster split into two ids, two
+    # is_canonical rows, a kept duplicate — while the oracle computes
+    # the full transitive closure.  Convergence is already detected;
+    # the round cap is now only a safety valve that FAILS LOUDLY
+    # (consistent with the repo's loud-failure posture) instead of
+    # shipping wrong labels.  Min-label propagation converges in
+    # <= diameter rounds; 64 covers any plausible near-dup chain, and
+    # the doubling rewrite is the documented escape hatch past it.
+    max_rounds, converged = 64, False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -231,8 +240,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if new_labels.exceptAll(labels).isEmpty():
             labels = new_labels
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} rounds — a connected component has diameter "
+            f"> {max_rounds}; switch to pointer-doubling (label = "
+            "label-of-label per round, O(log diameter)) for this corpus"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -348,8 +365,6 @@ def _chunk_oracle() -> str:
     tags=("pipeline", "text"),
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textfns import normalize_text, tokens
-
     c, s = CHUNK_TOKENS, CHUNK_STRIDE
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -508,18 +523,12 @@ def dataset_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 32-bit uniform from the md5 of the doc id (nibble-summed — DuckDB has
-# no hex→int conv); +1 below keeps it in [1, 2^32] so the priority
-# division never sees zero.
-_DUCK_U32 = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
-        f"* {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")"
-)
+# 32-bit uniform from the md5 of the doc id — the SHARED cross-engine
+# primitive (r12 review fix: this module carried a byte-identical
+# private copy of functions/portable.duck_u32, which a future fix to
+# the shared pair would silently miss); +1 below keeps it in
+# [1, 2^32] so the priority division never sees zero.
+_DUCK_U32 = duck_u32("CAST(doc_id AS VARCHAR)")
 
 WEIGHTED_SAMPLE_K = 100
 
@@ -871,10 +880,11 @@ def dataset_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HT_SCALE = 2000
 _TWO_33 = 8_589_934_592  # 2^33
 
-# DuckDB twins of the tokenizer and the op's md5 uniform
-_HT_DUCK_TOKENS = (
-    "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
-)
+# DuckDB twins of the tokenizer (the canonical functions.textfns
+# fragment — r12 review fix, same alias-not-copy rationale as
+# _DUCK_U32) and the op's md5 uniform
+_HT_DUCK_TOKENS = DUCK_TOKENS
+
 _HT_DUCK_U32 = duck_u32("'ht_' || CAST(doc_id AS VARCHAR)")
 
 
@@ -967,14 +977,30 @@ def dataset_ht_estimator_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("bigint").alias("true_total_tokens"),
         F.sum(ht_term).cast("bigint").alias("ht_e6"),
         F.sum(var_term).cast("bigint").alias("var_e3"),
+        # map-side-combinable inputs for the headroom guard below
+        F.max(F.abs(ht_term)).cast("bigint").alias("_max_ht"),
+        F.max(F.abs(var_term)).cast("bigint").alias("_max_var"),
     )
     ht = F.col("ht_e6") * F.lit(1.0) / F.lit(1_000_000.0)
     se = F.sqrt(F.col("var_e3") * F.lit(1.0) / F.lit(1000.0))
+    # int64 headroom (r12 review fix): sum(toks * 1e6) crosses 2^63 at
+    # ~9.2e12 corpus tokens — inside the op's own claimed 100 TB
+    # operating point — and ANSI aborts mid-aggregate depending on
+    # partial-sum order.  The guard turns the bound into a loud
+    # deterministic failure naming the decimal(38,0) escape hatch.
+    ht_guarded = int64_headroom_guard(
+        ht, F.col("_max_ht"), F.col("n_population"),
+        "dataset_ht_estimator_check ht_e6 sum",
+    )
+    se = int64_headroom_guard(
+        se, F.col("_max_var"), F.col("n_population"),
+        "dataset_ht_estimator_check var_e3 sum",
+    )
     return est.select(
         "n_population",
         "n_sampled",
         "true_total_tokens",
-        pround(ht, 2).alias("ht_estimate"),
+        pround(ht_guarded, 2).alias("ht_estimate"),
         pround(
             (ht - F.col("true_total_tokens")) / F.col("true_total_tokens"), 6
         ).alias("rel_error"),

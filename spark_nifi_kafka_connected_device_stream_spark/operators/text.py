@@ -16,13 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import bigram_pairs, normalize_text, tokens
+from ..functions.textfns import DUCK_TOKENS, bigram_pairs, normalize_text, tokens
 from ..functions.portable import duck_u32, pround, spark_u32
 from ..functions.scale import plan_parallelism
 from ..registry import register
 from ..sources.catalog import load_table
 
-_DUCK_TOKENS = "list_filter(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' '), t -> t <> '')"
+_DUCK_TOKENS = DUCK_TOKENS  # canonical fragment from functions.textfns (r12)
 
 # marker stopwords per language — deterministic heuristic (the synthetic
 # corpus is English-ish for all lang labels, so the *guess* is what is

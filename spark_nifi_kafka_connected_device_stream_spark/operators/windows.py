@@ -189,8 +189,13 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # NO broadcast hint on customer (r12 review fix): it is a full
+    # dimension that scales with SF — the forced hint would collect it
+    # to the driver and die at the 8 GB broadcast limit at exactly the
+    # scale this module's docstring claims; AQE picks broadcast on its
+    # own when the measured size permits
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(pround(F.sum("o_totalprice"), 2).alias("nation_rev"))
     )
