@@ -26,3 +26,12 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# DATA CONTRACT (r12 review): cosine expressions built from dot/l2_norm
+# divide by ||a||*||b|| UNGUARDED — under this build's default ANSI
+# mode a zero-norm vector aborts the query with DIVIDE_BY_ZERO, which
+# is the intended posture (cosine is undefined for the zero vector;
+# silently ranking it would corrupt top-k results).  Screen the corpus
+# with operators/similarity.embedding_norm_stats first — see the
+# similarity module docstring for the full contract.

@@ -300,9 +300,12 @@ _LTV_MAX_AGE = 12
       FROM o JOIN cohorts c USING (o_custkey)
       WHERE o.mkey - c.ckey <= {_LTV_MAX_AGE}
       GROUP BY c.ckey, age
+    ), hor AS (
+      SELECT max(mkey) AS max_mkey FROM o
     ), grid AS (
-      SELECT s.ckey, gs.age FROM sizes s,
+      SELECT s.ckey, gs.age FROM sizes s CROSS JOIN hor,
            LATERAL (SELECT unnest(generate_series(0, {_LTV_MAX_AGE})) AS age) gs
+      WHERE s.ckey + gs.age <= hor.max_mkey
     ), cum AS (
       SELECT g.ckey, g.age,
              sum(coalesce(r.cents, 0)) OVER (PARTITION BY g.ckey
@@ -347,8 +350,19 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ckey", "age")
         .agg(F.sum("cents").cast("bigint").alias("cents"))
     )
-    grid = sizes.select(
-        "ckey", F.explode(F.sequence(F.lit(0), F.lit(_LTV_MAX_AGE))).alias("age")
+    # grid clipped to the corpus horizon (r12 review fix): ages past
+    # max(mkey) - ckey are UNOBSERVED, and zero-filling them made an
+    # immature cohort's curve indistinguishable from genuine zero spend
+    hor = o.agg(F.max("mkey").alias("max_mkey"))
+    grid = (
+        sizes.crossJoin(F.broadcast(hor))
+        .select(
+            "ckey",
+            "max_mkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_LTV_MAX_AGE))).alias("age"),
+        )
+        .filter(F.col("ckey") + F.col("age") <= F.col("max_mkey"))
+        .select("ckey", "age")
     )
     wcum = (
         Window.partitionBy("ckey")
@@ -399,12 +413,23 @@ _HL_SCALE = 10_000
     ), act AS (
       SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS a
       FROM activity GROUP BY w
+    ), bounds AS (
+      SELECT max(epoch_ns(ts) // 1000) AS end_us FROM events
+    ), obs AS (
+      SELECT ((SELECT end_us FROM bounds) - first_us) // 604800000000 AS ow
+      FROM firsts
+    ), owc AS (
+      SELECT ow, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY ow
     ), base AS (
-      SELECT CAST(count(*) AS BIGINT) AS b FROM firsts
+      SELECT a.w, CAST(sum(o.c) AS BIGINT) AS b
+      FROM (SELECT DISTINCT w FROM act) a JOIN owc o ON o.ow >= a.w
+      GROUP BY a.w
     ), pts AS (
-      SELECT w, CAST(floor(ln(a * 1.0 / b) * {_HL_SCALE}.0 + 0.5) AS BIGINT)
+      SELECT act.w,
+             CAST(floor(ln(a * 1.0 / base.b) * {_HL_SCALE}.0 + 0.5) AS BIGINT)
                AS yi
-      FROM act CROSS JOIN base WHERE w >= 1 AND a > 0
+      FROM act JOIN base ON base.w = act.w
+      WHERE act.w >= 1 AND a > 0 AND base.b > 0
     ), fit AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(w) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
@@ -459,11 +484,31 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count_distinct("user_id").cast("bigint").alias("a"))
+        .localCheckpoint(eager=False)
     )
-    base = firsts.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    # right-censoring (r12 review fix): retention(w)'s denominator is
+    # the users OBSERVABLE for >= w weeks (first seen at least w weeks
+    # before corpus end) — dividing by ALL users ever acquired biased
+    # the slope steep and the half-life short, because late acquirees
+    # can never appear in act(w) yet sat in the denominator.  All the
+    # censoring tables are |weeks|-sized metadata.
+    bounds = e.agg(F.max("us").alias("end_us"))
+    obs = firsts.crossJoin(F.broadcast(bounds)).select(
+        ((F.col("end_us") - F.col("first_us")) / week_us)
+        .cast("bigint")
+        .alias("ow")
+    )
+    owc = obs.groupBy("ow").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    base = (
+        act.select("w")
+        .distinct()
+        .join(F.broadcast(owc), F.col("ow") >= F.col("w"))
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("b"))
+    )
     pts = (
-        act.crossJoin(F.broadcast(base))
-        .filter((F.col("w") >= 1) & (F.col("a") > 0))
+        act.join(F.broadcast(base), "w")
+        .filter((F.col("w") >= 1) & (F.col("a") > 0) & (F.col("b") > 0))
         .select(
             "w",
             F.floor(
@@ -590,6 +635,8 @@ _DAY = 'div 86400000000L'
     WITH d AS (
       SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id
       FROM events
+    ), span AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM d
     ), daily AS (
       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
       FROM d GROUP BY day
@@ -597,10 +644,13 @@ _DAY = 'div 86400000000L'
       SELECT day // 7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
       FROM d GROUP BY day // 7
     ), dsum AS (
-      SELECT day // 7 AS week,
+      SELECT daily.day // 7 AS week,
              CAST(sum(dau) AS BIGINT) AS dau_sum,
-             CAST(count(*) AS BIGINT) AS n_days
-      FROM daily GROUP BY day // 7
+             CAST(least(p.d1, (daily.day // 7) * 7 + 6)
+                  - greatest(p.d0, (daily.day // 7) * 7) + 1 AS BIGINT)
+               AS n_days
+      FROM daily CROSS JOIN span p
+      GROUP BY daily.day // 7, p.d0, p.d1
     )
     SELECT CAST(w.week AS BIGINT) AS week,
            s.dau_sum, s.n_days, w.wau,
@@ -612,9 +662,15 @@ _DAY = 'div 86400000000L'
     """,
     doc="DAU/WAU stickiness — the engagement-depth ratio product teams "
         "track weekly (stickiness 1/7 = users touch once a week, 1.0 = "
-        "every day).  Day and week are exact integer arithmetic on the "
-        "stored epoch micros (day = us div 86400e6, week = day div 7), "
-        "so both engines bucket identically with no calendar/timezone "
+        "every day).  The avg-DAU denominator is the number of "
+        "OBSERVABLE days in the week (the week clipped to the corpus's "
+        "global [min_day, max_day] span) so zero-activity days count "
+        "as DAU=0 — r12 review fix: averaging over active days only "
+        "inflated stickiness 3.5x for a product dark 5 of 7 days, "
+        "which is the exact signal the ratio exists to expose.  Day "
+        "and week are exact integer arithmetic on the stored epoch "
+        "micros (day = us div 86400e6, week = day div 7), so both "
+        "engines bucket identically with no calendar/timezone "
         "surface.  Scale shape: two partial-aggregated distinct counts "
         "(per-day, per-week — each one shuffle on (bucket, user)), then "
         "a |weeks|-row join; the averaging is exact ints until one "
@@ -632,9 +688,26 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = e.select(
         F.expr("day div 7L").alias("week"), "user_id"
     ).groupBy("week").agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
-    dsum = daily.groupBy(F.expr("day div 7L").alias("week")).agg(
-        F.sum("dau").cast("bigint").alias("dau_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    # n_days = OBSERVABLE days in the week (clipped to the corpus span),
+    # not active days (r12 review fix): zero-DAU days must count as 0
+    # in the average — a product dark 5 of 7 days otherwise reads
+    # stickiness ~1.0
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dsum = (
+        daily.crossJoin(F.broadcast(span))
+        .groupBy(F.expr("day div 7L").alias("week"), "d0", "d1")
+        .agg(F.sum("dau").cast("bigint").alias("dau_sum"))
+        .select(
+            "week",
+            "dau_sum",
+            (
+                F.least(F.col("d1"), F.col("week") * 7 + 6)
+                - F.greatest(F.col("d0"), F.col("week") * 7)
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_days"),
+        )
     )
     avg_dau = F.col("dau_sum") * F.lit(1.0) / (F.col("n_days") * F.lit(1.0))
     return weekly.join(dsum, "week").select(
@@ -660,6 +733,8 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
              min((epoch_ns(ts) // 1000) // 86400000000) AS first_day,
              max((epoch_ns(ts) // 1000) // 86400000000) AS last_day
       FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(last_day) AS corpus_end FROM span
     )
     SELECT CAST(first_day AS BIGINT) AS cohort_day,
            CAST(count(*) AS BIGINT) AS n_users,
@@ -668,12 +743,19 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((sum(CASE WHEN last_day - first_day >= 7
                            THEN 1 ELSE 0 END) * 1.0 / count(*))
                  * 1000000.0 + 0.5) / 1000000.0 AS rolling_retention_7d
-    FROM span GROUP BY first_day
+    FROM span CROSS JOIN horizon h
+    WHERE first_day <= h.corpus_end - 7
+    GROUP BY first_day
     """,
     doc="Rolling (unbounded) retention: a user counts as day-7-retained "
         "if they return on day 7 OR ANY LATER day — the metric that "
         "does not punish weekly-cadence products the way classic day-N "
-        "retention does.  Needs only each user's activity SPAN "
+        "retention does.  Cohorts whose 7-day window has NOT matured "
+        "(first_day within 7 days of the corpus end) are EXCLUDED — "
+        "r12 review fix: without the censoring cutoff the final week "
+        "of cohorts mechanically read as total churn (the KM operator "
+        "beside this one already censors; same principle).  Needs "
+        "only each user's activity SPAN "
         "(min/max day), not the full activity matrix: one partial-agg "
         "shuffle on user_id, then a |cohort-days|-row rollup — strictly "
         "cheaper than the retention-triangle query and the right first "
@@ -686,18 +768,27 @@ def events_rolling_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span = e.groupBy("user_id").agg(
         F.min("day").alias("first_day"), F.max("day").alias("last_day")
-    )
+    ).localCheckpoint(eager=False)
+    # censoring cutoff (r12 review fix): cohorts whose 7-day window has
+    # not matured by the corpus end would mechanically read as total
+    # churn; exclude them (the KM operator's censoring principle)
+    horizon = span.agg(F.max("last_day").alias("corpus_end"))
     retained = F.sum(
         F.when(F.col("last_day") - F.col("first_day") >= 7, F.lit(1)).otherwise(
             F.lit(0)
         )
     ).cast("bigint")
-    return span.groupBy(F.col("first_day").cast("bigint").alias("cohort_day")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        retained.alias("retained_7d"),
-        pround(retained * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
-            "rolling_retention_7d"
-        ),
+    return (
+        span.crossJoin(F.broadcast(horizon))
+        .filter(F.col("first_day") <= F.col("corpus_end") - 7)
+        .groupBy(F.col("first_day").cast("bigint").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            retained.alias("retained_7d"),
+            pround(retained * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "rolling_retention_7d"
+            ),
+        )
     )
 
 

@@ -785,8 +785,8 @@ _DPM_B_CNT = 1.0      # 1 / _DP_EPSILON
     SELECT event_type, n_rows, clamped_sum,
            floor((clamped_sum * 1.0 / n_rows) * 1000000.0 + 0.5) / 1000000.0
              AS true_mean_cents,
-           floor((noisy_sum / noisy_n) * 1000000.0 + 0.5) / 1000000.0
-             AS dp_mean_cents
+           floor((noisy_sum / greatest(noisy_n, 1.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS dp_mean_cents
     FROM lap
     """,
     doc="The DP MEAN release — third of the release family (counts, "
@@ -829,7 +829,11 @@ def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     us_ = (spark_u32(F.concat(F.lit("dpm_s_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
     uc_ = (spark_u32(F.concat(F.lit("dpm_c_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
     noisy_sum = F.col("clamped_sum") + lap(us_, _DPM_B_SUM)
-    noisy_n = F.col("n_rows") + lap(uc_, _DPM_B_CNT)
+    # denominator clamp (r12 review fix): for a rare type (n_rows ~1-5)
+    # the count noise can be <= -n_rows (~6% of key space at n=2),
+    # flipping the released mean's sign or dividing by ~0 — the
+    # standard mechanism clamps the noisy count at 1
+    noisy_n = F.greatest(F.col("n_rows") + lap(uc_, _DPM_B_CNT), F.lit(1.0))
     return rel.select(
         "event_type",
         "n_rows",

@@ -52,13 +52,22 @@ def session_window_counts(
 
 
 def stream_static_enrich(
-    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static join: enrich a stream with a dimension table (the
     warehouse-side lookup the reference pushed to Hive/MySQL after the
     fact, dag_file.py:67-90, done inline).  The static side is re-read
-    per micro-batch — broadcast it when small."""
-    return stream.join(F.broadcast(dim), on=on, how=how)
+    per micro-batch — broadcast it when small.
+
+    `broadcast_dim` (r12 review fix): the hint is now a caller choice
+    instead of unconditional — a forced broadcast of a multi-GB
+    dimension overrides autoBroadcastJoinThreshold and re-ships the
+    whole table to every executor EVERY micro-batch (driver OOM / the
+    8 GB hard limit kills the query).  Pass False for large dims and
+    let the planner pick; the default stays True for the small-lookup
+    case this helper was written for."""
+    return stream.join(F.broadcast(dim) if broadcast_dim else dim, on=on, how=how)
 
 
 def stream_stream_interval_join(
@@ -482,7 +491,12 @@ def streaming_heavy_hitters(
     with true frequency above n_seen_bucket/(k+1) is guaranteed
     present.  Exact counts for the candidate set are the batch tier's
     recount job, same as the batch operator's pass 2."""
-    projected = stream.select(
+    # NULL-key guard (r12 review fix): crc32(NULL) yields a NULL bucket
+    # group and int(key[0]) raised TypeError on the executor, killing
+    # the whole streaming query over one malformed event; a NULL key
+    # cannot be a heavy hitter anyone can act on, so it is dropped at
+    # the projection (mirrors value_counts(), which skips NaN anyway)
+    projected = stream.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("key"),
         (F.crc32(F.col(key_col).cast("string").cast("binary")) % n_buckets)
         .cast("int")
@@ -602,9 +616,16 @@ def streaming_ewma(
     order; cross-batch order is the stream's delivery order, the
     standard streaming contract (same as streaming_dedup_exact's
     arrival-order semantics)."""
+    # ts crosses the Arrow boundary as exact integer MICROS, not a raw
+    # TimestampType column (r12 review fix): the fn needs ts only for
+    # ordering, and a timestamp column would require the
+    # _arrow_tz_transferable session-tz guard session_expiry_summaries
+    # documents as mandatory (GMT+8-style tz strings crash pyarrow's
+    # parser mid-batch); int64 micros order identically and dodge the
+    # whole tz-transfer class
     projected = stream.select(
         F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
     return projected.groupBy("key").applyInPandasWithState(
