@@ -235,8 +235,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
             # iterative algorithms must truncate lineage per round, or the
-            # unrolled join tree grows unbounded (66 shuffles at 10 rounds)
-            .localCheckpoint()
+            # unrolled join tree grows unbounded (66 shuffles at 10 rounds).
+            # eager=True (made explicit per ADVICE r12) materializes the
+            # round's labels HERE, so the exceptAll convergence action and
+            # the next round's join both read checkpointed blocks — per-
+            # round cost is constant in round number, plan depth is O(1).
+            .localCheckpoint(eager=True)
         )
         if new_labels.exceptAll(labels).isEmpty():
             labels = new_labels

@@ -751,10 +751,10 @@ _REPORT_DAY = 10042  # 1997-06-30: the as-was report date
     ), versions AS (
       SELECT o_orderkey, o_year, vday AS tx_day, 0 AS seq, cents FROM facts
       UNION ALL
-      SELECT o_orderkey, o_year, {_TX_WAVE1}, 1, cents + 200
+      SELECT o_orderkey, o_year, greatest(vday, {_TX_WAVE1}), 1, cents + 200
       FROM facts WHERE o_orderkey % 7 = 0
       UNION ALL
-      SELECT o_orderkey, o_year, {_TX_WAVE2}, 2, cents + 500
+      SELECT o_orderkey, o_year, greatest(vday, {_TX_WAVE2}), 2, cents + 500
       FROM facts WHERE o_orderkey % 13 = 0
     ), picked AS (
       SELECT o_orderkey, o_year,
@@ -775,10 +775,13 @@ _REPORT_DAY = 10042  # 1997-06-30: the as-was report date
     doc="BITEMPORAL correction report — valid time x transaction time: "
         "orders are restated by two correction waves (orderkey%7 "
         "+2.00 recorded 1997-01-01, orderkey%13 +5.00 recorded "
-        "1998-01-01), and the report answers 'what did the books say "
-        "ON 1997-06-30 vs what do they say NOW' for every order "
-        "year — wave 1 is visible in BOTH views (recorded before the "
-        "report date), wave 2 only as-now, so the delta column "
+        "1998-01-01; a correction's recording day is clamped up to "
+        "the fact's own valid day, since a restatement cannot precede "
+        "the fact it restates — ADVICE r12), and the report answers "
+        "'what did the books say ON 1997-06-30 vs what do they say "
+        "NOW' for every order year — wave 1 is visible in BOTH views "
+        "(recorded on or before the report date for every order in "
+        "scope), wave 2 only as-now, so the delta column "
         "isolates exactly the late-arriving restatements; the audit "
         "regulators actually ask for.  Both temporal picks are ONE "
         "grouped max_by over the (order, year) key with the as-was "
@@ -806,14 +809,24 @@ def orders_bitemporal_correction_report(spark: SparkSession, sf_dir: str) -> Dat
         .unionByName(
             facts.filter(F.col("o_orderkey") % 7 == 0).select(
                 "o_orderkey", "o_year",
-                F.lit(_TX_WAVE1).alias("tx_day"), F.lit(1).alias("seq"),
+                # a correction cannot be recorded BEFORE its fact exists
+                # (ADVICE r12): wave-1's nominal 1997-01-01 recording day
+                # is clamped up to the fact's own valid day, so orders
+                # placed Jan-Jun 1997 get their restatement recorded on
+                # the order date itself — still <= the 1997-06-30 report
+                # date, so wave 1 stays visible in BOTH views, as the
+                # docstring promises.  seq breaks the (tx_day) tie in
+                # favour of the correction.
+                F.greatest(F.col("vday"), F.lit(_TX_WAVE1)).alias("tx_day"),
+                F.lit(1).alias("seq"),
                 (F.col("cents") + 200).alias("cents"),
             )
         )
         .unionByName(
             facts.filter(F.col("o_orderkey") % 13 == 0).select(
                 "o_orderkey", "o_year",
-                F.lit(_TX_WAVE2).alias("tx_day"), F.lit(2).alias("seq"),
+                F.greatest(F.col("vday"), F.lit(_TX_WAVE2)).alias("tx_day"),
+                F.lit(2).alias("seq"),
                 (F.col("cents") + 500).alias("cents"),
             )
         )

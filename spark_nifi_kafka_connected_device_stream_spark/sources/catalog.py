@@ -42,8 +42,39 @@ TABLES = (
 # missing-path errors still surface per call.
 _PLAN_CACHE: dict[tuple[str, str, str, str, str], DataFrame] = {}
 
+# Fingerprint memo (ADVICE r12): the full recursive walk + name digest
+# ran on EVERY load_table call — including cache hits — so per-call
+# overhead scaled with the parquet file count, and a driver session
+# makes hundreds of load_table calls per run.  Memoize per path behind
+# a cheap top-level stat pre-check plus a short TTL: reuse while the
+# top dir's (mtime_ns, ino, size) is unchanged AND the entry is young;
+# any direct rewrite of the dir (Spark overwrite mints new part files
+# + _SUCCESS in the top dir, bumping its mtime) invalidates instantly,
+# and the TTL bounds the staleness window for a nested-partition-only
+# rewrite that leaves the top dir untouched.
+_FP_MEMO: dict[str, tuple[float, tuple, str]] = {}
+_FP_TTL_S = 5.0
+
 
 def _listing_fingerprint(path: str) -> str:
+    import time
+
+    try:
+        st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_ino, st.st_size)
+    except OSError:
+        _FP_MEMO.pop(path, None)
+        return "missing"
+    now = time.monotonic()
+    hit = _FP_MEMO.get(path)
+    if hit is not None and hit[1] == sig and now - hit[0] < _FP_TTL_S:
+        return hit[2]
+    fp = _listing_fingerprint_walk(path)
+    _FP_MEMO[path] = (now, sig, fp)
+    return fp
+
+
+def _listing_fingerprint_walk(path: str) -> str:
     """Change-detection key for a parquet path: dir mtime alone misses
     same-second rewrites on coarse (1s) mtime filesystems, so fold in
     the recursive file count, total byte size, the MAX per-file mtime,

@@ -45,7 +45,9 @@ Fields (shared by generator, oracle, and tests):
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import uuid
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -161,19 +163,58 @@ class _EventsStreamReader(DataSourceStreamReader):
         # written through (atomic rename).  Without the option the
         # source is exactly-once only WITHIN one query run — documented
         # first-trigger gap, asserted by tests.
+        # OWNERSHIP (ADVICE r12): a cursor_path is owned by ONE live
+        # query at a time — it is keyed only by the path the caller
+        # passes, so two CONCURRENT queries sharing a file would
+        # mutually advance one watermark and silently interleave
+        # offsets.  Each reader stamps its own id into the file on
+        # write; once this reader has claimed the file, finding a
+        # FOREIGN stamp on the next write means another live reader is
+        # interleaving — fail loudly instead.  A clean restart (old
+        # reader dead, new reader takes over) is the legitimate
+        # takeover: the new reader's FIRST write claims the file
+        # without complaint.  Reusing a stale cursor file with a FRESH
+        # checkpoint is safe-by-construction (partitions() receives
+        # start=0 from the new checkpoint and the first batch covers
+        # [0, cursor+batch] — a large first batch, never a gap), but
+        # point different queries at different files.
         self.cursor_path = options.get("cursor_path")
-        self._current = 0
-        if self.cursor_path and os.path.exists(self.cursor_path):
-            with open(self.cursor_path) as fh:
-                self._current = int(fh.read().strip() or 0)
+        self._owner = uuid.uuid4().hex
+        self._claimed = False
+        self._current = self._read_cursor_file()[0]
+
+    def _read_cursor_file(self) -> tuple[int, str | None]:
+        """(offset, owner) from the side file; accepts the legacy bare-int
+        form (owner None)."""
+        if not (self.cursor_path and os.path.exists(self.cursor_path)):
+            return 0, None
+        with open(self.cursor_path) as fh:
+            raw = fh.read().strip()
+        if not raw:
+            return 0, None
+        if raw.startswith("{"):
+            doc = json.loads(raw)
+            return int(doc.get("offset", 0)), doc.get("owner")
+        return int(raw), None
 
     def _persist_cursor(self) -> None:
         if not self.cursor_path:
             return
+        if self._claimed:
+            _, owner = self._read_cursor_file()
+            if owner is not None and owner != self._owner:
+                raise RuntimeError(
+                    "cursor_path is shared by a concurrent reader: "
+                    f"{self.cursor_path!r} was last written by owner "
+                    f"{owner!r}, not this reader ({self._owner!r}). A "
+                    "cursor file is owned by ONE live query — give each "
+                    "query its own cursor_path."
+                )
         tmp = f"{self.cursor_path}.tmp"
         with open(tmp, "w") as fh:
-            fh.write(str(self._current))
+            fh.write(json.dumps({"offset": self._current, "owner": self._owner}))
         os.replace(tmp, self.cursor_path)
+        self._claimed = True
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

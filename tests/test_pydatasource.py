@@ -150,6 +150,38 @@ def test_stream_source_cursor_survives_reader_rebirth(tmp_path):
     assert blind.latestOffset()["offset"] < last
 
 
+def test_stream_source_concurrent_cursor_sharing_fails_loudly(tmp_path):
+    """ADVICE r12: two CONCURRENT queries pointed at one cursor_path
+    would mutually advance a single watermark and silently interleave
+    offsets.  The file is owner-stamped per reader: once a reader has
+    claimed it, finding a foreign stamp on the next write raises
+    instead of interleaving.  A clean restart (takeover by a NEW reader
+    while the old one stays silent) remains legitimate."""
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        _EventsStreamReader,
+    )
+
+    opts = {
+        "total_events": "1000",
+        "events_per_batch": "40",
+        "cursor_path": str(tmp_path / "cursor"),
+    }
+    a = _EventsStreamReader(opts)
+    a.latestOffset()  # a claims the file
+    b = _EventsStreamReader(opts)
+    b.latestOffset()  # b takes over (indistinguishable from a restart)
+    with pytest.raises(RuntimeError, match="cursor_path is shared"):
+        a.latestOffset()  # a is still live → interleaving → loud failure
+
+    # legacy bare-int cursor files are still readable (upgrade path)
+    legacy = tmp_path / "legacy_cursor"
+    legacy.write_text("120")
+    c = _EventsStreamReader({**opts, "cursor_path": str(legacy)})
+    assert c.latestOffset()["offset"] == 160
+
+
 def test_stream_source_exactly_once_across_query_restart(spark, tmp_path):
     """Full clean-restart proof: run the stream against a checkpoint,
     stop it, start a NEW query on the same checkpoint + cursor_path,
