@@ -91,83 +91,15 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 12 executes the rotation pinned at end of round 11
-# (VERDICT r11 item 1): the first 14 slots are ALL of round 11's
-# DEFERRED queue (keeping the never-driver-checked backlog at ZERO),
-# the next 22 are the remaining r6-era stale cohort (the
-# alphabetically-second half deferred from round 11's rotation), and
-# the final 14 are the alphabetically-first slice of the 50-query
-# cohort whose freshest green row is round 7 (computed fresh from
-# CORRECTNESS_r01..r11; the remaining 36 of that cohort rotate in
-# round 13).
+# modules.  Round 13 executes the rotation pinned at end of round 12
+# (VERDICT r12 item 1), which is fully determined with zero slack: the
+# first 14 slots are ALL of round 12's DEFERRED queue (keeping the
+# never-driver-checked backlog at ZERO), and the remaining 36 are the
+# ENTIRE residual cohort whose freshest green row is round 7 (computed
+# fresh from CORRECTNESS_r01..r12 — after this window no query's
+# freshest stamp is older than round 8).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-11 additions never driver-checked (14)
-    "embedding_matryoshka_prefix_recall",
-    "similarity_ivf_nprobe_sweep",
-    "events_abtest_cuped_adjusted",
-    "events_abtest_power_mde",
-    "events_dow_value_ks_fdr",
-    "privacy_dp_laplace_counts",
-    "text_bigram_kneser_ney",
-    "text_hashing_trick_collisions",
-    "multimodal_format_magic_mismatch",
-    "dataset_epoch_shuffle_plan",
-    "lineitem_fifo_allocation",
-    "events_abtest_msprt_scan",
-    "documents_gopher_rules_audit",
-    "dataset_ht_estimator_check",
-    # stale re-checks: remaining 22 of the r6-era cohort (22)
-    "pack_sequences",
-    "product_view_counts",
-    "product_view_distinct_users",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume_shipping",
-    "similarity_lsh_buckets",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_quantized",
-    "stratified_sample_per_source",
-    "text_bigram_logprob",
-    "text_boilerplate_ngrams",
-    "text_char_entropy",
-    "text_chunk_documents",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "window_first_last",
-    "window_topk_per_group",
-    # stale re-checks: alphabetically-first 14 of the r7 cohort (14)
-    "agg_cube",
-    "agg_distinct_exact",
-    "agg_pivot_status",
-    "agg_rollup",
-    "customer_rfm_segments",
-    "dataset_split_assign",
-    "embedding_label_centroids",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_outer_null_fill",
-    "join_semi",
-    "q10_returned_items",
-    "q11_important_part_values",
-    "q12_shipmode_case_agg",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 12's window consumed the entire round-11 backlog (see
-# _PROMOTE), so this queue restarts empty and collects ONLY round-12
-# additions — capped at 14 (VERDICT r11 item 2) so round 13's window
-# can keep absorbing stale re-checks.  Every name here must be
-# oracle-parity-green locally on every pytest run;
-# tests/test_oracle_parity.py asserts that any never-driver-checked
-# query is either inside the window or on this explicit queue — a
-# silent backlog stays impossible.
-DEFERRED: tuple[str, ...] = (
-    # round-12 additions (10 of the 14-slot cap)
+    # ex-DEFERRED: round-12 additions never driver-checked (14)
     "customer_asof_balance_join",
     "scd2_interval_integrity_audit",
     "scd2_compact_versions",
@@ -178,11 +110,61 @@ DEFERRED: tuple[str, ...] = (
     "events_new_vs_returning_daily",
     "mapinarrow_value_cents_sum",
     "cogrouped_applyinpandas_spend",
-    # round-12 additions, second wave (14 of 14 — the cap)
     "events_last_touch_attribution",
     "privacy_dp_mean_release",
     "orders_bitemporal_correction_report",
     "dedup_short_doc_coverage",
+    # stale re-checks: the full remaining r7 cohort (36)
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_avg_subquery",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q20_concentrated_suppliers",
+    "q21_late_shipments_by_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "q9_product_type_profit",
+    "scalar_date_arith",
+    "scalar_date_funcs",
+    "scalar_math_case",
+    "scalar_null_handling",
+    "scalar_string_distance",
+    "scalar_string_funcs",
+    "scan_filter_project",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk_global",
+    "source_ngram_overlap",
+    "text_shingle_novelty",
+    "text_token_freq_spectrum",
+    "text_token_heavy_hitters",
+    "unpivot_status_counts",
+    "window_lag_delta",
+    "window_moving_avg_range",
+    "window_rank_dense_ntile",
+    "window_running_sum",
+    "window_share_of_total",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 13's window is FULLY consumed by the pinned rotation (14
+# ex-DEFERRED + 36 r7-stale re-checks — VERDICT r12 items 1-2), so
+# this queue restarts empty and collects ONLY round-13 additions —
+# capped at 14 so round 14's window keeps 36 slots for stale
+# re-checks.  Every name here must be oracle-parity-green locally on
+# every pytest run; tests/test_oracle_parity.py asserts that any
+# never-driver-checked query is either inside the window or on this
+# explicit queue — a silent backlog stays impossible.
+DEFERRED: tuple[str, ...] = (
+    # round-13 additions land here
 )
 
 
