@@ -4126,3 +4126,57 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corpus_entropy_rate_bits"),
     )
+
+
+# --- round 13 addition: sliding (overlapping) event-time windows -----------
+
+
+@register(
+    "events_sliding_window_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT epoch_ns(ts) // 1000 AS us, event_type FROM events
+    ), grid AS (
+      SELECT event_type,
+             (us // 300000000) * 300000000 - k.k * 300000000 AS ws_us
+      FROM ev CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT CAST(ws_us AS BIGINT) AS ws_us,
+           CAST(ws_us + 600000000 AS BIGINT) AS we_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM grid GROUP BY ws_us, we_us, event_type
+    """,
+    doc="SLIDING event-time windows (width 10 min, slide 5 min) per "
+        "event type — F.window with a slide duration, the overlapping "
+        "generalization of the reference's tumbling 5-minute window "
+        "(nifi_spark_kafka_product_view_platform.py:50-54): every "
+        "event lands in exactly width/slide = 2 windows, so the "
+        "oracle re-derives the assignment as a 2-row grid join "
+        "(window starts floor5(t) and floor5(t)-5min, both always "
+        "covering t when width = 2*slide) and re-aggregates "
+        "independently.  Window bounds are emitted as exact epoch "
+        "MICROS of the stored instant (unix_micros of window.start on "
+        "timestamp_micros(ts_us)), so the contract is session-tz-"
+        "independent.  Scale shape: Spark EXPANDS each row into its 2 "
+        "windows before ONE partial-agged shuffle on (window, type) — "
+        "identical cost to two tumbling grids, state linear in the "
+        "number of non-empty (window, type) buckets; the streaming "
+        "twin (tests/test_streaming.py stream-batch sliding "
+        "equivalence) runs this exact plan incrementally under a "
+        "watermark.",
+    tags=("events", "window", "timeseries", "streaming-twin"),
+)
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.col("ts_us")).alias("t"), "event_type"
+    )
+    win = e.groupBy(
+        F.window("t", "10 minutes", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return win.select(
+        F.unix_micros(F.col("w.start")).alias("ws_us"),
+        F.unix_micros(F.col("w.end")).alias("we_us"),
+        "event_type",
+        "n",
+    )

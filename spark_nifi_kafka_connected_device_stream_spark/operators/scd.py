@@ -855,3 +855,116 @@ def orders_bitemporal_correction_report(spark: SparkSession, sf_dir: str) -> Dat
         .cast("bigint")
         .alias("n_restated"),
     )
+
+
+# --- round 13 addition: CDC apply-log -> SCD2 history replay ---------------
+
+
+@register(
+    "scd2_cdc_apply_log",
+    oracle=f"""
+    WITH ops AS (
+      SELECT c_custkey, 0 AS seq, 'I' AS op, DATE '2020-01-01' AS op_date,
+             c_mktsegment AS segment, {_CENTS} AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1, 'U', DATE '2021-02-01',
+             c_mktsegment, {_CENTS} + 100
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'U', DATE '2022-03-01', 'UPGRADED',
+             CASE WHEN c_custkey % 3 = 0 THEN {_CENTS} + 100
+                  ELSE {_CENTS} END
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', DATE '2023-04-01',
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM customer WHERE c_custkey % 6 = 0
+    ), seq AS (
+      SELECT *, lead(op_date) OVER (PARTITION BY c_custkey
+                                    ORDER BY seq) AS next_date
+      FROM ops
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, segment, bal_cents,
+           strftime(op_date, '%Y-%m-%d')  AS valid_from,
+           strftime(next_date, '%Y-%m-%d') AS valid_to,
+           (next_date IS NULL) AS is_current
+    FROM seq WHERE op <> 'D'
+    """,
+    doc="CDC apply-log replay — the WRITE side of the r12 read-side "
+        "interval audits: a Debezium-style ordered change log (I / U / "
+        "U / D per business key; every op carries the full attribute "
+        "image) is replayed into the complete SCD2 version history in "
+        "ONE pass — valid_from = the op's date, valid_to = the NEXT "
+        "op's date via lead() (a delete closes the last version "
+        "without opening one), open rows are is_current.  The log is "
+        "derived deterministically from the customer fixture "
+        "(custkey%3 rebalances, %4 upgrades segment, %6 is deleted; "
+        "%12 exercises the full I-U-U-D lifecycle) so the oracle "
+        "rebuilds the identical log and replays it independently.  "
+        "Scale shape: ONE shuffle on the business key + in-partition "
+        "sort by op sequence — the 100 TB encoding of 'rebuild the "
+        "dimension from its change stream' (the per-op MERGE loop "
+        "would be one pass PER OP); contrast scd2_customer_batch, "
+        "which applies one latest-wins batch to an existing state.  "
+        "Balances in exact integer cents.",
+    tags=("scd", "change-data", "temporal"),
+)
+def scd2_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    ops = (
+        c.select(
+            "c_custkey",
+            F.lit(0).alias("seq"),
+            F.lit("I").alias("op"),
+            F.lit("2020-01-01").cast("date").alias("op_date"),
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("bal_cents"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                "c_custkey",
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("2021-02-01").cast("date").alias("op_date"),
+                F.col("c_mktsegment").alias("segment"),
+                (cents + 100).alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 4 == 0).select(
+                "c_custkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("2022-03-01").cast("date").alias("op_date"),
+                F.lit("UPGRADED").alias("segment"),
+                F.when(F.col("c_custkey") % 3 == 0, cents + 100)
+                .otherwise(cents)
+                .alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 6 == 0).select(
+                "c_custkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit("2023-04-01").cast("date").alias("op_date"),
+                F.lit(None).cast("string").alias("segment"),
+                F.lit(None).cast("bigint").alias("bal_cents"),
+            )
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy("seq")
+    return (
+        ops.withColumn("next_date", F.lead("op_date").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "segment",
+            "bal_cents",
+            F.date_format("op_date", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format("next_date", "yyyy-MM-dd").alias("valid_to"),
+            F.col("next_date").isNull().alias("is_current"),
+        )
+    )

@@ -342,3 +342,140 @@ def cogrouped_applyinpandas_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         .cogroup(o.groupBy("o_custkey"))
         .applyInPandas(_spend_cogroup, schema=_SPEND_SCHEMA)
     )
+
+
+# --- round 13 additions: the last two Python-boundary surfaces -------------
+
+
+def _type_stats_arrow(table):
+    """applyInArrow kernel: per-group stats computed entirely in
+    pyarrow.compute — no pandas frame is ever built.  Arrow output
+    types must match the declared Spark schema EXACTLY (Spark does NOT
+    cast grouped-map Arrow output: an int32 column against a declared
+    bigint aborts the stage), hence the explicit pa.array(..., type)
+    constructors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(table["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([table["event_type"][0].as_py()], pa.string()),
+            "n": pa.array([table.num_rows], pa.int64()),
+            "n_users": pa.array([pc.count_distinct(table["user_id"]).as_py()], pa.int64()),
+            "cents_max": pa.array([pc.max(cents).as_py()], pa.int64()),
+            "cents_min": pa.array([pc.min(cents).as_py()], pa.int64()),
+        }
+    )
+
+
+@register(
+    "applyinarrow_type_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_max,
+           CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_min
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-map applyInArrow (groupBy().applyInArrow — pyarrow "
+        "Table in / pyarrow Table out, Spark 4): the Arrow-NATIVE "
+        "grouped aggregate, value-checked against the pure-SQL rollup. "
+        "Versus applyInPandas this skips the Arrow→pandas→Arrow copy "
+        "on BOTH sides of the kernel — the right grouped surface when "
+        "the kernel is pyarrow.compute/numpy-expressible — and versus "
+        "a grouped-agg pandas UDF it may return MULTIPLE columns per "
+        "group in one pass.  NULL `value` rows count toward n but are "
+        "skipped by pc.max/min (only_valid), matching SQL aggregate "
+        "NULL semantics.  Scale shape: one shuffle on event_type; each "
+        "group streams through one task — bounded-cardinality groups "
+        "(~n/5 rows) as with applyinpandas_zscore; for skewed groups "
+        "the two-level pre-agg (JVM partial, Python final) is the "
+        "fallback.",
+    tags=("udf", "arrow", "agg"),
+)
+def applyinarrow_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return e.groupBy("event_type").applyInArrow(
+        _type_stats_arrow,
+        schema="event_type string, n bigint, n_users bigint, "
+               "cents_max bigint, cents_min bigint",
+    )
+
+
+@register(
+    "udtf_table_gap_report",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE user_id % 11 = 0
+    ), gaps AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap_us
+      FROM ev
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Python UDTF with a TABLE argument (Spark 4: `FROM udtf(TABLE(v) "
+        "PARTITION BY user_id ORDER BY us)`) — the PARTITIONED, ORDERED, "
+        "STATEFUL table-function surface: eval() sees one user's events "
+        "in timestamp order, terminate() emits that user's session "
+        "summary (event count + max inter-event gap in micros) exactly "
+        "once per partition.  This is the API shape for order-dependent "
+        "per-entity kernels (sessionization, CDC validators) when the "
+        "logic outgrows window functions; value-checked against the "
+        "lag()-window SQL form.  HONEST perf note: row-at-a-time Python "
+        "— the documented slow path, bounded to user_id % 11 = 0 with "
+        "the predicate pushed to the scan BEFORE the Python stage; the "
+        "JVM window form (the oracle's own shape) is the hot path.  "
+        "Scale shape: Spark shuffles + sorts on the PARTITION BY key "
+        "exactly as a window would; kernel state is O(1) per partition.",
+    tags=("udf", "udtf", "events"),
+)
+def udtf_table_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class _GapReport:
+        def __init__(self):
+            self._user = None
+            self._prev = None
+            self._n = 0
+            self._max_gap = None
+
+        def eval(self, row):  # noqa: ANN001
+            self._user = row["user_id"]
+            self._n += 1
+            if self._prev is not None:
+                gap = row["us"] - self._prev
+                if self._max_gap is None or gap > self._max_gap:
+                    self._max_gap = gap
+            self._prev = row["us"]
+
+        def terminate(self):
+            if self._user is not None:
+                yield (self._user, self._n, self._max_gap)
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", F.col("ts_us").alias("us"), "event_id")
+    )
+    e.createOrReplaceTempView("_udtf_gap_events")
+    spark.udtf.register("gap_report", _GapReport)
+    return spark.sql(
+        """
+        SELECT * FROM gap_report(
+          TABLE(_udtf_gap_events) PARTITION BY user_id ORDER BY (us, event_id)
+        )
+        """
+    )

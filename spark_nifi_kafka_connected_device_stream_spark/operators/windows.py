@@ -330,3 +330,157 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         pround(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(2).over(w).cast("int").alias("half"),
     )
+
+
+# --- round 13 additions: the RANGE-BETWEEN interval-frame family -----------
+#
+# A RANGE frame whose bounds are CALENDAR INTERVALS over a real DATE
+# order key — the time-series frame shape the registry lacked as a
+# named family (VERDICT r12 item 2).  The DataFrame API's rangeBetween
+# only takes numeric long offsets, so these go through the SQL entry
+# point (the reference drives config through spark.sql too, v1:37),
+# which is exactly where Catalyst's SpecifiedWindowFrame with
+# CalendarIntervalType bounds lives.  All money in exact integer cents.
+
+
+@register(
+    "window_range_interval_trailing_30d",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS spend_30d_cents,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+    doc="Trailing-30-day customer spend via RANGE BETWEEN INTERVAL 30 "
+        "DAYS PRECEDING AND CURRENT ROW over the real order DATE — the "
+        "value-based interval frame: calendar gaps shrink the window "
+        "(a ROWS frame would not), and same-day orders are peers, so "
+        "every peer row reports the full same-day total identically in "
+        "both engines.  Scale shape: one shuffle on o_custkey, "
+        "in-partition sort by date; the frame is evaluated by a "
+        "sliding two-pointer pass per partition, never a self-join — "
+        "the 100 TB encoding of 'spend in the last 30 days' (the "
+        "self-join form multiplies candidates by the average count "
+        "per window).",
+    tags=("window", "timeseries", "sql-api"),
+)
+def window_range_interval_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS spend_30d_cents,
+               CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_orders_30d
+        FROM _rng_orders
+        """
+    )
+
+
+@register(
+    "window_range_interval_centered_week",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS day_cents
+      FROM orders GROUP BY o_orderstatus, d
+    )
+    SELECT o_orderstatus, strftime(d, '%Y-%m-%d') AS day,
+           CAST(day_cents AS BIGINT) AS day_cents,
+           CAST(sum(day_cents) OVER (
+             PARTITION BY o_orderstatus ORDER BY d
+             RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                       AND INTERVAL 3 DAY FOLLOWING) AS BIGINT) AS week_cents,
+           CAST(count(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY d
+             RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                       AND INTERVAL 3 DAY FOLLOWING) AS BIGINT) AS n_days_in_week
+    FROM daily
+    """,
+    doc="Centered calendar week (both interval bounds: 3 days PRECEDING "
+        "to 3 days FOLLOWING) over the per-status daily aggregate — the "
+        "two-sided interval frame, the smoothing shape used for "
+        "centered moving averages.  n_days_in_week < 7 exactly where "
+        "the calendar has gaps, pinning value-frame (not row-frame) "
+        "semantics.  Runs over the daily AGGREGATE (two narrow "
+        "shuffles), never the fact table.",
+    tags=("window", "timeseries", "sql-api"),
+)
+def window_range_interval_centered_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS day_cents
+          FROM _rng_orders GROUP BY o_orderstatus, d
+        )
+        SELECT o_orderstatus, date_format(d, 'yyyy-MM-dd') AS day,
+               CAST(day_cents AS BIGINT) AS day_cents,
+               CAST(sum(day_cents) OVER (
+                 PARTITION BY o_orderstatus ORDER BY d
+                 RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                           AND INTERVAL 3 DAYS FOLLOWING) AS BIGINT) AS week_cents,
+               CAST(count(*) OVER (
+                 PARTITION BY o_orderstatus ORDER BY d
+                 RANGE BETWEEN INTERVAL 3 DAYS PRECEDING
+                           AND INTERVAL 3 DAYS FOLLOWING) AS BIGINT) AS n_days_in_week
+        FROM daily
+        """
+    )
+
+
+@register(
+    "window_range_peers_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_range_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_rows_cents
+    FROM orders
+    """,
+    doc="RANGE vs ROWS running-sum contrast on one plan: the RANGE "
+        "frame (the SQL-standard DEFAULT when only ORDER BY is given) "
+        "includes ALL peers of the current date, so same-day orders "
+        "agree on the running total, while the ROWS frame with the "
+        "unique (date, orderkey) tie-break counts them one at a time — "
+        "run_range_cents >= run_rows_cents, equal exactly on the last "
+        "peer.  Pins the peers semantics the interval family above "
+        "builds on; both frames share ONE shuffle and one sort (the "
+        "ROWS sort key is a superset of the RANGE key).",
+    tags=("window", "sql-api"),
+)
+def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS run_range_cents,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS run_rows_cents
+        FROM _rng_orders
+        """
+    )

@@ -164,7 +164,14 @@ _DEMOTE: tuple[str, ...] = ()
 # never-driver-checked query is either inside the window or on this
 # explicit queue — a silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
-    # round-13 additions land here
+    # round-13 additions (7 of the 14-slot cap)
+    "window_range_interval_trailing_30d",
+    "window_range_interval_centered_week",
+    "window_range_peers_running_sum",
+    "scd2_cdc_apply_log",
+    "applyinarrow_type_stats",
+    "udtf_table_gap_report",
+    "events_sliding_window_counts",
 )
 
 

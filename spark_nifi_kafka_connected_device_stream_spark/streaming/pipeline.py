@@ -131,6 +131,7 @@ def windowed_source_counts(
     window_duration: str = "5 minutes",
     watermark: str = "5 minutes",
     distinct_col: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """The analytical core (SURVEY.md §2.3 A1-A4; v1:48-55):
     watermark → tumbling window → grouped count → golden output shape
@@ -139,13 +140,25 @@ def windowed_source_counts(
     `distinct_col='userid'` switches to the metric the reference
     *intended* ("count considering distinct users", v1:46):
     approx_count_distinct — sketch-mergeable, bounded state; the exact
-    variant doesn't exist incrementally at scale."""
+    variant doesn't exist incrementally at scale.
+
+    `slide` (round 13) generalizes the tumbling window to SLIDING
+    (overlapping) windows — each event lands in duration/slide
+    windows; watermark expiry per window is unchanged (a window closes
+    once the watermark passes its end).  The batch twin is
+    events_sliding_window_counts (operators/events.py); stream-batch
+    equivalence is pinned in tests/test_streaming.py."""
     agg = (
         F.approx_count_distinct(distinct_col) if distinct_col else F.count(F.lit(1))
     ).alias("source_number")
+    window = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .groupBy(window, F.col(key_col))
         .agg(agg)
         .select(
             F.col("window.start").alias("start"),

@@ -372,3 +372,60 @@ def test_observe_parse_quality_reports_dropped_rows(spark, tmp_path):
         k: sum(x[k] for x in m) for k in ("rows_seen", "rows_bad_json", "rows_bad_ts")
     }
     assert total == {"rows_seen": 5, "rows_bad_json": 1, "rows_bad_ts": 1}
+
+
+def test_sliding_window_stream_batch_equivalence(spark, replay_dir, tmp_path):
+    """Round-13 stretch (VERDICT r12 item 7): the SLIDING-window
+    streaming aggregation (10-minute windows every 5 minutes) emits,
+    over a drained replay, exactly the batch sliding-window counts of
+    the same events — each event counted in TWO overlapping windows.
+    This is the streaming twin of the registered batch query
+    events_sliding_window_counts (operators/events.py)."""
+    events = _mk_events(0, 90) + _mk_events(5, 120, start_i=90) + _mk_events(
+        12, 45, start_i=300
+    )
+    _write_file(replay_dir, "b1.json", [e[2] for e in events])
+    # flush events far enough ahead that the watermark passes every
+    # earlier window's end, so append mode emits them all
+    flush = [e[2] for e in _mk_events(40, 30, start_i=2000)]
+    _write_file(replay_dir, "b2.json", flush)
+
+    stream = json_file_stream(spark, replay_dir, max_files_per_trigger=1)
+    agg = windowed_source_counts(
+        parse_product_views(stream), slide="5 minutes", window_duration="10 minutes"
+    )
+    q = memory_sink(agg, "pv_sliding", output_mode="append").option(
+        "checkpointLocation", str(tmp_path / "chk_sliding")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["start"].strftime("%H:%M"), r["source"]): r["source_number"]
+        for r in spark.sql("SELECT * FROM pv_sliding").collect()
+        if r["start"].strftime("%H:%M") < "10:20"
+    }
+
+    # batch twin: every event belongs to windows floor5(t) and
+    # floor5(t)-5min (width = 2 * slide)
+    expected = Counter()
+    for ts, src, _ in events:
+        minute = int(ts[14:16])
+        lo = (minute // 5) * 5
+        for start in (lo, lo - 5):
+            expected[(f"10:{start:02d}" if start >= 0 else "09:55", src)] += 1
+    assert got == dict(expected)
+
+    # and the SAME plan in batch mode agrees (no watermark in batch)
+    batch = windowed_source_counts(
+        parse_product_views(json_file_batch(spark, replay_dir)),
+        slide="5 minutes",
+        window_duration="10 minutes",
+    )
+    batch_counts = {
+        (r["start"].strftime("%H:%M"), r["source"]): r["source_number"]
+        for r in batch.collect()
+        if r["start"].strftime("%H:%M") < "10:20"
+    }
+    assert batch_counts == dict(expected)
