@@ -934,3 +934,113 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "orders_repeat_purchase_latency",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE) ASC,
+                                         o_orderkey ASC) AS rn
+      FROM orders
+    ), pairs AS (
+      SELECT f.o_custkey,
+             CAST(year(f.d) AS INTEGER) AS cohort_year,
+             date_diff('day', f.d, s.d) AS gap_days
+      FROM (SELECT * FROM ranked WHERE rn = 1) f
+      JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (o_custkey)
+    ), per_gap AS (
+      SELECT cohort_year, gap_days, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY cohort_year, gap_days
+    ), cum AS (
+      SELECT cohort_year, gap_days, cnt,
+             sum(cnt) OVER (PARTITION BY cohort_year ORDER BY gap_days
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(cnt) OVER (PARTITION BY cohort_year) AS n
+      FROM per_gap
+    ), med AS (
+      SELECT cohort_year, min(gap_days) AS median_gap_days
+      FROM cum WHERE cw * 2 >= n GROUP BY cohort_year
+    ), stats AS (
+      SELECT cohort_year,
+             CAST(count(*) AS BIGINT) AS n_repeat,
+             floor(avg(gap_days) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_gap_days
+      FROM pairs GROUP BY cohort_year
+    )
+    SELECT s.cohort_year,
+           s.n_repeat,
+           CAST(m.median_gap_days AS BIGINT) AS median_gap_days,
+           s.avg_gap_days
+    FROM stats s JOIN med m USING (cohort_year)
+    """,
+    doc="REPEAT-PURCHASE LATENCY by acquisition cohort — the "
+        "time-to-second-order distribution growth teams steer by: per "
+        "first-order year, how many customers ever ordered again, and "
+        "the lower median + mean days between first and second order.  "
+        "The lower median (smallest gap whose cumulative customer "
+        "count reaches half the cohort) is computed via the grouped "
+        "cumulative-count trick — exact integers end-to-end, no "
+        "engine-divergent percentile interpolation.  Scale shape: one "
+        "shuffle on o_custkey for the ranking window; first/second "
+        "rows join back on the SAME key (co-partitioned, no new "
+        "exchange); then per-(cohort, gap) aggregation — cohorts x "
+        "distinct gaps rows — and a bounded window over that "
+        "aggregate.  Right-censoring note: customers whose second "
+        "order falls OUTSIDE the fixture's time range simply are not "
+        "repeat customers in-sample; unlike rolling retention there is "
+        "no per-window maturity cutoff to respect (the metric "
+        "conditions on the second order existing).",
+    tags=("cohorts", "events", "timeseries"),
+)
+def orders_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("d").alias("d1"),
+        F.year("d").cast("int").alias("cohort_year"),
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    pairs = firsts.join(seconds, "o_custkey").select(
+        "cohort_year", F.datediff("d2", "d1").cast("bigint").alias("gap_days")
+    )
+    per_gap = pairs.groupBy("cohort_year", "gap_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("gap_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("cohort_year")
+    cum = per_gap.select(
+        "cohort_year",
+        "gap_days",
+        F.sum("cnt").over(wcum).alias("cw"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cw") * 2 >= F.col("n"))
+        .groupBy("cohort_year")
+        .agg(F.min("gap_days").cast("bigint").alias("median_gap_days"))
+    )
+    stats = pairs.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat"),
+        pround(F.avg("gap_days"), 6).alias("avg_gap_days"),
+    )
+    return stats.join(med, "cohort_year").select(
+        "cohort_year", "n_repeat", "median_gap_days", "avg_gap_days"
+    )

@@ -843,3 +843,143 @@ def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(noisy_sum / noisy_n, 6).alias("dp_mean_cents"),
     )
+
+
+# DP quantile-release constants: clamp bound shared with the mean
+# release; candidate grid step (51 candidates 0, 1000, ..., 50000)
+_DPQ_STEP = 1000
+
+
+@register(
+    "privacy_dp_quantile_release",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             least(CAST(floor(value * 100.0 + 0.5) AS BIGINT), {_DPM_CLAMP})
+               AS cents
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ), hist AS (
+      SELECT event_type, cents // {_DPQ_STEP} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY event_type, bucket
+    ), grid AS (
+      SELECT t.event_type, i.i
+      FROM (SELECT DISTINCT event_type FROM hist) t
+      CROSS JOIN (SELECT unnest(range(0, 51)) AS i) i
+    ), filled AS (
+      SELECT g.event_type, g.i, coalesce(h.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN hist h
+        ON h.event_type = g.event_type AND h.bucket = g.i
+    ), cum AS (
+      SELECT event_type, i, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) - cnt AS below,
+             sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+      FROM filled
+    ), scored AS (
+      SELECT event_type, i, n_rows,
+             {_DP_EPSILON} * (-abs(2 * below - n_rows)) / 4.0
+             - ln(-ln(({duck_u32("'dpq_' || event_type || '_' || CAST(i AS VARCHAR)")}
+                       + 0.5) / 4294967296.0)) AS total
+      FROM cum
+    ), picked AS (
+      SELECT event_type, i, n_rows,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY total DESC, i ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(i * {_DPQ_STEP} AS BIGINT) AS dp_median_cents,
+           CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM picked WHERE rn = 1
+    """,
+    doc="The DP QUANTILE (median) release — fourth of the release "
+        "family (counts, histogram, mean, quantile), and the one that "
+        "needs a DIFFERENT mechanism: quantiles have unbounded "
+        "Laplace sensitivity, so the EXPONENTIAL MECHANISM picks a "
+        "candidate c from a public grid (51 cut points over the "
+        "[0, $500] clamp range) with probability proportional to "
+        "exp(eps * u(c) / 2), where u(c) = -|#below(c) - n/2| has "
+        "rank sensitivity 1.  Sampling is the Gumbel-max trick — "
+        "argmax of score + Gumbel(-ln(-ln(U))) — with the U's drawn "
+        "from the release family's md5-keyed deterministic uniforms "
+        "(one per (type, candidate)), so the full mechanism is "
+        "oracle-checked; a production release swaps the hash for a "
+        "secure RNG and nothing else changes.  The empty grid cells "
+        "are ZERO-FILLED before the cumulative rank (the zero-fill "
+        "class from the r12 review list, done on both engines).  "
+        "Scale shape: one partial-agg shuffle to a |types * 51|-row "
+        "release table, window cumsum per type, row_number argmax — "
+        "no joins against the fact table beyond the histogram.",
+    tags=("privacy", "events"),
+)
+def privacy_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.least(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        F.lit(_DPM_CLAMP),
+    )
+    hist = (
+        e.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select("event_type", (cents / F.lit(_DPQ_STEP)).cast("bigint").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # alias both sides: grid derives FROM hist, so an unaliased
+    # grid-hist join is a self-join Spark cannot disambiguate
+    grid = (
+        hist.select("event_type")
+        .distinct()
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(50))))
+        .alias("g")
+    )
+    h = hist.alias("h")
+    filled = grid.join(
+        h,
+        (F.col("g.event_type") == F.col("h.event_type"))
+        & (F.col("g.i") == F.col("h.bucket")),
+        "left",
+    ).select(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.i").alias("i"),
+        F.coalesce(F.col("h.cnt"), F.lit(0)).alias("cnt"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = filled.select(
+        "event_type",
+        "i",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(wall).alias("n_rows"),
+    )
+    u = (
+        spark_u32(
+            F.concat(F.lit("dpq_"), F.col("event_type"), F.lit("_"), F.col("i").cast("string"))
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    total = (
+        F.lit(_DP_EPSILON)
+        * (-F.abs(F.lit(2) * F.col("below") - F.col("n_rows")))
+        / F.lit(4.0)
+        - F.log(-F.log(u))
+    )
+    picked = cum.withColumn("total", total).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("i"))
+        ),
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("i") * F.lit(_DPQ_STEP)).cast("bigint").alias("dp_median_cents"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )

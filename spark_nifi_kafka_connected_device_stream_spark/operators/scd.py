@@ -968,3 +968,72 @@ def scd2_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_date").isNull().alias("is_current"),
         )
     )
+
+
+@register(
+    "scd2_type1_type2_divergence",
+    oracle="""
+    WITH joined AS (
+      SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)  AS cents,
+             CASE WHEN c.c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c.c_mktsegment END AS seg_type1,
+             CASE WHEN c.c_custkey % 7 = 0
+                       AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+                  THEN 'MOVED' ELSE c.c_mktsegment END AS seg_type2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN seg_type1 <> seg_type2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_misattributed,
+           CAST(sum(CASE WHEN seg_type1 <> seg_type2 THEN cents ELSE 0 END)
+                AS BIGINT) AS misattributed_cents
+    FROM joined GROUP BY o_year
+    """,
+    doc="Type-1 vs Type-2 DIVERGENCE audit — the number that justifies "
+        "keeping SCD2 history at all: the same dimension change "
+        "(custkey%7 customers re-segmented to 'MOVED' effective "
+        "1997-01-01, the scenario of orders_pointintime_segment) "
+        "consumed two ways — Type-1 (overwrite: every order joins the "
+        "CURRENT segment) vs Type-2 (as-was: orders join the segment "
+        "valid on the order date) — and the per-year report counts the "
+        "orders and revenue the Type-1 shortcut MISATTRIBUTES (every "
+        "pre-1997 order of a moved customer).  Both attributions are "
+        "computed in one pass from the change rule itself, so the plan "
+        "is ONE fact-dim equi-join + one rollup: no second join, no "
+        "window — the audit costs no more than the report it audits.  "
+        "Revenue in exact integer cents.",
+    tags=("scd", "temporal", "audit"),
+)
+def scd2_type1_type2_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+    moved = F.col("c_custkey") % 7 == 0
+    seg1 = F.when(moved, F.lit("MOVED")).otherwise(F.col("c_mktsegment"))
+    seg2 = F.when(
+        moved & (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")),
+        F.lit("MOVED"),
+    ).otherwise(F.col("c_mktsegment"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    mis = seg1 != seg2
+    return (
+        j.select(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            cents.alias("cents"),
+            mis.alias("mis"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.sum(F.when(F.col("mis"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misattributed"),
+            F.sum(F.when(F.col("mis"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("misattributed_cents"),
+        )
+    )

@@ -479,3 +479,53 @@ def udtf_table_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+from collections.abc import Iterator as _Iterator  # noqa: E402
+
+
+@F.pandas_udf(T.DoubleType())
+def _charge_iter_udf(
+    batches: _Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+) -> _Iterator[pd.Series]:
+    """SCALAR_ITER pandas UDF kernel: the iterator form exists so
+    expensive per-worker setup (model load, codec init) runs ONCE per
+    partition stream instead of once per Arrow batch — the `factor`
+    assignment below stands in for that setup; the arithmetic then
+    matches the plain scalar UDF bit-for-bit."""
+    factor = 1.0  # one-time setup amortized across every batch below
+    for ext, disc, tax in batches:
+        yield ext * (1.0 - disc) * (1.0 + tax) * factor
+
+
+@register(
+    "pandas_udf_iter_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS charge
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="Iterator-of-batches scalar Pandas UDF (SCALAR_ITER — "
+        "Iterator[Tuple[Series,...]] -> Iterator[Series]): the "
+        "remaining scalar-UDF evaluation mode after the plain "
+        "Series->Series form (pandas_udf_charge).  Identical "
+        "semantics, different lifecycle: the kernel body runs once per "
+        "PARTITION STREAM, amortizing heavyweight setup (model "
+        "weights, tokenizers) across all Arrow batches — the shape a "
+        "100 TB scoring pipeline actually uses, where per-batch model "
+        "reload would dominate.  Value-checked against the identical "
+        "pure-SQL expression, proving the iterator boundary is "
+        "numerically transparent.  Scale shape: map-only, pushed "
+        "filter before the Python stage, parallel per partition.",
+    tags=("udf",),
+)
+def pandas_udf_iter_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(
+            _charge_iter_udf("l_extendedprice", "l_discount", "l_tax"), 2
+        ).alias("charge"),
+    )

@@ -463,8 +463,10 @@ def window_range_interval_centered_week(spark: SparkSession, sf_dir: str) -> Dat
         "unique (date, orderkey) tie-break counts them one at a time — "
         "run_range_cents >= run_rows_cents, equal exactly on the last "
         "peer.  Pins the peers semantics the interval family above "
-        "builds on; both frames share ONE shuffle and one sort (the "
-        "ROWS sort key is a superset of the RANGE key).",
+        "builds on; both frames share ONE shuffle on o_custkey "
+        "(verified: executedPlan has exactly one Exchange; Spark plans "
+        "a second in-partition sort for the longer ROWS key — a "
+        "nearly-sorted pass over already-clustered data).",
     tags=("window", "sql-api"),
 )
 def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +483,56 @@ def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFram
                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS run_rows_cents
+        FROM _rng_orders
+        """
+    )
+
+
+@register(
+    "window_range_interval_leakage_safe",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                       AND INTERVAL 1 DAY PRECEDING)
+             AS BIGINT) AS prior_week_cents,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                       AND INTERVAL 1 DAY PRECEDING)
+             AS BIGINT) AS prior_week_orders
+    FROM orders
+    """,
+    doc="LEAKAGE-SAFE trailing feature window: RANGE BETWEEN INTERVAL 7 "
+        "DAYS PRECEDING AND INTERVAL 1 DAY PRECEDING — the frame ends "
+        "STRICTLY BEFORE the current day, so same-day peers (including "
+        "the row itself) are excluded.  This is the feature-engineering "
+        "contract for ML training data: a 'spend in the prior week' "
+        "feature computed WITH the current day leaks the label's own "
+        "day into the feature (the trailing-30d query above includes "
+        "peers by design; this one pins the exclusive variant).  A row "
+        "with no prior-week orders gets NULL sum / 0 count — the "
+        "empty-frame semantics both engines share.  Same scale shape "
+        "as the other interval frames: one shuffle on the customer "
+        "key, one sort, a two-pointer frame pass.",
+    tags=("window", "timeseries", "sql-api", "ml-features"),
+)
+def window_range_interval_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND INTERVAL 1 DAYS PRECEDING)
+                 AS BIGINT) AS prior_week_cents,
+               CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND INTERVAL 1 DAYS PRECEDING)
+                 AS BIGINT) AS prior_week_orders
         FROM _rng_orders
         """
     )

@@ -164,7 +164,7 @@ _DEMOTE: tuple[str, ...] = ()
 # never-driver-checked query is either inside the window or on this
 # explicit queue — a silent backlog stays impossible.
 DEFERRED: tuple[str, ...] = (
-    # round-13 additions (7 of the 14-slot cap)
+    # round-13 additions, first wave (7 of the 14-slot cap)
     "window_range_interval_trailing_30d",
     "window_range_interval_centered_week",
     "window_range_peers_running_sum",
@@ -172,6 +172,12 @@ DEFERRED: tuple[str, ...] = (
     "applyinarrow_type_stats",
     "udtf_table_gap_report",
     "events_sliding_window_counts",
+    # round-13 additions, second wave (12 of 14)
+    "window_range_interval_leakage_safe",
+    "pandas_udf_iter_charge",
+    "scd2_type1_type2_divergence",
+    "privacy_dp_quantile_release",
+    "orders_repeat_purchase_latency",
 )
 
 
