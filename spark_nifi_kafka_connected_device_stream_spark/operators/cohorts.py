@@ -942,16 +942,16 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH ranked AS (
       SELECT o_custkey,
              CAST(o_orderdate AS DATE) AS d,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY CAST(o_orderdate AS DATE) ASC,
-                                         o_orderkey ASC) AS rn
+             row_number() OVER w AS rn,
+             lead(CAST(o_orderdate AS DATE)) OVER w AS d2
       FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
     ), pairs AS (
-      SELECT f.o_custkey,
-             CAST(year(f.d) AS INTEGER) AS cohort_year,
-             date_diff('day', f.d, s.d) AS gap_days
-      FROM (SELECT * FROM ranked WHERE rn = 1) f
-      JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (o_custkey)
+      SELECT o_custkey,
+             CAST(year(d) AS INTEGER) AS cohort_year,
+             date_diff('day', d, d2) AS gap_days
+      FROM ranked WHERE rn = 1 AND d2 IS NOT NULL
     ), per_gap AS (
       SELECT cohort_year, gap_days, CAST(count(*) AS BIGINT) AS cnt
       FROM pairs GROUP BY cohort_year, gap_days
@@ -984,12 +984,13 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "The lower median (smallest gap whose cumulative customer "
         "count reaches half the cohort) is computed via the grouped "
         "cumulative-count trick — exact integers end-to-end, no "
-        "engine-divergent percentile interpolation.  Scale shape: one "
-        "shuffle on o_custkey for the ranking window; first/second "
-        "rows join back on the SAME key (co-partitioned, no new "
-        "exchange); then per-(cohort, gap) aggregation — cohorts x "
-        "distinct gaps rows — and a bounded window over that "
-        "aggregate.  Right-censoring note: customers whose second "
+        "engine-divergent percentile interpolation.  Scale shape: the "
+        "(first, second) pair is row_number + lead IN ONE WINDOW — "
+        "exactly ONE fact-table shuffle on o_custkey (the "
+        "filter-rn=1-join-rn=2 draft planned 3 fact shuffles; plan "
+        "audit caught it); then per-(cohort, gap) aggregation — "
+        "cohorts x distinct gaps rows — and a bounded window over "
+        "that aggregate.  Right-censoring note: customers whose second "
         "order falls OUTSIDE the fixture's time range simply are not "
         "repeat customers in-sample; unlike rolling retention there is "
         "no per-window maturity cutoff to respect (the metric "
@@ -1005,17 +1006,13 @@ def orders_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("d"),
         F.row_number().over(w).alias("rn"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("d2"),
     )
-    firsts = ranked.filter(F.col("rn") == 1).select(
-        "o_custkey",
-        F.col("d").alias("d1"),
+    pairs = ranked.filter(
+        (F.col("rn") == 1) & F.col("d2").isNotNull()
+    ).select(
         F.year("d").cast("int").alias("cohort_year"),
-    )
-    seconds = ranked.filter(F.col("rn") == 2).select(
-        "o_custkey", F.col("d").alias("d2")
-    )
-    pairs = firsts.join(seconds, "o_custkey").select(
-        "cohort_year", F.datediff("d2", "d1").cast("bigint").alias("gap_days")
+        F.datediff("d2", "d").cast("bigint").alias("gap_days"),
     )
     per_gap = pairs.groupBy("cohort_year", "gap_days").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
