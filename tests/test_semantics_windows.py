@@ -52,3 +52,101 @@ def test_percent_rank_cume_dist_small_frame(spark, tmp_path):
     assert [r.pct_rank for r in rows] == [0.0, 0.5, 1.0]
     assert [round(r.cume, 6) for r in rows] == [0.333333, 0.666667, 1.0]
     assert [r.half for r in rows] == [1, 1, 2]
+
+
+_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (orderkey, custkey, date_str, price)."""
+    import datetime as _dt
+
+    data = [
+        (ok, ck, "O", price, _dt.datetime.fromisoformat(d), "1-URGENT")
+        for (ok, ck, d, price) in rows
+    ]
+    spark.createDataFrame(data, _ORDERS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_leakage_safe_frame_excludes_same_day(spark, tmp_path):
+    """One customer, two orders on the SAME day + one 3 days later: the
+    PRECEDING-to-PRECEDING frame must exclude same-day peers (both
+    day-1 orders see an EMPTY prior week -> NULL/0), while the later
+    order sees both."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.windows import (
+        window_range_interval_leakage_safe,
+    )
+
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 7, "2024-01-01", 10.00),
+            (2, 7, "2024-01-01", 20.00),
+            (3, 7, "2024-01-04", 40.00),
+        ],
+    )
+    got = {r.o_orderkey: (r.prior_week_cents, r.prior_week_orders)
+           for r in window_range_interval_leakage_safe(spark, sf).collect()}
+    assert got == {
+        1: (None, 0),      # same-day peer (order 2) EXCLUDED, self excluded
+        2: (None, 0),
+        3: (3000, 2),      # both day-1 orders inside [d-7, d-1]
+    }
+
+
+def test_range_vs_rows_running_sum_peers(spark, tmp_path):
+    """Two same-day orders: the RANGE frame gives both peers the full
+    same-day total; the ROWS frame with the orderkey tie-break counts
+    them one at a time."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.windows import (
+        window_range_peers_running_sum,
+    )
+
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 9, "2024-01-01", 10.00),
+            (2, 9, "2024-01-01", 20.00),
+            (3, 9, "2024-01-05", 5.00),
+        ],
+    )
+    got = {r.o_orderkey: (r.run_range_cents, r.run_rows_cents)
+           for r in window_range_peers_running_sum(spark, sf).collect()}
+    assert got == {
+        1: (3000, 1000),   # RANGE includes the same-day peer; ROWS does not yet
+        2: (3000, 3000),   # last peer: the two frames agree
+        3: (3500, 3500),
+    }
+
+
+def test_trailing_30d_calendar_gap_shrinks_window(spark, tmp_path):
+    """Value-based frame: an order 31 days after the first must NOT see
+    it; an order 30 days after must."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.windows import (
+        window_range_interval_trailing_30d,
+    )
+
+    sf = _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 5, "2024-01-01", 10.00),
+            (2, 5, "2024-01-31", 20.00),  # day 30 after -> includes order 1
+            (3, 5, "2024-02-01", 40.00),  # day 31 after 1 -> excludes order 1
+        ],
+    )
+    got = {r.o_orderkey: (r.spend_30d_cents, r.n_orders_30d)
+           for r in window_range_interval_trailing_30d(spark, sf).collect()}
+    assert got == {
+        1: (1000, 1),
+        2: (3000, 2),
+        3: (6000, 2),      # orders 2 and 3 only
+    }
