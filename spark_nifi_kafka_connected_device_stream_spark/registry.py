@@ -27,14 +27,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # operator modules that self-register on import.
 #
 # ORDER MATTERS: the driver's per-round correctness gate checks only the
-# FIRST 50 registry entries.  Round 1 verified relational/analytics/
-# windows (its first 50); round 2 led with events + the LLM-pipeline
-# extension surface.  Round 3 leads with windows (its last two queries,
-# lateral_top_order_per_customer / window_first_last, sat at indices
-# 59-60 and were never inside any round's window), then text (re-check
-# of the fixed text_token_stats oracle), then the modules that gained
-# new round-3 queries (similarity / pipeline_ops), then the rest of the
-# extension surface for continuity.
+# FIRST 50 registry entries.  Since round 3 the fine-grained _PROMOTE
+# list below (not module order) decides which 50 land in the window —
+# each round's rotation is pinned by the previous round's verdict so
+# every query's driver stamp stays fresh and the never-driver-checked
+# backlog stays zero.  Module order still fixes the BASE ordering that
+# everything not promoted/demoted keeps.
 _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
     "spark_nifi_kafka_connected_device_stream_spark.operators.text",
@@ -163,6 +161,12 @@ _DEMOTE: tuple[str, ...] = ()
 # every pytest run; tests/test_oracle_parity.py asserts that any
 # never-driver-checked query is either inside the window or on this
 # explicit queue — a silent backlog stays impossible.
+# Round-14 rotation, pre-computed (zero slack, same construction as
+# r13): _PROMOTE = these 12 DEFERRED names + the alphabetically-first
+# 38 of the 50-query cohort whose freshest green row is round 8
+# (compute fresh from CORRECTNESS_r01..r13 — as of r13 end that cohort
+# starts agg_approx_distinct_bound, array_collect_ops,
+# cluster_topic_terms, ... and the remaining 12 rotate in round 15).
 DEFERRED: tuple[str, ...] = (
     # round-13 additions, first wave (7 of the 14-slot cap)
     "window_range_interval_trailing_30d",
