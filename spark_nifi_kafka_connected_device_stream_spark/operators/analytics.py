@@ -434,7 +434,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(pround(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
@@ -495,7 +495,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -541,7 +541,7 @@ def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), rev.total == F.col("m"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", pround("total", 2).alias("total_revenue"))
     )
 
@@ -570,7 +570,7 @@ def q21_late_shipments_by_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_late"))
         .orderBy(F.desc("n_late"), F.asc("s_suppkey"))
@@ -642,7 +642,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     clause = lambda b, s1, s2, q1, q2: (  # noqa: E731
         (F.col("p_brand") == b)
         & F.col("p_size").between(s1, s2)
@@ -700,9 +700,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
@@ -764,15 +764,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
     sales = (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        li.join(p.filter(F.col("p_type") == "ECONOMY"), li.l_partkey == p.p_partkey)
         .join(
             o.filter(
                 (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
             ),
             F.col("l_orderkey") == o.o_orderkey,
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
@@ -938,9 +938,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _cents(F.col("p_retailprice")) * _cents(F.col("l_quantity"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -1027,7 +1027,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
     vals = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -1394,7 +1394,7 @@ def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("bigint")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum(cents).cast("bigint").alias("cents"))
         .localCheckpoint(eager=False)
@@ -2544,7 +2544,7 @@ def lineitem_simpson_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFra
         F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("y"),
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
         F.col("p_brand").alias("brand"), "x", "y"
     )
     g = pts.groupBy("brand").agg(

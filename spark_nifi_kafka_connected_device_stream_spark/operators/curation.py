@@ -1234,7 +1234,7 @@ def dataset_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o_s = (
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left",
         )

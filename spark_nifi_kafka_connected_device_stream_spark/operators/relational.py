@@ -322,8 +322,15 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
-    doc="Fact⋈dim join with explicit broadcast of both dims (customer, "
-        "nation) — no shuffle of the orders side at scale.",
+    doc="Fact⋈dim join, broadcast-planned: the hint is FORCED only on "
+        "the bounded dim (nation, 25 rows forever); customer SCALES "
+        "with SF, so its join is left to the planner's measured-size "
+        "decision — broadcast at any SF where it fits the threshold "
+        "(it does at every test SF, so the orders side never "
+        "shuffles here), sort-merge past it instead of pinning an "
+        "8 GB-broadcast-limit plan at warehouse scale (round-13 "
+        "review: the forced-customer-broadcast class removed "
+        "repo-wide, same rule as window_share_of_total's r12 fix).",
     tags=("join",),
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +338,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("n_orders"), pround(F.sum("o_totalprice"), 2).alias("total_price"))
@@ -432,7 +439,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -479,8 +486,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -518,7 +525,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -917,7 +924,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_type").like("PROMO%")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             pround(
                 F.lit(100.0)
@@ -1018,7 +1025,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#3") & size.between(1, 45) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -1072,9 +1079,9 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
     )
     pair = (
@@ -1167,7 +1174,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    asia = offers.join(F.broadcast(supp_asia), offers.l_suppkey == F.col("s_suppkey"))
+    asia = offers.join(supp_asia, offers.l_suppkey == F.col("s_suppkey"))
     # decorrelate `= (SELECT min ... WHERE partkey = outer.partkey)` as a
     # per-part window min on the offers table rather than a self-joined
     # aggregate: a grouped-agg + join-back branches the plan and makes
@@ -1181,7 +1188,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the window's partkey exchange — identical result, a fraction of
     # the shuffle/sort work
     return (
-        asia.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        asia.join(p, F.col("l_partkey") == p.p_partkey)
         .withColumn("best_c", F.min("cost_c").over(w))
         .filter(F.col("cost_c") == F.col("best_c"))
         .select(
@@ -1238,8 +1245,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1289,7 +1296,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_name", "s_acctbal", "s_suppkey")
     qty_c = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("bigint")
     pp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(
@@ -1302,7 +1309,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         pp.filter(F.col("q95_c") * 2 > F.col("qall_c")).select("l_suppkey").distinct()
     )
     return (
-        s.join(F.broadcast(keep), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(keep, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -1633,7 +1640,7 @@ def lineitem_transit_overlap_by_part(spark: SparkSession, sf_dir: str) -> DataFr
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
+        per_part.join(p, per_part.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum("n_pairs").cast("bigint").alias("n_overlap_pairs"),
