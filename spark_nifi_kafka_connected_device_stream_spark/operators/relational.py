@@ -10,9 +10,15 @@ testdata, each with a DuckDB oracle.
 Scale notes (100 TB posture):
 - Filters/projections are written so Catalyst pushes them into the
   parquet scan (verified in tests/test_plans.py via PushedFilters).
-- Dimension joins (region/nation/customer vs orders/lineitem) use
-  explicit `F.broadcast` — at 1000 executors a shuffle join on a
-  25-row nation table is pure waste.
+- Dimension joins: explicit `F.broadcast` ONLY on provably bounded
+  dims (nation 25 rows, region 5 — at 1000 executors a shuffle join
+  on those is pure waste).  SF-scaling dims (customer, supplier,
+  part) carry NO hint — the planner's measured-size decision
+  broadcasts them at every SF where they fit the threshold and falls
+  back to co-partitioned sort-merge past it, instead of pinning a
+  plan that hits the 8 GB broadcast limit at warehouse scale
+  (round-13 review; AQE converts derived small sides back to
+  broadcast at runtime).
 - No unbounded global sorts: every ORDER BY feeding a LIMIT is a
   bounded top-k (Spark executes orderBy().limit(k) as TakeOrdered,
   no full sort/exchange of the big side).
