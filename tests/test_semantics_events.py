@@ -581,3 +581,67 @@ def test_quantile_sketch_bound_holds_on_crafted_values(spark, tmp_path):
     sf = write_events6(spark, tmp_path, rows)
     got = {r.phi: r.within_bound for r in events_quantile_sketch_bound(spark, sf).collect()}
     assert got == {0.25: True, 0.5: True, 0.75: True, 0.95: True}
+
+
+def test_weekly_growth_accounting_journeys(spark, tmp_path):
+    """Crafted user journeys pinning all four growth states: A active
+    weeks 0,1 (retained in 1); B active week 0 only (churned in 1);
+    C first seen week 1 (new); D active weeks 0 and 2 (resurrected in
+    2, NOT counted churned beyond week 1).  Weeks are epoch-week
+    indexes; the fixture uses epoch-aligned timestamps."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_weekly_growth_accounting,
+    )
+
+    WEEK = 7 * 24 * 3600
+    rows = []
+    eid = 0
+    for user, weeks in ((1, (0, 1)), (2, (0,)), (3, (1,)), (4, (0, 2))):
+        for w in weeks:
+            eid += 1
+            rows.append((eid, w * WEEK + 3600, user, "view"))
+    sf = write_events4(spark, tmp_path, rows)
+    got = {
+        r.week_idx: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in events_weekly_growth_accounting(spark, sf).collect()
+    }
+    base_week = (int(datetime.datetime(
+        2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) + 3600) // WEEK
+    # fixture BASE is 2024-01-01; offsets keep every event inside the
+    # same epoch week regardless of the +3600 skew
+    assert got == {
+        base_week + 0: (3, 0, 0, 0),      # A, B, D all new
+        base_week + 1: (1, 1, 0, 2),      # C new; A retained; B and D churned
+        base_week + 2: (0, 0, 1, 2),      # D resurrected; A and C churned
+    }
+
+
+def test_interval_integrity_single_violation_classes(spark, tmp_path):
+    """Each injected-violation class in scd2_interval_integrity_audit
+    must fire ALONE: the fixture derives a store from custkeys chosen
+    so exactly one of {overlap, gap, double-open} applies per key (the
+    registered query's %7/%17/%19/%23 rules on keys 7, 17, 19, 23 and
+    a clean key 1)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.scd import (
+        scd2_interval_integrity_audit,
+    )
+
+    data = [
+        (k, f"c{k}", 1, 0.0, "AUTO") for k in (1, 17, 19, 23)
+    ]
+    spark.createDataFrame(
+        data,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    row = scd2_interval_integrity_audit(spark, str(tmp_path)).collect()[0]
+    # key 1: clean single open row.  key 17: open row 2023- + closed
+    # 2022-06..2023-06 overlapping it -> overlap.  key 19: closed
+    # 2021-01..2021-06 then open 2023- -> gap.  key 23: two open rows —
+    # that is BOTH a bad open count AND an overlap (any row after an
+    # open row overlaps it, per the classifier's documented rule).
+    assert row.n_keys == 4
+    assert row.keys_with_overlap == 2   # keys 17 and 23
+    assert row.keys_with_gap == 1       # key 19
+    assert row.keys_bad_open_count == 1  # key 23 (two opens)
+    assert row.keys_clean == 1          # key 1
