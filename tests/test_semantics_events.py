@@ -645,3 +645,36 @@ def test_interval_integrity_single_violation_classes(spark, tmp_path):
     assert row.keys_with_gap == 1       # key 19
     assert row.keys_bad_open_count == 1  # key 23 (two opens)
     assert row.keys_clean == 1          # key 1
+
+
+def test_incident_attribution_blast_radius(spark, tmp_path):
+    """Crafted incident: one hot 5-minute window plus satellites just
+    inside and just outside the ±2-minute blast radius — the range
+    join must count the inside events and exclude the outside ones."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        events_incident_window_attribution,
+    )
+
+    MIN = 60
+    rows = []
+    eid = 0
+    # the incident: 10 purchases inside [10:00, 10:05) (offset 36000s)
+    for s in range(10):
+        eid += 1
+        rows.append((eid, 36000 + s * 20, 1, "purchase"))
+    # inside the blast radius: 09:58:30 (-90s) and 10:06:30 (+90s past end)
+    eid += 1; rows.append((eid, 36000 - 90, 2, "view"))
+    eid += 1; rows.append((eid, 36000 + 5 * MIN + 90, 3, "view"))
+    # OUTSIDE: 09:57:30 (-150s) and 10:07:30 (+150s past end)
+    eid += 1; rows.append((eid, 36000 - 150, 4, "click"))
+    eid += 1; rows.append((eid, 36000 + 5 * MIN + 150, 5, "click"))
+    sf = write_events4(spark, tmp_path, rows)
+    out = events_incident_window_attribution(spark, sf)
+    got = {
+        (r.window_start[11:16], r.event_type): r.n_events for r in out.collect()
+    }
+    # with <= 10 non-empty windows every window is "top": restrict to
+    # the hot one (10:00) — its attribution must include the two
+    # inside-radius views and exclude the outside clicks
+    hot = {k[1]: v for k, v in got.items() if k[0] == "10:00"}
+    assert hot == {"purchase": 10, "view": 2}

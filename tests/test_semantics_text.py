@@ -241,3 +241,27 @@ def test_logodds_surfaces_the_source_specific_term(spark, tmp_path):
     assert top["B"] != "zebra"
     z_a = {r.token: r.z for r in rows if r.source == "A"}
     assert z_a["zebra"] > 0
+
+
+def test_winnowing_guarantee_shared_passage(spark, tmp_path):
+    """The winnowing theorem: any shared passage longer than w + k - 1
+    tokens (w=4 windows over k=3-token shingles) MUST contribute at
+    least one shared fingerprint; disjoint docs share none."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        text_winnowing_fingerprints,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = [
+        (1, f"alpha beta gamma {passage}", "en", "a", 0),
+        (2, f"delta epsilon zeta eta {passage}", "en", "b", 0),
+        (3, "totally different words with no overlap at all here", "en", "c", 0),
+    ]
+    docs = [(d, t, lang, s, len(t)) for (d, t, lang, s, _n) in docs]
+    sf = write_documents(spark, tmp_path, docs)
+    fp = {
+        r.doc_id: set(r.fingerprints.split(",")) if r.fingerprints else set()
+        for r in text_winnowing_fingerprints(spark, sf).collect()
+    }
+    assert fp[1] & fp[2], "shared 12-token passage must share a fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
