@@ -678,3 +678,54 @@ def test_incident_attribution_blast_radius(spark, tmp_path):
     # inside-radius views and exclude the outside clicks
     hot = {k[1]: v for k, v in got.items() if k[0] == "10:00"}
     assert hot == {"purchase": 10, "view": 2}
+
+
+def test_holt_forecast_matches_python_recursion(spark, tmp_path):
+    """Independent cross-check of the 2-state Holt recursion: a crafted
+    12-hour linear series, recomputed in plain Python with the same
+    constants — level/trend/forecast must match the applyInPandas path
+    exactly at the shared 4-decimal rounding, and on a perfect line the
+    one-step forecast converges to the true next value."""
+    import datetime as _dt
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        events_holt_forecast_hourly,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (h + 1, base + _dt.timedelta(hours=h), 1, "view", float(h + 1), "{}")
+        for h in range(12)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.hour: (r.level, r.trend, r.forecast_next)
+        for r in events_holt_forecast_hourly(spark, str(tmp_path)).collect()
+    }
+
+    def r4(v):
+        import math
+        return math.floor(v * 10000.0 + 0.5) / 10000.0
+
+    xs = [float(h + 1) for h in range(12)]
+    l, b = xs[0], 0.0
+    expected = {}
+    for i, x in enumerate(xs):
+        if i > 0:
+            l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+            l = l_new
+        hour = (base + _dt.timedelta(hours=i)).strftime("%Y-%m-%d %H:%M:%S")
+        expected[hour] = (r4(l), r4(b), r4(l + b))
+    assert got == expected
+    # on a perfect line the forecast converges to truth: the final
+    # one-step forecast must be within 0.2 of the true next value (13)
+    last = max(got)
+    assert abs(got[last][2] - 13.0) < 0.2
