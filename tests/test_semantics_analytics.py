@@ -557,3 +557,42 @@ def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark, tmp_path):
     assert r1.n_resamples == BOOTSTRAP_B
     assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
     assert r1.ci_lo < r1.ci_hi  # non-degenerate interval
+
+
+def test_linear_regression_matches_numpy(spark, tmp_path):
+    """Independent OLS cross-check: regr_slope/intercept/r2 on a
+    crafted noisy line must equal numpy's closed-form least squares at
+    the shared rounding."""
+    import datetime as _dt
+    import math
+
+    import numpy as np
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        stats_linear_regression,
+    )
+
+    base = _dt.datetime(1995, 1, 1)
+    # y = 3x + 10 with deterministic pseudo-noise; x spread over 1..20
+    pts = [(float(x), 3.0 * x + 10.0 + ((x * 7) % 5 - 2)) for x in range(1, 21)]
+    rows = [
+        (i + 1, 1, i + 1, 1, x, y, 0.0, 0.0, "N", "O", base)
+        for i, (x, y) in enumerate(pts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    row = stats_linear_regression(spark, str(tmp_path)).collect()[0]
+    xs = np.array([p[0] for p in pts]); ys = np.array([p[1] for p in pts])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    def rnd(v, n):
+        return math.floor(v * 10**n + 0.5) / 10**n
+    assert row.n == 20
+    assert row.slope == rnd(float(slope), 6)
+    assert row.intercept == rnd(float(intercept), 2)
+    assert row.r2 == rnd(float(r * r), 6)

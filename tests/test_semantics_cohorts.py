@@ -70,3 +70,46 @@ def test_audience_overlap_hand_computed(spark, tmp_path):
     assert (r.type_a, r.type_b) == ("click", "view")
     assert (r.n_both, r.n_a, r.n_b) == (1, 2, 2)
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_kaplan_meier_matches_python_product_limit(spark, tmp_path):
+    """Independent KM cross-check: crafted lifetimes with a censored
+    user — the product-limit curve recomputed in plain Python must
+    match exactly.  Users: A life 0d (churned), B life 2d (churned),
+    C life 2d (churned), D last-seen at the corpus end (CENSORED — at
+    risk through its lifetime but contributes no death)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.cohorts import (
+        KM_CENSOR_DAYS,
+        events_survival_kaplan_meier,
+    )
+
+    DAY = 86400
+    horizon = (KM_CENSOR_DAYS + 10) * DAY  # corpus end anchor
+    rows = [
+        # A: single event long ago -> life 0, churned
+        (1, 0, 1, "view"),
+        # B, C: life 2 days, last seen long before the censor cutoff
+        (2, 0, 2, "view"), (3, 2 * DAY, 2, "view"),
+        (4, 0, 3, "view"), (5, 2 * DAY, 3, "view"),
+        # D: life 5 days ending AT the corpus end -> censored
+        (6, horizon - 5 * DAY, 4, "view"), (7, horizon, 4, "view"),
+    ]
+    sf = write_events4(spark, tmp_path, rows)
+    got = {
+        r.lifetime_day: (r.n_at_risk, r.n_churned, r.survival)
+        for r in events_survival_kaplan_meier(spark, sf).collect()
+    }
+
+    # plain-Python product limit over (life, churned):
+    import math
+    lives = [(0, 1), (2, 1), (2, 1), (5, 0)]
+    from collections import Counter
+    deaths = Counter(l for l, c in lives if c)
+    here = Counter(l for l, _c in lives)
+    s, expected, at_risk = 1.0, {}, len(lives)
+    for life in sorted(here):
+        d = deaths.get(life, 0)
+        s *= 1.0 - d / at_risk
+        expected[life] = (at_risk, d, math.floor(s * 1e6 + 0.5) / 1e6)
+        at_risk -= here[life]
+    assert got == expected
