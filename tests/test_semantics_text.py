@@ -265,3 +265,45 @@ def test_winnowing_guarantee_shared_passage(spark, tmp_path):
     }
     assert fp[1] & fp[2], "shared 12-token passage must share a fingerprint"
     assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+
+
+def test_bm25_matches_textbook_reference(spark, tmp_path):
+    """Independent BM25 cross-check: crafted docs with known term
+    frequencies and lengths, scored by a from-scratch textbook BM25
+    (Lucene idf variant ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) —
+    scores and ranking must match at the shared 6-decimal rounding."""
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.text import (
+        text_bm25_search,
+    )
+
+    texts = {
+        1: "spark join window spark spark filler one two three",
+        2: "join join window other words here padding padding",
+        3: "nothing relevant at all in this document text",
+        4: "window",
+        5: "spark " * 5 + "lots of extra tokens " * 10,
+    }
+    docs = [(d, t.strip(), "en", "s", len(t)) for d, t in texts.items()]
+    sf = write_documents(spark, tmp_path, docs)
+    got = [(r.doc_id, r.bm25) for r in text_bm25_search(spark, sf).collect()]
+
+    TERMS, K1, B = ("spark", "join", "window"), 1.2, 0.75
+    toks = {d: t.strip().lower().split() for d, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {w: sum(1 for v in toks.values() if w in v) for w in TERMS}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for w in TERMS:
+            tf = v.count(w)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * (tf * (K1 + 1)) / (tf + K1 * ((1 - B) + B * (len(v) / avgdl)))
+        if s > 0:
+            scores[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == expected
