@@ -171,3 +171,63 @@ def test_holdout_perplexity_hand_computed(spark, tmp_path):
     want_avg = (lpq(6 / 7) + lpq(1 / 7)) / (2 * 1_000_000)
     assert r.avg_logprob == math.floor(want_avg * 1e6 + 0.5) / 1e6
     assert r.ppl_proxy == math.floor(math.exp(-want_avg) * 100 + 0.5) / 100
+
+
+def test_kneser_ney_matches_textbook_reference(spark, tmp_path):
+    """Independent interpolated-KN cross-check: a crafted corpus with
+    known bigram/continuation structure, scored by a from-scratch
+    textbook implementation — P(w2|w1) = max(c12-D,0)/c1 +
+    D*N1+(w1,.)/c1 * N1+(.,w2)/|types|.  Every probability, ordering,
+    and count column must match.  The crafted corpus makes the KN
+    point visible: 'francisco' is frequent but follows ONLY 'san', so
+    its continuation weight is minimal despite its raw count."""
+    import math
+    from collections import Counter
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        _KN_DISCOUNT,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        text_bigram_kneser_ney,
+    )
+
+    texts = {
+        1: "san francisco san francisco san francisco",
+        2: "new york new jersey new england",
+        3: "the cat and the dog and the bird",
+    }
+    docs = [(d, t, "en", "s", len(t)) for d, t in texts.items()]
+    sf = write_documents(spark, tmp_path, docs)
+    got = [
+        (r.w1, r.w2, r.c_bigram, r.c_w1, r.n_follow, r.n_precede, r.p_kn)
+        for r in text_bigram_kneser_ney(spark, sf).collect()
+    ]
+
+    bgc = Counter()
+    for t in texts.values():
+        tk = t.lower().split()
+        for a, b in zip(tk, tk[1:]):
+            bgc[(a, b)] += 1
+    c1 = Counter(); n_follow = Counter(); n_precede = Counter()
+    for (a, b), c in bgc.items():
+        c1[a] += c
+        n_follow[a] += 1
+        n_precede[b] += 1
+    n_types = len(bgc)
+    D = _KN_DISCOUNT
+    expected = []
+    for (a, b), c in bgc.items():
+        p = max(c - D, 0.0) / c1[a] + (D * n_follow[a] / c1[a]) * (
+            n_precede[b] * 1.0 / n_types
+        )
+        expected.append(
+            (a, b, c, c1[a], n_follow[a], n_precede[b],
+             math.floor(p * 1e6 + 0.5) / 1e6)
+        )
+    expected.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert got == expected[: len(got)] and len(got) == len(expected)
+    # the KN point: P(francisco | san) keeps a high main term but the
+    # continuation weight of 'francisco' (precede-types 1) is the
+    # corpus minimum, unlike add-one which would reward its raw count
+    byk = {(r[0], r[1]): r for r in got}
+    assert byk[("san", "francisco")][5] == 1
