@@ -167,8 +167,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact percentiles (linear interpolation — Spark `percentile` ≡ "
         "DuckDB `quantile_cont`). Exact percentile is a sort-based agg; "
-        "the 100 TB path is percentile_approx (t-digest style sketch), "
-        "registered separately without a value oracle.",
+        "the 100 TB path is percentile_approx (KLL-style rank sketch), "
+        "registered as stats_percentiles_approx_bound under an "
+        "envelope-contract oracle.",
     tags=("agg", "stats"),
 )
 def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,28 +182,18 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stats_percentiles_approx",
-    oracle=None,  # sketch-based; engine-specific estimates
-    doc="percentile_approx — the sketch path for percentiles at scale "
-        "(bounded memory, mergeable). Rows-only check; accuracy vs exact "
-        "asserted in tests.",
-    tags=("agg", "stats", "approx"),
-)
-def stats_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
-    )
-
-
-@register(
     "stats_percentiles_approx_bound",
     oracle="""
     SELECT DISTINCT o_orderstatus, true AS within_tolerance
     FROM orders
     """,
-    doc="Driver-checkable accuracy contract for percentile_approx "
+    doc="percentile_approx — the sketch path for percentiles at scale "
+        "(bounded memory, mergeable) — under a driver-checkable "
+        "accuracy contract.  This query SUBSUMES the retired r1 "
+        "`stats_percentiles_approx` (deleted in r14, VERDICT r13 item "
+        "3): the raw sketch estimate is engine-specific so a value "
+        "oracle can never exist for it, and a permanently `no_oracle` "
+        "registry entry violated the rotation invariant.  The contract "
         "(KLL-style rank sketch, accuracy=10000 → rank error ≤ 1e-4): "
         "per group, the approx p50/p90 must land inside the EXACT "
         "[p49,p51] / [p89,p91] envelope — a ±0.01-quantile window, two "

@@ -1,0 +1,1823 @@
+"""Time-series anomaly / trend / forecast analytics over `events` —
+the timeseries tier split out of `operators/events.py` in round 14
+(VERDICT r13 item 5; pure move, no semantic change).
+
+Gap-fill, EWMA/Holt smoothing, seasonal baselines, CUSUM/Pettitt
+change-points, chi-square mix drift, ACF/cross-correlation, Theil-Sen
+robust trend, tail-index and dispersion diagnostics.  Everything is
+hourly/daily pre-aggregation first (shuffle shrinks to group count),
+then window functions or bounded pandas UDFs over the tiny series —
+the shape that survives 100 TB because the expensive pass is a plain
+hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import pround
+from ..registry import register
+from ..sources.catalog import load_table
+from .events import TS_FMT_SPARK
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), buckets AS (
+      SELECT unnest(generate_series((SELECT min(h) FROM counts),
+                                    (SELECT max(h) FROM counts),
+                                    INTERVAL 1 HOUR)) AS h
+    ), types AS (
+      SELECT DISTINCT event_type FROM counts
+    )
+    SELECT strftime(b.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           t.event_type,
+           coalesce(c.n, 0) AS n
+    FROM buckets b
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = b.h AND c.event_type = t.event_type
+    """,
+    doc="Time-series gap filling: dense hourly grid (sequence+explode × "
+        "distinct keys) left-joined with actual counts, zeros filled — the "
+        "resample-with-gaps primitive. Grid bounds are DERIVED from the "
+        "data's min/max hour (r12 review fix: the old hardcoded "
+        "2024-01-01..31 grid silently dropped any event outside it and "
+        "reported confident zeros for weeks the data never covered — "
+        "fine until the fixture span moved). Grid generation is "
+        "O(buckets×keys), independent of fact size; the counts side is "
+        "one hash-agg feeding both the grid bounds and the join.",
+    tags=("events", "timeseries"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), F.col("event_type").alias("ct")
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    buckets = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = counts.select("ct").distinct()
+    # USING-join on the shared names: the grid derives FROM counts, so
+    # column-object join conditions would be ambiguous self-join refs
+    return (
+        buckets.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "ct"], "left")
+        .select(
+            F.date_format("h", TS_FMT_SPARK).alias("hour_start"),
+            F.col("ct").alias("event_type"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+# drift-monitor parameters (compile-time, shared with the oracle):
+# trailing window size in hours, minimum history to score, z threshold
+ANOMALY_TRAIL_HOURS = 24
+ANOMALY_MIN_HISTORY = 12
+ANOMALY_Z = 3.0
+
+
+@register(
+    "events_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT min(h) FROM hourly),
+                    (SELECT max(h) FROM hourly),
+                    INTERVAL 1 HOUR)) AS h) g
+    ), dense AS (
+      SELECT g.event_type, g.h, CAST(coalesce(x.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN hourly x
+        ON x.event_type = g.event_type AND x.h = g.h
+    ), scored AS (
+      SELECT event_type, h, n,
+             count(*)        OVER trail AS n_prev,
+             avg(n)          OVER trail AS trail_mean,
+             stddev_samp(n)  OVER trail AS trail_std
+      FROM dense
+      WINDOW trail AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN {ANOMALY_TRAIL_HOURS} PRECEDING
+                                AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(n AS BIGINT) AS n,
+           floor(trail_mean * 1000000.0 + 0.5) / 1000000.0 AS trail_mean,
+           floor(trail_std * 1000000.0 + 0.5) / 1000000.0 AS trail_std,
+           floor(((n - trail_mean) / trail_std) * 1000000.0 + 0.5)
+             / 1000000.0 AS zscore,
+           abs(floor(((n - trail_mean) / trail_std) * 1000000.0 + 0.5)
+               / 1000000.0) > {ANOMALY_Z} AS is_anomaly
+    FROM scored
+    WHERE n_prev >= {ANOMALY_MIN_HISTORY} AND trail_std > 0
+    """,
+    doc=f"Ingest-rate drift monitor: hourly event counts per type scored "
+        f"against their own trailing {ANOMALY_TRAIL_HOURS}-hour history "
+        f"(mean/stddev over a ROWS frame that EXCLUDES the current hour), "
+        f"|z| > {ANOMALY_Z} flagged — the pipeline-health screen that "
+        f"catches a source going dark or a duplicate flood before it "
+        f"poisons a training snapshot.  The hourly series is DENSIFIED "
+        f"over the full min..max hour grid with zero-count rows (r12 "
+        f"review fix): without the zero-fill a silent hour produced NO "
+        f"scored row at all — the going-dark case could never flag — "
+        f"and the ROWS frame spanned arbitrary wall time on sparse "
+        f"series.  Rows with under {ANOMALY_MIN_HISTORY}h of history "
+        f"are withheld (cold-start).  Scale shape: one grouped hourly "
+        f"rollup (map-side combine), a broadcast grid densify, then a "
+        f"window over (type, hour) — partition count = |types|, each a "
+        f"bounded time series, so the window never sees a data-sized "
+        f"partition.",
+    tags=("events", "window-agg", "monitoring"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    ).crossJoin(F.broadcast(hourly.select("event_type").distinct()))
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOMALY_TRAIL_HOURS, -1)
+    )
+    scored = dense.select(
+        "event_type",
+        "h",
+        "n",
+        F.count(F.lit(1)).over(trail).alias("n_prev"),
+        F.avg("n").over(trail).alias("trail_mean"),
+        F.stddev_samp("n").over(trail).alias("trail_std"),
+    ).filter(
+        (F.col("n_prev") >= ANOMALY_MIN_HISTORY) & (F.col("trail_std") > 0)
+    )
+    z = pround((F.col("n") - F.col("trail_mean")) / F.col("trail_std"), 6)
+    return scored.select(
+        "event_type",
+        F.date_format("h", TS_FMT_SPARK).alias("hour_start"),
+        F.col("n").cast("bigint").alias("n"),
+        pround("trail_mean", 6).alias("trail_mean"),
+        pround("trail_std", 6).alias("trail_std"),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(ANOMALY_Z)).alias("is_anomaly"),
+    )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_SCHEMA = "event_type string, hour string, x double, ewma double"
+
+
+def _ewma_group(pdf):
+    """Sequential EWMA recursion per key: y_t = (1-a)*y_{t-1} + a*x_t,
+    y_0 = x_0.  Explicit loop (not pandas .ewm) so the per-step float
+    expression `0.8*y + 0.2*x` is TEXTUALLY the oracle's recursive-CTE
+    arithmetic — multiply, multiply, add, in the same order — making
+    the recursion bit-identical given bit-identical inputs (which the
+    integer-cents hourly average guarantees)."""
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    out = xs.copy()
+    for i in range(1, len(xs)):
+        out[i] = (1.0 - _EWMA_ALPHA) * out[i - 1] + _EWMA_ALPHA * xs[i]
+    pdf["ewma"] = out
+    return pdf
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+             CAST(count(*) AS BIGINT)                        AS cnt
+      FROM events GROUP BY event_type, hour
+    ), seq AS (
+      SELECT event_type, hour, cents / cnt / 100.0 AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn
+      FROM hourly
+    ), ew AS (
+      SELECT event_type, hour, x, rn, x AS ewma FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.rn,
+             {1.0 - _EWMA_ALPHA} * e.ewma + {_EWMA_ALPHA} * s.x
+      FROM ew e JOIN seq s
+        ON s.event_type = e.event_type AND s.rn = e.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0    AS x,
+           floor(ewma * 10000.0 + 0.5) / 10000.0 AS ewma
+    FROM ew
+    """,
+    doc=f"Exponentially-weighted moving average (alpha={_EWMA_ALPHA}) of "
+        "the hourly mean event value per event type — the classic "
+        "smoothing pass behind rate dashboards and drift detectors.  "
+        "EWMA is inherently sequential per key, which SQL windows can't "
+        "express; the engine shape is: (1) hourly pre-aggregation in "
+        "integer cents (exact, order-independent — this is what makes "
+        "the recursion cross-engine bit-identical AND shrinks the data "
+        "from |events| to |types|x|hours| BEFORE Python), then (2) "
+        "applyInPandas per event_type running the linear recursion over "
+        "the bounded per-key timeline.  At 100 TB the Python boundary "
+        "sees only the pre-aggregated frame — thousands of rows per "
+        "key-year, not the raw stream.  Oracle: per-group recursive CTE "
+        "with the identical fp expression.  Observation-indexed (gap "
+        "hours skipped, not zero-filled; the gapfill op composes "
+        "upstream when calendar indexing is wanted).  The hour is "
+        "emitted as a formatted string: collected TimestampType values "
+        "render in the Python process tz while the driver's oracle "
+        "compares naive wall time — strings make the column "
+        "session-tz-proof (same contract as events_hourly_stats).",
+    tags=("events", "timeseries", "udf"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+            (F.col("cents") / F.col("cnt") / F.lit(100.0)).alias("x"),
+        )
+    )
+    out = hourly.groupBy("event_type").applyInPandas(
+        _ewma_group, schema=_EWMA_SCHEMA
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("ewma", 4).alias("ewma"),
+    )
+
+
+def seasonal_baseline(hourly: DataFrame) -> DataFrame:
+    """hour-of-day baseline (mu, sigma) from a (day, hour_of_day,
+    n_events) frame — shared by the batch query and the streaming
+    enrichment job so live scoring and backfill cannot drift."""
+    return hourly.groupBy("hour_of_day").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp("n_events").alias("sigma"),
+    )
+
+
+def seasonal_score(hourly: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Score (day, hour_of_day, n_events) rows against a broadcast
+    hour-of-day baseline — the SAME select for the batch query and each
+    streaming micro-batch (streaming/jobs.run_seasonal_anomaly_job)."""
+    return hourly.join(F.broadcast(baseline), "hour_of_day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hour_of_day",
+        "n_events",
+        pround("mu", 6).alias("baseline_mu"),
+        pround((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias(
+            "zscore"
+        ),
+        (
+            F.abs(F.col("n_events") - F.col("mu")) > F.lit(3.0) * F.col("sigma")
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "events_seasonal_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(hour(ts) AS INTEGER)           AS hour_of_day,
+             CAST(count(*) AS BIGINT)            AS n_events
+      FROM events GROUP BY day, hour_of_day
+    ), baseline AS (
+      SELECT hour_of_day,
+             avg(n_events)         AS mu,
+             stddev_samp(n_events) AS sigma
+      FROM hourly GROUP BY hour_of_day
+    )
+    SELECT strftime(h.day, '%Y-%m-%d') AS day,
+           h.hour_of_day,
+           h.n_events,
+           floor(b.mu * 1000000.0 + 0.5) / 1000000.0 AS baseline_mu,
+           floor((h.n_events - b.mu) / b.sigma * 1000000.0 + 0.5) / 1000000.0
+             AS zscore,
+           abs(h.n_events - b.mu) > 3.0 * b.sigma AS is_anomaly
+    FROM hourly h JOIN baseline b USING (hour_of_day)
+    """,
+    doc="Seasonal (hour-of-day) ingest-volume anomaly screen: each "
+        "(day, hour) bucket's event count z-scored against the "
+        "baseline built from the SAME hour-of-day across all observed "
+        "days — the diurnal-pattern-aware sibling of "
+        "events_rate_anomaly (which uses a trailing window and so "
+        "flags every morning ramp-up).  Scale shape: corpus -> hourly "
+        "counts is ONE grouped agg with map-side combine (|days|x24 "
+        "rows out); the baseline aggregates those to 24 rows and "
+        "joins back via broadcast — the corpus is scanned once and "
+        "nothing downstream exceeds |days|x24.  Buckets with zero "
+        "events are absent (not zero-counted): the baseline describes "
+        "observed traffic, and a silent-hour detector belongs to the "
+        "rate monitor.  z/mu rounded to 6dp in both engines; the "
+        "inputs are exact integer counts so the doubles agree "
+        "bit-for-bit cross-engine.",
+    tags=("events", "anomaly", "agg"),
+)
+def events_seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # consumed twice (baseline + join back): |days|x24 rows — materialize
+    # lazily so the corpus is scanned ONCE, not once per consumer
+    hourly = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    return seasonal_score(hourly, seasonal_baseline(hourly))
+
+
+GAP_TIMEOUT_US = 3_600_000_000  # 1 hour: a device is "down" past this
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_ns(ts) // 1000 AS us,
+             lead(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS next_us
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)  AS n_intervals,
+           floor(CAST(sum(cents * (next_us - us)) AS DOUBLE)
+                 / sum(next_us - us) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+             AS twa_value
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+    doc="Time-weighted average of the reading per (device, day) — THE "
+        "correct daily mean for irregularly-sampled device telemetry "
+        "(the reference's connected-device stream, v1:15-20): each "
+        "reading holds until the next one, so its weight is the "
+        "interval length, not 1 (a plain avg over-counts burst "
+        "periods).  Last-of-day readings carry no interval "
+        "(left-constant hold, standard TWA convention); single-reading "
+        "days drop out.  Exact arithmetic: integer cents x integer "
+        "microseconds summed as bigint, ONE double division at the "
+        "end (rounded 6dp in both engines).  Scale shape: one shuffle "
+        "on (user, day), lead() and the grouped agg share the sort — "
+        "Catalyst plans a single exchange; nothing downstream exceeds "
+        "|devices| x |days|.",
+    tags=("events", "timeseries", "window"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("ts_us").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(F.asc("us"), F.asc("event_id"))
+    seq = e.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dt = F.col("next_us") - F.col("us")
+    return (
+        # group on the RAW window keys so the agg reuses the window's
+        # hash partitioning (casting/formatting in the keys would force
+        # a second exchange); project the display forms afterwards
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("cents") * dt).alias("wsum"),
+            F.sum(dt).alias("tsum"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            pround(F.col("wsum").cast("double") / F.col("tsum") / F.lit(100.0), 6)
+            .alias("twa_value"),
+        )
+    )
+
+
+@register(
+    "events_device_uptime",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 AS us,
+             lead(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS next_us
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) + 1 AS BIGINT)            AS n_readings,
+           CAST(max(next_us) - min(us) AS BIGINT)  AS span_us,
+           CAST(max(next_us - us) AS BIGINT)       AS max_gap_us,
+           CAST(count(*) FILTER (WHERE next_us - us > {GAP_TIMEOUT_US})
+                AS BIGINT)                         AS n_outages,
+           floor(CAST(sum(least(next_us - us, {GAP_TIMEOUT_US})) AS DOUBLE)
+                 / (max(next_us) - min(us)) * 1000000.0 + 0.5) / 1000000.0
+             AS uptime_fraction
+    FROM seq
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Device uptime / outage report per device: heartbeat-style "
+        "coverage where each reading keeps the device 'up' for at most "
+        "1 hour (GAP_TIMEOUT_US), so uptime_fraction = covered time / "
+        "observed span, plus the outage count and worst gap — the "
+        "fleet-health screen for the reference's device stream.  All "
+        "interval math is exact integer microseconds; one double "
+        "division at the end (6dp, engine-portable).  Scale shape: "
+        "ONE shuffle on user_id shared by the lead() window and the "
+        "grouped agg (same partitioning), output |devices| rows.",
+    tags=("events", "timeseries", "window"),
+)
+def events_device_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    seq = e.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    gap = F.col("next_us") - F.col("us")
+    return (
+        seq.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_readings"),
+            (F.max("next_us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.max(gap).cast("bigint").alias("max_gap_us"),
+            F.sum((gap > GAP_TIMEOUT_US).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outages"),
+            F.sum(F.least(gap, F.lit(GAP_TIMEOUT_US))).alias("covered_us"),
+        )
+        .select(
+            "user_id",
+            "n_readings",
+            "span_us",
+            "max_gap_us",
+            "n_outages",
+            pround(
+                F.col("covered_us").cast("double") / F.col("span_us"), 6
+            ).alias("uptime_fraction"),
+        )
+    )
+
+
+# Holt double-exponential smoothing: binary-exact constants (0.5, 0.25)
+# so (1-alpha)/(1-beta) are exactly representable and the cross-engine
+# fp recursion cannot drift on constant rounding.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+_HOLT_SCHEMA = (
+    "event_type string, hour string, x double, level double, trend double, "
+    "forecast_next double"
+)
+
+
+def _holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    level = xs.copy()
+    trend = xs * 0.0
+    for i in range(1, len(xs)):
+        lp, bp = level[i - 1], trend[i - 1]
+        level[i] = HOLT_ALPHA * xs[i] + (1.0 - HOLT_ALPHA) * (lp + bp)
+        trend[i] = HOLT_BETA * (level[i] - lp) + (1.0 - HOLT_BETA) * bp
+    pdf["level"] = level
+    pdf["trend"] = trend
+    pdf["forecast_next"] = level + trend
+    return pdf
+
+
+@register(
+    "events_holt_forecast_hourly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+             CAST(count(*) AS BIGINT)                        AS cnt
+      FROM events GROUP BY event_type, hour
+    ), seq AS (
+      SELECT event_type, hour, cents / cnt / 100.0 AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn
+      FROM hourly
+    ), holt AS (
+      SELECT event_type, hour, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.rn,
+             {HOLT_ALPHA} * s.x + {1.0 - HOLT_ALPHA} * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * s.x + {1.0 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {1.0 - HOLT_BETA} * h.b
+      FROM holt h JOIN seq s
+        ON s.event_type = h.event_type AND s.rn = h.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0       AS x,
+           floor(l * 10000.0 + 0.5) / 10000.0       AS level,
+           floor(b * 10000.0 + 0.5) / 10000.0       AS trend,
+           floor((l + b) * 10000.0 + 0.5) / 10000.0 AS forecast_next
+    FROM holt
+    """,
+    doc=f"Holt double-exponential smoothing (alpha={HOLT_ALPHA}, "
+        f"beta={HOLT_BETA}) over the hourly mean value per event type: "
+        f"level + trend state with a one-step-ahead forecast — the "
+        f"capacity-planning / drift-forecast extension of "
+        f"events_ewma_hourly (same engine shape: exact integer-cents "
+        f"hourly pre-aggregate BEFORE Python, then applyInPandas "
+        f"running the 2-state linear recursion per bounded key "
+        f"timeline; the Python boundary sees |types|x|hours| rows, "
+        f"never the raw stream).  Initialization l1=x1, b1=0 "
+        f"(trend warms up from the second point).  Both smoothing "
+        f"constants are binary-exact so the coupled recursion is "
+        f"bit-identical to the oracle's recursive CTE carrying (l, b) "
+        f"— the 2-state proof that the sequential-recursion pattern "
+        f"generalizes beyond single-state EWMA.",
+    tags=("events", "timeseries", "udf", "forecast"),
+)
+def events_holt_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+            (F.col("cents") / F.col("cnt") / F.lit(100.0)).alias("x"),
+        )
+    )
+    out = hourly.groupBy("event_type").applyInPandas(
+        _holt_group, schema=_HOLT_SCHEMA
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("level", 4).alias("level"),
+        pround("trend", 4).alias("trend"),
+        pround("forecast_next", 4).alias("forecast_next"),
+    )
+
+
+# chi-square 95th-percentile critical values by dof (1..6), each a
+# pre-rounded single literal.  SELECTED by the observed per-day dof —
+# r12 review fix, twice over: the old pinned 9.488 assumed dof=4 ("5
+# event types") while the fixture alphabet has 4 types (dof=3, crit
+# 7.815), and zero-observed cells were dropped from the statistic
+# entirely (a type VANISHING — the strongest composition drift — only
+# shrank dof instead of contributing its full exp-sized term).
+_CHI2_CRIT_BY_DF = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.07, 6: 12.592}
+
+
+def _chi2_crit_sql(dof_expr: str) -> str:
+    return (
+        f"CASE {dof_expr} "
+        + " ".join(
+            f"WHEN {df} THEN {v}" for df, v in sorted(_CHI2_CRIT_BY_DF.items())
+        )
+        + " ELSE 12.592 END"
+    )
+
+
+@register(
+    "events_chi2_mix_drift_daily",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY day, event_type
+    ), grid AS (
+      SELECT d.day, t.event_type
+      FROM (SELECT DISTINCT day FROM cell) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+    ), full_cell AS (
+      SELECT g.day, g.event_type, CAST(coalesce(c.obs, 0) AS BIGINT) AS obs
+      FROM grid g LEFT JOIN cell c
+        ON c.day = g.day AND c.event_type = g.event_type
+    ), day_tot AS (
+      SELECT day, CAST(sum(obs) AS BIGINT) AS n_d FROM full_cell GROUP BY day
+    ), type_tot AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS c_t
+      FROM full_cell GROUP BY event_type
+    ), grand AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n FROM full_cell
+    ), terms AS (
+      SELECT c.day,
+             pow(c.obs - CAST(d.n_d AS DOUBLE) * t.c_t / g.n, 2)
+               / (CAST(d.n_d AS DOUBLE) * t.c_t / g.n) AS term
+      FROM full_cell c
+      JOIN day_tot d ON d.day = c.day
+      JOIN type_tot t ON t.event_type = c.event_type
+      CROSS JOIN grand g
+    )
+    SELECT strftime(day, '%Y-%m-%d')           AS day,
+           CAST(count(*) - 1 AS INTEGER)       AS dof,
+           floor(sum(term) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           sum(term) > ({_chi2_crit_sql('CAST(count(*) - 1 AS INTEGER)')})
+             AS drift_flag
+    FROM terms GROUP BY day
+    """,
+    doc="Categorical mix-drift screen (the chi-square complement of "
+        "the KS length-drift op): each day's event-type mix tested "
+        "against the all-time mix over the FULL day x global-alphabet "
+        "grid — a (day, type) cell with zero events still contributes "
+        "its (0-exp)^2/exp = exp term, which is exactly the signal "
+        "when a type vanishes for a day (r12 review fix; the old "
+        "observed-cells-only grouping understated chi2 and shrank dof "
+        "in that case).  Flagged past the 95th-percentile critical "
+        "value SELECTED by the per-day dof (= |alphabet|-1; the old "
+        "pinned dof=4 literal under-rejected on the 4-type fixture).  "
+        "Catches a day where the TYPE composition shifted (error "
+        "spike, signup flood) even when total volume looks normal — "
+        "the companion to events_rate_anomaly, which sees volume but "
+        "not composition.  Scale shape: ONE grouped agg collapses the "
+        "corpus to |days|x|types| cells, densified by a broadcast "
+        "cross with the tiny type alphabet; margins derive from the "
+        "cells (corpus scanned once, cell table checkpointed); "
+        "everything after is grid math with broadcast margins.  "
+        "Exact integer counts; per-cell double terms rounded post-sum "
+        "at 6dp.",
+    tags=("events", "drift", "stats"),
+)
+def events_chi2_mix_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cell = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    grid = cell.select("day").distinct().crossJoin(
+        F.broadcast(cell.select("event_type").distinct())
+    )
+    full_cell = grid.join(cell, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+    )
+    day_tot = full_cell.groupBy("day").agg(
+        F.sum("obs").cast("bigint").alias("n_d")
+    )
+    type_tot = full_cell.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("c_t")
+    )
+    grand = full_cell.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp = F.col("n_d").cast("double") * F.col("c_t") / F.col("n")
+    term = F.pow(F.col("obs") - exp, F.lit(2)) / exp
+    dof = (F.count(F.lit(1)) - 1).cast("int")
+    crit = F.lit(None).cast("double")
+    for df_, v in sorted(_CHI2_CRIT_BY_DF.items(), reverse=True):
+        crit = F.when(dof == df_, F.lit(v)).otherwise(crit)
+    crit = F.coalesce(crit, F.lit(12.592))
+    return (
+        full_cell.join(F.broadcast(day_tot), "day")
+        .join(F.broadcast(type_tot), "event_type")
+        .crossJoin(F.broadcast(grand))
+        .select("day", term.alias("term"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            dof.alias("dof"),
+            pround(F.sum("term"), 6).alias("chi2"),
+            (F.sum("term") > crit).alias("drift_flag"),
+        )
+    )
+
+
+# CUSUM: binary-exact constants again (target mu learned as the global
+# hourly mean would couple the oracle to a double aggregate; a fixed
+# reference + slack keeps the recursion cross-engine exact)
+CUSUM_K = 0.5      # slack, in units of the standardized series
+CUSUM_H = 4.0      # alarm threshold
+
+_CUSUM_SCHEMA = (
+    "event_type string, hour string, x double, cusum_pos double, "
+    "cusum_neg double, alarm boolean"
+)
+
+
+def _cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("hour").reset_index(drop=True)
+    xs = pdf["x"].to_numpy()
+    pos = xs * 0.0
+    neg = xs * 0.0
+    mu = pdf["mu"].iloc[0]
+    sd = pdf["sd"].iloc[0]
+    for i in range(len(xs)):
+        z = (xs[i] - mu) / sd
+        pp = pos[i - 1] if i else 0.0
+        np_ = neg[i - 1] if i else 0.0
+        pos[i] = max(0.0, pp + z - CUSUM_K)
+        neg[i] = max(0.0, np_ - z - CUSUM_K)
+    pdf["cusum_pos"] = pos
+    pdf["cusum_neg"] = neg
+    pdf["alarm"] = (pos > CUSUM_H) | (neg > CUSUM_H)
+    return pdf[["event_type", "hour", "x", "cusum_pos", "cusum_neg", "alarm"]]
+
+
+@register(
+    "events_cusum_level_shift",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hour
+    ), ordered AS (
+      SELECT event_type, hour, CAST(n AS DOUBLE) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_obs
+      FROM hourly
+    ), stats AS (
+      SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+      FROM ordered WHERE rn <= n_obs // 2 GROUP BY event_type
+      HAVING count(*) >= 2 AND stddev_samp(x) > 0
+    ), seq AS (
+      SELECT o.event_type, o.hour, o.x, s.mu, s.sd, o.rn
+      FROM ordered o JOIN stats s ON s.event_type = o.event_type
+    ), cs AS (
+      SELECT event_type, hour, x, mu, sd, rn,
+             greatest(0.0, (x - mu) / sd - {CUSUM_K}) AS cp,
+             greatest(0.0, -((x - mu) / sd) - {CUSUM_K}) AS cn
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.hour, s.x, s.mu, s.sd, s.rn,
+             greatest(0.0, c.cp + (s.x - s.mu) / s.sd - {CUSUM_K}),
+             greatest(0.0, c.cn - ((s.x - s.mu) / s.sd) - {CUSUM_K})
+      FROM cs c JOIN seq s
+        ON s.event_type = c.event_type AND s.rn = c.rn + 1
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           floor(x * 10000.0 + 0.5) / 10000.0  AS x,
+           floor(cp * 10000.0 + 0.5) / 10000.0 AS cusum_pos,
+           floor(cn * 10000.0 + 0.5) / 10000.0 AS cusum_neg,
+           (cp > {CUSUM_H} OR cn > {CUSUM_H})  AS alarm
+    FROM cs
+    """,
+    doc=f"Two-sided CUSUM change-point detector over hourly event "
+        f"counts per type (slack k={CUSUM_K}, alarm h={CUSUM_H}, "
+        f"series standardized by IN-CONTROL mean/stddev learned from the burn-in first half of each type's timeline — whole-series stats would let a shift contaminate its own reference): "
+        f"accumulates small persistent deviations that per-point "
+        f"z-scores (events_rate_anomaly) never flag individually — "
+        f"the fastest detector of a sustained small level shift, "
+        f"completing the monitoring family (z-score for spikes, "
+        f"seasonal for diurnal shape, chi2 for composition, KS for "
+        f"distributions, EWMA/Holt for smoothing/trend, CUSUM for "
+        f"persistent shifts).  Same engine shape as the other "
+        f"sequential recursions: hourly pre-aggregate (exact integer "
+        f"counts) collapses the corpus BEFORE Python, applyInPandas "
+        f"runs the max(0, prev + z - k) recursion per bounded key "
+        f"timeline, and the oracle's recursive CTE carries both "
+        f"cusum states.  The standardization constants (mu, sd) come "
+        f"from exact integer counts, so both engines derive the "
+        f"identical doubles.",
+    tags=("events", "anomaly", "timeseries", "udf"),
+)
+def events_cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_all = Window.partitionBy("event_type")
+    ordered = hourly.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("double").alias("x"),
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_obs"),
+    ).localCheckpoint(eager=False)
+    # in-control parameters from the burn-in PREFIX (first half of the
+    # timeline), not the whole series: a level shift inside the window
+    # would otherwise contaminate its own reference and halve the
+    # detector's sensitivity (the mixture-mean trap)
+    # degenerate-burn-in guard (r12 review fix): a 1-row burn-in gives
+    # sd NULL (NaN z silently coerced by Python max()), a constant
+    # burn-in gives sd=0 (division by zero → inf cusum, permanent
+    # alarms) — both must drop the type from the scored output, same
+    # HAVING predicate as the oracle (the rate-anomaly trail_std > 0
+    # precedent)
+    stats = (
+        ordered.filter(F.col("rn") <= F.expr("n_obs div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("x").alias("mu"),
+            F.stddev_samp("x").alias("sd"),
+            F.count(F.lit(1)).alias("_bn"),
+        )
+        .filter((F.col("_bn") >= 2) & (F.col("sd") > 0))
+        .drop("_bn")
+    )
+    seq = ordered.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.date_format("hour", TS_FMT_SPARK).alias("hour"),
+        "x",
+        "mu",
+        "sd",
+    )
+    out = seq.groupBy("event_type").applyInPandas(_cusum_group, schema=_CUSUM_SCHEMA)
+    return out.select(
+        "event_type",
+        "hour",
+        pround("x", 4).alias("x"),
+        pround("cusum_pos", 4).alias("cusum_pos"),
+        pround("cusum_neg", 4).alias("cusum_neg"),
+        "alarm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (round 9): sample ACF of the zero-filled hourly
+# volume series per event type — the seasonality detector that tells a
+# monitoring pipeline WHICH period its baseline should use (a 24h ACF
+# spike is what justifies events_seasonal_hourly_anomaly's
+# hour-of-day grouping).  Exactness: with S = Σx and n the grid
+# length, centered deviations are scaled to INTEGERS d = n·x − S, so
+# every numerator/denominator is an integer sum (associative →
+# order-free → bit-identical cross-engine) and the only float op is
+# the final num/den division.  The n² scale factors cancel in the
+# ratio.  Headroom: |d| ≤ n·x_max, so den ≤ T·(n·x_max)² must stay
+# under 9.2e18 — n·x_max ≈ 3e6 per month-long grid at sf0.1 leaves
+# ~1e5× growth before an int64 sum could wrap; beyond that accumulate
+# decimal(38,0) (warehouse.py:203 pattern).
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@register(
+    "events_hourly_acf",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), stats AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS t
+      FROM series GROUP BY event_type
+    ), dev AS (
+      SELECT se.event_type, se.h, se.x * st.t - st.s AS d
+      FROM series se JOIN stats st USING (event_type)
+    ), lagged AS (
+      SELECT event_type, d,
+             {", ".join(f"lag(d, {L}) OVER w AS d{L}" for L in _ACF_LAGS)}
+      FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), moments AS (
+      SELECT event_type,
+             CAST(sum(d * d) AS BIGINT) AS den,
+             {", ".join(
+                 f"CAST(sum(d * d{L}) AS BIGINT) AS num{L}, "
+                 f"CAST(count(d{L}) AS BIGINT) AS np{L}"
+                 for L in _ACF_LAGS)}
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor((CAST(num AS DOUBLE) / den) * 1000000.0 + 0.5) / 1000000.0
+             AS acf
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {L} AS lag, np{L} AS n_pairs, num{L} AS num, den FROM moments"
+          for L in _ACF_LAGS)}
+    )
+    """,
+    doc=f"Sample autocorrelation of the zero-filled hourly event-volume "
+        f"series per event type at lags {_ACF_LAGS} — the seasonality "
+        "detector behind choosing a diurnal baseline.  Plan: one "
+        "hash-agg to hourly counts (the only pass over the fact "
+        "table); the dense grid is sequence-generated O(hours×types) "
+        "independent of fact size; per-type totals broadcast back; ONE "
+        "WindowExec computes all six lags in a single pass over "
+        "per-type partitions bounded by the calendar span (never the "
+        "fact table); the co-moments collapse to |types| rows before "
+        "the lag unpivot.  All sums are exact integers (see module "
+        "comment) — the division is the only float op, so the oracle "
+        "match is bit-exact, not tolerance-based.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = counts.localCheckpoint(eager=False)
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .crossJoin(F.broadcast(counts.select("event_type").distinct()))
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    stats = series.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    dev = series.join(F.broadcast(stats), "event_type").select(
+        "event_type", "h", (F.col("x") * F.col("t") - F.col("s")).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dev.select(
+        "event_type",
+        "d",
+        *[F.lag("d", L).over(w).alias(f"d{L}") for L in _ACF_LAGS],
+    )
+    moments = lagged.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den"),
+        *[
+            agg
+            for L in _ACF_LAGS
+            for agg in (
+                F.sum(F.col("d") * F.col(f"d{L}")).cast("bigint").alias(f"num{L}"),
+                F.count(F.col(f"d{L}")).cast("bigint").alias(f"np{L}"),
+            )
+        ],
+    )
+    unpivoted = moments.select(
+        "event_type",
+        "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("int").alias("lag"),
+                        F.col(f"np{L}").alias("n_pairs"),
+                        F.col(f"num{L}").alias("num"),
+                    )
+                    for L in _ACF_LAGS
+                ]
+            )
+        ).alias("m"),
+    )
+    return unpivoted.select(
+        "event_type",
+        "m.lag",
+        F.col("m.n_pairs").cast("bigint").alias("n_pairs"),
+        pround(F.col("m.num").cast("double") / F.col("den"), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness — the Goh–Barabási B = (σ−μ)/(σ+μ) of the
+# per-user gap distribution, the standard scalar for "is this traffic
+# Poisson-like (B≈0), regular/machine-like (B→−1), or bursty/human-like
+# (B→+1)".  The connected-device framing of the reference (device
+# telemetry streams) makes this the first diagnostic an ingest SRE
+# asks for.
+# ---------------------------------------------------------------------------
+
+_MIN_GAPS = 30
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             CAST(us - lag(us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY us ASC, event_id ASC)
+                  AS DOUBLE) / 1000000 AS gap_s
+      FROM ev
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             avg(gap_s) AS mean_raw, stddev_samp(gap_s) AS sd_raw
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY event_type HAVING count(*) >= {_MIN_GAPS}
+    )
+    SELECT event_type, n_gaps,
+           floor(mean_raw * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+           floor(sd_raw * 1000000.0 + 0.5) / 1000000.0   AS sd_gap_s,
+           CASE WHEN sd_raw + mean_raw = 0 THEN 0.0
+                ELSE floor((sd_raw - mean_raw) / (sd_raw + mean_raw)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS burstiness
+    FROM agg
+    """,
+    doc="Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of same-(user, type) "
+        "inter-arrival times, per event type: B≈0 is Poisson-like "
+        "traffic, B→−1 metronomic machine traffic, B→+1 bursty human "
+        "sessions — the scalar that separates telemetry heartbeats "
+        "from organic clickstreams.  Scale shape: the gap extraction "
+        "rides ONE (user, type)-key shuffle (same lag machinery as "
+        "events_sessionize), the moment aggregation is partial "
+        "(map-side) into |event_types| rows.  μ/σ via avg/stddev_samp "
+        "(bit-parity proven since round 4), pround(6) on emit.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts_us").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    gaps = (
+        e.withColumn(
+            "gap_s",
+            (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1000000),
+        )
+        .where(F.col("gap_s").isNotNull())
+        .select("event_type", "gap_s")
+    )
+    agg = (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.avg("gap_s").alias("mean_raw"),
+            F.stddev_samp("gap_s").alias("sd_raw"),
+        )
+        .where(F.col("n_gaps") >= _MIN_GAPS)
+    )
+    sd_plus_mean = F.col("sd_raw") + F.col("mean_raw")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        pround(F.col("mean_raw"), 6).alias("mean_gap_s"),
+        pround(F.col("sd_raw"), 6).alias("sd_gap_s"),
+        F.when(sd_plus_mean == 0, F.lit(0.0))
+        .otherwise(pround((F.col("sd_raw") - F.col("mean_raw")) / sd_plus_mean, 6))
+        .alias("burstiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (round 9): median-of-pairwise-slopes over the
+# hourly volume series — the trend estimator that shrugs off the
+# outlier hours (incident spikes, backfill bursts) that drag an OLS
+# fit; reported NEXT TO the OLS slope so the gap between the two IS
+# the outlier-contamination signal.  Exactness: hours are offset to
+# x = h − min(h) (small exact ints), counts y are exact ints, so each
+# pairwise slope (Δy/Δx) is ONE double division of exact integers —
+# bit-identical cross-engine — and the median of an identical double
+# multiset is bit-identical (verified percentile/quantile_cont parity,
+# see verify SKILL.md).  The OLS slope is assembled from exact integer
+# sums (n·Σxy − Σx·Σy over n·Σxx − Σx², one final division);
+# headroom with x ≤ |hours|: a decade-long hourly grid at 1e9
+# events/hour keeps n·Σxy ≈ 7e17 < 9.2e18.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT min(h) AS h0 FROM c
+    ), s AS (
+      SELECT CAST(c.h - b.h0 AS BIGINT) AS x, c.y FROM c, b
+    ), p AS (
+      SELECT CAST(j.y - i.y AS DOUBLE) / (j.x - i.x) AS sl
+      FROM s i JOIN s j ON j.x > i.x
+    ), m AS (
+      SELECT quantile_cont(sl, 0.5) AS ts_slope,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p
+    ), r AS (
+      SELECT quantile_cont(s.y - m.ts_slope * s.x, 0.5) AS ts_intercept
+      FROM s, m
+    ), o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM s
+    )
+    SELECT o.n_hours, m.n_pairs,
+           floor(m.ts_slope * 1000000.0 + 0.5) / 1000000.0 AS ts_slope,
+           floor(r.ts_intercept * 1000000.0 + 0.5) / 1000000.0
+             AS ts_intercept,
+           floor(CAST(o.n_hours * o.sxy - o.sx * o.sy AS DOUBLE)
+                 / (o.n_hours * o.sxx - o.sx * o.sx) * 1000000.0 + 0.5)
+             / 1000000.0 AS ols_slope
+    FROM o, m, r
+    """,
+    doc="Theil–Sen robust trend of hourly event volume (median of all "
+        "pairwise slopes, with the median-residual intercept) beside "
+        "the OLS slope from exact integer sums — a large TS-vs-OLS gap "
+        "means outlier hours are steering the least-squares fit and a "
+        "capacity forecast should use the robust line.  Plan: ONE "
+        "hash-agg collapses the fact table to hourly counts (the only "
+        "pass over events); everything after runs on ≤ |calendar "
+        "hours| rows — the pair join is a broadcast non-equi self-join "
+        "on that collapsed table (|hours|²/2 pairs, ~260k for a "
+        "30-day span: driver-trivial, fact-size-independent), and the "
+        "medians are exact percentiles over those pairs.  Scale shape: "
+        "cost grows with the SQUARE OF THE CALENDAR SPAN, never with "
+        "data volume; for multi-year spans the standard rewrite is "
+        "per-window Theil–Sen (repeated median over trailing windows) "
+        "which this operator's grouped form extends to directly.  "
+        "Tz-free: hours are epoch-micros integer division "
+        "(ts_us // 3.6e9), immune to session-timezone shifts.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    c = c.localCheckpoint(eager=False)
+    b = c.agg(F.min("h").alias("h0"))
+    s = c.crossJoin(F.broadcast(b)).select(
+        (F.col("h") - F.col("h0")).cast("bigint").alias("x"), "y"
+    )
+    s = s.localCheckpoint(eager=False)
+    i = s.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    j = s.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    p = i.join(F.broadcast(j), F.col("xj") > F.col("xi")).select(
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi"))
+        ).alias("sl")
+    )
+    m = p.agg(
+        F.expr("percentile(sl, 0.5D)").alias("ts_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    r = (
+        s.crossJoin(F.broadcast(m))
+        .select((F.col("y") - F.col("ts_slope") * F.col("x")).alias("res"))
+        .agg(F.expr("percentile(res, 0.5D)").alias("ts_intercept"))
+    )
+    o = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        o.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(r))
+        .select(
+            "n_hours",
+            "n_pairs",
+            pround(F.col("ts_slope"), 6).alias("ts_slope"),
+            pround(F.col("ts_intercept"), 6).alias("ts_intercept"),
+            pround(
+                (
+                    F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ),
+                6,
+            ).alias("ols_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs seasonal-naive MAE / MASE per event type
+# ---------------------------------------------------------------------------
+
+_BT_SEASON = 24  # hourly series, daily season
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS l1,
+             lag(x, {_BT_SEASON}) OVER w AS l24
+      FROM series WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(abs(x - l1)) AS BIGINT) AS sae_naive,
+             CAST(sum(abs(x - l24)) AS BIGINT) AS sae_snaive
+      FROM lagged WHERE l24 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_eval,
+           floor(sae_naive * 1.0 / n_eval * 1000000.0 + 0.5) / 1000000.0
+             AS mae_naive,
+           floor(sae_snaive * 1.0 / n_eval * 1000000.0 + 0.5) / 1000000.0
+             AS mae_snaive,
+           CASE WHEN sae_naive > 0
+                THEN floor(sae_snaive * 1.0 / sae_naive * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE -1.0 END AS mase_snaive
+    FROM agg
+    """,
+    doc="Forecast BACKTEST per event type: one-step mean absolute error "
+        "of the naive forecast (y[t-1]) vs the seasonal-naive forecast "
+        "(y[t-24]) over the zero-filled hourly series, plus their MASE "
+        "ratio (Hyndman & Koehler 2006: scaled by the naive in-sample "
+        "MAE, so < 1 means the daily season carries real signal).  The "
+        "EVALUATION layer the forecasting tier was missing: "
+        "events_holt_forecast_hourly produces forecasts, the seasonal "
+        "baseline assumes the 24h cycle — this measures whether that "
+        "assumption beats the dumbest model BEFORE anyone trusts an "
+        "anomaly threshold built on it.  Exact arithmetic: absolute "
+        "errors are integer count differences summed as int64 (no "
+        "float accumulation); the two divisions and the ratio are "
+        "identical scalar trees, zero-denominator guarded with a -1.0 "
+        "sentinel in both engines.  Scale shape: same spine as "
+        "events_hourly_acf — one partial-agg shuffle to (hour, type) "
+        "counts (bounded by calendar x |types|, not event count), "
+        "zero-fill via a broadcast sequence grid, ONE window pass "
+        "computes both lags, final agg to |types| rows.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h")).crossJoin(
+        F.broadcast(counts.select("event_type").distinct())
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", _BT_SEASON).over(w).alias("l24"),
+    )
+    agg = (
+        lagged.filter(F.col("l24").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(F.abs(F.col("x") - F.col("l1"))).cast("bigint").alias("sae_naive"),
+            F.sum(F.abs(F.col("x") - F.col("l24")))
+            .cast("bigint")
+            .alias("sae_snaive"),
+        )
+    )
+    one = F.lit(1.0)
+    return agg.select(
+        "event_type",
+        "n_eval",
+        pround(F.col("sae_naive") * one / F.col("n_eval"), 6).alias("mae_naive"),
+        pround(F.col("sae_snaive") * one / F.col("n_eval"), 6).alias("mae_snaive"),
+        F.when(
+            F.col("sae_naive") > 0,
+            pround(F.col("sae_snaive") * one / F.col("sae_naive"), 6),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("mase_snaive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (how heavy is the value tail, per type)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100          # tail order statistics used
+_HILL_SCALE = 10_000   # ln ratios quantized to 1e-4 int64 (heaps pattern)
+
+
+@register(
+    "events_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events WHERE value > 0
+    ), thresh AS (
+      SELECT event_type, value AS xk FROM ranked WHERE rk = {_HILL_K} + 1
+    ), tail AS (
+      SELECT r.event_type,
+             CAST(floor(ln(r.value / t.xk) * {_HILL_SCALE}.0 + 0.5)
+                  AS BIGINT) AS li
+      FROM ranked r JOIN thresh t ON t.event_type = r.event_type
+      WHERE r.rk <= {_HILL_K}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           floor(sum(li) * 1.0 / (count(*) * {_HILL_SCALE}.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_log_excess,
+           CASE WHEN sum(li) > 0
+                THEN floor(count(*) * {_HILL_SCALE}.0 * 1.0 / sum(li)
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE -1.0 END AS hill_alpha
+    FROM tail GROUP BY event_type
+    """,
+    doc=f"Hill estimator of the value distribution's tail index per "
+        f"event type over the top-{_HILL_K} order statistics: alpha = "
+        "1/mean(ln(x_i/x_k)) — the standard heavy-tail diagnostic "
+        "(Hill 1975).  alpha < 2 means INFINITE VARIANCE: sample "
+        "means/stddevs over such values never stabilize, the signal to "
+        "switch monitoring to the quantile/MAD operators and cap "
+        "values before training-weight computation; the log2 "
+        "histogram SHOWS the tail, this measures it.  Exactness: each "
+        "log-excess ln(x_i/x_k) is quantized to 1e-4 int64 (the "
+        "heaps-law device — both engines evaluate ln on identical "
+        "doubles and a 1-ulp libm skew cannot cross a quantization "
+        "boundary), so the tail sum is an order-free integer and the "
+        "estimator one identical scalar tree; the degenerate "
+        "all-ties-at-x_k tail (sum 0) emits a -1.0 sentinel on the "
+        "exact integer sign.  Scale shape: the rank is a type-keyed "
+        "window (at 100 TB: per-type approx-quantile threshold + "
+        f"filter replaces the full sort, documented); only {_HILL_K} "
+        "rows per type survive to the float stage; output |types| "
+        "rows.",
+    tags=("events", "stats"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    ).localCheckpoint(eager=False)
+    thresh = ranked.filter(F.col("rk") == _HILL_K + 1).select(
+        "event_type", F.col("value").alias("xk")
+    )
+    tail = (
+        ranked.filter(F.col("rk") <= _HILL_K)
+        .join(F.broadcast(thresh), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.log(F.col("value") / F.col("xk")) * _HILL_SCALE + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("li"),
+        )
+    )
+    one = F.lit(1.0)
+    return tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        pround(
+            F.sum("li") * one / (F.count(F.lit(1)) * F.lit(float(_HILL_SCALE))),
+            6,
+        ).alias("mean_log_excess"),
+        F.when(
+            F.sum("li") > 0,
+            pround(
+                F.count(F.lit(1)) * F.lit(float(_HILL_SCALE)) * one / F.sum("li"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor dispersion: are daily counts Poisson, or bursty/regular?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fano_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS n FROM daily
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, p.n AS n_days, s AS n_events,
+           floor((s * 1.0 / p.n) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_daily,
+           floor(((p.n * 1.0 * ss - s * 1.0 * s) / (p.n * 1.0 * (p.n - 1.0)))
+                 / (s * 1.0 / p.n) * 1000000.0 + 0.5) / 1000000.0
+             AS fano_factor
+    FROM agg CROSS JOIN span p WHERE p.n > 1 AND s > 0
+    """,
+    doc="Fano factor (variance-to-mean ratio) of DAILY event counts per "
+        "type: a Poisson arrival process has F = 1 exactly, so F >> 1 "
+        "is count-level overdispersion (campaign/incident bursts) and "
+        "F << 1 suspicious regularity (rate-limited or synthetic "
+        "traffic) — the aggregate-count complement to "
+        "events_interarrival_burstiness, which asks the same question "
+        "of the per-event GAPS (a feed can be gap-bursty yet "
+        "day-regular, and vice versa; reading both localizes the "
+        "scale of the burstiness).  Days are tz-free epoch buckets "
+        "from stored micros, and n is the GLOBAL observation-span day "
+        "count so a type's silent days count as zeros (r12 review "
+        "fix: active-days-only n overstated the mean and understated "
+        "the variance for intermittent types — the exact pattern the "
+        "metric exists to flag; zeros add nothing to s/ss, so only n "
+        "changes).  Exact arithmetic: daily-count sums and "
+        "sums of squares are int64; the sample variance and the ratio "
+        "are one identical scalar double tree; degenerate types "
+        "(single day, zero events) are excluded by the same integer "
+        "predicate in both engines.  Scale shape: one partial-agg "
+        "shuffle to |types| x |days| calendar-bounded cells, "
+        "re-aggregated to |types| rows.  int64 headroom: sum(c^2) "
+        "overflows past ~3e9 events per (type, day) cell — "
+        "decimal(38,0) swap documented.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000L").cast("bigint").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # n = the GLOBAL observation-span day count, not the per-type count
+    # of ACTIVE days (r12 review fix): a type active 3 days out of 30
+    # has 27 zero days whose huge variance-to-mean is the very signal;
+    # zeros contribute nothing to s or ss, so only n changes — no
+    # grid densify needed
+    span = daily.agg(
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("n")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    ).crossJoin(F.broadcast(span))
+    one = F.lit(1.0)
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n * one * ss - s * one * s) / (n * one * (n - one))
+    return agg.filter((n > 1) & (s > 0)).select(
+        "event_type",
+        n.alias("n_days"),
+        s.alias("n_events"),
+        pround(s * one / n, 6).alias("mean_daily"),
+        pround(var / (s * one / n), 6).alias("fano_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank-based changepoint (nonparametric complement to CUSUM)
+# ---------------------------------------------------------------------------
+
+# -ln(0.025) pinned as one pre-rounded literal (constant-pinning
+# pattern); the 5% two-sided Pettitt threshold is
+# sqrt(-ln(alpha/2) * (T^3 + T^2) / 6)
+_PETTITT_NL = 3.688879
+
+
+@register(
+    "events_pettitt_changepoint",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT gs.h, t.event_type
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs
+      CROSS JOIN (SELECT DISTINCT event_type FROM counts) t
+    ), series AS (
+      SELECT g.event_type, g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN counts c
+        ON c.h = g.h AND c.event_type = g.event_type
+    ), vm AS (
+      SELECT event_type, x, CAST(count(*) AS BIGINT) AS cv,
+             CAST(sum(count(*)) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM series GROUP BY event_type, x
+    ), ranked AS (
+      SELECT s.event_type, s.h,
+             2 * (v.cum - v.cv) + v.cv + 1 AS r2
+      FROM series s JOIN vm v ON v.event_type = s.event_type AND v.x = s.x
+    ), walk AS (
+      SELECT event_type, h,
+             CAST(sum(r2) OVER (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumr2,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                  AS BIGINT) AS t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt
+      FROM ranked
+    ), u AS (
+      SELECT event_type, h, tt,
+             abs(cumr2 - t * (tt + 1)) AS au
+      FROM walk WHERE t < tt
+    ), best AS (
+      SELECT event_type, tt, max(au) AS k FROM u GROUP BY event_type, tt
+    ), at AS (
+      SELECT u.event_type, b.tt, b.k, min(u.h) AS change_h
+      FROM u JOIN best b ON b.event_type = u.event_type AND u.au = b.k
+      GROUP BY u.event_type, b.tt, b.k
+    )
+    SELECT event_type, CAST(tt AS BIGINT) AS n_hours,
+           CAST(k AS BIGINT) AS k_stat,
+           CAST(change_h AS BIGINT) AS change_at_hour,
+           CAST(CASE WHEN k * 1.0
+                       > sqrt({_PETTITT_NL}
+                              * (tt * 1.0 * tt * tt + tt * 1.0 * tt) / 6.0)
+                THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+    FROM at
+    """,
+    doc="Pettitt changepoint test per event type over the zero-filled "
+        "hourly series: the rank-based (Mann-Whitney-statistic) single "
+        "changepoint detector — U_t = 2*sum(ranks up to t) - t(T+1), K "
+        "= max|U_t|, split at the argmax (earliest hour on ties) — the "
+        "NONPARAMETRIC complement to events_cusum_level_shift, which "
+        "assumes a mean shift in roughly-normal noise; Pettitt only "
+        "needs ranks, so a heavy-tailed burst cannot fake or mask a "
+        "level change.  Tie-corrected average ranks come from the "
+        "per-type value-marginal cumulative counts (the Mann-Whitney "
+        "2x-integer machinery), so U_t, K, and the argmax are EXACT "
+        "int64 end to end; the only float is the significance "
+        "threshold sqrt(-ln(.025)(T^3+T^2)/6) with the log constant "
+        "pinned as one literal — an identical tree compared against "
+        "the exact integer K identically in both engines.  Scale "
+        "shape: one partial-agg shuffle to calendar-bounded (hour, "
+        "type) cells, all windows keyed by type over those cells, "
+        "output |types| rows.  int64 headroom: cumr2 <= 2T^2 — "
+        "effectively unbounded for calendar series.",
+    tags=("events", "stats", "timeseries"),
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h")).crossJoin(
+        F.broadcast(counts.select("event_type").distinct())
+    )
+    series = grid.join(counts, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("bigint").alias("x")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vm = (
+        series.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cv"))
+        .withColumn("cum", F.sum("cv").over(wv).cast("bigint"))
+    )
+    ranked = series.join(vm, ["event_type", "x"]).select(
+        "event_type",
+        "h",
+        (2 * (F.col("cum") - F.col("cv")) + F.col("cv") + 1).alias("r2"),
+    )
+    wh = Window.partitionBy("event_type").orderBy("h")
+    whr = wh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    walk = ranked.select(
+        "event_type",
+        "h",
+        F.sum("r2").over(whr).cast("bigint").alias("cumr2"),
+        F.row_number().over(wh).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("tt"),
+    )
+    u = walk.filter(F.col("t") < F.col("tt")).select(
+        "event_type",
+        "h",
+        "tt",
+        F.abs(F.col("cumr2") - F.col("t") * (F.col("tt") + 1)).alias("au"),
+    )
+    best = u.groupBy("event_type", "tt").agg(F.max("au").alias("k"))
+    at = (
+        u.join(F.broadcast(best), ["event_type", "tt"])
+        .filter(F.col("au") == F.col("k"))
+        .groupBy("event_type", "tt", "k")
+        .agg(F.min("h").alias("change_h"))
+    )
+    one = F.lit(1.0)
+    tt = F.col("tt")
+    thresh = F.sqrt(
+        F.lit(_PETTITT_NL) * (tt * one * tt * tt + tt * one * tt) / F.lit(6.0)
+    )
+    return at.select(
+        "event_type",
+        tt.cast("bigint").alias("n_hours"),
+        F.col("k").cast("bigint").alias("k_stat"),
+        F.col("change_h").cast("bigint").alias("change_at_hour"),
+        F.when(F.col("k") * one > thresh, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant_95"),
+    )
+
+
+_XCORR_X, _XCORR_Y = "view", "purchase"
+_XCORR_LAGS = (-12, -6, -3, -1, 0, 1, 3, 6, 12)
+
+
+@register(
+    "events_xcorr_view_purchase",
+    oracle=f"""
+    WITH counts AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('{_XCORR_X}', '{_XCORR_Y}')
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(h) AS h0, max(h) AS h1 FROM counts
+    ), grid AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ), series AS (
+      SELECT g.h,
+             CAST(coalesce(x.n, 0) AS BIGINT) AS x,
+             CAST(coalesce(y.n, 0) AS BIGINT) AS y
+      FROM grid g
+      LEFT JOIN counts x ON x.h = g.h AND x.event_type = '{_XCORR_X}'
+      LEFT JOIN counts y ON y.h = g.h AND y.event_type = '{_XCORR_Y}'
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM series
+    ), dev AS (
+      SELECT se.h, se.x * st.t - st.sx AS dx, se.y * st.t - st.sy AS dy
+      FROM series se CROSS JOIN stats st
+    ), den AS (
+      SELECT CAST(sum(dx * dx) AS BIGINT) AS dxx,
+             CAST(sum(dy * dy) AS BIGINT) AS dyy
+      FROM dev
+    ), lags(lag) AS (
+      VALUES {", ".join(f"({L})" for L in _XCORR_LAGS)}
+    ), num AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.dx * b.dy) AS BIGINT) AS nxy
+      FROM lags l
+      JOIN dev a ON true
+      JOIN dev b ON b.h = a.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(n.lag AS INTEGER) AS lag, n.n_pairs,
+           floor((n.nxy / sqrt(CAST(d.dxx AS DOUBLE) * d.dyy)) * 1000000.0 + 0.5)
+             / 1000000.0 AS xcorr
+    FROM num n CROSS JOIN den d
+    """,
+    doc=f"Lead-lag cross-correlation between the zero-filled hourly "
+        f"'{_XCORR_X}' and '{_XCORR_Y}' volume series at lags "
+        f"{_XCORR_LAGS} (negative lag = {_XCORR_Y} leads) — the "
+        f"standard CCF normalization: full-series means and variances, "
+        f"r(L) = sum dx(t)dy(t+L) / sqrt(sum dx^2 * sum dy^2), the "
+        f"companion of events_hourly_acf for CROSS-series lead-lag "
+        f"discovery (does viewing precede purchasing, and by how many "
+        f"hours?).  Exact-integer trick shared with the ACF: "
+        f"deviations scaled by T (dx = x*T - Sx) so every sum is an "
+        f"order-free int64; the T^2 factors cancel in the ratio and "
+        f"the only float ops are one multiply and one sqrt on exact "
+        f"integers — bit-stable cross-engine.  Scale shape: ONE "
+        f"hash-agg over the fact table to hourly cells; the dense "
+        f"grid, deviations, lag join (|lags| x |hours| rows) and "
+        f"moments are all calendar-bounded metadata; int64 headroom "
+        f"matches the ACF note above.",
+    tags=("events", "timeseries", "stats"),
+)
+def events_xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XCORR_X, _XCORR_Y)
+    )
+    counts = (
+        e.groupBy(
+            (F.col("ts_us") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    cx = counts.filter(F.col("event_type") == _XCORR_X).select("h", F.col("n").alias("nx"))
+    cy = counts.filter(F.col("event_type") == _XCORR_Y).select("h", F.col("n").alias("ny"))
+    series = (
+        grid.join(cx, "h", "left")
+        .join(cy, "h", "left")
+        .select(
+            "h",
+            F.coalesce("nx", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("ny", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "h",
+        (F.col("x") * F.col("t") - F.col("sx")).alias("dx"),
+        (F.col("y") * F.col("t") - F.col("sy")).alias("dy"),
+    )
+    dev = dev.localCheckpoint(eager=False)
+    den = dev.agg(
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("dxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("dyy"),
+    )
+    lags = spark.createDataFrame([(L,) for L in _XCORR_LAGS], "lag int")
+    b = dev.select(F.col("h").alias("hb"), F.col("dy").alias("dyb"))
+    num = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dx") * F.col("dyb")).cast("bigint").alias("nxy"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        pround(
+            F.col("nxy")
+            / F.sqrt(F.col("dxx").cast("double") * F.col("dyy")),
+            6,
+        ).alias("xcorr"),
+    )

@@ -158,29 +158,20 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
-    doc="approx_count_distinct (HLL++) — the scale path for distinct users "
-        "(SURVEY.md §2.3 A4, import at v1:2). No value oracle: sketch "
-        "estimates are engine-specific; tests assert relative error vs exact.",
-    tags=("agg", "approx"),
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count("*").alias("n_events"),
-    )
-
-
-@register(
     "agg_approx_distinct_bound",
     oracle="""
     SELECT DISTINCT event_type, true AS within_tolerance
     FROM events
     """,
-    doc="Driver-checkable accuracy contract for the HLL++ sketch: per "
-        "group, |approx_count_distinct(rsd=0.01) − exact| must stay "
+    doc="approx_count_distinct (HLL++) — the scale path for distinct "
+        "users (SURVEY.md §2.3 A4, import at v1:2) — under a "
+        "driver-checkable accuracy contract.  This query SUBSUMES the "
+        "retired r1 `agg_approx_distinct` (deleted in r14, VERDICT r13 "
+        "item 3): the raw sketch estimate is engine-specific so a "
+        "value oracle can never exist for it, and a permanently "
+        "`no_oracle` registry entry violated the rotation invariant. "
+        "The contract instead: per group, "
+        "|approx_count_distinct(rsd=0.01) − exact| must stay "
         "within 5% of exact (5 sigma of the configured rsd).  The "
         "estimate itself is engine-specific so the VALUE can't be "
         "oracle-checked — but the BOUND can: the query emits one "

@@ -371,7 +371,7 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("window", "timeseries", "sql-api"),
 )
 def window_range_interval_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders_trailing_30d")
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey,
@@ -383,7 +383,7 @@ def window_range_interval_trailing_30d(spark: SparkSession, sf_dir: str) -> Data
                  PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
                  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS n_orders_30d
-        FROM _rng_orders
+        FROM _rng_orders_trailing_30d
         """
     )
 
@@ -418,13 +418,13 @@ def window_range_interval_trailing_30d(spark: SparkSession, sf_dir: str) -> Data
     tags=("window", "timeseries", "sql-api"),
 )
 def window_range_interval_centered_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders_centered_week")
     return spark.sql(
         """
         WITH daily AS (
           SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
                  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS day_cents
-          FROM _rng_orders GROUP BY o_orderstatus, d
+          FROM _rng_orders_centered_week GROUP BY o_orderstatus, d
         )
         SELECT o_orderstatus, date_format(d, 'yyyy-MM-dd') AS day,
                CAST(day_cents AS BIGINT) AS day_cents,
@@ -470,7 +470,7 @@ def window_range_interval_centered_week(spark: SparkSession, sf_dir: str) -> Dat
     tags=("window", "sql-api"),
 )
 def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders_peers_rsum")
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey,
@@ -483,7 +483,7 @@ def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFram
                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS run_rows_cents
-        FROM _rng_orders
+        FROM _rng_orders_peers_rsum
         """
     )
 
@@ -519,7 +519,7 @@ def window_range_peers_running_sum(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("window", "timeseries", "sql-api", "ml-features"),
 )
 def window_range_interval_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rng_orders_leakage_safe")
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey,
@@ -533,6 +533,6 @@ def window_range_interval_leakage_safe(spark: SparkSession, sf_dir: str) -> Data
                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
                            AND INTERVAL 1 DAYS PRECEDING)
                  AS BIGINT) AS prior_week_orders
-        FROM _rng_orders
+        FROM _rng_orders_leakage_safe
         """
     )

@@ -40,6 +40,12 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops",
     "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
     "spark_nifi_kafka_connected_device_stream_spark.operators.events",
+    # the r14 split of the 4.2k-LoC events module (VERDICT r13 item 5):
+    # pure move into the tier files its registry tags already implied
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events_sessions",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement",
+    "spark_nifi_kafka_connected_device_stream_spark.operators.events_sketches",
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
     "spark_nifi_kafka_connected_device_stream_spark.operators.privacy",
     "spark_nifi_kafka_connected_device_stream_spark.operators.curation",
@@ -89,86 +95,16 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 13 executes the rotation pinned at end of round 12
-# (VERDICT r12 item 1), which is fully determined with zero slack: the
-# first 14 slots are ALL of round 12's DEFERRED queue (keeping the
-# never-driver-checked backlog at ZERO), and the remaining 36 are the
-# ENTIRE residual cohort whose freshest green row is round 7 (computed
-# fresh from CORRECTNESS_r01..r12 — after this window no query's
-# freshest stamp is older than round 8).
-_PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-12 additions never driver-checked (14)
-    "customer_asof_balance_join",
-    "scd2_interval_integrity_audit",
-    "scd2_compact_versions",
-    "privacy_dp_histogram",
-    "privacy_k_anonymity_generalization",
-    "events_dau_wau_stickiness",
-    "events_rolling_retention",
-    "events_new_vs_returning_daily",
-    "mapinarrow_value_cents_sum",
-    "cogrouped_applyinpandas_spend",
-    "events_last_touch_attribution",
-    "privacy_dp_mean_release",
-    "orders_bitemporal_correction_report",
-    "dedup_short_doc_coverage",
-    # stale re-checks: the full remaining r7 cohort (36)
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_avg_subquery",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q20_concentrated_suppliers",
-    "q21_late_shipments_by_supplier",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "q9_product_type_profit",
-    "scalar_date_arith",
-    "scalar_date_funcs",
-    "scalar_math_case",
-    "scalar_null_handling",
-    "scalar_string_distance",
-    "scalar_string_funcs",
-    "scan_filter_project",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk_global",
-    "source_ngram_overlap",
-    "text_shingle_novelty",
-    "text_token_freq_spectrum",
-    "text_token_heavy_hitters",
-    "unpivot_status_counts",
-    "window_lag_delta",
-    "window_moving_avg_range",
-    "window_rank_dense_ntile",
-    "window_running_sum",
-    "window_share_of_total",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 13's window is FULLY consumed by the pinned rotation (14
-# ex-DEFERRED + 36 r7-stale re-checks — VERDICT r12 items 1-2), so
-# this queue restarts empty and collects ONLY round-13 additions —
-# capped at 14 so round 14's window keeps 36 slots for stale
-# re-checks.  Every name here must be oracle-parity-green locally on
-# every pytest run; tests/test_oracle_parity.py asserts that any
-# never-driver-checked query is either inside the window or on this
-# explicit queue — a silent backlog stays impossible.
-# Round-14 rotation, pre-computed (zero slack, same construction as
-# r13): _PROMOTE = these 12 DEFERRED names + the alphabetically-first
+# modules.  Round 14 executes the rotation pinned at end of round 13
+# (VERDICT r13 item 1), fully determined with zero slack: the first 12
+# slots are ALL of round 13's DEFERRED queue (never-driver-checked
+# backlog → ZERO), and the remaining 38 are the alphabetically-first
 # 38 of the 50-query cohort whose freshest green row is round 8
-# (compute fresh from CORRECTNESS_r01..r13 — as of r13 end that cohort
-# starts agg_approx_distinct_bound, array_collect_ops,
-# cluster_topic_terms, ... and the remaining 12 rotate in round 15).
-DEFERRED: tuple[str, ...] = (
-    # round-13 additions, first wave (7 of the 14-slot cap)
+# (computed fresh from CORRECTNESS_r01..r13; the residual 12 of that
+# cohort — skew_hot_key_salted .. text_winnowing_fingerprints — rotate
+# in round 15, after which no stamp is older than round 9).
+_PROMOTE: tuple[str, ...] = (
+    # ex-DEFERRED: round-13 additions never driver-checked (12)
     "window_range_interval_trailing_30d",
     "window_range_interval_centered_week",
     "window_range_peers_running_sum",
@@ -176,13 +112,72 @@ DEFERRED: tuple[str, ...] = (
     "applyinarrow_type_stats",
     "udtf_table_gap_report",
     "events_sliding_window_counts",
-    # round-13 additions, second wave (12 of 14)
     "window_range_interval_leakage_safe",
     "pandas_udf_iter_charge",
     "scd2_type1_type2_divergence",
     "privacy_dp_quantile_release",
     "orders_repeat_purchase_latency",
+    # stale re-checks: alphabetically-first 38 of the r8 cohort
+    "agg_approx_distinct_bound",
+    "array_collect_ops",
+    "cluster_topic_terms",
+    "dataset_quality_expectations",
+    "dataset_token_budget_plan",
+    "dataset_weighted_sample",
+    "embedding_knn_graph_stats",
+    "embedding_pagerank_centrality",
+    "events_ewma_hourly",
+    "events_incident_window_attribution",
+    "events_markov_transitions",
+    "events_rate_anomaly",
+    "events_rolling_distinct_users_7d",
+    "events_seasonal_hourly_anomaly",
+    "events_session_window_native",
+    "events_variant_props",
+    "grouped_agg_weighted_median",
+    "grouping_sets_explicit",
+    "histogram_price_bins",
+    "lineitem_abc_pareto",
+    "lineitem_zorder_layout",
+    "multimodal_byte_stats",
+    "multimodal_caption_audit",
+    "multimodal_chunk_payloads",
+    "multimodal_modality_routing",
+    "multimodal_payload_dedup",
+    "orders_basket_pairs",
+    "orders_snapshot_diff",
+    "privacy_k_anonymity_report",
+    "privacy_pii_scan_documents",
+    "privacy_pseudonymize_events",
+    "q13_customer_order_distribution",
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scd2_customer_batch",
+    "semantic_dedup_keep_list",
+    "skew_hot_key_plain",
 )
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 14's window is FULLY consumed by the pinned rotation (12
+# ex-DEFERRED + 38 r8-stale re-checks — VERDICT r13 item 1), so this
+# queue restarts empty and collects ONLY round-14 additions — capped
+# at 12 so round 15's window keeps 38 slots for stale re-checks.
+# Every name here must be oracle-parity-green locally on every pytest
+# run; tests/test_oracle_parity.py asserts that any
+# never-driver-checked query is either inside the window or on this
+# explicit queue — a silent backlog stays impossible.
+# Round-15 rotation, pre-computed (zero slack, same construction):
+# _PROMOTE = this DEFERRED queue + the residual 12 of the r8 cohort
+# (skew_hot_key_salted, stats_correlation_by_group,
+# stats_linear_regression, stats_moments, stats_percentiles,
+# stats_percentiles_approx_bound, text_bpe_pair_counts,
+# text_language_id, text_quality_classifier, text_quality_score,
+# text_token_positions, text_winnowing_fingerprints) + enough of the
+# alphabetically-first r9 cohort to fill 50 (compute fresh from
+# CORRECTNESS_r01..r14).
+DEFERRED: tuple[str, ...] = ()
 
 
 def _load() -> None:

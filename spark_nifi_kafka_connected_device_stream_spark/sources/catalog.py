@@ -46,23 +46,57 @@ _PLAN_CACHE: dict[tuple[str, str, str, str, str], DataFrame] = {}
 # ran on EVERY load_table call — including cache hits — so per-call
 # overhead scaled with the parquet file count, and a driver session
 # makes hundreds of load_table calls per run.  Memoize per path behind
-# a cheap top-level stat pre-check plus a short TTL: reuse while the
-# top dir's (mtime_ns, ino, size) is unchanged AND the entry is young;
-# any direct rewrite of the dir (Spark overwrite mints new part files
-# + _SUCCESS in the top dir, bumping its mtime) invalidates instantly,
-# and the TTL bounds the staleness window for a nested-partition-only
-# rewrite that leaves the top dir untouched.
+# a cheap stat pre-check plus a short TTL: reuse while the top dir AND
+# its direct children's (mtime_ns, ino, size) are unchanged AND the
+# entry is young.  Any direct rewrite of the dir (Spark overwrite
+# mints new part files + _SUCCESS in the top dir, bumping its mtime)
+# invalidates instantly; a nested rewrite touching only a partition
+# subdirectory (top dir untouched) bumps that CHILD dir's mtime, which
+# the one-scandir child signature catches (ADVICE r13 — the top-stat-
+# only pre-check reintroduced exactly the staleness class the
+# recursive walk existed to close).  The TTL bounds staleness for
+# rewrites deeper than one level; `invalidate_fingerprint(path)` is
+# the explicit hook for rewrite tooling that can't wait it out.
 _FP_MEMO: dict[str, tuple[float, tuple, str]] = {}
 _FP_TTL_S = 5.0
+
+
+def invalidate_fingerprint(path: str | None = None) -> None:
+    """Drop the fingerprint memo for `path` (or all paths) so the next
+    load_table re-walks the listing immediately.  Fixture-rewrite
+    tooling calls this after an in-place rewrite instead of sleeping
+    out the TTL."""
+    if path is None:
+        _FP_MEMO.clear()
+    else:
+        _FP_MEMO.pop(os.path.abspath(path), None)
+
+
+def _stat_signature(path: str) -> tuple | None:
+    """(mtime_ns, ino, size) of the dir plus each DIRECT child — one
+    non-recursive scandir, cheap at any file count that matters here."""
+    try:
+        st = os.stat(path)
+        sig = [(st.st_mtime_ns, st.st_ino, st.st_size)]
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                for entry in sorted(it, key=lambda e: e.name):
+                    try:
+                        est = entry.stat()
+                        sig.append((entry.name, est.st_mtime_ns, est.st_ino, est.st_size))
+                    except OSError:
+                        sig.append((entry.name, -1, -1, -1))
+        return tuple(sig)
+    except OSError:
+        return None
 
 
 def _listing_fingerprint(path: str) -> str:
     import time
 
-    try:
-        st = os.stat(path)
-        sig = (st.st_mtime_ns, st.st_ino, st.st_size)
-    except OSError:
+    path = os.path.abspath(path)  # memo key must match invalidate_fingerprint's
+    sig = _stat_signature(path)
+    if sig is None:
         _FP_MEMO.pop(path, None)
         return "missing"
     now = time.monotonic()

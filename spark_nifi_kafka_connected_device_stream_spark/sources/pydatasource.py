@@ -178,6 +178,16 @@ class _EventsStreamReader(DataSourceStreamReader):
         # start=0 from the new checkpoint and the first batch covers
         # [0, cursor+batch] — a large first batch, never a gap), but
         # point different queries at different files.
+        # Detection lag (ADVICE r13): the claim check is read-then-
+        # os.replace, not atomic — reader A can read its own stamp,
+        # reader B write, then A's replace clobber B's claim, so each
+        # conflicting write surfaces only on the OTHER writer's NEXT
+        # persist: at least one batch's offsets interleave silently
+        # before the loud failure, and a perfectly alternating
+        # schedule delays detection by one batch each time.  Accepted
+        # for fail-loudly semantics (the failure is guaranteed, just
+        # ≤1 batch late); a true single-claim protocol would take an
+        # os.open(O_CREAT|O_EXCL) lock file instead.
         self.cursor_path = options.get("cursor_path")
         self._owner = uuid.uuid4().hex
         self._claimed = False

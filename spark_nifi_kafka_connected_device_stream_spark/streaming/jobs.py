@@ -191,7 +191,7 @@ def run_seasonal_anomaly_job(
 ):
     """Lambda-style seasonal anomaly monitor: LIVE hourly event counts
     scored against the BATCH-computed hour-of-day baseline
-    (operators.events.seasonal_baseline over history) — the streaming
+    (operators.events_timeseries.seasonal_baseline over history) — the streaming
     half of events_seasonal_hourly_anomaly, sharing its
     `seasonal_score` select verbatim so live flags and the batch
     backfill can never disagree on what "anomalous" means.
@@ -215,7 +215,7 @@ def run_seasonal_anomaly_job(
     """
     from pyspark.sql import functions as F
 
-    from ..operators.events import seasonal_score
+    from ..operators.events_timeseries import seasonal_score
     from .pipeline import parse_product_views
 
     views = parse_product_views(json_file_stream(spark, input_dir))

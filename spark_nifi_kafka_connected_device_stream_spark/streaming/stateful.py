@@ -561,7 +561,7 @@ def _streaming_ewma_fn(
     """Per-key EWMA recursion continued across micro-batches: state
     carries (n_events, current_ewma); each batch's rows are folded in
     event-time order with the SAME fp expression as the batch operator
-    (`operators/events._ewma_group`): y = (1-a)*y + a*x — so a stream
+    (`operators/events_timeseries._ewma_group`): y = (1-a)*y + a*x — so a stream
     replayed in order produces bit-identical smoothed values to the
     batch recursion over the concatenated series."""
     a = EWMA_STREAM_ALPHA

@@ -63,6 +63,44 @@ def test_cache_bounded_to_live_session(spark):
     assert all(k[0] == app for k in _PLAN_CACHE)
 
 
+def test_fingerprint_sees_nested_partition_rewrite(tmp_path):
+    """ADVICE r13: a rewrite touching ONLY a nested partition
+    subdirectory (top dir stat unchanged) must not serve a stale
+    fingerprint from the memo — the direct-child stat in the pre-check
+    signature catches it, and invalidate_fingerprint() is the explicit
+    hook for anything deeper."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        _listing_fingerprint,
+        invalidate_fingerprint,
+    )
+
+    top = tmp_path / "t.parquet"
+    part = top / "p=1"
+    part.mkdir(parents=True)
+    (part / "a.bin").write_bytes(b"x" * 10)
+    fp1 = _listing_fingerprint(str(top))
+    # pin the top dir's stat so only the CHILD changes (the exact
+    # staleness scenario: top-dir mtime/ino/size all unchanged)
+    st = os.stat(top)
+    (part / "b.bin").write_bytes(b"y" * 20)
+    os.utime(top, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = _listing_fingerprint(str(top))  # inside the 5s TTL on purpose
+    assert fp2 != fp1, "nested rewrite served a stale memoized fingerprint"
+
+    # two-level-deep rewrite with child stat pinned: the memo may
+    # legitimately serve the old value inside the TTL — the explicit
+    # invalidate hook must force a fresh walk
+    deep = part / "q=2"
+    deep.mkdir()
+    stc = os.stat(part)
+    (deep / "c.bin").write_bytes(b"z" * 30)
+    os.utime(part, ns=(stc.st_atime_ns, stc.st_mtime_ns))
+    os.utime(top, ns=(st.st_atime_ns, st.st_mtime_ns))
+    invalidate_fingerprint(str(top))
+    fp3 = _listing_fingerprint(str(top))
+    assert fp3 != fp2, "invalidate_fingerprint did not force a re-walk"
+
+
 def test_events_fixture_schema_sentinel(spark):
     """Fixture-regen tripwire (round-5 postmortem): the driver has
     regenerated events.parquet with a DIFFERENT physical ts layout

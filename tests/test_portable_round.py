@@ -315,7 +315,7 @@ def test_ewma_recursion_matches_duckdb_exactly(spark):
 
     import pandas as pd
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         _ewma_group,
     )
 

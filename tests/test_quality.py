@@ -495,7 +495,7 @@ def test_cusum_flags_synthetic_level_shift(spark):
     """Ground truth: a series flat at mu for 30 points then shifted by
     +2 sigma for 30 points must alarm during the shifted half, and a
     flat series must never alarm."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         _cusum_group,
     )
     import pandas as pd
@@ -546,7 +546,7 @@ def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
     """On a perfectly linear series the Holt forecast error shrinks:
     after warm-up, the one-step forecast must be closer to the next
     actual than a naive last-value forecast."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         _holt_group,
     )
     import pandas as pd

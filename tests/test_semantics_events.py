@@ -26,7 +26,7 @@ def test_peak_concurrency_sweep_semantics(spark, tmp_path):
     """Three users: sessions [0s..100s], [50s..60s], [10000s..10000s].
     The first two overlap (peak 2, first reached at the 50s acquire);
     the third is alone."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_peak_concurrency,
     )
 
@@ -55,7 +55,7 @@ def test_peak_concurrency_sweep_semantics(spark, tmp_path):
 def test_debounce_burst_semantics(spark, tmp_path):
     """Events at 0/1/2s then 10s for one (user, type): one 3-event
     burst plus a singleton.  A second type is untouched."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sessions import (
         events_debounce_stats,
     )
 
@@ -81,7 +81,7 @@ def test_hourly_acf_detects_period(spark, tmp_path):
     """A strict 2-hour on/off pattern (10 events in even hours, none in
     odd) must autocorrelate strongly positive at even lags and
     strongly negative at odd lags."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_hourly_acf,
     )
 
@@ -110,7 +110,7 @@ def test_hourly_acf_detects_period(spark, tmp_path):
 def test_interarrival_burstiness_metronome_is_minus_one(spark, tmp_path):
     """31 events at exactly 10s intervals: 30 gaps, sd=0, mean=10s —
     burstiness hits the machine-traffic pole B = −1 exactly."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_interarrival_burstiness,
     )
 
@@ -130,7 +130,7 @@ def test_interarrival_burstiness_metronome_is_minus_one(spark, tmp_path):
 
 def test_interarrival_burstiness_min_gaps_filter(spark, tmp_path):
     """A type with fewer than 30 gaps is excluded from the report."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_interarrival_burstiness,
     )
 
@@ -146,7 +146,7 @@ def test_user_gini_hand_computed(spark, tmp_path):
     """user 1 → 1 event, user 2 → 3 events: ascending x = (1, 3),
     G = 2·(1·1 + 2·3)/(2·4) − 3/2 = 0.25.  A perfectly equal pair of
     users in a second type gives G = 0."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_user_gini,
     )
 
@@ -164,7 +164,7 @@ def test_cms_bound_holds_and_pins_heavy_keys(spark, tmp_path):
     headroom in a 4×2048 sketch there are no collisions, so every
     estimate is exact and within_bound is uniformly true; the audited
     key set is exactly the heavy users."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sketches import (
         events_cms_frequency_bound,
     )
 
@@ -187,7 +187,7 @@ def test_log2_histogram_bins_are_binary_digit_counts(spark, tmp_path):
     bin 9.  Bin edges are exact powers of two with no float log."""
     import datetime
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sketches import (
         events_value_log2_histogram,
     )
 
@@ -213,7 +213,7 @@ def test_theil_sen_shrugs_off_outlier_hour(spark, tmp_path):
     exactly 0 (most pairwise slopes are 0; outlier pairs are a
     minority), while the OLS slope is dragged non-zero by the spike.
     The TS-vs-OLS gap IS the outlier signal the docstring claims."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_theil_sen_trend,
     )
 
@@ -249,7 +249,7 @@ def test_forecast_backtest_perfect_daily_cycle(spark, tmp_path):
     spike transitions per day."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_forecast_backtest,
     )
 
@@ -286,7 +286,7 @@ def test_bounce_rate_hand_computed(spark, tmp_path):
     day: rate 0.5, mean 2.0; a second day with only the bounce: 1.0."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sessions import (
         events_bounce_rate_daily,
     )
 
@@ -325,7 +325,7 @@ def test_id_integrity_audit_finds_dups_and_holes(spark, tmp_path):
         tmp_path,
         [(i, i, 1, "view") for i in (1, 2, 4, 5, 7, 8, 10)] + [(2, 99, 2, "view")],
     )
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_id_integrity_audit,
     )
 
@@ -340,7 +340,7 @@ def test_impute_median_hand_computed(spark, tmp_path):
     median 20, and the post-impute mean moves from 70/3 to 90/4."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_value_impute_median,
     )
 
@@ -376,7 +376,7 @@ def test_markov_stationary_two_state_chain(spark, tmp_path):
             rows.append((eid, eid * 10, 7, t))
             eid += 1
     sf = write_events4(spark, tmp_path, rows)
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sessions import (
         events_markov_stationary,
     )
 
@@ -395,7 +395,7 @@ def test_hill_tail_index_constructed(spark, tmp_path):
     import datetime as dt
     import math
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_hill_tail_index,
     )
 
@@ -425,7 +425,7 @@ def test_lorenz_curve_monotone_and_sums(spark, tmp_path):
             rows.append((eid, eid, u, "view"))
             eid += 1
     sf = write_events4(spark, tmp_path, rows)
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_lorenz_curve,
     )
 
@@ -445,7 +445,7 @@ def test_kmv_exact_when_k_equals_cardinality_region(spark, tmp_path):
     pipeline, and that rel_err is the exact signed error."""
     import hashlib
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sketches import (
         _KMV_K,
         events_kmv_distinct_users,
     )
@@ -480,7 +480,7 @@ def test_fano_dispersion_hand_computed(spark, tmp_path):
             rows.append((eid, d * day + 120, 1, "click"))
             eid += 1
     sf = write_events4(spark, tmp_path, rows)
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_fano_dispersion,
     )
 
@@ -503,7 +503,7 @@ def test_pettitt_finds_constructed_level_shift(spark, tmp_path):
             rows.append((eid, h * 3600 + k, 1, "view"))
             eid += 1
     sf = write_events4(spark, tmp_path, rows)
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_pettitt_changepoint,
     )
 
@@ -520,7 +520,7 @@ def test_transition_entropy_deterministic_vs_coinflip(spark, tmp_path):
     """User 1 strictly alternates a->b->a->b (deterministic: 0 bits
     from each state).  User 2 goes c->a and c->b equally (1 bit from
     state c)."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sessions import (
         events_transition_entropy,
     )
 
@@ -550,7 +550,7 @@ def test_transition_entropy_deterministic_vs_coinflip(spark, tmp_path):
 def test_xcorr_peaks_at_the_planted_lag(spark, tmp_path):
     """purchase volume = view volume shifted +3 hours: the CCF must
     peak at lag +3 and dominate every other lag."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         events_xcorr_view_purchase,
     )
 
@@ -573,7 +573,7 @@ def test_xcorr_peaks_at_the_planted_lag(spark, tmp_path):
 
 
 def test_quantile_sketch_bound_holds_on_crafted_values(spark, tmp_path):
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_sketches import (
         events_quantile_sketch_bound,
     )
 
@@ -589,7 +589,7 @@ def test_weekly_growth_accounting_journeys(spark, tmp_path):
     C first seen week 1 (new); D active weeks 0 and 2 (resurrected in
     2, NOT counted churned beyond week 1).  Weeks are epoch-week
     indexes; the fixture uses epoch-aligned timestamps."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_weekly_growth_accounting,
     )
 
@@ -651,7 +651,7 @@ def test_incident_attribution_blast_radius(spark, tmp_path):
     """Crafted incident: one hot 5-minute window plus satellites just
     inside and just outside the ±2-minute blast radius — the range
     join must count the inside events and exclude the outside ones."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_engagement import (
         events_incident_window_attribution,
     )
 
@@ -688,7 +688,7 @@ def test_holt_forecast_matches_python_recursion(spark, tmp_path):
     one-step forecast converges to the true next value."""
     import datetime as _dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.events import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
         HOLT_ALPHA,
         HOLT_BETA,
         events_holt_forecast_hourly,
