@@ -1041,3 +1041,80 @@ def orders_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
     return stats.join(med, "cohort_year").select(
         "cohort_year", "n_repeat", "median_gap_days", "avg_gap_days"
     )
+
+
+@register(
+    "orders_cohort_retention_triangle",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(CAST(o_orderdate AS DATE)) * 4
+                 + (quarter(CAST(o_orderdate AS DATE)) - 1)) AS cohort_qi
+      FROM orders GROUP BY o_custkey
+    ), activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort_qi,
+             (year(CAST(o.o_orderdate AS DATE)) * 4
+              + (quarter(CAST(o.o_orderdate AS DATE)) - 1)) - f.cohort_qi
+               AS q_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ), sizes AS (
+      SELECT cohort_qi, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_qi
+    ), cells AS (
+      SELECT cohort_qi, q_since,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM activity WHERE q_since <= 8 GROUP BY cohort_qi, q_since
+    )
+    SELECT CAST(c.cohort_qi // 4 AS INTEGER) AS cohort_year,
+           CAST(c.cohort_qi % 4 + 1 AS INTEGER) AS cohort_quarter,
+           CAST(c.q_since AS INTEGER) AS q_since,
+           c.n_active, s.cohort_size,
+           floor((c.n_active * 1.0 / s.cohort_size) * 1000000.0 + 0.5)
+             / 1000000.0 AS retention
+    FROM cells c JOIN sizes s ON c.cohort_qi = s.cohort_qi
+    """,
+    doc="The classic cohort retention TRIANGLE on the order history: "
+        "cohort = the calendar quarter of a customer's FIRST order "
+        "(encoded as a linear quarter index year*4 + q-1, so "
+        "quarters-since is plain integer subtraction — no cross-year "
+        "date arithmetic to diverge between engines), cell (cohort, "
+        "q_since) = distinct customers with ≥1 order that many "
+        "quarters later, plus the retention rate against the cohort's "
+        "size.  The quarterly/orders twin of the weekly/events "
+        "events_retention_cohorts — product analytics reads the events "
+        "triangle, finance reads this one.  q_since capped at 8 (a "
+        "2-year triangle) to bound the output grid.  Scale shape: one "
+        "shuffle keyed on o_custkey for first-order (the activity join "
+        "reuses it), one (cohort, q_since) DISTINCT dedupe, then "
+        "grid-sized aggregates; cohort sizes join the cells on the "
+        "tiny grid, not the fact table.",
+    tags=("cohort", "orders", "retention"),
+)
+def orders_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate")) * 4 + (F.quarter(F.col("o_orderdate")) - 1)
+        ).alias("qi"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("qi").alias("cohort_qi"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select("o_custkey", "cohort_qi", (F.col("qi") - F.col("cohort_qi")).alias("q_since"))
+        .filter(F.col("q_since") <= 8)
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_qi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = activity.groupBy("cohort_qi", "q_since").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    return cells.join(sizes, "cohort_qi").select(
+        (F.col("cohort_qi") / 4).cast("int").alias("cohort_year"),
+        (F.col("cohort_qi") % 4 + 1).cast("int").alias("cohort_quarter"),
+        F.col("q_since").cast("int").alias("q_since"),
+        "n_active",
+        "cohort_size",
+        pround(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

@@ -983,3 +983,87 @@ def privacy_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") * F.lit(_DPQ_STEP)).cast("bigint").alias("dp_median_cents"),
         F.lit(_DP_EPSILON).alias("epsilon"),
     )
+
+
+@register(
+    "privacy_dp_topk_release",
+    oracle=f"""
+    WITH rel AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS true_users
+      FROM events GROUP BY event_type
+    ), noised AS (
+      SELECT *,
+             ({duck_u32("'dptk_' || event_type")} + 0.5)
+               / 4294967296.0 AS u
+      FROM rel
+    ), scored AS (
+      SELECT event_type, true_users,
+             floor((true_users
+                    + CASE WHEN u >= 0.5
+                           THEN -{1.0 / _DP_EPSILON} * ln(1.0 - 2.0 * (u - 0.5))
+                           ELSE  {1.0 / _DP_EPSILON} * ln(1.0 - 2.0 * (0.5 - u))
+                      END) * 1000000.0 + 0.5) / 1000000.0 AS noisy_users
+      FROM noised
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY noisy_users DESC,
+                                   event_type ASC) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, event_type, noisy_users,
+           CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="Differentially-private top-k release (peeling form of "
+        "report-noisy-max): per event type, the distinct-user count "
+        "gets Laplace(1/epsilon) noise — same deterministic md5-keyed "
+        "inverse-CDF uniform as the other DP releases, the "
+        "oracle-checkable stand-in for a real RNG — and the release "
+        "publishes ONLY the top-5 types ranked by NOISY score, with "
+        "the TRUE counts withheld (releasing the noisy score spends "
+        "the same budget; releasing the true count would spend "
+        "infinite).  Selection-by-noisy-rank is the part plain "
+        "per-cell Laplace doesn't give: which items appear in the "
+        "release is itself randomized, so presence leaks bounded "
+        "information.  Ranking tie-break on the type name keeps the "
+        "released SET deterministic cross-engine.  Scale shape: one "
+        "distinct-user dedupe shuffle, a |types|-row release table, "
+        "one 5-row ranked emit — the window runs over ~9 rows, not "
+        "the fact table.",
+    tags=("privacy", "events", "approx-release"),
+)
+def privacy_dp_topk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.scale import bounded_window_key
+
+    e = load_table(spark, sf_dir, "events")
+    rel = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_users")
+    )
+    u32 = spark_u32(F.concat(F.lit("dptk_"), F.col("event_type")))
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    scale = 1.0 / _DP_EPSILON
+    noise = F.when(
+        u >= 0.5, F.lit(-scale) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
+    ).otherwise(F.lit(scale) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    scored = rel.select(
+        "event_type",
+        "true_users",
+        pround(F.col("true_users") + noise, 6).alias("noisy_users"),
+    )
+    # release table is |event types|-sized — bounded_window_key keeps
+    # the single-task window without the No-Partition-Defined warning
+    w = Window.partitionBy(bounded_window_key("event_type")).orderBy(
+        F.desc("noisy_users"), F.asc("event_type")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "event_type",
+            "noisy_users",
+            F.lit(_DP_EPSILON).alias("epsilon"),
+        )
+    )

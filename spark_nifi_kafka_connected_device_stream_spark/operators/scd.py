@@ -860,6 +860,56 @@ def orders_bitemporal_correction_report(spark: SparkSession, sf_dir: str) -> Dat
 # --- round 13 addition: CDC apply-log -> SCD2 history replay ---------------
 
 
+def _cdc_ops_log(c: DataFrame) -> DataFrame:
+    """The deterministic Debezium-style change log both CDC queries
+    replay (custkey%3 rebalances, %4 upgrades segment, %6 is deleted;
+    %12 exercises the full I-U-U-D lifecycle) — one op per (key, seq),
+    every op carrying the full attribute image."""
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        c.select(
+            "c_custkey",
+            F.lit(0).alias("seq"),
+            F.lit("I").alias("op"),
+            F.lit("2020-01-01").cast("date").alias("op_date"),
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("bal_cents"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                "c_custkey",
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("2021-02-01").cast("date").alias("op_date"),
+                F.col("c_mktsegment").alias("segment"),
+                (cents + 100).alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 4 == 0).select(
+                "c_custkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("2022-03-01").cast("date").alias("op_date"),
+                F.lit("UPGRADED").alias("segment"),
+                F.when(F.col("c_custkey") % 3 == 0, cents + 100)
+                .otherwise(cents)
+                .alias("bal_cents"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 6 == 0).select(
+                "c_custkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit("2023-04-01").cast("date").alias("op_date"),
+                F.lit(None).cast("string").alias("segment"),
+                F.lit(None).cast("bigint").alias("bal_cents"),
+            )
+        )
+    )
+
+
 @register(
     "scd2_cdc_apply_log",
     oracle=f"""
@@ -911,50 +961,7 @@ def orders_bitemporal_correction_report(spark: SparkSession, sf_dir: str) -> Dat
     tags=("scd", "change-data", "temporal"),
 )
 def scd2_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
-    ops = (
-        c.select(
-            "c_custkey",
-            F.lit(0).alias("seq"),
-            F.lit("I").alias("op"),
-            F.lit("2020-01-01").cast("date").alias("op_date"),
-            F.col("c_mktsegment").alias("segment"),
-            cents.alias("bal_cents"),
-        )
-        .unionByName(
-            c.filter(F.col("c_custkey") % 3 == 0).select(
-                "c_custkey",
-                F.lit(1).alias("seq"),
-                F.lit("U").alias("op"),
-                F.lit("2021-02-01").cast("date").alias("op_date"),
-                F.col("c_mktsegment").alias("segment"),
-                (cents + 100).alias("bal_cents"),
-            )
-        )
-        .unionByName(
-            c.filter(F.col("c_custkey") % 4 == 0).select(
-                "c_custkey",
-                F.lit(2).alias("seq"),
-                F.lit("U").alias("op"),
-                F.lit("2022-03-01").cast("date").alias("op_date"),
-                F.lit("UPGRADED").alias("segment"),
-                F.when(F.col("c_custkey") % 3 == 0, cents + 100)
-                .otherwise(cents)
-                .alias("bal_cents"),
-            )
-        )
-        .unionByName(
-            c.filter(F.col("c_custkey") % 6 == 0).select(
-                "c_custkey",
-                F.lit(3).alias("seq"),
-                F.lit("D").alias("op"),
-                F.lit("2023-04-01").cast("date").alias("op_date"),
-                F.lit(None).cast("string").alias("segment"),
-                F.lit(None).cast("bigint").alias("bal_cents"),
-            )
-        )
-    )
+    ops = _cdc_ops_log(load_table(spark, sf_dir, "customer"))
     w = Window.partitionBy("c_custkey").orderBy("seq")
     return (
         ops.withColumn("next_date", F.lead("op_date").over(w))
@@ -1037,3 +1044,108 @@ def scd2_type1_type2_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("misattributed_cents"),
         )
     )
+
+
+@register(
+    "scd2_cdc_incremental_merge",
+    oracle=f"""
+    WITH ops AS (
+      SELECT c_custkey, 0 AS seq, 'I' AS op, DATE '2020-01-01' AS op_date,
+             c_mktsegment AS segment, {_CENTS} AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1, 'U', DATE '2021-02-01',
+             c_mktsegment, {_CENTS} + 100
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'U', DATE '2022-03-01', 'UPGRADED',
+             CASE WHEN c_custkey % 3 = 0 THEN {_CENTS} + 100
+                  ELSE {_CENTS} END
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', DATE '2023-04-01',
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM customer WHERE c_custkey % 6 = 0
+    ), seq AS (
+      SELECT *, lead(op_date) OVER (PARTITION BY c_custkey
+                                    ORDER BY seq) AS next_date
+      FROM ops
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, segment, bal_cents,
+           strftime(op_date, '%Y-%m-%d')  AS valid_from,
+           strftime(next_date, '%Y-%m-%d') AS valid_to,
+           (next_date IS NULL) AS is_current
+    FROM seq WHERE op <> 'D'
+    """,
+    doc="Incremental CDC MERGE — the foreachBatch-shaped WRITE path "
+        "paired with scd2_cdc_apply_log's one-pass rebuild (VERDICT "
+        "r13 item 4).  The SAME change log is applied in CHRONOLOGICAL "
+        "CHUNKS (one per CDC batch / op sequence number) against a "
+        "maintained SCD2 state table: each chunk closes the arriving "
+        "keys' open versions (valid_to = the op's date) and inserts "
+        "the new open versions (a delete closes without inserting) — "
+        "exactly what a foreachBatch MERGE does against a warehouse "
+        "dimension, batch after batch.  The ORACLE is the one-shot "
+        "full-log rebuild, so the driver check IS the incremental-"
+        "equals-batch equivalence proof: any drift between the merge "
+        "loop and the lead()-based rebuild flips the value hash red. "
+        "The streaming twin (the same per-chunk merge function driven "
+        "by a foreachBatch stream over the op log) is asserted "
+        "equivalent in tests/test_streaming.py.  Scale shape: K "
+        "batch-sized passes, each ONE key-partitioned join of the "
+        "state against the (much smaller) chunk — the realistic cost "
+        "model of continuous dimension maintenance, vs the rebuild's "
+        "single full-log shuffle; lineage across the K merges is "
+        "truncated with lazy localCheckpoint so the final plan does "
+        "not re-execute every chunk join.  No driver-side data "
+        "movement: the chunk loop is control flow only, K=4 is the "
+        "log's op-sequence count, not a data-dependent loop.",
+    tags=("scd", "change-data", "temporal", "incremental"),
+)
+def scd2_cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ops = _cdc_ops_log(load_table(spark, sf_dir, "customer"))
+    state = apply_cdc_batch(None, ops.filter(F.col("seq") == 0))
+    for s in (1, 2, 3):
+        state = apply_cdc_batch(state, ops.filter(F.col("seq") == s))
+        state = state.localCheckpoint(eager=False)
+    return state.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "segment",
+        "bal_cents",
+        F.date_format("valid_from_d", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to_d", "yyyy-MM-dd").alias("valid_to"),
+        F.col("valid_to_d").isNull().alias("is_current"),
+    )
+
+
+def apply_cdc_batch(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One MERGE step: close the open version of every key in `batch`
+    (valid_to = the op's date) and open a new version for each non-
+    delete op.  The exact function the streaming foreachBatch twin
+    applies per micro-batch (tests/test_streaming.py) — shared so the
+    batch and streaming paths cannot drift apart.  Assumes ≤1 op per
+    key per batch (one CDC transaction per key per commit window);
+    state schema: c_custkey, segment, bal_cents, valid_from_d,
+    valid_to_d."""
+    inserts = batch.filter(F.col("op") != "D").select(
+        "c_custkey",
+        "segment",
+        "bal_cents",
+        F.col("op_date").alias("valid_from_d"),
+        F.lit(None).cast("date").alias("valid_to_d"),
+    )
+    if state is None:
+        return inserts
+    closes = batch.select("c_custkey", F.col("op_date").alias("close_date"))
+    closed = (
+        state.join(closes, "c_custkey", "left")
+        .withColumn(
+            "valid_to_d",
+            F.when(
+                F.col("valid_to_d").isNull() & F.col("close_date").isNotNull(),
+                F.col("close_date"),
+            ).otherwise(F.col("valid_to_d")),
+        )
+        .drop("close_date")
+    )
+    return closed.unionByName(inserts)

@@ -529,3 +529,81 @@ def pandas_udf_iter_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
             _charge_iter_udf("l_extendedprice", "l_discount", "l_tax"), 2
         ).alias("charge"),
     )
+
+
+@register(
+    "udtf_arrow_installments",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+             CAST(1 + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 4
+                  AS BIGINT) AS n_inst
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey,
+           CAST(i AS BIGINT) AS installment_no,
+           CAST(n_inst AS BIGINT) AS n_installments,
+           CAST(CASE WHEN i < n_inst THEN total_cents // n_inst
+                     ELSE total_cents - (n_inst - 1) * (total_cents // n_inst)
+                END AS BIGINT) AS installment_cents
+    FROM (SELECT o_orderkey, total_cents, n_inst,
+                 unnest(generate_series(1, n_inst)) AS i
+          FROM o)
+    """,
+    doc="Arrow-native analyze-less lateral UDTF (VERDICT r13 item 4 — "
+        "udf_ops had the row-pickled UDTF forms but no Arrow one): a "
+        "row-to-N-rows table function with a STATIC returnType (no "
+        "`analyze` method — the schema is fixed at registration, the "
+        "form Catalyst can bind without a Python round-trip at plan "
+        "time) and `useArrow=True`, so eval I/O crosses the boundary "
+        "as Arrow batches instead of pickled rows.  The function "
+        "explodes each order into its installment schedule (1-4 "
+        "deterministic monthly installments; the LAST absorbs the "
+        "integer remainder so the cents sum reconstructs the order "
+        "total exactly — asserted by the oracle's identical integer "
+        "arithmetic).  Applied via LATERAL correlated join, the UDTF "
+        "composition the SQL surface exposes.  Python-boundary cost "
+        "is bounded: the o_orderkey % 101 filter is pushed BELOW the "
+        "Python stage, and the JVM-side equivalent of this shape is "
+        "posexplode(sequence(...)) — the UDTF form exists to pin the "
+        "Arrow UDTF API surface.  Scale shape: map-only (no shuffle), "
+        "parallel per input partition.",
+    tags=("udf", "udtf", "arrow"),
+)
+def udtf_arrow_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "installment_no bigint, n_installments bigint, installment_cents bigint"
+        ),
+        useArrow=True,
+    )
+    class _Installments:
+        def eval(self, total_cents: int, n_inst: int):  # noqa: ANN001
+            base = total_cents // n_inst
+            for i in range(1, n_inst + 1):
+                cents = base if i < n_inst else total_cents - (n_inst - 1) * base
+                yield (i, n_inst, cents)
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .withColumn("n_inst", (F.lit(1) + F.col("total_cents") % 4).cast("bigint"))
+    )
+    o.createOrReplaceTempView("_udtf_arrow_orders")
+    spark.udtf.register("order_installments", _Installments)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.installment_no, s.n_installments, s.installment_cents
+        FROM _udtf_arrow_orders o,
+             LATERAL order_installments(o.total_cents, o.n_inst) s
+        """
+    )

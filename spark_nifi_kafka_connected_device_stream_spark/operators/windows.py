@@ -367,7 +367,13 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         "sliding two-pointer pass per partition, never a self-join — "
         "the 100 TB encoding of 'spend in the last 30 days' (the "
         "self-join form multiplies candidates by the average count "
-        "per window).",
+        "per window).  Streaming twin (r14, VERDICT r13 item 6): a "
+        "stream cannot emit per-ROW trailing frames over unbounded "
+        "history — the streaming restatement samples the trailing "
+        "interval at slide boundaries (watermark-bounded F.window "
+        "slide per key), value-checked by stream-batch equivalence in "
+        "tests/test_streaming.py::"
+        "test_trailing_interval_stream_batch_equivalence.",
     tags=("window", "timeseries", "sql-api"),
 )
 def window_range_interval_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,5 +540,74 @@ def window_range_interval_leakage_safe(spark: SparkSession, sf_dir: str) -> Data
                            AND INTERVAL 1 DAYS PRECEDING)
                  AS BIGINT) AS prior_week_orders
         FROM _rng_orders_leakage_safe
+        """
+    )
+
+
+@register(
+    "window_groups_frames",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)   AS trail2g_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)   AS trail2g_orders,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)   AS cent3g_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)   AS cent3g_orders
+    FROM r
+    """,
+    doc="GROUPS-mode window frames — completing the ROWS/RANGE/GROUPS "
+        "frame family (VERDICT r13 item 4).  GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW = the current peer group (same order date) plus "
+        "the previous DISTINCT date's orders, however far back the "
+        "calendar gap reaches — the frame neither counts physical rows "
+        "(ROWS) nor calendar time (RANGE INTERVAL), but peer GROUPS; the "
+        "centered 1-PRECEDING..1-FOLLOWING twin is emitted from the same "
+        "sort.  Neither Spark nor DuckDB implements GROUPS mode natively "
+        "(both parsers reject it — probed on Spark 4.1.2 / DuckDB 1.x), "
+        "so BOTH sides express it through the same spec: dense_rank() "
+        "over the ORDER BY key, then RANGE with integer offsets over the "
+        "rank — exact because dense_rank is consecutive, so a rank "
+        "distance of 1 is precisely one peer group.  Every peer row "
+        "reports the identical frame value (peers all carry the same "
+        "dense_rank), pinning GROUPS peer semantics.  Frames always "
+        "include the current group, so no output column is ever NULL.  "
+        "Scale shape: ONE shuffle on o_custkey; the rank pass and both "
+        "frame passes share the same (o_custkey, date) sort order — the "
+        "rank is monotone in the sort key, so the second sort Spark "
+        "plans is a no-op pass over already-clustered runs.  Fixed-point "
+        "cents (exact BIGINT), no float drift.",
+    tags=("window", "sql-api"),
+)
+def window_groups_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_grp_orders_frames")
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 dense_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY CAST(o_orderdate AS DATE)) AS dr
+          FROM _grp_orders_frames
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)   AS trail2g_cents,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)   AS trail2g_orders,
+               CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)   AS cent3g_cents,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)   AS cent3g_orders
+        FROM r
         """
     )

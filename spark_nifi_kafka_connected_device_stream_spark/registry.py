@@ -177,7 +177,17 @@ _DEMOTE: tuple[str, ...] = ()
 # text_token_positions, text_winnowing_fingerprints) + enough of the
 # alphabetically-first r9 cohort to fill 50 (compute fresh from
 # CORRECTNESS_r01..r14).
-DEFERRED: tuple[str, ...] = ()
+DEFERRED: tuple[str, ...] = (
+    # round-14 additions (VERDICT r13 item 4: GROUPS frames, Arrow
+    # UDTF, incremental CDC merge, plus thin-tier fills — DP top-k,
+    # quarterly cohort triangle, EqualTo-pushdown connector query)
+    "window_groups_frames",
+    "udtf_arrow_installments",
+    "scd2_cdc_incremental_merge",
+    "privacy_dp_topk_release",
+    "orders_cohort_retention_triangle",
+    "device_registry_firmware_lag",
+)
 
 
 def _load() -> None:

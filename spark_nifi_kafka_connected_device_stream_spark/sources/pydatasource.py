@@ -379,6 +379,63 @@ def _register_query() -> None:
         )
 
 
+    @register(
+        "device_registry_firmware_lag",
+        oracle=f"""
+        WITH devices AS (
+          SELECT i AS device_id, {_DUCK_DEV_U16} AS u16
+          FROM generate_series(0, {REGISTRY_QUERY_DEVICES - 1}) t(i)
+        ), shaped AS (
+          SELECT device_id, {region_case} AS region, {model_case} AS model,
+                 1 + u16 % 9 AS firmware
+          FROM devices
+        )
+        SELECT model,
+               CAST(firmware AS INTEGER)              AS firmware,
+               CAST(count(*) AS BIGINT)               AS n_devices,
+               CAST(min(device_id) AS BIGINT)         AS min_device,
+               CAST(max(device_id) AS BIGINT)         AS max_device,
+               CAST(9 - firmware AS INTEGER)          AS versions_behind
+        FROM shaped
+        WHERE region = 'apac'
+        GROUP BY model, firmware
+        """,
+        doc=f"The custom Python Data Source under the EqualTo pushdown "
+            f"branch (device_registry_models pins the In() branch; a "
+            f"connector that honors one Filter subtype and silently "
+            f"ignores another is the classic pushFilters bug, so each "
+            f"absorbed subtype needs its own value-checked query): "
+            f"region = 'apac' is absorbed by pushFilters and pruned at "
+            f"GENERATION time — non-apac rows never materialize in the "
+            f"Python reader — then the fleet's firmware-lag report "
+            f"rolls up per (model, firmware) with versions_behind "
+            f"against the fleet-wide max (9 by construction of the "
+            f"generator's 1+u16%9).  The oracle rebuilds the registry "
+            f"from generate_series + the same md5-nibble math.  Scale "
+            f"shape: n_partitions parallel generated splits, ONE "
+            f"grouped agg over the ~1/5 surviving rows.",
+        tags=("source", "connector", "pushdown"),
+    )
+    def device_registry_firmware_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_python_sources(spark)
+        df = (
+            spark.read.format("device_registry")
+            .option("n_devices", REGISTRY_QUERY_DEVICES)
+            .option("n_partitions", 8)
+            .load()
+        )
+        return (
+            df.filter(F.col("region") == "apac")
+            .groupBy("model", F.col("firmware").cast("int").alias("firmware"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_devices"),
+                F.min("device_id").cast("bigint").alias("min_device"),
+                F.max("device_id").cast("bigint").alias("max_device"),
+            )
+            .withColumn("versions_behind", (F.lit(9) - F.col("firmware")).cast("int"))
+        )
+
+
 _register_query()
 
 

@@ -454,3 +454,46 @@ def test_round11_plan_shapes(spark):
     df = SPECS["events_dow_value_ks_fdr"].fn(spark, SF_SMALL)
     plan = explain_str(df)
     assert plan.count("events.parquet") <= 1, "ks_fdr re-scans events"
+
+
+def test_plan_audit_golden_no_drift(spark):
+    """Round-14 stretch (VERDICT r13 item 7): PERF.md's plan-audit
+    table is the GOLDEN plan-shape record — regenerated by
+    tools/regen_plan_audit.py, committed, and asserted here against
+    the LIVE plans so a silent plan regression (a query's shuffle
+    count doubling, a broadcast join degrading to shuffle, a filter
+    no longer reaching the scan) fails CI before the bench ever sees
+    it.  Tolerance is DIRECTIONAL: improvements (fewer shuffles, more
+    broadcasts, more pushdown) pass — rerun the regen tool to ratchet
+    the golden — while regressions fail.  Plan shape is SF-independent
+    (the golden is generated at sf0.001, the same SF used here)."""
+    import os
+    import re
+
+    from spark_nifi_kafka_connected_device_stream_spark.plans import inspect as I
+
+    perf = open(
+        os.path.join(os.path.dirname(__file__), "..", "PERF.md")
+    ).read()
+    audit = perf.split("## Plan audit", 1)[1]
+    golden = {
+        m.group(1): (int(m.group(2)), int(m.group(3)), int(m.group(4)))
+        for m in re.finditer(
+            r"^\| ([a-z0-9_]+) \| (\d+) \| (\d+) \| (\d+) \|$", audit, flags=re.M
+        )
+    }
+    regressions = []
+    for name, spec in SPECS.items():
+        want = golden.get(name)
+        if want is None:
+            # coverage parity golden-vs-registry is pinned separately in
+            # test_catalog_cache.py::test_registry_counts_match_readme
+            continue
+        df = spec.fn(spark, SF_SMALL)
+        got = (I.shuffle_count(df), I.broadcast_join_count(df), len(I.pushed_filters(df)))
+        if got[0] > want[0] or got[1] < want[1] or got[2] < want[2]:
+            regressions.append((name, {"golden": want, "live": got}))
+    assert not regressions, (
+        "plan drift vs PERF.md golden (shuffles up / broadcasts down / "
+        f"pushdown down): {regressions}"
+    )
