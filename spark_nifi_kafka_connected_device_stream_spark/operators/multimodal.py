@@ -884,3 +884,102 @@ def multimodal_format_magic_mismatch(spark: SparkSession, sf_dir: str) -> DataFr
             )
         ).alias("mismatch"),
     )
+
+
+_SHARD_BUDGET_BYTES = 32_768  # 32 KB per training shard (fixture-scale)
+
+
+@register(
+    "multimodal_shard_pack_plan",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image/fake'
+                             WHEN 1 THEN 'audio/fake'
+                             ELSE 'text/plain' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, modality, n_bytes,
+             sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+               AS prev_cum
+      FROM docs
+    ), placed AS (
+      SELECT modality, doc_id, n_bytes,
+             CAST(prev_cum // {_SHARD_BUDGET_BYTES} AS BIGINT) AS shard_id
+      FROM cum
+    )
+    SELECT modality, shard_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT)  AS shard_bytes,
+           CAST(min(doc_id) AS BIGINT)   AS first_doc,
+           CAST(max(doc_id) AS BIGINT)   AS last_doc,
+           (sum(n_bytes) > {_SHARD_BUDGET_BYTES}) AS over_budget
+    FROM placed GROUP BY modality, shard_id
+    """,
+    doc=f"Training-shard PACKING PLAN for a mixed-modality corpus: "
+        f"within each modality (images with images — a training shard "
+        f"mixes badly across decoders), payloads are packed "
+        f"doc_id-sequentially into ~{_SHARD_BUDGET_BYTES}-byte shards "
+        f"by the streaming next-fit rule shard = floor(bytes-before-me "
+        f"/ budget) — a shard may overflow by at most one payload "
+        f"(over_budget flags those), never underflow-fragment.  The "
+        f"complement of write_training_shards (which hash-buckets "
+        f"DOCUMENTS for determinism): this plans BYTE-budgeted media "
+        f"shards, the layout GPU dataloaders stream.  Scale shape: the "
+        f"per-modality prefix sum is NOT a 3-partition window over the "
+        f"corpus (that serializes 100 TB through 3 tasks) — it is "
+        f"functions/scale.global_running_sum range-partitioned on "
+        f"(modality, doc_id), a parallel sort + broadcast offsets, "
+        f"with the per-modality reset recovered by subtracting each "
+        f"modality's broadcast prior-modality byte total: prefix-within"
+        f"-modality = global-prefix − bytes-of-earlier-modalities, "
+        f"exact integers throughout.  The final rollup is "
+        f"|shards|-sized.",
+    tags=("multimodal", "pipeline", "scale"),
+)
+def multimodal_shard_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scale import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/fake"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/fake"))
+        .otherwise(F.lit("text/plain"))
+        .alias("modality"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    g = global_running_sum(
+        d, [F.asc("modality"), F.asc("doc_id")], "n_bytes", "gcum"
+    )
+    # bytes of all modalities ordered BEFORE each one: a 3-row
+    # aggregate, broadcast both ways
+    totals = d.groupBy("modality").agg(F.sum("n_bytes").cast("bigint").alias("mb"))
+    prior = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.modality") < F.col("a.modality"),
+            "left",
+        )
+        .groupBy(F.col("a.modality").alias("modality"))
+        .agg(F.coalesce(F.sum("b.mb"), F.lit(0)).cast("bigint").alias("prior_bytes"))
+    )
+    placed = (
+        g.join(F.broadcast(prior), "modality")
+        .withColumn(
+            "prev_cum", F.col("gcum") - F.col("prior_bytes") - F.col("n_bytes")
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"prev_cum div {_SHARD_BUDGET_BYTES}L").cast("bigint"),
+        )
+    )
+    return placed.groupBy("modality", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        (F.sum("n_bytes") > F.lit(_SHARD_BUDGET_BYTES)).alias("over_budget"),
+    )

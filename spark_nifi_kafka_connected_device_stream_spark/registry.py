@@ -187,6 +187,7 @@ DEFERRED: tuple[str, ...] = (
     "privacy_dp_topk_release",
     "orders_cohort_retention_triangle",
     "device_registry_firmware_lag",
+    "multimodal_shard_pack_plan",
 )
 
 
