@@ -59,3 +59,43 @@ def test_aspect_ratio_buckets_match_python_model(spark, tmp_path):
         assert n == len(ws)
         assert avg_w == math.floor(sum(ws) / (len(ws) * 1_000_000.0) * 1e6 + 0.5) / 1e6
         assert max_w == math.floor(max(ws) / 1_000_000.0 * 1e6 + 0.5) / 1e6
+
+
+def test_shard_pack_plan_next_fit_and_modality_isolation(spark, tmp_path):
+    """Crafted corpus pinning the packing rule against a hand-computed
+    plan.  doc_ids 0,3,6,9 are image-modality (id%3==0) with byte
+    sizes 20000, 20000, 20000, 5000 against the 32768 budget:
+
+    - doc 0: prev_cum 0      -> shard 0
+    - doc 3: prev_cum 20000  -> shard 0 (shard 0 now 40000 bytes:
+      next-fit lets the shard OVERFLOW by at most one payload)
+    - doc 6: prev_cum 40000  -> shard 1
+    - doc 9: prev_cum 60000  -> shard 1 (25000 bytes, under budget)
+
+    doc 1 (audio) and doc 2 (text) must land in their own modality's
+    shard 0 — never packed with images.
+    """
+    from spark_nifi_kafka_connected_device_stream_spark.operators.multimodal import (
+        multimodal_shard_pack_plan,
+    )
+
+    docs = [
+        (0, "a" * 20000, "en", "s", 20000),
+        (3, "b" * 20000, "en", "s", 20000),
+        (6, "c" * 20000, "en", "s", 20000),
+        (9, "d" * 5000, "en", "s", 5000),
+        (1, "e" * 100, "en", "s", 100),
+        (2, "f" * 200, "en", "s", 200),
+    ]
+    sf = write_documents(spark, tmp_path, docs)
+    got = {
+        (r.modality, r.shard_id): (r.n_docs, r.shard_bytes, r.first_doc,
+                                   r.last_doc, r.over_budget)
+        for r in multimodal_shard_pack_plan(spark, sf).collect()
+    }
+    assert got == {
+        ("image/fake", 0): (2, 40000, 0, 3, True),
+        ("image/fake", 1): (2, 25000, 6, 9, False),
+        ("audio/fake", 0): (1, 100, 1, 1, False),
+        ("text/plain", 0): (1, 200, 2, 2, False),
+    }

@@ -72,3 +72,31 @@ def test_bitemporal_wave1_visible_in_both_views_for_1997_orders(spark, tmp_path)
     # order does not count as a LATE restatement
     assert got[1997] == (1200, 1200, 0)
     assert got[1996] == (2000, 2000, 0)
+
+
+def test_cdc_incremental_merge_equals_one_shot_rebuild(spark, tmp_path):
+    """The chunked merge loop and the lead()-based rebuild must land on
+    the same history for every lifecycle class: I-only (key 5),
+    I-U1 (3), I-U2 (4), I-U1-D (6), and the full I-U1-U2-D (12)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.scd import (
+        scd2_cdc_apply_log,
+        scd2_cdc_incremental_merge,
+    )
+
+    # keys: 5 (I only), 3 (I,U1), 4 (I,U2), 6 (I,U1,D), 12 (I,U1,U2,D)
+    sf = _write_customers(
+        spark,
+        tmp_path,
+        [(5, 20.00, "TOY"), (3, 30.00, "AUTO"), (4, 40.00, "BLD"),
+         (6, 60.00, "HHD"), (12, 10.00, "MCH")],
+    )
+    inc = sorted(map(tuple, scd2_cdc_incremental_merge(spark, sf).collect()))
+    one = sorted(map(tuple, scd2_cdc_apply_log(spark, sf).collect()))
+    assert inc == one
+    # and the lifecycle shape is right: key 12 has 3 closed rows, key 5
+    # one open row
+    by_key = {}
+    for r in inc:
+        by_key.setdefault(r[0], []).append(r)
+    assert len(by_key[12]) == 3 and all(not row[5] for row in by_key[12])
+    assert len(by_key[5]) == 1 and by_key[5][0][5] is True

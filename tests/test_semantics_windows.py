@@ -150,3 +150,47 @@ def test_trailing_30d_calendar_gap_shrinks_window(spark, tmp_path):
         2: (3000, 2),
         3: (6000, 2),      # orders 2 and 3 only
     }
+
+
+def test_groups_frames_peer_and_gap_semantics(spark, tmp_path):
+    """Crafted one-customer history pinning what makes GROUPS a third
+    frame mode: day1 has TWO peer orders (10, 20), day5 one (30 — a
+    4-day calendar gap), day6 one (40).
+
+    - trailing GROUPS 1 PRECEDING..CURRENT: both day1 peers see the
+      full day1 group (30 cents-units) — peer identity; day5 sees
+      day1+day5 = 60 DESPITE the gap (RANGE INTERVAL 1 DAY would see
+      only 30); day6 sees day5+day6 = 70 (NOT day1 — groups, not rows:
+      ROWS 2 PRECEDING from day6's row would reach into day1).
+    - centered 1..1: day5 sees day1+day5+day6 = all 100.
+    """
+    import datetime
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.windows import (
+        window_groups_frames,
+    )
+
+    def d(day):
+        return datetime.datetime(2024, 1, day)
+
+    rows = [
+        (1, 7, "O", 0.10, d(1), "x"),
+        (2, 7, "O", 0.20, d(1), "x"),
+        (3, 7, "O", 0.30, d(5), "x"),
+        (4, 7, "O", 0.40, d(6), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.o_orderkey: (r.trail2g_cents, r.trail2g_orders, r.cent3g_cents)
+        for r in window_groups_frames(spark, str(tmp_path)).collect()
+    }
+    # cents: 10, 20, 30, 40
+    assert got[1] == (30, 2, 60)   # day1 peers see day1 + the NEXT group
+    assert got[2] == (30, 2, 60)   # identical frame value for the peer
+    assert got[3] == (60, 3, 100)  # gap does not shrink a GROUPS frame
+    assert got[4] == (70, 2, 70)   # exactly one prior GROUP, not 2 rows
