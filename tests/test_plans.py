@@ -339,6 +339,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # conf.get(k, None) returns None for keys never set on
+                # the SESSION (their value lives in SQLConf defaults) —
+                # restoring requires unset, not skip: skipping left the
+                # -1 broadcast threshold leaking into every later test
+                # in the session (caught by the plan-audit golden test,
+                # which saw broadcasts collapse suite-wide)
+                spark.conf.unset(k)
 
 
 def test_partition_pruning_on_partitioned_warehouse_write(spark, tmp_path):
