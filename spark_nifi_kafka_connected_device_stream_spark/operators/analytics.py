@@ -3772,3 +3772,113 @@ def events_abtest_msprt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lam >= F.lit(_MSPRT_ALPHA_INV)).alias("reject_h0"),
         )
     )
+
+
+# --- round 14: difference-in-differences (the causal-inference gap in
+# the abtest family — SRM/CUPED/power/mSPRT all assume RANDOMIZED
+# assignment; DiD is the estimator for OBSERVATIONAL rollouts, where a
+# cohort is exposed at a known time and the untreated cohort supplies
+# the counterfactual trend) ------------------------------------------------
+
+_DID_SPLIT_US = _CUPED_SPLIT_US  # same fixture-time split as CUPED
+
+
+@register(
+    "events_did_estimator",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS treated,
+             CAST(sum(CASE WHEN epoch_ns(ts) // 1000 >= {_DID_SPLIT_US}
+                           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_cents,
+             CAST(sum(CASE WHEN epoch_ns(ts) // 1000 < {_DID_SPLIT_US}
+                           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ), groups AS (
+      SELECT treated,
+             CAST(count(*) AS BIGINT) AS n_users,
+             avg((post_cents - pre_cents) * 1.0) AS mean_delta,
+             var_samp((post_cents - pre_cents) * 1.0) AS var_delta,
+             avg(pre_cents * 1.0) AS mean_pre,
+             avg(post_cents * 1.0) AS mean_post
+      FROM per_user GROUP BY treated
+    )
+    SELECT t.n_users AS n_treated, c.n_users AS n_control,
+           floor(t.mean_pre * 1000000.0 + 0.5) / 1000000.0  AS treated_pre,
+           floor(t.mean_post * 1000000.0 + 0.5) / 1000000.0 AS treated_post,
+           floor(c.mean_pre * 1000000.0 + 0.5) / 1000000.0  AS control_pre,
+           floor(c.mean_post * 1000000.0 + 0.5) / 1000000.0 AS control_post,
+           floor((t.mean_delta - c.mean_delta) * 1000000.0 + 0.5)
+             / 1000000.0 AS did_cents,
+           floor(((t.mean_delta - c.mean_delta)
+                  / sqrt(t.var_delta / t.n_users + c.var_delta / c.n_users))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tstat
+    FROM (SELECT * FROM groups WHERE treated = 1) t
+    CROSS JOIN (SELECT * FROM groups WHERE treated = 0) c
+    """,
+    doc="Difference-in-differences — the causal estimator for "
+        "OBSERVATIONAL rollouts the randomized-abtest family (SRM, "
+        "CUPED, power, mSPRT) cannot serve: a cohort (user_id%5 here; "
+        "a staged-rollout flag in production) is exposed at a known "
+        "time, the untreated cohort supplies the counterfactual trend, "
+        "and DiD = (treated_post − treated_pre) − (control_post − "
+        "control_pre) nets out both the stable cohort difference and "
+        "the common time shock (parallel-trends assumption).  "
+        "Implemented as a two-sample Welch test on PER-USER pre→post "
+        "spend deltas — the user-clustered form, immune to the serial-"
+        "correlation trap of pooling event-grain observations "
+        "(Bertrand-Duflo-Mullainathan 2004); the same split instant as "
+        "CUPED.  Per-user deltas are exact integer cents, so variance "
+        "and t derive identically in both engines (the abtest "
+        "precedent).  Scale shape: ONE user-grain partial agg over the "
+        "events scan, a 2-row group rollup, statistic on 2 broadcast "
+        "rows.",
+    tags=("events", "stats", "abtest", "causal"),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts_us") >= _DID_SPLIT_US, cents).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("post_cents"),
+        F.sum(
+            F.when(F.col("ts_us") < _DID_SPLIT_US, cents).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("pre_cents"),
+    ).withColumn(
+        "treated",
+        F.when(F.col("user_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+    )
+    delta = (F.col("post_cents") - F.col("pre_cents")) * F.lit(1.0)
+    groups = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg(delta).alias("mean_delta"),
+        F.var_samp(delta).alias("var_delta"),
+        F.avg(F.col("pre_cents") * F.lit(1.0)).alias("mean_pre"),
+        F.avg(F.col("post_cents") * F.lit(1.0)).alias("mean_post"),
+    )
+    t = groups.filter(F.col("treated") == 1).alias("t")
+    c = groups.filter(F.col("treated") == 0).alias("c")
+    did = F.col("t.mean_delta") - F.col("c.mean_delta")
+    se = F.sqrt(
+        F.col("t.var_delta") / F.col("t.n_users")
+        + F.col("c.var_delta") / F.col("c.n_users")
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        F.col("t.n_users").alias("n_treated"),
+        F.col("c.n_users").alias("n_control"),
+        pround(F.col("t.mean_pre"), 6).alias("treated_pre"),
+        pround(F.col("t.mean_post"), 6).alias("treated_post"),
+        pround(F.col("c.mean_pre"), 6).alias("control_pre"),
+        pround(F.col("c.mean_post"), 6).alias("control_post"),
+        pround(did, 6).alias("did_cents"),
+        pround(did / se, 6).alias("tstat"),
+    )

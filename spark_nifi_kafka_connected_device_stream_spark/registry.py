@@ -188,6 +188,7 @@ DEFERRED: tuple[str, ...] = (
     "orders_cohort_retention_triangle",
     "device_registry_firmware_lag",
     "multimodal_shard_pack_plan",
+    "events_did_estimator",
 )
 
 
