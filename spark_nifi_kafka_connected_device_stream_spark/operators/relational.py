@@ -1754,3 +1754,60 @@ def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_units"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 4) AS grp
+      FROM customer WHERE c_custkey % 7 = 0
+    ), b AS (
+      SELECT nullif(n_nationkey % 5, 4) AS grp,
+             CAST(count(*) AS BIGINT) AS n_nations
+      FROM nation GROUP BY nullif(n_nationkey % 5, 4)
+    )
+    SELECT CAST(coalesce(a.grp, -1) AS BIGINT) AS grp_key,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(max(b.n_nations) AS BIGINT) AS n_nations
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY CAST(coalesce(a.grp, -1) AS BIGINT)
+    """,
+    doc="NULL-safe equality join — the join-family member plain "
+        "equi-joins cannot express: `a.grp <=> b.grp` (Spark) ≡ "
+        "`IS NOT DISTINCT FROM` (ANSI/DuckDB) matches NULL keys to "
+        "NULL keys, where `=` silently drops every NULL-keyed row.  "
+        "Both sides derive a deliberately-nullable key from the "
+        "fixtures (nullif(x % 5, 4) — the %5=4 population becomes the "
+        "NULL bucket), so the NULL-matches-NULL row is present in the "
+        "result and the hash check fails if the join ever degrades to "
+        "plain equality.  The NULL bucket is emitted as the -1 "
+        "sentinel in BOTH engines (the parity harness's nullable-"
+        "numeric-sort contract; -1 is outside nullif's 0-3 range so "
+        "no collision).  Scale shape: "
+        "Spark plans `<=>` as a hash join on the coalesced key (NULLs "
+        "hash to one bucket) with the tiny grouped nation side "
+        "broadcast — same physical shape as the equi-join, NOT a "
+        "nested loop; a NULL-heavy population is a skew consideration "
+        "exactly like any hot key (the salting playbook applies).",
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    n = load_table(spark, sf_dir, "nation")
+    a = c.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("grp")
+    )
+    b = (
+        n.select(F.nullif(F.col("n_nationkey") % 5, F.lit(4)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    )
+    return (
+        a.join(F.broadcast(b), a["grp"].eqNullSafe(b["grp"]))
+        .groupBy(F.coalesce(a["grp"], F.lit(-1)).cast("bigint").alias("grp_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("n_nations").cast("bigint").alias("n_nations"),
+        )
+    )

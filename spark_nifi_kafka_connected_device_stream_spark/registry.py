@@ -189,6 +189,7 @@ DEFERRED: tuple[str, ...] = (
     "device_registry_firmware_lag",
     "multimodal_shard_pack_plan",
     "events_did_estimator",
+    "join_null_safe_eq",
 )
 
 
