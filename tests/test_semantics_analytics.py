@@ -27,7 +27,7 @@ def test_interpurchase_intervals_hand_computed(spark, tmp_path):
     avg 20, p50 20, p90 = 10 + 0.9·20 = 28."""
     import datetime
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         orders_interpurchase_intervals,
     )
 
@@ -57,7 +57,7 @@ def test_interpurchase_intervals_hand_computed(spark, tmp_path):
 def test_discount_elasticity_perfect_line(spark, tmp_path):
     """Three lines on one brand with qty = 10·discount + 1 exactly:
     slope 10, R² = 1."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         lineitem_discount_elasticity,
     )
 
@@ -113,7 +113,7 @@ def test_mann_whitney_hand_computed(spark, tmp_path):
     import datetime as dt
     import math
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         events_mann_whitney_value,
     )
 
@@ -162,7 +162,7 @@ def test_spearman_hand_computed(spark, tmp_path):
     a zero-variance group is filtered, not emitted as NULL."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         events_spearman_hour_value,
     )
 
@@ -200,7 +200,7 @@ def test_skyline_hand_computed(spark, tmp_path):
     """Known dominance structure: cheaper-and-bigger dominates, equal
     (price, size) twins both survive, and a same-price smaller row is
     dominated by its price twin."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         part_skyline_price_size,
     )
 
@@ -234,7 +234,7 @@ def test_monthly_seasonality_hand_computed(spark, tmp_path):
     exposing the partial coverage."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         orders_monthly_seasonality,
     )
 
@@ -263,7 +263,7 @@ def test_pchart_flags_spike_month(spark, tmp_path):
     must be flagged; the quiet months must not be."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         lineitem_returns_pchart,
     )
 
@@ -340,7 +340,7 @@ def test_simpson_paradox_constructed_reversal(spark, tmp_path):
     pooled sign."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         lineitem_simpson_paradox_screen,
     )
 
@@ -383,7 +383,7 @@ def test_kruskal_wallis_hand_computed(spark, tmp_path):
     pinned df=6 95% cut."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         events_kruskal_wallis_dow,
     )
 
@@ -414,7 +414,7 @@ def test_basket_histogram_pair_rows(spark, tmp_path):
     exactly 3 pair rows, singletons none."""
     import datetime as dt
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         orders_basket_size_histogram,
     )
 
@@ -444,7 +444,7 @@ def test_basket_histogram_pair_rows(spark, tmp_path):
 def test_srm_flags_imbalance_exactly_at_critical_value(spark, tmp_path):
     """10 users on arm 0, 1 on arm 1: chi2 = (10-1)^2/11 = 7.3636 >
     3.841 -> flagged.  6/5 split: chi2 = 1/11 -> healthy."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_abtest import (
         events_ab_srm_check,
     )
 
@@ -480,7 +480,7 @@ def test_duplicate_payment_screen_tolerance_edges(spark, tmp_path):
     """Same customer: $100.00 then $100.50 three days later (0.5% ->
     pair), $95.00 (5% -> no), $100.25 but 30 days later (-> no), and a
     different customer at the same amount (-> no)."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         orders_duplicate_payment_screen,
     )
 
@@ -507,7 +507,7 @@ def test_migration_matrix_tiers_and_none_rows(spark, tmp_path):
     """cust1 low(1995)->mid(1996); cust2 high(1995)->churn; cust3
     acquired into low.  Tier edges are $100k / $300k
     (_TIER_EDGES_CENTS)."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_orders import (
         orders_customer_migration_matrix,
     )
 
@@ -539,7 +539,7 @@ def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark, tmp_path):
     """The 95% Poisson-bootstrap CI must bracket the full-sample mean
     on a well-behaved sample, n_resamples == B, and the whole report
     must be bit-identical across runs (hash-derived weights, no RNG)."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_abtest import (
         BOOTSTRAP_B,
         events_bootstrap_mean_ci,
     )
@@ -568,7 +568,7 @@ def test_linear_regression_matches_numpy(spark, tmp_path):
 
     import numpy as np
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_stats import (
         stats_linear_regression,
     )
 
