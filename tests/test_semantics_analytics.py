@@ -596,3 +596,32 @@ def test_linear_regression_matches_numpy(spark, tmp_path):
     assert row.slope == rnd(float(slope), 6)
     assert row.intercept == rnd(float(intercept), 2)
     assert row.r2 == rnd(float(r * r), 6)
+
+
+def test_did_estimator_hand_computed(spark, tmp_path):
+    """Crafted two-users-per-arm corpus with hand-computed DiD: treated
+    (user_id%5==0) deltas 2000/3000 cents, control deltas 500/700 —
+    DiD = 2500-600 = 1900 cents, Welch t = 1900/sqrt(500000/2+20000/2)
+    = 3.726207 at the shared 6-decimal rounding."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics_abtest import (
+        events_did_estimator,
+    )
+
+    pre, post = 3_600, 1_382_400  # Jan 1 (pre-split) vs Jan 17 (post)
+    rows = [
+        (1, pre, 5, "view", 10.00, "{}"),
+        (2, post, 5, "view", 30.00, "{}"),
+        (3, pre, 10, "view", 20.00, "{}"),
+        (4, post, 10, "view", 50.00, "{}"),
+        (5, pre, 1, "view", 10.00, "{}"),
+        (6, post, 1, "view", 15.00, "{}"),
+        (7, pre, 2, "view", 20.00, "{}"),
+        (8, post, 2, "view", 27.00, "{}"),
+    ]
+    sf = write_events6(spark, tmp_path, rows)
+    [r] = events_did_estimator(spark, sf).collect()
+    assert (r.n_treated, r.n_control) == (2, 2)
+    assert (r.treated_pre, r.treated_post) == (1500.0, 4000.0)
+    assert (r.control_pre, r.control_post) == (1500.0, 2100.0)
+    assert r.did_cents == 1900.0
+    assert r.tstat == 3.726207
