@@ -1811,3 +1811,141 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_nations").cast("bigint").alias("n_nations"),
         )
     )
+
+
+@register(
+    "orders_status_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+             - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+               AS island
+      FROM orders
+    ), streaks AS (
+      SELECT o_custkey, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS streak_len
+      FROM seq GROUP BY o_custkey, o_orderstatus, island
+    )
+    SELECT o_orderstatus,
+           CAST(streak_len AS BIGINT)  AS streak_len,
+           CAST(count(*) AS BIGINT)    AS n_streaks
+    FROM streaks GROUP BY o_orderstatus, streak_len
+    """,
+    doc="Gaps-and-islands: runs of consecutive same-status orders per "
+        "customer (in order-date sequence), summarized as a streak-"
+        "length histogram per status — the canonical SQL islands "
+        "pattern (island id = global row_number − per-status "
+        "row_number, constant exactly within a run) the registry "
+        "lacked as a named shape; sessionize is its cousin keyed on "
+        "time gaps, this one is keyed on VALUE CHANGES.  The order key "
+        "(date, orderkey) is a total order so runs are identical in "
+        "both engines.  Scale shape: both row_numbers share ONE "
+        "shuffle+sort on o_custkey (the second window's partition key "
+        "is a subset refinement, computed in the same pass), then two "
+        "narrowing aggregates; no self-join, no lag-cascade.",
+    tags=("window", "sequence"),
+)
+def orders_status_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").cast("date"), F.col("o_orderkey")]
+    w_all = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    w_status = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(*order_cols)
+    seq = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        (F.row_number().over(w_all) - F.row_number().over(w_status)).alias("island"),
+    )
+    streaks = seq.groupBy("o_custkey", "o_orderstatus", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return streaks.groupBy("o_orderstatus", "streak_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks")
+    )
+
+
+@register(
+    "lineitem_linenumber_gap_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS ln,
+             lag(CAST(l_linenumber AS BIGINT)) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_ln,
+             CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_lines,
+             CAST(max(l_linenumber) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS max_ln,
+             CAST(min(l_linenumber) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS min_ln
+      FROM lineitem
+    ), per_order AS (
+      SELECT l_orderkey, max(n_lines) AS n_lines,
+             CAST(sum(CASE WHEN prev_ln IS NOT NULL AND ln - prev_ln > 1
+                           THEN ln - prev_ln - 1 ELSE 0 END) AS BIGINT)
+               AS missing_interior,
+             max(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END) AS bad_start,
+             max(max_ln) AS max_ln
+      FROM seq GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN missing_interior > 0 OR bad_start = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_with_gaps,
+           CAST(sum(missing_interior) AS BIGINT) AS total_missing_interior,
+           CAST(sum(bad_start) AS BIGINT)        AS n_bad_start,
+           CAST(max(max_ln) AS BIGINT)           AS max_linenumber_seen
+    FROM per_order
+    """,
+    doc="Sequence-gap integrity audit: l_linenumber is contractually "
+        "1..N dense per order — this audits the whole corpus for "
+        "interior gaps (lag delta > 1) and bad starts (min ≠ 1), the "
+        "ingest-corruption screen every ordered child table needs "
+        "(dropped rows in a partial load show up here before any "
+        "downstream join mis-counts).  On the intact fixture every "
+        "violation count is 0 and the value hash PINS that zero — a "
+        "fixture regen that drops rows flips the driver check red.  "
+        "Scale shape: one shuffle on l_orderkey; lag and the per-order "
+        "count/min/max share the single sort; then a 1-row corpus "
+        "rollup.  All counts exact integers.",
+    tags=("audit", "sequence", "window"),
+)
+def lineitem_linenumber_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wp = Window.partitionBy("l_orderkey")
+    ln = F.col("l_linenumber").cast("bigint")
+    seq = li.select(
+        "l_orderkey",
+        ln.alias("ln"),
+        F.lag(ln).over(w).alias("prev_ln"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_lines"),
+        F.max(ln).over(wp).alias("max_ln"),
+        F.min(ln).over(wp).alias("min_ln"),
+    )
+    per_order = seq.groupBy("l_orderkey").agg(
+        F.max("n_lines").alias("n_lines"),
+        F.sum(
+            F.when(
+                F.col("prev_ln").isNotNull() & (F.col("ln") - F.col("prev_ln") > 1),
+                F.col("ln") - F.col("prev_ln") - 1,
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("missing_interior"),
+        F.max(F.when(F.col("min_ln") != 1, 1).otherwise(0)).alias("bad_start"),
+        F.max("max_ln").alias("max_ln"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(
+                (F.col("missing_interior") > 0) | (F.col("bad_start") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_orders_with_gaps"),
+        F.sum("missing_interior").cast("bigint").alias("total_missing_interior"),
+        F.sum("bad_start").cast("bigint").alias("n_bad_start"),
+        F.max("max_ln").cast("bigint").alias("max_linenumber_seen"),
+    )

@@ -196,6 +196,8 @@ DEFERRED: tuple[str, ...] = (
     "multimodal_shard_pack_plan",
     "events_did_estimator",
     "join_null_safe_eq",
+    "orders_status_streaks",
+    "lineitem_linenumber_gap_audit",
 )
 
 
