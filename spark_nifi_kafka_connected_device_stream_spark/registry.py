@@ -49,6 +49,9 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.multimodal",
     "spark_nifi_kafka_connected_device_stream_spark.operators.privacy",
     "spark_nifi_kafka_connected_device_stream_spark.operators.curation",
+    # the r15 split of the 2.4k-LoC curation module (VERDICT r14 item
+    # 6): pure move of the LM/perplexity tier into its own file
+    "spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm",
     # udf_ops after curation: both its queries have green r2 driver rows,
     # while curation is all round-3 additions that need first rows — this
     # ordering puts the full curation tier inside the 50-entry window
@@ -101,92 +104,15 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 14 executes the rotation pinned at end of round 13
-# (VERDICT r13 item 1), fully determined with zero slack: the first 12
-# slots are ALL of round 13's DEFERRED queue (never-driver-checked
-# backlog → ZERO), and the remaining 38 are the alphabetically-first
-# 38 of the 50-query cohort whose freshest green row is round 8
-# (computed fresh from CORRECTNESS_r01..r13; the residual 12 of that
-# cohort — skew_hot_key_salted .. text_winnowing_fingerprints — rotate
-# in round 15, after which no stamp is older than round 9).
+# modules.  Round 15 executes the rotation pinned at end of round 14
+# (VERDICT r14 item 1), fully determined with zero slack: the first 11
+# slots are ALL of round 14's DEFERRED queue (never-driver-checked
+# backlog → ZERO), the next 12 are the residual of the cohort whose
+# freshest green row is round 8 (after this round no stamp is older
+# than round 9), and the remaining 27 are the alphabetically-first 27
+# of the 50-query r9 cohort (computed fresh from CORRECTNESS_r01..r14).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-13 additions never driver-checked (12)
-    "window_range_interval_trailing_30d",
-    "window_range_interval_centered_week",
-    "window_range_peers_running_sum",
-    "scd2_cdc_apply_log",
-    "applyinarrow_type_stats",
-    "udtf_table_gap_report",
-    "events_sliding_window_counts",
-    "window_range_interval_leakage_safe",
-    "pandas_udf_iter_charge",
-    "scd2_type1_type2_divergence",
-    "privacy_dp_quantile_release",
-    "orders_repeat_purchase_latency",
-    # stale re-checks: alphabetically-first 38 of the r8 cohort
-    "agg_approx_distinct_bound",
-    "array_collect_ops",
-    "cluster_topic_terms",
-    "dataset_quality_expectations",
-    "dataset_token_budget_plan",
-    "dataset_weighted_sample",
-    "embedding_knn_graph_stats",
-    "embedding_pagerank_centrality",
-    "events_ewma_hourly",
-    "events_incident_window_attribution",
-    "events_markov_transitions",
-    "events_rate_anomaly",
-    "events_rolling_distinct_users_7d",
-    "events_seasonal_hourly_anomaly",
-    "events_session_window_native",
-    "events_variant_props",
-    "grouped_agg_weighted_median",
-    "grouping_sets_explicit",
-    "histogram_price_bins",
-    "lineitem_abc_pareto",
-    "lineitem_zorder_layout",
-    "multimodal_byte_stats",
-    "multimodal_caption_audit",
-    "multimodal_chunk_payloads",
-    "multimodal_modality_routing",
-    "multimodal_payload_dedup",
-    "orders_basket_pairs",
-    "orders_snapshot_diff",
-    "privacy_k_anonymity_report",
-    "privacy_pii_scan_documents",
-    "privacy_pseudonymize_events",
-    "q13_customer_order_distribution",
-    "q4_order_priority_exists",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "scd2_customer_batch",
-    "semantic_dedup_keep_list",
-    "skew_hot_key_plain",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 14's window is FULLY consumed by the pinned rotation (12
-# ex-DEFERRED + 38 r8-stale re-checks — VERDICT r13 item 1), so this
-# queue restarts empty and collects ONLY round-14 additions — capped
-# at 12 so round 15's window keeps 38 slots for stale re-checks.
-# Every name here must be oracle-parity-green locally on every pytest
-# run; tests/test_oracle_parity.py asserts that any
-# never-driver-checked query is either inside the window or on this
-# explicit queue — a silent backlog stays impossible.
-# Round-15 rotation, pre-computed (zero slack, same construction):
-# _PROMOTE = this DEFERRED queue + the residual 12 of the r8 cohort
-# (skew_hot_key_salted, stats_correlation_by_group,
-# stats_linear_regression, stats_moments, stats_percentiles,
-# stats_percentiles_approx_bound, text_bpe_pair_counts,
-# text_language_id, text_quality_classifier, text_quality_score,
-# text_token_positions, text_winnowing_fingerprints) + enough of the
-# alphabetically-first r9 cohort to fill 50 (compute fresh from
-# CORRECTNESS_r01..r14).
-DEFERRED: tuple[str, ...] = (
-    # round-14 additions (VERDICT r13 item 4: GROUPS frames, Arrow
-    # UDTF, incremental CDC merge, plus thin-tier fills — DP top-k,
-    # quarterly cohort triangle, EqualTo-pushdown connector query)
+    # ex-DEFERRED: round-14 additions never driver-checked (11)
     "window_groups_frames",
     "udtf_arrow_installments",
     "scd2_cdc_incremental_merge",
@@ -198,6 +124,69 @@ DEFERRED: tuple[str, ...] = (
     "join_null_safe_eq",
     "orders_status_streaks",
     "lineitem_linenumber_gap_audit",
+    # stale re-checks: the residual 12 of the r8 cohort (retires r8)
+    "skew_hot_key_salted",
+    "stats_correlation_by_group",
+    "stats_linear_regression",
+    "stats_moments",
+    "stats_percentiles",
+    "stats_percentiles_approx_bound",
+    "text_bpe_pair_counts",
+    "text_language_id",
+    "text_quality_classifier",
+    "text_quality_score",
+    "text_token_positions",
+    "text_winnowing_fingerprints",
+    # stale re-checks: alphabetically-first 27 of the r9 cohort
+    "applyinpandas_zscore",
+    "asof_join_last_click",
+    "benchmark_contamination",
+    "curation_funnel_report",
+    "dataset_mix_sample",
+    "dedup_cluster_stats",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "device_registry_models",
+    "document_embedding_coverage",
+    "documents_ks_drift_by_source",
+    "documents_quality_deciles",
+    "embedding_dim_stats",
+    "embedding_kmeans_assign",
+    "embedding_knn_triangles",
+    "embedding_near_dup_bucketed",
+    "events_abtest_purchase_rate",
+    "events_chi2_mix_drift_daily",
+    "events_conversion_latency",
+    "events_cusum_level_shift",
+    "events_dau_mau_stickiness",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 15's window is FULLY consumed by the pinned rotation (11
+# ex-DEFERRED + 12 r8-residual + 27 r9-stale re-checks — VERDICT r14
+# item 1), so this queue restarts empty and collects ONLY round-15
+# additions — capped at 12 so round 16's window keeps 38 slots for
+# stale re-checks.  Every name here must be oracle-parity-green
+# locally on every pytest run; tests/test_oracle_parity.py asserts
+# that any never-driver-checked query is either inside the window or
+# on this explicit queue — a silent backlog stays impossible.
+# Round-16 rotation, pre-computed (same construction): _PROMOTE =
+# this DEFERRED queue + the residual 23 of the r9 cohort
+# (events_device_uptime .. text_vocab_coverage, alphabetical) +
+# enough of the alphabetically-first r10 cohort to fill 50 (compute
+# fresh from CORRECTNESS_r01..r15).
+DEFERRED: tuple[str, ...] = (
+    # round-15 additions (VERDICT r14 items 4/5 + widening)
+    "join_asof_device_state",
+    "join_asof_nearest_state",
+    "documents_dsir_weights",
 )
 
 
