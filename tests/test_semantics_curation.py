@@ -28,7 +28,7 @@ def test_mutual_info_independent_vs_confounded(spark, tmp_path):
     ln(2) on its diagonal cells."""
     import math
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
         documents_source_lang_mutual_info,
     )
 
@@ -61,7 +61,7 @@ def test_perplexity_buckets_partition_docs(spark):
     """Over the real fixture: every (source, bucket) count is positive,
     buckets are only head/middle/tail, and the head bucket's average
     score is >= the tail's (higher logprob = more predictable)."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
         documents_perplexity_buckets,
     )
 
@@ -148,7 +148,7 @@ def test_holdout_perplexity_hand_computed(spark, tmp_path):
     import hashlib
     import math
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
         documents_holdout_perplexity,
     )
 
@@ -184,10 +184,10 @@ def test_kneser_ney_matches_textbook_reference(spark, tmp_path):
     import math
     from collections import Counter
 
-    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
         _KN_DISCOUNT,
     )
-    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
         text_bigram_kneser_ney,
     )
 
@@ -231,3 +231,39 @@ def test_kneser_ney_matches_textbook_reference(spark, tmp_path):
     # corpus minimum, unlike add-one which would reward its raw count
     byk = {(r[0], r[1]): r for r in got}
     assert byk[("san", "francisco")][5] == 1
+
+
+def test_dsir_weights_hand_computed(spark, tmp_path):
+    """Target src0 = one doc 'aa aa'; raw src9 = 'aa aa' (target-like)
+    and 'bb bb' (not).  Global vocab {aa, bb} (V=2), n_all=6, n_tgt=2,
+    c_all(aa)=4, c_all(bb)=2, c_tgt(aa)=2, c_tgt(bb)=0:
+      lw(aa) = ln(3/4) − ln(5/8) = ln(1.2)  -> quantized  182322
+      lw(bb) = ln(1/4) − ln(3/8) = ln(2/3)  -> quantized −405465
+    doc 'aa aa' sums 364644 (>0), doc 'bb bb' sums −810930; the src9
+    summary row is (2 docs, avg −223143, 1 target-like)."""
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation_lm import (
+        documents_dsir_weights,
+    )
+    from tests.semantics_fixtures import write_docs
+
+    sf = write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "aa aa", "en", "src0"),
+            (2, "aa aa", "en", "src9"),
+            (3, "bb bb", "en", "src9"),
+        ],
+    )
+    lw_aa = math.floor((math.log(3 / 4) - math.log(5 / 8)) * 1e6 + 0.5)
+    lw_bb = math.floor((math.log(1 / 4) - math.log(3 / 8)) * 1e6 + 0.5)
+    assert (lw_aa, lw_bb) == (182322, -405465)
+    rows = documents_dsir_weights(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "src9"
+    assert r["n_docs"] == 2
+    assert r["avg_logweight_e6"] == math.floor((2 * lw_aa + 2 * lw_bb) / 2 + 0.5)
+    assert r["n_target_like"] == 1
