@@ -635,3 +635,108 @@ def streaming_ewma(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: value-change sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+STREAK_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("streak_len", T.LongType()),
+    ]
+)
+STREAK_STATE = T.StructType(
+    [T.StructField("status", T.StringType()), T.StructField("streak_len", T.LongType())]
+)
+
+
+def _status_streak_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key run-length state machine continued across micro-batches:
+    state carries the one OPEN run (status, length); each batch's rows
+    are folded in seq order, every status flip CLOSES the previous run
+    (emitted immediately — closed islands are immutable, so the
+    operator is append-mode), and the trailing run stays open in state.
+
+    Vectorized, not row-at-a-time: within the concatenated, seq-sorted
+    batch the run boundaries are one shift+cumsum and the run lengths
+    one groupby-size — the Python cost is O(runs), not O(rows)."""
+    if state.exists:
+        cur_status, cur_len = state.get
+        cur_len = int(cur_len)
+    else:
+        cur_status, cur_len = None, 0
+    # concatenate Arrow chunks BEFORE sorting (same contract note as
+    # _streaming_ewma_fn: a >maxRecordsPerBatch key would otherwise
+    # fold later-chunk earlier-seq rows out of order)
+    chunks = [pdf for pdf in pdfs]
+    closed_status: list[str] = []
+    closed_len: list[int] = []
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True)
+        allrows = allrows.sort_values("seq", kind="mergesort")
+        s = allrows["status"].reset_index(drop=True)
+        run_id = s.ne(s.shift()).cumsum()
+        grouped = s.groupby(run_id, sort=True)
+        run_status = grouped.first().tolist()
+        run_len = [int(x) for x in grouped.size().tolist()]
+        if cur_status is not None:
+            if run_status and run_status[0] == cur_status:
+                run_len[0] += cur_len
+            else:
+                closed_status.append(cur_status)
+                closed_len.append(cur_len)
+        closed_status.extend(run_status[:-1])
+        closed_len.extend(run_len[:-1])
+        cur_status, cur_len = run_status[-1], run_len[-1]
+    state.update((cur_status, int(cur_len)))
+    if closed_status:
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(closed_status),
+                "status": closed_status,
+                "streak_len": [int(x) for x in closed_len],
+            }
+        )
+
+
+def status_streak_islands(
+    stream: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    status_col: str = "status",
+) -> DataFrame:
+    """Streaming gaps-and-islands keyed on VALUE CHANGES — the
+    continuous twin of the batch `orders_status_streaks` islands query
+    (operators/relational.py; VERDICT r14 item 4): per key, runs of
+    consecutive identical status values in seq order, each run emitted
+    exactly once, the moment the status flips.  The batch form computes
+    island ids with two shared-sort row_numbers; a stream cannot (no
+    unbounded-history window), so this is the canonical
+    applyInPandasWithState restatement: state = the single open run per
+    key (two scalars — bounded at ANY stream length and key count the
+    state store holds; RocksDB beyond ~1e7 keys), emission = closed
+    runs only, which are immutable → append mode, no retraction.
+
+    Ordering contract (standard for per-key sequence state): per-key
+    seq values must not go backwards ACROSS micro-batches (within a
+    batch any order is fine — the fn sorts).  The stream's final open
+    run per key is never emitted (nothing closes it); replay tests
+    close it with a sentinel status row.
+    """
+    projected = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col).cast("bigint").alias("seq"),
+        F.col(status_col).cast("string").alias("status"),
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        _status_streak_fn,
+        STREAK_OUTPUT,
+        STREAK_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
