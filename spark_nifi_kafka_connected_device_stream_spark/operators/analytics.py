@@ -85,6 +85,220 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_device_state",
+    oracle="""
+    WITH state AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS s_us,
+             max(value) AS state_value
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY user_id, epoch_ns(ts) // 1000
+    ), probes AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS p_us
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, p.event_id,
+           coalesce(s.s_us, -1) AS state_ts_us,
+           CAST(coalesce(floor(s.state_value * 100.0 + 0.5), -1.0) AS BIGINT)
+             AS state_value_cents,
+           coalesce(p.p_us - s.s_us, -1) AS staleness_us
+    FROM probes p ASOF LEFT JOIN state s
+      ON s.user_id = p.user_id AND s.s_us <= p.p_us
+    """,
+    doc="Temporal AS-OF enrichment join (VERDICT r14 item 5): every "
+        "error event is enriched with the user/device's most recent "
+        "STATE snapshot at-or-before it (state log = signup/purchase "
+        "events carrying `value`) — point-in-time enrichment, the "
+        "production join for joining a fact stream to a slowly-"
+        "updating registry without a range self-join.  Unlike "
+        "asof_join_last_click (which only returns the matched "
+        "timestamp), this is a LEFT as-of that carries the state "
+        "PAYLOAD through, with sentinel -1 for never-configured "
+        "devices, and the oracle is DuckDB's native ASOF LEFT JOIN.  "
+        "Engine plan: the state log is pre-aggregated per (user, ts) "
+        "so as-of ties are deterministic, then union-tagged with the "
+        "probes and resolved by ONE last-non-null window over "
+        "(user, time) — a single shuffle on user_id, linear state, no "
+        "quadratic range join (DuckDB's ASOF operator does the same "
+        "binary-search internally; naive SQL would be quadratic).  At "
+        "100 TB both sides partition on the same user key and the "
+        "probe/state filters push to the scans.  Payload emitted as "
+        "exact integer cents (float-portability doctrine); both "
+        "nullable outputs coalesce to -1 (harness sorts row tuples — "
+        "NULL ints break cross-engine ordering).",
+    tags=("join", "asof"),
+)
+def join_asof_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    state = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("state_value"))
+        .select(
+            "user_id",
+            F.col("ts_us").alias("us"),
+            F.col("ts_us").alias("s_us"),
+            "state_value",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(True).alias("is_state"),
+        )
+    )
+    probes = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        F.lit(None).cast("bigint").alias("s_us"),
+        F.lit(None).cast("double").alias("state_value"),
+        "event_id",
+        F.lit(False).alias("is_state"),
+    )
+    # state sorts BEFORE a probe at the identical timestamp (is_state
+    # desc) so the as-of bound is <=, matching the oracle; both carried
+    # columns are non-null exactly on state rows, so the two
+    # last-ignorenulls pick from the SAME state row.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.desc("is_state"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = state.unionByName(probes).select(
+        "user_id",
+        "event_id",
+        "us",
+        "is_state",
+        F.last("s_us", ignorenulls=True).over(w).alias("last_s_us"),
+        F.last("state_value", ignorenulls=True).over(w).alias("last_state_value"),
+    )
+    return resolved.filter(~F.col("is_state")).select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.col("last_s_us"), F.lit(-1)).alias("state_ts_us"),
+        F.coalesce(
+            F.floor(F.col("last_state_value") * 100.0 + 0.5).cast("bigint"),
+            F.lit(-1),
+        ).alias("state_value_cents"),
+        F.coalesce(F.col("us") - F.col("last_s_us"), F.lit(-1)).alias("staleness_us"),
+    )
+
+
+@register(
+    "join_asof_nearest_state",
+    oracle="""
+    WITH state AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS s_us,
+             max(value) AS state_value
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY user_id, epoch_ns(ts) // 1000
+    ), probes AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS p_us
+      FROM events WHERE event_type = 'error'
+    ), back AS (
+      SELECT p.user_id, p.event_id, p.p_us, s.s_us AS b_us
+      FROM probes p ASOF LEFT JOIN state s
+        ON s.user_id = p.user_id AND s.s_us <= p.p_us
+    ), fwd AS (
+      SELECT p.user_id, p.event_id, s.s_us AS f_us
+      FROM probes p ASOF LEFT JOIN state s
+        ON s.user_id = p.user_id AND s.s_us > p.p_us
+    )
+    SELECT b.user_id, b.event_id,
+           CASE WHEN b.b_us IS NULL AND f.f_us IS NULL THEN 'none'
+                WHEN f.f_us IS NULL THEN 'backward'
+                WHEN b.b_us IS NULL THEN 'forward'
+                WHEN b.p_us - b.b_us <= f.f_us - b.p_us THEN 'backward'
+                ELSE 'forward' END AS direction,
+           coalesce(CASE WHEN b.b_us IS NULL AND f.f_us IS NULL THEN NULL
+                WHEN f.f_us IS NULL THEN b.b_us
+                WHEN b.b_us IS NULL THEN f.f_us
+                WHEN b.p_us - b.b_us <= f.f_us - b.p_us THEN b.b_us
+                ELSE f.f_us END, -1) AS state_ts_us,
+           coalesce(CASE WHEN b.b_us IS NULL AND f.f_us IS NULL THEN NULL
+                WHEN f.f_us IS NULL THEN b.p_us - b.b_us
+                WHEN b.b_us IS NULL THEN f.f_us - b.p_us
+                WHEN b.p_us - b.b_us <= f.f_us - b.p_us THEN b.p_us - b.b_us
+                ELSE f.f_us - b.p_us END, -1) AS gap_us
+    FROM back b JOIN fwd f
+      ON f.user_id = b.user_id AND f.event_id = b.event_id
+    """,
+    doc="Bidirectional nearest as-of join: every error event matched "
+        "to the temporally NEAREST state snapshot in either direction "
+        "(ties break backward, matching join_asof_device_state's <= "
+        "bound) — the variant for enrichment against a registry whose "
+        "snapshots may post-date the event (late-arriving reference "
+        "data, sensor calibration records).  Completes the as-of "
+        "family: backward payload-carrying (join_asof_device_state), "
+        "backward within one log (asof_join_last_click), nearest "
+        "(this).  Engine plan: both directions resolve from the SAME "
+        "union + single (user, time) sort — backward via "
+        "last-non-null over the preceding frame, forward via "
+        "first-non-null over the following frame; one shuffle total, "
+        "where the oracle needs two ASOF joins.  A state at the "
+        "probe's exact timestamp sorts before it (is_state desc) so "
+        "it lands in the backward frame and not the forward one — "
+        "exactly the oracle's <= / > split.  Nullable outputs "
+        "coalesce to sentinel -1/'none' (harness sorts row tuples).",
+    tags=("join", "asof"),
+)
+def join_asof_nearest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    state = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("state_value"))
+        .select(
+            "user_id",
+            F.col("ts_us").alias("us"),
+            F.col("ts_us").alias("s_us"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(True).alias("is_state"),
+        )
+    )
+    probes = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts_us").alias("us"),
+        F.lit(None).cast("bigint").alias("s_us"),
+        "event_id",
+        F.lit(False).alias("is_state"),
+    )
+    order = [F.asc("us"), F.desc("is_state")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    resolved = state.unionByName(probes).select(
+        "user_id",
+        "event_id",
+        "us",
+        "is_state",
+        F.last("s_us", ignorenulls=True).over(w_back).alias("b_us"),
+        F.first("s_us", ignorenulls=True).over(w_fwd).alias("f_us"),
+    )
+    b_gap = F.col("us") - F.col("b_us")
+    f_gap = F.col("f_us") - F.col("us")
+    back_wins = F.col("f_us").isNull() | (
+        F.col("b_us").isNotNull() & (b_gap <= f_gap)
+    )
+    return resolved.filter(~F.col("is_state")).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("b_us").isNull() & F.col("f_us").isNull(), F.lit("none"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.coalesce(
+            F.when(back_wins, F.col("b_us")).otherwise(F.col("f_us")), F.lit(-1)
+        ).alias("state_ts_us"),
+        F.coalesce(
+            F.when(back_wins, b_gap).otherwise(f_gap), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     oracle="""
     WITH stages AS (

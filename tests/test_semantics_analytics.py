@@ -625,3 +625,89 @@ def test_did_estimator_hand_computed(spark, tmp_path):
     assert (r.control_pre, r.control_post) == (1500.0, 2100.0)
     assert r.did_cents == 1900.0
     assert r.tstat == 3.726207
+
+
+def test_asof_device_state_hand_computed(spark, tmp_path):
+    """User 1: states at t=10 (value 2.00) and t=100 (value 5.00);
+    errors at t=5 (before any state -> sentinel), t=10 (same instant ->
+    <= matches the t=10 state), t=50 (latest prior is t=10), t=200
+    (latest prior is t=100).  User 2 has errors but never a state."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        join_asof_device_state,
+    )
+
+    rows = [
+        (1, 10, 1, "signup", 2.0, "{}"),
+        (2, 100, 1, "purchase", 5.0, "{}"),
+        (10, 5, 1, "error", 0.0, "{}"),
+        (11, 10, 1, "error", 0.0, "{}"),
+        (12, 50, 1, "error", 0.0, "{}"),
+        (13, 200, 1, "error", 0.0, "{}"),
+        (20, 30, 2, "error", 0.0, "{}"),
+    ]
+    sf = write_events6(spark, tmp_path, rows)
+    got = {
+        r["event_id"]: (r["state_ts_us"], r["state_value_cents"], r["staleness_us"])
+        for r in join_asof_device_state(spark, sf).collect()
+    }
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        load_table,
+    )
+
+    us = 1_000_000
+    base = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") == 1)
+        .select("ts_us")
+        .head()[0]
+        - 10 * us
+    )
+    assert got[10] == (-1, -1, -1)
+    assert got[11] == (base + 10 * us, 200, 0)
+    assert got[12] == (base + 10 * us, 200, 40 * us)
+    assert got[13] == (base + 100 * us, 500, 100 * us)
+    assert got[20] == (-1, -1, -1)
+
+
+def test_asof_nearest_state_hand_computed(spark, tmp_path):
+    """States at t=10 and t=100; errors at t=5 (forward to 10), t=54
+    (44 back vs 46 fwd -> backward), t=55 (45 == 45 tie -> backward),
+    t=56 (forward), t=200 (backward); a stateless user -> 'none'."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.analytics import (
+        join_asof_nearest_state,
+    )
+
+    rows = [
+        (1, 10, 1, "signup", 2.0, "{}"),
+        (2, 100, 1, "purchase", 5.0, "{}"),
+        (10, 5, 1, "error", 0.0, "{}"),
+        (11, 54, 1, "error", 0.0, "{}"),
+        (12, 55, 1, "error", 0.0, "{}"),
+        (13, 56, 1, "error", 0.0, "{}"),
+        (14, 200, 1, "error", 0.0, "{}"),
+        (20, 30, 2, "error", 0.0, "{}"),
+    ]
+    sf = write_events6(spark, tmp_path, rows)
+    got = {
+        r["event_id"]: (r["direction"], r["state_ts_us"], r["gap_us"])
+        for r in join_asof_nearest_state(spark, sf).collect()
+    }
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        load_table,
+    )
+
+    us = 1_000_000
+    base = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") == 1)
+        .select("ts_us")
+        .head()[0]
+        - 10 * us
+    )
+    t10, t100 = base + 10 * us, base + 100 * us
+    assert got[10] == ("forward", t10, 5 * us)
+    assert got[11] == ("backward", t10, 44 * us)
+    assert got[12] == ("backward", t10, 45 * us)
+    assert got[13] == ("forward", t100, 44 * us)
+    assert got[14] == ("backward", t100, 100 * us)
+    assert got[20] == ("none", -1, -1)
