@@ -13,7 +13,7 @@ this is §2.8 extension surface for training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import pround
@@ -653,21 +653,21 @@ _DSIR_LW_SCALE = 1_000_000
     WITH toks AS (
       SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS token FROM documents
     ), vocab AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS c_all FROM toks GROUP BY token
-    ), tgt AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS c_tgt
-      FROM toks WHERE source = '{_DSIR_TARGET}' GROUP BY token
+      SELECT token, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS BIGINT)
+               AS c_tgt
+      FROM toks GROUP BY token
     ), sizes AS (
-      SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_all,
-             CAST((SELECT count(*) FROM toks
-                   WHERE source = '{_DSIR_TARGET}') AS BIGINT) AS n_tgt,
-             CAST((SELECT count(*) FROM vocab) AS BIGINT) AS v
+      SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+             CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM vocab
     ), lm AS (
       SELECT v.token,
-             CAST(floor((ln((coalesce(t.c_tgt, 0) + 1.0) / (s.n_tgt + s.v))
+             CAST(floor((ln((v.c_tgt + 1.0) / (s.n_tgt + s.v))
                          - ln((v.c_all + 1.0) / (s.n_all + s.v)))
                         * {_DSIR_LW_SCALE}.0 + 0.5) AS BIGINT) AS lwq
-      FROM vocab v LEFT JOIN tgt t USING (token) CROSS JOIN sizes s
+      FROM vocab v CROSS JOIN sizes s
     ), per_doc AS (
       SELECT tk.doc_id, tk.source,
              CAST(sum(lm.lwq) AS BIGINT) AS doc_lwq
@@ -691,9 +691,13 @@ _DSIR_LW_SCALE = 1_000_000
         f"the standard recipe for up-sampling web data that looks like "
         f"a curated target domain (target = '{_DSIR_TARGET}' here).  "
         f"Emitted as a per-source summary (avg weight + count of "
-        f"target-like docs), not per-doc rows.  Scale shape: the two "
-        f"LMs are token-grain aggregates (partial-combining); the "
-        f"per-token log-ratio table is |vocab| rows joined back on "
+        f"target-like docs), not per-doc rows.  Scale shape: BOTH LMs "
+        f"come from ONE token-grain aggregate (c_all + conditional "
+        f"c_tgt in the same partial-combining pass — not separate "
+        f"corpus scans), and the corpus/vocab sizes roll up from that "
+        f"|vocab|-row table, so the corpus is tokenized exactly twice "
+        f"(LM build + scoring); the per-token log-ratio table is "
+        f"|vocab| rows joined back on "
         f"token WITHOUT a broadcast hint (same Heaps'-law reasoning as "
         f"cluster_topic_terms — AQE broadcasts it only when measured "
         f"small); per-doc then per-source aggregates narrow.  Each "
@@ -707,34 +711,33 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
-    tgt = (
-        toks.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_tgt"))
+    # ONE token-grain pass builds both LMs: total count + conditional
+    # target count share the same partial-combining aggregate, and the
+    # corpus/vocab sizes roll up from the |vocab|-row result instead of
+    # re-scanning (and re-tokenizing) the corpus.
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum((F.col("source") == _DSIR_TARGET).cast("bigint")).alias("c_tgt"),
     )
-    sizes = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_all"),
-        F.sum((F.col("source") == _DSIR_TARGET).cast("bigint")).alias("n_tgt"),
-    ).crossJoin(F.broadcast(vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))))
+    sizes = vocab.agg(
+        F.sum("c_all").cast("bigint").alias("n_all"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
     # |vocab|-row LM table: NO broadcast hint (web-scale vocabularies
     # must be allowed to shuffle-join; AQE picks broadcast when small)
-    lm = (
-        vocab.join(tgt, "token", "left")
-        .crossJoin(F.broadcast(sizes))
-        .select(
-            "token",
-            F.floor(
-                (
-                    F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) / (F.col("n_tgt") + F.col("v")))
-                    - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
-                )
-                * F.lit(float(_DSIR_LW_SCALE))
-                + 0.5
+    lm = vocab.crossJoin(F.broadcast(sizes)).select(
+        "token",
+        F.floor(
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
+                - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
             )
-            .cast("bigint")
-            .alias("lwq"),
+            * F.lit(float(_DSIR_LW_SCALE))
+            + 0.5
         )
+        .cast("bigint")
+        .alias("lwq"),
     )
     per_doc = (
         toks.filter(F.col("source") != _DSIR_TARGET)
