@@ -490,6 +490,108 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 15: product quantization (the PQ rung of the compression ladder)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (64-dim embeddings -> 8 x 8-dim subvectors)
+PQ_SUBDIM = 8
+PQ_K = 4        # codebook entries per subspace (seed rows vec_id < PQ_K)
+
+
+@register(
+    "embedding_product_quantization",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, gs.m,
+             list_slice(v, gs.m * {PQ_SUBDIM} + 1, gs.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM e, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) gs
+    ), cent AS (
+      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+    ), d AS (
+      SELECT s.vec_id, s.m, c.k,
+             list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+                                     j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j])))
+               AS dist2
+      FROM sub s JOIN cent c USING (m)
+    ), best AS (
+      SELECT vec_id, m, k, dist2 FROM (
+        SELECT vec_id, m, k, dist2,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS pq_codes,
+           CAST(sum(CAST(floor(dist2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sq_error_e6
+    FROM best GROUP BY vec_id
+    """,
+    doc=f"Product quantization (Jégou et al. 2011): the embedding is "
+        f"split into {PQ_M} subvectors of {PQ_SUBDIM} dims; each "
+        f"subvector is coded as its nearest entry in a per-subspace "
+        f"{PQ_K}-entry codebook (seeded from rows vec_id < {PQ_K}, the "
+        f"same deterministic-seed protocol as embedding_kmeans_assign) "
+        f"— log2({PQ_K})x{PQ_M} bits per vector, the memory rung "
+        f"BETWEEN uint8 scalar quantization and raw floats that IVF-PQ "
+        f"ANN serving uses.  Emits the per-vector code word plus the "
+        f"reconstruction error.  Scale shape: the codebook is "
+        f"{PQ_M}x{PQ_K} rows — genuinely constant-size, so ITS "
+        f"broadcast is justified (unlike a vocab table); the "
+        f"subvector explode is map-side ({PQ_M} rows per vector), the "
+        f"argmin is one min-of-struct partial agg, and nothing else "
+        f"shuffles more than |vectors|x{PQ_M} rows.  Per-subspace "
+        f"dist2 values are identical IEEE doubles in both engines "
+        f"(left-to-right fold, the kmeans precedent) and are quantized "
+        f"to 1e-6 int64 BEFORE the per-vector sum, so the emitted "
+        f"error is an exact integer.",
+    tags=("curation", "similarity"),
+)
+def embedding_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+    # the codebook is PQ_M x PQ_K rows — constant-size by construction,
+    # so the broadcast hint is justified here (contrast the unhinted
+    # vocab joins in cluster_topic_terms / documents_dsir_weights)
+    d = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "k", _dist2(F.col("sv"), F.col("cv")).alias("dist2")
+    )
+    best = d.groupBy("vec_id", "m").agg(F.min(F.struct("dist2", "k")).alias("b"))
+    per_sub = best.select(
+        "vec_id",
+        "m",
+        F.col("b.k").alias("k"),
+        F.floor(F.col("b.dist2") * 1e6 + 0.5).cast("bigint").alias("err_e6"),
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "k"))),
+                lambda s: s["k"].cast("string"),
+            ),
+        ).alias("pq_codes"),
+        F.sum("err_e6").cast("bigint").alias("sq_error_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF document keywords
 # ---------------------------------------------------------------------------
 

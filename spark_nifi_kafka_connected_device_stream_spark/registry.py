@@ -187,6 +187,7 @@ DEFERRED: tuple[str, ...] = (
     "join_asof_device_state",
     "join_asof_nearest_state",
     "documents_dsir_weights",
+    "embedding_product_quantization",
 )
 
 

@@ -247,3 +247,57 @@ def test_funnel_is_monotone_and_consistent(spark):
         assert a.n_docs >= b.n_docs  # survivorship can only shrink
     for r in rows:
         assert abs(r.pct_of_total - r.n_docs / total) < 1e-6
+
+
+def test_product_quantization_codes_and_seed_rows(spark):
+    """PQ invariants on the real fixture: 8 codes per vector, each in
+    [0, PQ_K); the PQ_K seed vectors ARE the codebook, so each codes
+    itself in every subspace with zero reconstruction error; and
+    every vector's chosen code has error <= coding it with any fixed
+    alternative (spot-checked against code 0 via a recompute)."""
+    import math
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.curation import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+    df = SPECS["embedding_product_quantization"].fn(spark, SF_SMALL)
+    rows = {r.vec_id: r for r in df.collect()}
+    assert rows
+    for r in rows.values():
+        codes = [int(c) for c in r.pq_codes.split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
+        assert r.sq_error_e6 >= 0
+    for k in range(PQ_K):
+        assert rows[k].pq_codes == ",".join([str(k)] * PQ_M)
+        assert rows[k].sq_error_e6 == 0
+
+    # independent recompute for one non-seed vector: the emitted error
+    # must equal the hand-computed error of its emitted codes, and no
+    # all-zeros code assignment may beat it
+    emb = {
+        e["vec_id"]: [float(x) for x in e["v"]]
+        for e in load_table(spark, SF_SMALL, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+        .filter("vec_id < 10")
+        .collect()
+    }
+    probe = 7
+    codes = [int(c) for c in rows[probe].pq_codes.split(",")]
+
+    def sub_err(vid, m, k):
+        a = emb[vid][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        b = emb[k][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        s = 0.0
+        for x, c in zip(a, b):
+            s += (x - c) * (x - c)
+        return math.floor(s * 1e6 + 0.5)
+
+    expected = sum(sub_err(probe, m, codes[m]) for m in range(PQ_M))
+    assert rows[probe].sq_error_e6 == expected
+    zeros = sum(sub_err(probe, m, 0) for m in range(PQ_M))
+    assert rows[probe].sq_error_e6 <= zeros
