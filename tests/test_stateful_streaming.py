@@ -1368,3 +1368,67 @@ def test_status_streaks_stream_batch_equivalence(spark, tmp_path):
         for r in batch_df.collect()
     }
     assert dict(hist_got) == hist_batch
+
+
+def test_status_streaks_equivalence_under_rocksdb(spark, tmp_path):
+    """The streak state machine under the RocksDB state store provider
+    — the store a 1e7-key registry runs in production.  Pins that the
+    (string, long) open-run state round-trips RocksDB serialization
+    across micro-batches: a crafted per-key sequence whose runs all
+    straddle batch boundaries emits exactly the hand-computed islands."""
+    import json as _json
+    from collections import Counter
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        status_streak_islands,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "in")
+        # key A: AA|AB|BC + close -> runs A3, B2, C1; key B: XX|XY + close
+        seqs = {"a": "AAABBC", "b": "XXXY"}
+        batches = [[], [], []]
+        for key, s in seqs.items():
+            n = len(s)
+            for i, ch in enumerate(s):
+                b = 0 if i < n / 3 else (1 if i < 2 * n / 3 else 2)
+                batches[b].append(_json.dumps({"k": key, "seq": i, "status": ch}))
+            batches[2].append(_json.dumps({"k": key, "seq": n, "status": "__CLOSE__"}))
+        _write_file(d, "b0.json", batches[0])
+        stream = (
+            spark.readStream.schema("k string, seq bigint, status string")
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+        )
+        islands = status_streak_islands(stream, key_col="k", seq_col="seq", status_col="status")
+        q = (
+            memory_sink(islands, "streaks_rocks", output_mode="append")
+            .option("checkpointLocation", str(tmp_path / "chk_sr"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i in (1, 2):
+                _write_file(d, f"b{i}.json", batches[i])
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = Counter(
+        (r["key"], r["status"], r["streak_len"])
+        for r in spark.sql("SELECT * FROM streaks_rocks").collect()
+    )
+    assert got == Counter(
+        {("a", "A", 3): 1, ("a", "B", 2): 1, ("a", "C", 1): 1,
+         ("b", "X", 3): 1, ("b", "Y", 1): 1}
+    )
