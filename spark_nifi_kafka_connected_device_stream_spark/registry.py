@@ -188,6 +188,7 @@ DEFERRED: tuple[str, ...] = (
     "join_asof_nearest_state",
     "documents_dsir_weights",
     "embedding_product_quantization",
+    "events_watermark_lateness_audit",
 )
 
 

@@ -729,3 +729,50 @@ def test_holt_forecast_matches_python_recursion(spark, tmp_path):
     # one-step forecast must be within 0.2 of the true next value (13)
     last = max(got)
     assert abs(got[last][2] - 13.0) < 0.2
+
+
+def test_watermark_lateness_audit_python_replication(spark, tmp_path):
+    """Full-pipeline replication in pure Python on a crafted log: the
+    md5-delay model, arrival-order running max, lateness counts and
+    drop count must all match a from-scratch reimplementation (the
+    percentile columns are exercised by the oracle parity sweep; here
+    the integer columns are pinned bit-exactly)."""
+    import hashlib
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
+        DELAY_MAX_US,
+        WATERMARK_AUDIT_US,
+        events_watermark_lateness_audit,
+    )
+    from tests.semantics_fixtures import write_events4
+
+    rows = [(i, i * 60, i % 5, "view") for i in range(200)]  # 1/min, in order
+    sf = write_events4(spark, tmp_path, rows)
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+
+    ev = {
+        r["event_id"]: r["ts_us"]
+        for r in load_table(spark, sf, "events").select("event_id", "ts_us").collect()
+    }
+
+    def u32(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+    arr = sorted(
+        ((ts + u32(f"late:{eid}") % DELAY_MAX_US, eid, ts) for eid, ts in ev.items())
+    )
+    mx, n_late, max_late, n_drop = -1, 0, 0, 0
+    for _, _, ts in arr:
+        mx = max(mx, ts)
+        late = mx - ts
+        n_late += late > 0
+        max_late = max(max_late, late)
+        n_drop += late > WATERMARK_AUDIT_US
+    assert n_late > 0  # the delay model must actually reorder this log
+
+    got = events_watermark_lateness_audit(spark, sf).collect()[0]
+    assert got["n_events"] == len(rows)
+    assert got["n_late"] == n_late
+    assert got["max_lateness_us"] == max_late
+    assert got["n_dropped_at_5m"] == n_drop
