@@ -1383,3 +1383,142 @@ def dedup_short_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_below"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 15: incremental MinHash-LSH assignment (continuous-ingest dedup)
+# ---------------------------------------------------------------------------
+
+_INCR_MOD = 10          # doc_id % 10 == 0 -> the "newly arrived" batch
+                        # (same split contract as curation.BATCH_MOD)
+_INCR_MIN_MATCHES = 8   # >= 8 of 12 equal signature components
+                        # (estimated Jaccard >= 2/3, above the 0.63
+                        # band/row s-curve threshold)
+
+
+@register(
+    "dedup_incremental_minhash_assign",
+    oracle=f"""
+    WITH {_DUCK_SIGS},
+    existing AS (
+      SELECT doc_id, band_id, bucket FROM bands WHERE doc_id % {_INCR_MOD} <> 0
+    ), newdocs AS (
+      SELECT doc_id, band_id, bucket FROM bands WHERE doc_id % {_INCR_MOD} = 0
+    ), bucket_sizes AS (
+      SELECT band_id, bucket, count(*) AS n FROM existing GROUP BY band_id, bucket
+    ), capped AS (
+      SELECT e.doc_id, e.band_id, e.bucket
+      FROM existing e JOIN bucket_sizes s USING (band_id, bucket)
+      WHERE s.n <= {MAX_BUCKET_SIZE}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS ex_id
+      FROM newdocs n JOIN capped c
+        ON n.band_id = c.band_id AND n.bucket = c.bucket
+    ), scored AS (
+      SELECT cand.new_id, cand.ex_id,
+             {" + ".join(f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(N_PERM))}
+               AS n_sig_matches
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.new_id
+      JOIN sigs sb ON sb.doc_id = cand.ex_id
+    ), best AS (
+      SELECT new_id, ex_id, n_sig_matches, n_candidates FROM (
+        SELECT new_id, ex_id, n_sig_matches,
+               row_number() OVER (
+                 PARTITION BY new_id ORDER BY n_sig_matches DESC, ex_id ASC
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY new_id) AS BIGINT)
+                 AS n_candidates
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(b.n_candidates, 0) AS n_candidates,
+           coalesce(b.ex_id, -1) AS best_match_id,
+           CAST(coalesce(b.n_sig_matches, 0) AS BIGINT) AS n_sig_matches,
+           coalesce(b.n_sig_matches, 0) >= {_INCR_MIN_MATCHES} AS assigned_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_INCR_MOD} = 0) d
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    """,
+    doc=f"Incremental fuzzy dedup — the continuous-ingest counterpart "
+        f"of dedup_minhash_lsh (and the fuzzy sibling of "
+        f"dedup_incremental_exact): each NEWLY-ARRIVED document "
+        f"(doc_id % {_INCR_MOD} == 0, the registry's standard batch "
+        f"split) probes the EXISTING corpus's LSH band buckets; its "
+        f"best candidate is scored by equal minhash components "
+        f"(estimated Jaccard in exact twelfths — no float), and it is "
+        f"declared a duplicate at >= {_INCR_MIN_MATCHES}/12.  At 100 TB "
+        f"this is the shape that makes growing-corpus dedup tractable: "
+        f"the batch joins bucket-to-bucket against the (pre-computed, "
+        f"storable) band table instead of re-running pair generation "
+        f"over the whole corpus — per-batch cost is "
+        f"O(batch x bands + collisions), with hot buckets capped at "
+        f"{MAX_BUCKET_SIZE} on the existing side so a boilerplate "
+        f"bucket cannot fan a single new doc into millions of "
+        f"candidates.  ONE signature pass covers both sides; unmatched "
+        f"new docs emit sentinel -1 (left join, no NULL numerics).",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sigs = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_expr(b).alias("bucket"))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band_id", "bb.bucket"
+    )
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    existing = bands.filter(~is_new)
+    newdocs = bands.filter(is_new)
+    capped = cap_hot_buckets(existing)
+    cand = (
+        newdocs.alias("n")
+        .join(
+            capped.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("ex_id"))
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    )
+    scored = (
+        cand.join(sigs.alias("a"), F.col("a.doc_id") == F.col("new_id"))
+        .join(sigs.alias("b"), F.col("b.doc_id") == F.col("ex_id"))
+        .select("new_id", "ex_id", matches.alias("n_sig_matches"))
+    )
+    w_rank = Window.partitionBy("new_id").orderBy(
+        F.desc("n_sig_matches"), F.asc("ex_id")
+    )
+    w_all = Window.partitionBy("new_id")
+    best = (
+        scored.select(
+            "new_id",
+            "ex_id",
+            "n_sig_matches",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_candidates"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    new_ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+    )
+    return new_ids.join(best, new_ids.doc_id == best.new_id, "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.col("ex_id"), F.lit(-1)).alias("best_match_id"),
+        F.coalesce(F.col("n_sig_matches"), F.lit(0)).cast("bigint").alias("n_sig_matches"),
+        (F.coalesce(F.col("n_sig_matches"), F.lit(0)) >= _INCR_MIN_MATCHES).alias("assigned_dup"),
+    )

@@ -189,6 +189,7 @@ DEFERRED: tuple[str, ...] = (
     "documents_dsir_weights",
     "embedding_product_quantization",
     "events_watermark_lateness_audit",
+    "dedup_incremental_minhash_assign",
 )
 
 

@@ -155,3 +155,36 @@ def test_threshold_sensitivity_cumulative(spark, tmp_path):
     assert out[90] == 3
     vals = [v for _, v in sorted(out.items(), reverse=True)]
     assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+def test_incremental_minhash_assign_dup_and_novel(spark, tmp_path):
+    """New doc 10 is a verbatim copy of existing doc 3 -> 12/12 equal
+    signature components, assigned_dup, best match 3.  New doc 20 is
+    entirely novel text sharing no shingle with the corpus -> zero
+    candidates, sentinel row.  Existing docs never appear in the
+    output (the report is batch-grain)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.dedup import (
+        dedup_incremental_minhash_assign,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    novel = "entirely different words that overlap with nothing else here"
+    filler = "some mild background corpus text about devices and streams"
+    sf = write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, filler, "en", "src1"),          # existing
+            (3, shared, "en", "src1"),          # existing, the copy target
+            (7, filler + " extra", "en", "src2"),  # existing
+            (10, shared, "en", "src3"),         # NEW: exact copy of doc 3
+            (20, novel, "en", "src3"),          # NEW: no shared shingles
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup_incremental_minhash_assign(spark, sf).collect()}
+    assert set(rows) == {10, 20}
+    assert rows[10]["assigned_dup"] and rows[10]["best_match_id"] == 3
+    assert rows[10]["n_sig_matches"] == 12
+    assert rows[20]["n_candidates"] == 0
+    assert not rows[20]["assigned_dup"]
+    assert rows[20]["best_match_id"] == -1 and rows[20]["n_sig_matches"] == 0
