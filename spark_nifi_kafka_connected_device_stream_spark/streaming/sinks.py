@@ -529,3 +529,158 @@ def agg_upsert_epoch(
     # partition dirs, so no self-overwrite hazard (the corpus-dedup
     # store needed a checkpoint; this one does not)
     merged.write.mode("overwrite").parquet(f"{store_dir}/v={epoch_id}")
+
+
+# ---------------------------------------------------------------------------
+# round 15: fuzzy (MinHash) ingest-time corpus dedup
+# ---------------------------------------------------------------------------
+
+FUZZY_DEDUP_MIN_MATCHES = 8  # >= 8 of 12 equal signature components
+
+
+def foreach_batch_corpus_dedup_fuzzy(
+    df: DataFrame,
+    sig_store_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Ingest-time NEAR-duplicate dedup against a persistent MinHash
+    signature store — the streaming front door of the batch
+    `dedup_incremental_minhash_assign` tier, exactly as
+    `foreach_batch_corpus_dedup` fronts `dedup_incremental_exact`.
+    Each micro-batch's documents are signature-hashed once; the
+    persistent store's band buckets are probed with the (small,
+    broadcast) batch bands; any batch doc whose best store candidate
+    matches >= FUZZY_DEDUP_MIN_MATCHES of 12 signature components is
+    dropped as a near-duplicate, and the survivors' SIGNATURES are
+    appended as the store's `epoch=N` partition (the store holds 12
+    ints per document — ~100 bytes/doc at 100 TB corpus scale, and
+    band buckets derive from it map-side at probe time, so nothing
+    text-sized is ever persisted or re-read).
+
+    Exactly-once: both writes go to `epoch=<id>` partition directories
+    with overwrite mode and the probe reads only `epoch < current`
+    (partition-pruned), so a crashed-epoch re-run is idempotent —
+    pinned by the rerun test, same contract as the exact sink.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        fuzzy_corpus_dedup_epoch(
+            batch_df, epoch_id, sig_store_dir, out_dir, id_col, text_col
+        )
+
+    return df.writeStream.foreachBatch(fn)
+
+
+def fuzzy_corpus_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    sig_store_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One epoch of foreach_batch_corpus_dedup_fuzzy, module-level so
+    the crashed-epoch re-run path is unit-testable (same doctrine as
+    corpus_dedup_epoch)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from ..functions.textfns import normalize_text, shingles, tokens
+    from ..operators.dedup import (
+        N_BANDS,
+        N_PERM,
+        _band_expr,
+        _minhash_signatures,
+        cap_hot_buckets,
+    )
+
+    spark = batch_df.sparkSession
+    sig_cols = [f"s{i}" for i in range(N_PERM)]
+    sh = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(normalize_text(F.col(text_col))))).alias("shingle"),
+    )
+    # materialize the signatures once: they feed the probe, the report,
+    # and the store append — and must not be re-planned after the store
+    # partition this epoch writes changes what a re-read would see
+    sigs = _minhash_signatures(spark, "", sh).localCheckpoint(eager=True)
+
+    def to_bands(s: DataFrame) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band_id"), _band_expr(b).alias("bucket"))
+                for b in range(N_BANDS)
+            ]
+        )
+        return s.select("doc_id", *sig_cols, F.explode(band_structs).alias("bb")).select(
+            "doc_id", *sig_cols, F.col("bb.band_id"), F.col("bb.bucket")
+        )
+
+    try:
+        store = spark.read.parquet(sig_store_dir).filter(
+            F.col("epoch") < epoch_id
+        ).drop("epoch")
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        best = None
+    else:
+        # batch side is the small one: broadcast it against the
+        # (arbitrarily large, map-side-banded, hot-capped) store scan
+        cand = (
+            cap_hot_buckets(to_bands(store))
+            .alias("e")
+            .join(
+                F.broadcast(to_bands(sigs)).alias("n"),
+                (F.col("e.band_id") == F.col("n.band_id"))
+                & (F.col("e.bucket") == F.col("n.bucket")),
+            )
+        )
+        matches = sum(
+            F.when(F.col(f"e.s{i}") == F.col(f"n.s{i}"), 1).otherwise(0)
+            for i in range(N_PERM)
+        )
+        scored = cand.select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+            matches.alias("n_sig_matches"),
+        ).distinct()
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("n_sig_matches"), F.asc("ex_id")
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    if best is None:
+        report = sigs.select(
+            "doc_id",
+            F.lit(-1).cast("bigint").alias("best_match_id"),
+            F.lit(0).cast("int").alias("n_sig_matches"),
+            F.lit(False).alias("assigned_dup"),
+        )
+    else:
+        report = sigs.select("doc_id").join(best, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("ex_id"), F.lit(-1)).cast("bigint").alias("best_match_id"),
+            F.coalesce(F.col("n_sig_matches"), F.lit(0)).cast("int").alias("n_sig_matches"),
+            (
+                F.coalesce(F.col("n_sig_matches"), F.lit(0))
+                >= FUZZY_DEDUP_MIN_MATCHES
+            ).alias("assigned_dup"),
+        )
+    report = report.localCheckpoint(eager=True)
+    report.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    fresh = sigs.join(
+        F.broadcast(report.filter(F.col("assigned_dup")).select("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    fresh.write.mode("overwrite").parquet(f"{sig_store_dir}/epoch={epoch_id}")

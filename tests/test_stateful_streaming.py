@@ -1432,3 +1432,91 @@ def test_status_streaks_equivalence_under_rocksdb(spark, tmp_path):
         {("a", "A", 3): 1, ("a", "B", 2): 1, ("a", "C", 1): 1,
          ("b", "X", 3): 1, ("b", "Y", 1): 1}
     )
+
+
+def test_fuzzy_corpus_dedup_epochs_drop_near_dups(spark, tmp_path):
+    """Ingest-time NEAR-dup dedup against the persistent signature
+    store: epoch 0 seeds two documents; epoch 1 re-ingests one of them
+    verbatim under a NEW doc_id (12/12 signature match -> dropped,
+    report names the original) plus a novel document (kept, appended
+    to the store).  Store ends with exactly the three unique docs'
+    signatures."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string"
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    other = "some mild background corpus text about devices and streams"
+    novel = "entirely different words that overlap with nothing else here"
+
+    b0 = spark.createDataFrame([(1, shared), (2, other)], schema)
+    b1 = spark.createDataFrame([(10, shared), (20, novel)], schema)
+
+    fuzzy_corpus_dedup_epoch(b0, 0, store, out)
+    rep0 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rep0) == {1, 2}
+    assert not any(r["assigned_dup"] for r in rep0.values())
+
+    fuzzy_corpus_dedup_epoch(b1, 1, store, out)
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rep) == {1, 2, 10, 20}
+    assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
+    assert rep[10]["n_sig_matches"] == 12
+    assert not rep[20]["assigned_dup"] and rep[20]["best_match_id"] == -1
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == [1, 2, 20]
+
+    # crash-replay epoch 1: identical delivery, run again — idempotent
+    fuzzy_corpus_dedup_epoch(b1, 1, store, out)
+    again = {r["doc_id"]: r["assigned_dup"] for r in spark.read.parquet(out).collect()}
+    assert again == {k: v["assigned_dup"] for k, v in rep.items()}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == [1, 2, 20]
+
+
+def test_fuzzy_corpus_dedup_through_live_stream(spark, tmp_path):
+    """The same sink driven end-to-end by a real file-replay stream
+    with availableNow + checkpoint restart, mirroring the exact-dedup
+    restart test: content re-ingested in a LATER QUERY RUN is still
+    caught by the persistent signature store."""
+    import json as _json
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        foreach_batch_corpus_dedup_fuzzy,
+    )
+
+    d = str(tmp_path / "in")
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    novel = "entirely different words that overlap with nothing else here"
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+        )
+        q = (
+            foreach_batch_corpus_dedup_fuzzy(stream, store, out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_file(d, "b1.json", [_json.dumps({"doc_id": 1, "text": shared})])
+    run()
+    _write_file(d, "b2.json", [_json.dumps({"doc_id": 10, "text": shared}),
+                               _json.dumps({"doc_id": 20, "text": novel})])
+    run()
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
+    assert not rep[20]["assigned_dup"]
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 20]
