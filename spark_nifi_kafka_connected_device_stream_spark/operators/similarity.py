@@ -2388,3 +2388,258 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg(F.col("n_cand") * F.lit(1.0)), 6).alias("avg_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed: the billion-scale ANN serving layout (round 16,
+# VERDICT r15 item 3).  The two pieces built in earlier rounds —
+# IVF cell restriction (similarity_topk_ivf_quantized above) and the
+# product-quantization codebook (curation.embedding_product_quantization)
+# — compose here into the standard IVFADC plan of Jégou et al. 2011.
+# ---------------------------------------------------------------------------
+
+# PQ geometry — MUST match operators/curation.py's
+# embedding_product_quantization (tests/test_quality.py pins the
+# equality so the two files cannot drift apart; a module-level import
+# from curation would reorder registry base positions, so the three
+# ints are mirrored instead).
+IVFPQ_M = 8        # subspaces (64-dim embeddings -> 8 x 8-dim subvectors)
+IVFPQ_SUBDIM = 8
+IVFPQ_K = 4        # codebook entries per subspace (seed rows vec_id < 4)
+# PQ codes are far coarser than uint8 scalar quantization (2 bits vs 8
+# per subdim), so the exact re-rank gets a wider candidate budget —
+# still k-bounded per query, independent of corpus size.
+IVFPQ_NCAND = 4 * TOP_K
+
+_DUCK_IVFPQ_SUB = f"""
+      SELECT vec_id, label, gs.m,
+             list_slice(v, gs.m * {IVFPQ_SUBDIM} + 1,
+                        gs.m * {IVFPQ_SUBDIM} + {IVFPQ_SUBDIM}) AS sv
+      FROM e, LATERAL (SELECT unnest(generate_series(0, {IVFPQ_M - 1})) AS m) gs
+"""
+
+
+@register(
+    "similarity_topk_ivfpq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sub AS ({_DUCK_IVFPQ_SUB}
+    ), cent AS (
+      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {IVFPQ_K}
+    ), cnorm AS (
+      SELECT m, k,
+             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                  j -> cv[j] * cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS cn2_e6
+      FROM cent
+    ), dists AS (
+      SELECT s.vec_id, s.label, s.m, c.k,
+             list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                 j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist2
+      FROM sub s JOIN cent c USING (m)
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, label AS c_label, m, k FROM (
+        SELECT vec_id, label, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qn AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                  i -> v[i] * v[i]))) AS q_norm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.k,
+             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                  j -> s.sv[j] * c.cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS pdot_e6
+      FROM sub s JOIN cent c USING (m)
+      WHERE s.vec_id < {N_QUERIES}
+    ), adc AS (
+      SELECT q.query_id, co.neighbor_id, q.q_norm,
+             CAST(sum(l.pdot_e6) AS BIGINT) AS adot_e6,
+             CAST(sum(cn.cn2_e6) AS BIGINT) AS cn2s_e6
+      FROM codes co
+      JOIN qn q ON q.q_label = co.c_label AND co.neighbor_id <> q.query_id
+      JOIN lut l ON l.query_id = q.query_id AND l.m = co.m AND l.k = co.k
+      JOIN cnorm cn ON cn.m = co.m AND cn.k = co.k
+      GROUP BY q.query_id, co.neighbor_id, q.q_norm
+    ), approx AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id,
+               (adot_e6 * 1.0 / 1000000.0)
+                 / (q_norm * sqrt(cn2s_e6 * 1.0 / 1000000.0)) AS approx_raw,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY (adot_e6 * 1.0 / 1000000.0)
+                   / (q_norm * sqrt(cn2s_e6 * 1.0 / 1000000.0)) DESC,
+                   neighbor_id ASC) AS arnk
+        FROM adc
+      ) WHERE arnk <= {IVFPQ_NCAND}
+    )
+    SELECT query_id, neighbor_id,
+           floor(exact_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           floor(approx_raw * 1000000.0 + 0.5) / 1000000.0 AS approx_sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT a.query_id, a.neighbor_id, a.approx_raw,
+             {_duck_dq_cos("q.v", "c.v")} AS exact_raw,
+             row_number() OVER (PARTITION BY a.query_id
+                                ORDER BY {_duck_dq_cos("q.v", "c.v")} DESC,
+                                         a.neighbor_id ASC) AS rnk
+      FROM approx a
+      JOIN e q ON q.vec_id = a.query_id
+      JOIN e c ON c.vec_id = a.neighbor_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"IVFADC — the production billion-scale ANN layout (Jégou et "
+        f"al. 2011), composing the repo's IVF cell restriction with "
+        f"the PQ codebook of embedding_product_quantization: the "
+        f"corpus at rest is ONLY (cell, m, code) rows — "
+        f"log2({IVFPQ_K})·{IVFPQ_M} bits per vector, the ~100 TB -> "
+        f"~1 TB compression rung that makes a full-corpus resident "
+        f"index possible at all.  Per query, an asymmetric-distance "
+        f"lookup table (full-precision query subvector · every "
+        f"codebook entry = {IVFPQ_M}x{IVFPQ_K} partial dots) is built "
+        f"and BROADCAST (|queries|·{IVFPQ_M * IVFPQ_K} rows — "
+        f"constant per query, never corpus-sized); scoring a "
+        f"candidate is then {IVFPQ_M} LUT additions via an equi-join "
+        f"on (cell, m, code) — no float vector is touched until the "
+        f"exact re-rank fetches full precision for the top-{IVFPQ_NCAND} "
+        f"candidates per query (k-bounded regardless of corpus "
+        f"size).  Cross-engine determinism: LUT partial dots and "
+        f"codebook-entry norms are quantized to e6 int64 BEFORE the "
+        f"per-candidate sums, so the approximate ORDER is exact "
+        f"integer arithmetic and the emitted approx_sim is "
+        f"bit-identical; the exact re-rank reuses the proven "
+        f"left-to-right double fold.  Recall vs exact brute force is "
+        f"recorded in artifacts/ivfpq_recall_r16.json (same sweep "
+        f"style as similarity_ivf_nprobe_sweep).",
+    tags=("similarity", "ann"),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.repartition(plan_parallelism(spark), "vec_id")
+    sub = e.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(0), F.lit(IVFPQ_M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id",
+        "label",
+        "m",
+        F.slice(F.col("v"), F.col("m") * IVFPQ_SUBDIM + 1, IVFPQ_SUBDIM).alias("sv"),
+    )
+    # codebook: IVFPQ_M x IVFPQ_K rows — constant-size by construction,
+    # so its broadcast is justified (the kmeans/PQ seed protocol)
+    cent = sub.filter(F.col("vec_id") < IVFPQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+    cnorm = cent.select(
+        "m",
+        "k",
+        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cn2_e6"),
+    )
+    # encode the corpus: nearest codebook entry per (vector, subspace).
+    # dist2 is the same left-to-right double fold as the PQ operator,
+    # so the code assignment is bit-identical cross-engine.
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "label", "m", "k", dist2.alias("dist2")
+    )
+    codes = (
+        dists.groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct("dist2", "k")).alias("b"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            "m",
+            F.col("b.k").alias("k"),
+        )
+    )
+    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        l2_norm(F.col("v")).alias("q_norm"),
+    )
+    # the ADC lookup table: |queries| x M x K exact-int partial dots
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pdot_e6"),
+        )
+    )
+    lutq = lut.join(F.broadcast(qn), "query_id")
+    # scoring: codes ⋈ broadcast LUT on (cell, m, code) — the corpus
+    # side never rehydrates a float vector
+    adc = (
+        codes.join(F.broadcast(cnorm), ["m", "k"])
+        .join(
+            F.broadcast(lutq),
+            (F.col("c_label") == F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("k") == F.col("lk")),
+        )
+        .groupBy("query_id", "neighbor_id", "q_norm")
+        .agg(
+            F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
+            F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
+        )
+    )
+    approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (
+        F.col("q_norm") * F.sqrt(F.col("cn2s_e6") * F.lit(1.0) / F.lit(1e6))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    approx = (
+        adc.withColumn("approx_raw", approx_raw)
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") <= IVFPQ_NCAND)
+        .select("query_id", "neighbor_id", "approx_raw")
+    )
+    # exact re-rank: full-precision vectors for the k-bounded candidate
+    # set only; query side filtered BEFORE broadcast (the r12 rule)
+    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
+    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
+        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_raw"), F.asc("neighbor_id")
+    )
+    return (
+        approx.join(F.broadcast(qv_full), "query_id")
+        .join(cv_full, "neighbor_id")
+        .withColumn("exact_raw", exact_sim)
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround("exact_raw", 6).alias("cos_sim"),
+            pround("approx_raw", 6).alias("approx_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -104,92 +104,89 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 15 executes the rotation pinned at end of round 14
-# (VERDICT r14 item 1), fully determined with zero slack: the first 11
-# slots are ALL of round 14's DEFERRED queue (never-driver-checked
-# backlog → ZERO), the next 12 are the residual of the cohort whose
-# freshest green row is round 8 (after this round no stamp is older
-# than round 9), and the remaining 27 are the alphabetically-first 27
-# of the 50-query r9 cohort (computed fresh from CORRECTNESS_r01..r14).
+# modules.  Round 16 executes the rotation pinned at end of round 15
+# (VERDICT r15 item 1), fully determined with zero slack: the first 6
+# slots are ALL of round 15's DEFERRED queue (never-driver-checked
+# backlog → ZERO), the next 23 are the ENTIRE residual of the cohort
+# whose freshest green row is round 9 (after this round no stamp is
+# older than round 10), and the remaining 21 are the
+# alphabetically-first 21 of the 50-query r10 cohort (computed fresh
+# from CORRECTNESS_r01..r15).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-14 additions never driver-checked (11)
-    "window_groups_frames",
-    "udtf_arrow_installments",
-    "scd2_cdc_incremental_merge",
-    "privacy_dp_topk_release",
-    "orders_cohort_retention_triangle",
-    "device_registry_firmware_lag",
-    "multimodal_shard_pack_plan",
-    "events_did_estimator",
-    "join_null_safe_eq",
-    "orders_status_streaks",
-    "lineitem_linenumber_gap_audit",
-    # stale re-checks: the residual 12 of the r8 cohort (retires r8)
-    "skew_hot_key_salted",
-    "stats_correlation_by_group",
-    "stats_linear_regression",
-    "stats_moments",
-    "stats_percentiles",
-    "stats_percentiles_approx_bound",
-    "text_bpe_pair_counts",
-    "text_language_id",
-    "text_quality_classifier",
-    "text_quality_score",
-    "text_token_positions",
-    "text_winnowing_fingerprints",
-    # stale re-checks: alphabetically-first 27 of the r9 cohort
-    "applyinpandas_zscore",
-    "asof_join_last_click",
-    "benchmark_contamination",
-    "curation_funnel_report",
-    "dataset_mix_sample",
-    "dedup_cluster_stats",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "device_registry_models",
-    "document_embedding_coverage",
-    "documents_ks_drift_by_source",
-    "documents_quality_deciles",
-    "embedding_dim_stats",
-    "embedding_kmeans_assign",
-    "embedding_knn_triangles",
-    "embedding_near_dup_bucketed",
-    "events_abtest_purchase_rate",
-    "events_chi2_mix_drift_daily",
-    "events_conversion_latency",
-    "events_cusum_level_shift",
-    "events_dau_mau_stickiness",
-)
-_DEMOTE: tuple[str, ...] = ()
-
-# Queries registered AFTER this round's 50-entry driver window filled.
-# Round 15's window is FULLY consumed by the pinned rotation (11
-# ex-DEFERRED + 12 r8-residual + 27 r9-stale re-checks — VERDICT r14
-# item 1), so this queue restarts empty and collects ONLY round-15
-# additions — capped at 12 so round 16's window keeps 38 slots for
-# stale re-checks.  Every name here must be oracle-parity-green
-# locally on every pytest run; tests/test_oracle_parity.py asserts
-# that any never-driver-checked query is either inside the window or
-# on this explicit queue — a silent backlog stays impossible.
-# Round-16 rotation, pre-computed (same construction): _PROMOTE =
-# this DEFERRED queue + the residual 23 of the r9 cohort
-# (events_device_uptime .. text_vocab_coverage, alphabetical) +
-# enough of the alphabetically-first r10 cohort to fill 50 (compute
-# fresh from CORRECTNESS_r01..r15).
-DEFERRED: tuple[str, ...] = (
-    # round-15 additions (VERDICT r14 items 4/5 + widening)
+    # ex-DEFERRED: round-15 additions never driver-checked (6)
     "join_asof_device_state",
     "join_asof_nearest_state",
     "documents_dsir_weights",
     "embedding_product_quantization",
     "events_watermark_lateness_audit",
     "dedup_incremental_minhash_assign",
+    # stale re-checks: the residual 23 of the r9 cohort (retires r9)
+    "events_device_uptime",
+    "events_erasure_impact",
+    "events_hll_partial_merge_bound",
+    "events_holt_forecast_hourly",
+    "events_linear_attribution",
+    "events_session_paths",
+    "events_survival_kaplan_meier",
+    "events_time_weighted_value",
+    "events_user_activity_percentiles",
+    "events_value_outliers_mad",
+    "multimodal_payload_stats_arrow",
+    "orders_benford_screen",
+    "orders_open_backlog_daily",
+    "orders_pointintime_segment",
+    "pandas_udf_charge",
+    "part_bom_explosion",
+    "supplier_hhi_concentration",
+    "text_langid_confusion",
+    "text_repetition_stats",
+    "text_sentences_udtf",
+    "text_sentiment_lexicon",
+    "text_top_bigrams",
+    "text_vocab_coverage",
+    # stale re-checks: alphabetically-first 21 of the r10 cohort
+    "corpus_ingest_batch",
+    "customers_all_quarters_1995",
+    "dedup_allpairs_prefix",
+    "dedup_exact_substring",
+    "dedup_lsh_recall_report",
+    "dedup_sorted_neighborhood",
+    "dedup_survivorship_policy",
+    "documents_heaps_law",
+    "documents_length_anova_by_lang",
+    "documents_perplexity_buckets",
+    "documents_quality_calibration",
+    "documents_source_lang_mutual_info",
+    "embedding_dim_correlation",
+    "embedding_kcenter_coreset",
+    "embedding_knn_bfs_hops",
+    "events_cms_frequency_bound",
+    "events_debounce_stats",
+    "events_dow_hour_profile",
+    "events_forecast_backtest",
+    "events_hourly_acf",
+    "events_interarrival_burstiness",
+)
+_DEMOTE: tuple[str, ...] = ()
+
+# Queries registered AFTER this round's 50-entry driver window filled.
+# Round 16's window is FULLY consumed by the pinned rotation (6
+# ex-DEFERRED + 23 r9-residual + 21 r10-stale re-checks — VERDICT r15
+# item 1), so this queue restarts empty and collects ONLY round-16
+# additions — capped at 12 so round 17's window keeps 38 slots for
+# stale re-checks.  Every name here must be oracle-parity-green
+# locally on every pytest run; tests/test_oracle_parity.py asserts
+# that any never-driver-checked query is either inside the window or
+# on this explicit queue — a silent backlog stays impossible.
+# Round-17 rotation, pre-computed (same construction): _PROMOTE =
+# this DEFERRED queue + the residual 29 of the r10 cohort
+# (events_mann_whitney_value .. window_percent_rank_cume_dist,
+# alphabetical) +
+# enough of the alphabetically-first r11 cohort to fill 50 (compute
+# fresh from CORRECTNESS_r01..r16).
+DEFERRED: tuple[str, ...] = (
+    # round-16 additions (VERDICT r15 items 3/5/6 + widening)
+    "similarity_topk_ivfpq",
 )
 
 

@@ -602,3 +602,41 @@ def test_ivf_nprobe_recall_and_cost_monotone(spark):
     assert sorted(rows) == [1, 2, 4]
     assert rows[1][0] <= rows[2][0] <= rows[4][0]
     assert rows[1][1] <= rows[2][1] <= rows[4][1]
+
+
+def test_ivfpq_geometry_matches_pq_operator():
+    """similarity_topk_ivfpq mirrors the PQ geometry constants instead
+    of importing operators/curation.py at module level (a cross-module
+    import would reorder registry base positions); this pin is what
+    keeps the two files from drifting apart."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators import (
+        curation,
+        similarity,
+    )
+
+    assert similarity.IVFPQ_M == curation.PQ_M
+    assert similarity.IVFPQ_SUBDIM == curation.PQ_SUBDIM
+    assert similarity.IVFPQ_K == curation.PQ_K
+
+
+def test_ivfpq_rerank_agrees_with_ivf_on_common_pairs(spark):
+    """IVFADC scores candidates from 4-entry-per-subspace PQ codes — a
+    much coarser approximation than uint8 scalar quantization — but the
+    exact re-rank uses full precision, so (a) every pair IVFPQ returns
+    must carry the same exact cos_sim as the unquantized IVF ranking,
+    (b) the approximate score must be a sane cosine (|x| <= 1 + eps),
+    and (c) recall vs plain IVF stays useful (the artifact
+    artifacts/ivfpq_recall_r16.json records the measured value)."""
+    ivf = SPECS["similarity_topk_ivf"].fn(spark, SF_MEDIUM).collect()
+    pq = SPECS["similarity_topk_ivfpq"].fn(spark, SF_MEDIUM).collect()
+    assert len(pq) == len(ivf)
+    ivf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf}
+    for r in pq:
+        assert abs(r["approx_sim"]) <= 1.0 + 1e-6
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ivf_sim:
+            assert abs(r["cos_sim"] - ivf_sim[key]) < 1e-9
+    recall = len(set(ivf_sim) & {(r["query_id"], r["neighbor_id"]) for r in pq}) / len(
+        ivf_sim
+    )
+    assert recall >= 0.5, f"IVFPQ recall vs plain IVF collapsed: {recall:.2f}"

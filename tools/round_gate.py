@@ -71,13 +71,21 @@ def check_bench_adjudication() -> list[str]:
     # drift-slower rows exist: the doctrine says PERF.md owes a
     # follow-up adjudication section written in the round AFTER the
     # drifted bench (round b+1), naming its bucket.
+    # The heading and the bucket mention may sit on different lines —
+    # match the whole section body (heading up to the next heading or
+    # EOF) with DOTALL so formatting can't fail a legitimately
+    # recorded adjudication (ADVICE r15).
     perf = open(os.path.join(REPO, "PERF.md")).read()
-    want = rf"### Drift-slower follow-up \(round {b + 1}\).*r{a}\s*(→|->)\s*r?{b}"
-    if re.search(want, perf):
+    section = re.search(
+        rf"### Drift-slower follow-up \(round {b + 1}\)(.*?)(?=\n#|\Z)",
+        perf,
+        re.DOTALL,
+    )
+    if section and re.search(rf"r{a}\s*(→|->)\s*r?{b}", section.group(1)):
         return []
-    n = proc.stderr.count("") and proc.stderr.strip()
+    err = proc.stderr.strip()
     return [
-        f"bench_diff r{a} r{b} flags DRIFT-SLOWER rows ({n.splitlines()[-1] if n else 'see tool output'}) "
+        f"bench_diff r{a} r{b} flags DRIFT-SLOWER rows ({err.splitlines()[-1] if err else 'see tool output'}) "
         f"but PERF.md has no '### Drift-slower follow-up (round {b + 1})' section "
         f"adjudicating the r{a}→r{b} bucket"
     ]
