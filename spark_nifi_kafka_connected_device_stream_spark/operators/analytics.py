@@ -124,7 +124,13 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe/state filters push to the scans.  Payload emitted as "
         "exact integer cents (float-portability doctrine); both "
         "nullable outputs coalesce to -1 (harness sorts row tuples — "
-        "NULL ints break cross-engine ordering).",
+        "NULL ints break cross-engine ordering).  SENTINEL CONTRACT "
+        "(ADVICE r15): state_ts_us = -1 / staleness_us = -1 are the "
+        "AUTHORITATIVE no-match signals — real timestamps are never "
+        "negative.  state_value_cents = -1 alone is ambiguous (a "
+        "matched state value in (-0.015, -0.005] also rounds to -1 "
+        "cents); consumers must gate on state_ts_us, not the cents "
+        "column.",
     tags=("join", "asof"),
 )
 def join_asof_device_state(spark: SparkSession, sf_dir: str) -> DataFrame:

