@@ -187,6 +187,8 @@ _DEMOTE: tuple[str, ...] = ()
 DEFERRED: tuple[str, ...] = (
     # round-16 additions (VERDICT r15 items 3/5/6 + widening)
     "similarity_topk_ivfpq",
+    "text_bpe_train_merges",
+    "text_bpe_segment_apply",
 )
 
 

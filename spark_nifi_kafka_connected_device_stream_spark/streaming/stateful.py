@@ -810,24 +810,32 @@ def _asof_enrich_fn(
             agg = pd.Series(dtype="float64")
         probes = rows[~rows["is_state"]]
         if len(probes):
-            s_arr = agg.index.to_numpy(dtype="int64", na_value=-1)
-            v_arr = agg.to_numpy(dtype="float64")
             p_ts = probes["ts_us"].to_numpy(dtype="int64")
-            # backward <= bound: rightmost state with s_ts <= probe ts
-            idx = np.searchsorted(s_arr, p_ts, side="right") - 1
-            matched = idx >= 0
-            m_ts = np.where(matched, s_arr[np.clip(idx, 0, None)], -1)
-            m_val = v_arr[np.clip(idx, 0, None)]
-            cents = np.where(
-                matched, np.floor(m_val * 100.0 + 0.5).astype("int64"), -1
-            )
+            if len(agg):
+                s_arr = agg.index.to_numpy(dtype="int64", na_value=-1)
+                v_arr = agg.to_numpy(dtype="float64")
+                # backward <= bound: rightmost state with s_ts <= probe ts
+                idx = np.searchsorted(s_arr, p_ts, side="right") - 1
+                matched = idx >= 0
+                m_ts = np.where(matched, s_arr[np.clip(idx, 0, None)], -1)
+                m_val = v_arr[np.clip(idx, 0, None)]
+                cents = np.where(
+                    matched, np.floor(m_val * 100.0 + 0.5).astype("int64"), -1
+                )
+                stale = np.where(matched, p_ts - m_ts, -1)
+            else:
+                # key has never seen a state row: every probe gets the
+                # sentinel (the user-3 case pinned under RocksDB)
+                m_ts = np.full(len(p_ts), -1, dtype="int64")
+                cents = np.full(len(p_ts), -1, dtype="int64")
+                stale = np.full(len(p_ts), -1, dtype="int64")
             out = pd.DataFrame(
                 {
                     "user_id": np.full(len(p_ts), int(key[0]), dtype="int64"),
                     "event_id": probes["event_id"].to_numpy(dtype="int64"),
                     "state_ts_us": m_ts,
                     "state_value_cents": cents,
-                    "staleness_us": np.where(matched, p_ts - m_ts, -1),
+                    "staleness_us": stale,
                 }
             )
         if len(agg):

@@ -640,3 +640,59 @@ def test_ivfpq_rerank_agrees_with_ivf_on_common_pairs(spark):
         ivf_sim
     )
     assert recall >= 0.5, f"IVFPQ recall vs plain IVF collapsed: {recall:.2f}"
+
+
+def test_bpe_train_merges_hand_example_and_determinism(spark, tmp_path):
+    """Pin the merge LOOP against a hand trace (the oracle mirrors the
+    implementation, so a shared bug would pass parity): with vocab
+    {abab:3, cd:3, a:3} the first merge must be (a,b) count 6; applying
+    it re-segments abab as [ab, ab], so round 2's argmax is (ab,ab)
+    count 3 — tie with (c,d) count 3 broken lexically toward 'ab' — and
+    round 3 picks (c,d).  A second run returns the identical table
+    (argmax + lexical tie-break leaves no nondeterminism)."""
+    import spark_nifi_kafka_connected_device_stream_spark.operators.text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd a"), (1, "abab cd cd a a")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = [tuple(r) for r in T.text_bpe_train_merges(spark, d).collect()]
+    assert got[:3] == [
+        (1, "a", "b", 6),
+        (2, "ab", "ab", 3),
+        (3, "c", "d", 3),
+    ], got
+    # after the 3 merges the vocab is fully merged: the loop stops early
+    assert len(got) == 3
+    again = [tuple(r) for r in T.text_bpe_train_merges(spark, d).collect()]
+    assert again == got
+
+
+def test_bpe_segmentation_round_trips_and_matches_merge_table(spark, tmp_path):
+    """Property pins for the BPE pair: (a) every piece emitted by
+    text_bpe_segment_apply is either a single character or the
+    concatenation of some prefix-closed chain of learned merges — i.e.
+    pieces can only be built from the merge table; (b) on the hand
+    corpus the final segmentation's pieces re-concatenate to the
+    original words (no characters created or lost)."""
+    import spark_nifi_kafka_connected_device_stream_spark.operators.text as T
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd a"), (1, "abab cd cd a a")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    merges = [tuple(r) for r in T.text_bpe_train_merges(spark, d).collect()]
+    pieces = {r["piece"]: r["piece_count"] for r in T.text_bpe_segment_apply(spark, d).collect()}
+    # learned symbols = chars + each merge's concatenation
+    symbols = {chr(c) for c in range(ord("a"), ord("z") + 1)}
+    for _, l, r, _c in merges:
+        assert l in symbols and r in symbols, (l, r, symbols)
+        symbols.add(l + r)
+    assert set(pieces) <= symbols, set(pieces) - symbols
+    # round-trip: vocab {abab:3, cd:3, a:3} after merges (a,b),(ab,ab),(c,d)
+    # segments as {abab:[abab], cd:[cd], a:[a]} -> piece counts by freq
+    assert pieces == {"abab": 3, "cd": 3, "a": 3}, pieces

@@ -1712,3 +1712,79 @@ def test_streaming_asof_matches_batch_join(spark, tmp_path):
     }
     assert len(got) == len(batch_rows), "streaming emitted dup/missing probes"
     assert got == want
+
+
+def test_streaming_asof_under_rocksdb(spark, tmp_path):
+    """The as-of snapshot state under the RocksDB state store provider
+    — pins that the (long, double) latest-snapshot state round-trips
+    RocksDB serialization across micro-batches: states and probes
+    split so every match crosses a batch boundary, including the
+    same-timestamp tie (state at the probe's exact ts matches) and the
+    same-ts max-value reduction arriving in TWO different batches."""
+    import json as _json
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.stateful import (
+        streaming_asof_device_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "in")
+        b0 = [
+            {"user_id": 1, "ts_us": 100, "event_id": 10, "event_type": "signup", "value": 2.0},
+            {"user_id": 2, "ts_us": 100, "event_id": 20, "event_type": "signup", "value": 7.0},
+        ]
+        b1 = [
+            # same-ts max reduction across batches: user 1 already has
+            # (100, 2.0) in state; this same-ts 3.5 must win
+            {"user_id": 1, "ts_us": 100, "event_id": 11, "event_type": "purchase", "value": 3.5},
+            {"user_id": 2, "ts_us": 300, "event_id": 21, "event_type": "error", "value": None},
+        ]
+        b2 = [
+            # probe at the state's exact ts -> matches (<= bound)
+            {"user_id": 1, "ts_us": 100, "event_id": 12, "event_type": "error", "value": None},
+            {"user_id": 3, "ts_us": 50, "event_id": 30, "event_type": "error", "value": None},
+        ]
+        _write_file(d, "b0.json", [_json.dumps(r) for r in b0])
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts_us bigint, event_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(d)
+        )
+        q = (
+            memory_sink(
+                streaming_asof_device_state(stream), "asof_rocks", output_mode="append"
+            )
+            .option("checkpointLocation", str(tmp_path / "chk_ar"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, b in ((1, b1), (2, b2)):
+                _write_file(d, f"b{i}.json", [_json.dumps(r) for r in b])
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["state_ts_us"], r["state_value_cents"], r["staleness_us"]
+        )
+        for r in spark.sql("SELECT * FROM asof_rocks").collect()
+    }
+    assert got == {
+        (2, 21): (100, 700, 200),
+        (1, 12): (100, 350, 0),   # exact-ts tie + cross-batch max(2.0, 3.5)
+        (3, 30): (-1, -1, -1),    # never-configured key sentinel
+    }, got
