@@ -586,6 +586,10 @@ def foreach_batch_corpus_dedup_fuzzy(
     with overwrite mode and the probe reads only `epoch < current`
     (partition-pruned), so a crashed-epoch re-run is idempotent —
     pinned by the rerun test, same contract as the exact sink.
+
+    Long-running streams should periodically fold the per-batch epoch
+    dirs with `compact_fuzzy_signature_store` (below) — one dir per
+    micro-batch is the small-files trap at ingest cadence.
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
@@ -766,3 +770,64 @@ def _pruned_store_probe(
         .filter(F.col("bpfx").isin(touched))
         .drop("epoch", "bpfx")
     )
+
+
+def compact_fuzzy_signature_store(
+    spark: SparkSession, sig_store_dir: str, upto_epoch: int
+) -> int:
+    """Maintenance compaction for the fuzzy-dedup signature store: fold
+    every `epoch <= upto_epoch` partition into ONE consolidated
+    `epoch=upto_epoch` base (bpfx sub-partitioning preserved, so probe
+    pruning is unchanged) and drop the absorbed epoch dirs.  Returns
+    the number of epoch directories removed.
+
+    WHY: the sink writes one epoch dir per micro-batch — at a
+    100 TB-corpus ingest cadence that is millions of small parquet
+    files within weeks, and the probe's planning cost becomes
+    file-listing-bound long before it is IO-bound.  Periodic
+    compaction (e.g. hourly, `upto_epoch` = last committed epoch)
+    keeps the store at O(bpfx) files plus a short tail of recent
+    epochs.
+
+    Safety: the consolidated rows are written to `epoch=upto_epoch`
+    BEFORE the absorbed dirs are deleted (with an eager
+    localCheckpoint as the read/write barrier, the store doctrine).
+    A crash in between leaves duplicate signature rows visible — the
+    probe is insensitive to them (`scored.distinct()` dedupes
+    candidates, the report window takes one best row) and re-running
+    the compaction removes them, so the operation is idempotent and
+    never loses signatures.  Probes for epochs > upto_epoch see the
+    identical row set before, during, and after."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(sig_store_dir)
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
+            raise
+        return 0
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(sig_store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    epochs = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            epochs.append(int(name.split("=", 1)[1]))
+    absorbed = sorted(e for e in epochs if e <= upto_epoch and e != upto_epoch)
+    if not absorbed:
+        return 0
+    merged = (
+        store.filter(F.col("epoch") <= upto_epoch)
+        .drop("epoch")
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").partitionBy("bpfx").parquet(
+        f"{sig_store_dir}/epoch={upto_epoch}"
+    )
+    for e in absorbed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sig_store_dir}/epoch={e}"), True)
+    return len(absorbed)

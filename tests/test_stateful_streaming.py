@@ -1788,3 +1788,58 @@ def test_streaming_asof_under_rocksdb(spark, tmp_path):
         (1, 12): (100, 350, 0),   # exact-ts tie + cross-batch max(2.0, 3.5)
         (3, 30): (-1, -1, -1),    # never-configured key sentinel
     }, got
+
+
+def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
+    """compact_fuzzy_signature_store folds epochs <= N into one
+    epoch=N base: the absorbed dirs disappear, the distinct signature
+    set is unchanged, bpfx partitioning survives (probe pruning
+    intact), a later epoch still catches a near-dup of an epoch-0
+    document, and re-running the compaction is a no-op."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        compact_fuzzy_signature_store,
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string"
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "some mild background corpus text about devices and streams",
+        3: "entirely different words that overlap with nothing else here",
+    }
+    for epoch, doc in enumerate(sorted(texts)):
+        fuzzy_corpus_dedup_epoch(
+            spark.createDataFrame([(doc, texts[doc])], schema), epoch, store, out
+        )
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store).drop("epoch").distinct().collect()
+    )
+
+    removed = compact_fuzzy_signature_store(spark, store, 2)
+    assert removed == 2
+    dirs = sorted(p.name for p in (tmp_path / "sigs").iterdir() if p.is_dir())
+    assert dirs == ["epoch=2"], dirs
+    assert any(
+        p.name.startswith("bpfx=") for p in (tmp_path / "sigs" / "epoch=2").iterdir()
+    )
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store).drop("epoch").distinct().collect()
+    )
+    assert after == before
+
+    # idempotent re-run: nothing left to absorb
+    assert compact_fuzzy_signature_store(spark, store, 2) == 0
+
+    # epoch 3 probe still sees the compacted signatures: re-ingesting
+    # doc 1's text verbatim is caught against the epoch-0 original
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame([(10, texts[1])], schema), 3, store, out
+    )
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
+    # missing store is a clean no-op
+    assert compact_fuzzy_signature_store(spark, str(tmp_path / "nope"), 5) == 0
