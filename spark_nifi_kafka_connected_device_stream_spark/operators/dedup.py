@@ -105,17 +105,29 @@ def cap_shingle_df(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def cap_hot_buckets(bands: DataFrame, max_size: int = MAX_BUCKET_SIZE) -> DataFrame:
+def cap_hot_buckets(
+    bands: DataFrame, max_size: int = MAX_BUCKET_SIZE, distinct: bool = False
+) -> DataFrame:
     """Drop LSH band-buckets holding more than `max_size` documents.
 
     A bucket of size n yields n·(n-1)/2 candidate pairs; one
     mass-duplicated boilerplate bucket at 100 TB would otherwise emit
     billions of pairs through the self-join.  Docs that hot are exact or
     near-exact duplicates — `dedup_exact` already catches them at hash
-    cost.  The hot-bucket set is tiny → broadcast left-anti join."""
+    cost.  The hot-bucket set is tiny → broadcast left-anti join.
+
+    `distinct=True` counts DISTINCT doc_ids instead of rows (round-16
+    review): the fuzzy signature STORE can legitimately hold duplicate
+    rows after a crash-interrupted compaction, and raw row counts
+    would push buckets with > max_size/2 genuine docs over the cap —
+    silently dropping them from every future probe.  Batch callers
+    keep the row count (their bands are unique per (doc, band) by
+    construction, and the distinct agg would add a shuffle to every
+    registered dedup plan for no semantic change)."""
+    n = F.countDistinct("doc_id") if distinct else F.count("*")
     hot = (
         bands.groupBy("band_id", "bucket")
-        .agg(F.count("*").alias("n"))
+        .agg(n.alias("n"))
         .filter(F.col("n") > max_size)
         .select("band_id", "bucket")
     )

@@ -2089,15 +2089,24 @@ def documents_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 8  # merge table depth (bounded driver loop, 1-row collect each)
+BPE_PIECES_TOP = 32
 
 
 def _bpe_oracle() -> str:
     """The DuckDB twin of the K-round merge loop, UNROLLED: recursive
     CTEs cannot aggregate over their own recursive term (the argmax
-    that picks each merge), so each round is three chained CTEs —
-    pair counts from v{k-1}, the argmax merge m{k}, and the
-    re-segmented vocab v{k}.  Mechanical generation keeps the SQL in
-    lockstep with the Spark loop."""
+    that picks each merge), so each round is four chained CTEs —
+    pair counts from v{k-1}, the argmax merge m{k}, its exhaustion
+    fallback mm{k} (a sentinel no-op merge when no pairs remain, so a
+    fully-merged vocab propagates UNCHANGED through the remaining
+    rounds instead of collapsing the CROSS JOIN to empty — the Spark
+    loop breaks early at the same point and the final union filters
+    the sentinels out), and the re-segmented vocab v{k}.  Every
+    per-round CTE is MATERIALIZED: each is referenced 2-3 times, and
+    DuckDB's default inlining would re-evaluate the whole upstream
+    chain per reference — exponential in the round count (found as a
+    >10-min hang at sf0.001; materialized it is 0.08 s).  Mechanical
+    generation keeps the SQL in lockstep with the Spark loop."""
     parts = [
         f"""
     WITH v0 AS (
@@ -2109,7 +2118,7 @@ def _bpe_oracle() -> str:
     ]
     for k in range(1, BPE_MERGES + 1):
         parts.append(f"""
-    , p{k} AS (
+    , p{k} AS MATERIALIZED (
       SELECT syms[g.i] AS left_sym, syms[g.i + 1] AS right_sym,
              CAST(sum(freq) AS BIGINT) AS pair_count
       FROM (SELECT freq,
@@ -2117,20 +2126,83 @@ def _bpe_oracle() -> str:
             FROM v{k - 1}) t,
            LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1)) AS i) g(i)
       GROUP BY 1, 2
-    ), m{k} AS (
+    ), m{k} AS MATERIALIZED (
       SELECT left_sym, right_sym, pair_count
       FROM p{k} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-    ), v{k} AS (
+    ), mm{k} AS MATERIALIZED (
+      SELECT * FROM m{k}
+      UNION ALL
+      SELECT '', '', CAST(0 AS BIGINT)
+      WHERE NOT EXISTS (SELECT 1 FROM m{k})
+    ), v{k} AS MATERIALIZED (
       SELECT freq,
              replace(enc, '<' || m.left_sym || '><' || m.right_sym || '>',
                           '<' || m.left_sym || m.right_sym || '>') AS enc
-      FROM v{k - 1} CROSS JOIN m{k} m
+      FROM v{k - 1} CROSS JOIN mm{k} m
     )""")
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, left_sym, right_sym, pair_count FROM m{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     return "".join(parts) + "\n    " + unions
+
+
+def _bpe_initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(freq, enc) vocab with the marker-encoded character segmentation
+    — the ONE corpus-sized aggregate of the whole BPE pipeline; lazily
+    localCheckpointed so the merge rounds never re-scan text."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        plan_parallelism(spark), "doc_id"
+    )
+    return (
+        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.regexp_replace("tok", "(.)", "<$1>").alias("enc"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bpe_merge_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared K-round merge loop (round-16 review: ONE
+    implementation, so the trainer's merge table and the apply
+    query's segmentation can never drift).  Returns (merges, final
+    vocab) — merges as (rank, left, right, count) tuples collected
+    one row per round, the final vocab still distributed."""
+    cur = _bpe_initial_vocab(spark, sf_dir)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("l"),
+                F.element_at(F.col("syms"), i + 1).alias("r"),
+            ),
+        )
+        top = (
+            cur.select("freq", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocab fully merged: the oracle's sentinel rounds
+            break
+        l, r, c = top[0]["left_sym"], top[0]["right_sym"], int(top[0]["pair_count"])
+        merges.append((rank, l, r, c))
+        cur = cur.select(
+            "freq",
+            F.replace(
+                F.col("enc"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("enc"),
+        )
+    return merges, cur
 
 
 @register(
@@ -2153,57 +2225,16 @@ def _bpe_oracle() -> str:
         "compiles to TakeOrderedAndProject, and the only driver "
         "traffic is ONE row per round (the chosen merge — the k-center "
         "bounded-collect precedent).  The merge table itself is "
-        f"{BPE_MERGES} rows built driver-side from those collects.",
+        f"<= {BPE_MERGES} rows built driver-side from those collects "
+        "(fewer when the vocab exhausts early — the oracle's sentinel "
+        "fallback rounds mirror the loop's break exactly).",
     tags=("text", "iterative"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        plan_parallelism(spark), "doc_id"
-    )
-    vocab = (
-        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", F.regexp_replace("tok", "(.)", "<$1>").alias("enc"))
-        .localCheckpoint(eager=False)
-    )
-    merges: list[tuple[int, str, str, int]] = []
-    cur = vocab
-    for rank in range(1, BPE_MERGES + 1):
-        syms = F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")
-        pair_arr = F.transform(
-            F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("syms"), i).alias("l"),
-                F.element_at(F.col("syms"), i + 1).alias("r"),
-            ),
-        )
-        top = (
-            cur.select("freq", syms.alias("syms"))
-            .filter(F.size("syms") >= 2)
-            .select("freq", F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .collect()
-        )
-        if not top:  # degenerate corpus: every word a single symbol
-            break
-        l, r, c = top[0]["left_sym"], top[0]["right_sym"], int(top[0]["pair_count"])
-        merges.append((rank, l, r, c))
-        cur = cur.select(
-            "freq",
-            F.replace(
-                F.col("enc"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-            ).alias("enc"),
-        )
+    merges, _final = _bpe_merge_loop(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
-
-
-BPE_PIECES_TOP = 32
 
 
 @register(
@@ -2219,58 +2250,21 @@ BPE_PIECES_TOP = 32
     LIMIT {BPE_PIECES_TOP}
     """,
     doc=f"The learned BPE tokenizer APPLIED: after the same "
-        f"{BPE_MERGES} merge rounds as text_bpe_train_merges (shared "
-        "loop — the two queries cannot drift), every word's final "
-        "segmentation is exploded into sub-word pieces and the top "
-        f"{BPE_PIECES_TOP} pieces by corpus frequency are emitted — "
-        "the output-distribution check a tokenizer deployment runs "
-        "before committing to a merge table.  Same scale shape as the "
-        "trainer: corpus aggregated to the vocab once, every round "
-        "and the final explode vocab-bounded, piece counts one "
-        "partial agg + TakeOrderedAndProject.",
+        f"{BPE_MERGES} merge rounds as text_bpe_train_merges (the "
+        "literally shared _bpe_merge_loop — the two queries cannot "
+        "drift), every word's final segmentation is exploded into "
+        f"sub-word pieces and the top {BPE_PIECES_TOP} pieces by "
+        "corpus frequency are emitted — the output-distribution check "
+        "a tokenizer deployment runs before committing to a merge "
+        "table.  Same scale shape as the trainer: corpus aggregated "
+        "to the vocab once, every round and the final explode "
+        "vocab-bounded, piece counts one partial agg + "
+        "TakeOrderedAndProject.",
     tags=("text", "iterative"),
 )
 def text_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        plan_parallelism(spark), "doc_id"
-    )
-    vocab = (
-        d.select(F.explode(tokens(normalize_text(F.col("text")))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", F.regexp_replace("tok", "(.)", "<$1>").alias("enc"))
-        .localCheckpoint(eager=False)
-    )
-    cur = vocab
-    for _rank in range(1, BPE_MERGES + 1):
-        syms = F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")
-        pair_arr = F.transform(
-            F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("syms"), i).alias("l"),
-                F.element_at(F.col("syms"), i + 1).alias("r"),
-            ),
-        )
-        top = (
-            cur.select("freq", syms.alias("syms"))
-            .filter(F.size("syms") >= 2)
-            .select("freq", F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r = top[0]["left_sym"], top[0]["right_sym"]
-        cur = cur.select(
-            "freq",
-            F.replace(
-                F.col("enc"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
-            ).alias("enc"),
-        )
-    pieces = cur.select(
+    _merges, final_vocab = _bpe_merge_loop(spark, sf_dir)
+    pieces = final_vocab.select(
         "freq",
         F.explode(
             F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")

@@ -676,7 +676,7 @@ def fuzzy_corpus_dedup_epoch(
         # batch side is the small one: broadcast it against the
         # (partition-pruned, hot-capped) store scan
         cand = (
-            cap_hot_buckets(store)
+            cap_hot_buckets(store, distinct=True)
             .alias("e")
             .join(
                 F.broadcast(batch_bands).alias("n"),
@@ -753,7 +753,10 @@ def _pruned_store_probe(
     in the batch's touched prefixes — BOTH are partition columns, so
     the scan reads only prior-epoch files in buckets the batch can
     actually hit (tests assert this on inputFiles()).  None when the
-    store does not exist yet (first epoch)."""
+    store does not exist yet (first epoch) OR holds no data files —
+    an epoch whose batch had nothing to sign writes a partitioned dir
+    with only _SUCCESS, and the next epoch's read then fails schema
+    inference instead of PATH_NOT_FOUND (round-16 review)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -762,7 +765,7 @@ def _pruned_store_probe(
         condition = (
             exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
         )
-        if condition != "PATH_NOT_FOUND":
+        if condition not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         return None
     return (
@@ -776,28 +779,34 @@ def compact_fuzzy_signature_store(
     spark: SparkSession, sig_store_dir: str, upto_epoch: int
 ) -> int:
     """Maintenance compaction for the fuzzy-dedup signature store: fold
-    every `epoch <= upto_epoch` partition into ONE consolidated
-    `epoch=upto_epoch` base (bpfx sub-partitioning preserved, so probe
-    pruning is unchanged) and drop the absorbed epoch dirs.  Returns
-    the number of epoch directories removed.
+    every `epoch < upto_epoch` partition into the existing
+    `epoch=upto_epoch` dir (APPEND — bpfx sub-partitioning preserved,
+    so probe pruning is unchanged) and drop the absorbed dirs.
+    Returns the number of epoch directories removed.
 
     WHY: the sink writes one epoch dir per micro-batch — at a
     100 TB-corpus ingest cadence that is millions of small parquet
     files within weeks, and the probe's planning cost becomes
     file-listing-bound long before it is IO-bound.  Periodic
-    compaction (e.g. hourly, `upto_epoch` = last committed epoch)
-    keeps the store at O(bpfx) files plus a short tail of recent
-    epochs.
+    compaction keeps the store at O(bpfx) files plus a short tail of
+    recent epochs.
 
-    Safety: the consolidated rows are written to `epoch=upto_epoch`
-    BEFORE the absorbed dirs are deleted (with an eager
-    localCheckpoint as the read/write barrier, the store doctrine).
-    A crash in between leaves duplicate signature rows visible — the
-    probe is insensitive to them (`scored.distinct()` dedupes
-    candidates, the report window takes one best row) and re-running
-    the compaction removes them, so the operation is idempotent and
-    never loses signatures.  Probes for epochs > upto_epoch see the
-    identical row set before, during, and after."""
+    Crash-safety protocol (round-16 review): the consolidated rows
+    are APPENDED into `epoch=upto_epoch` — never an overwrite of a
+    directory also being read, so no crash window can delete
+    signatures that exist nowhere else; the absorbed dirs are removed
+    only after the append commits.  A crash between append and
+    deletes leaves DUPLICATE rows, which the probe path tolerates by
+    construction (`cap_hot_buckets` counts distinct doc_ids,
+    `scored.distinct()` dedupes candidates, the report window takes
+    one best row) — duplicates are a bounded space cost, never a
+    correctness one.  `upto_epoch` must be strictly below the
+    newest epoch in the store: foreachBatch can re-deliver its
+    LATEST epoch after a crash, and that re-run's probe reads
+    `epoch < latest`, so the latest epoch must never absorb history
+    (the re-delivered epoch would otherwise see nothing and wipe the
+    consolidated base with its own overwrite).  Passing the newest
+    epoch raises ValueError."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -817,17 +826,19 @@ def compact_fuzzy_signature_store(
         name = st.getPath().getName()
         if name.startswith("epoch="):
             epochs.append(int(name.split("=", 1)[1]))
-    absorbed = sorted(e for e in epochs if e <= upto_epoch and e != upto_epoch)
+    if epochs and upto_epoch >= max(epochs):
+        raise ValueError(
+            f"compact target epoch={upto_epoch} is the store's newest epoch "
+            f"(max={max(epochs)}): the latest epoch must stay un-compacted "
+            "because foreachBatch may re-deliver it after a crash; pass at "
+            "most max-1"
+        )
+    absorbed = sorted(e for e in epochs if e < upto_epoch)
     if not absorbed:
         return 0
-    merged = (
-        store.filter(F.col("epoch") <= upto_epoch)
-        .drop("epoch")
-        .localCheckpoint(eager=True)
-    )
-    merged.write.mode("overwrite").partitionBy("bpfx").parquet(
-        f"{sig_store_dir}/epoch={upto_epoch}"
-    )
+    store.filter(F.col("epoch") < upto_epoch).drop("epoch").write.mode(
+        "append"
+    ).partitionBy("bpfx").parquet(f"{sig_store_dir}/epoch={upto_epoch}")
     for e in absorbed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sig_store_dir}/epoch={e}"), True)
     return len(absorbed)

@@ -800,7 +800,15 @@ def _asof_enrich_fn(
             agg = st.groupby("ts_us")["value"].max()
             if s_ts is not None:
                 if s_ts in agg.index:
-                    agg.loc[s_ts] = max(agg.loc[s_ts], s_val)
+                    # NaN-safe max (round-16 review): a state row with
+                    # NULL value yields NaN, and Python's max() is
+                    # order-dependent under NaN — prefer the non-NaN
+                    # side, else the larger
+                    a, b = agg.loc[s_ts], s_val
+                    if pd.isna(a):
+                        agg.loc[s_ts] = b
+                    elif not pd.isna(b):
+                        agg.loc[s_ts] = max(a, b)
                 else:
                     agg.loc[s_ts] = s_val
             agg = agg.sort_index()
@@ -819,8 +827,17 @@ def _asof_enrich_fn(
                 matched = idx >= 0
                 m_ts = np.where(matched, s_arr[np.clip(idx, 0, None)], -1)
                 m_val = v_arr[np.clip(idx, 0, None)]
+                # a matched state whose value is NULL/NaN gets the -1
+                # cents sentinel (floor(NaN) would cast to INT64_MIN
+                # garbage — round-16 review); ts/staleness stay real,
+                # the oracle's coalesce(floor(NULL...), -1) semantics
+                has_val = matched & ~np.isnan(np.where(matched, m_val, 0.0))
                 cents = np.where(
-                    matched, np.floor(m_val * 100.0 + 0.5).astype("int64"), -1
+                    has_val,
+                    np.floor(np.where(has_val, m_val, 0.0) * 100.0 + 0.5).astype(
+                        "int64"
+                    ),
+                    -1,
                 )
                 stale = np.where(matched, p_ts - m_ts, -1)
             else:
@@ -883,6 +900,16 @@ def streaming_asof_device_state(
     SENTINEL CONTRACT: state_ts_us = -1 / staleness_us = -1 are the
     authoritative no-match signals; state_value_cents = -1 alone is
     ambiguous (a real value in (-0.015, -0.005] rounds to -1 cents).
+
+    NULL-valued state rows (out of the fixtures' contract, handled
+    defensively): a matched snapshot whose reduced value is NULL emits
+    real ts/staleness with the -1 cents sentinel — the ORACLE's
+    coalesce(floor(NULL·100+0.5), -1) semantics.  The batch engine's
+    window form would instead look back to the last NON-NULL value
+    (last(..., ignorenulls=True) can pick an older row than the
+    matched timestamp); the two agree everywhere state values are
+    non-null, which the equivalence test exercises on the real
+    fixtures.
     """
     projected = stream.select(
         F.col(key_col).cast("bigint").alias("key"),

@@ -1791,11 +1791,16 @@ def test_streaming_asof_under_rocksdb(spark, tmp_path):
 
 
 def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
-    """compact_fuzzy_signature_store folds epochs <= N into one
-    epoch=N base: the absorbed dirs disappear, the distinct signature
-    set is unchanged, bpfx partitioning survives (probe pruning
-    intact), a later epoch still catches a near-dup of an epoch-0
-    document, and re-running the compaction is a no-op."""
+    """compact_fuzzy_signature_store APPENDS epochs < N into the
+    epoch=N dir (never an overwrite of a directory it reads — the
+    crash-safety protocol): the absorbed dirs disappear, the distinct
+    signature set is unchanged, bpfx partitioning survives (probe
+    pruning intact), a later epoch still catches a near-dup of an
+    epoch-0 document, re-running is a no-op, and targeting the
+    store's NEWEST epoch (which foreachBatch may re-deliver) is
+    refused."""
+    import pytest as _pytest
+
     from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
         compact_fuzzy_signature_store,
         fuzzy_corpus_dedup_epoch,
@@ -1818,12 +1823,17 @@ def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
         for r in spark.read.parquet(store).drop("epoch").distinct().collect()
     )
 
-    removed = compact_fuzzy_signature_store(spark, store, 2)
-    assert removed == 2
+    # the newest epoch must stay un-compacted (crashed-epoch re-runs
+    # probe epoch < newest and would see nothing)
+    with _pytest.raises(ValueError, match="newest epoch"):
+        compact_fuzzy_signature_store(spark, store, 2)
+
+    removed = compact_fuzzy_signature_store(spark, store, 1)
+    assert removed == 1
     dirs = sorted(p.name for p in (tmp_path / "sigs").iterdir() if p.is_dir())
-    assert dirs == ["epoch=2"], dirs
+    assert dirs == ["epoch=1", "epoch=2"], dirs
     assert any(
-        p.name.startswith("bpfx=") for p in (tmp_path / "sigs" / "epoch=2").iterdir()
+        p.name.startswith("bpfx=") for p in (tmp_path / "sigs" / "epoch=1").iterdir()
     )
     after = sorted(
         tuple(r)
@@ -1832,7 +1842,7 @@ def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
     assert after == before
 
     # idempotent re-run: nothing left to absorb
-    assert compact_fuzzy_signature_store(spark, store, 2) == 0
+    assert compact_fuzzy_signature_store(spark, store, 1) == 0
 
     # epoch 3 probe still sees the compacted signatures: re-ingesting
     # doc 1's text verbatim is caught against the epoch-0 original
@@ -1843,3 +1853,71 @@ def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
     assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
     # missing store is a clean no-op
     assert compact_fuzzy_signature_store(spark, str(tmp_path / "nope"), 5) == 0
+
+
+def test_fuzzy_store_tolerates_duplicate_rows_and_empty_epochs(spark, tmp_path):
+    """Round-16 review hardening: (a) a crash between compaction's
+    append and its deletes leaves DUPLICATE store rows — the probe
+    must score identically (distinct-doc hot-bucket counts, distinct
+    candidate pairs); (b) an epoch whose batch had nothing to sign
+    writes a data-less partitioned dir, and the NEXT epoch's store
+    read must treat the store as empty instead of dying on schema
+    inference."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        compact_fuzzy_signature_store,
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    schema = "doc_id bigint, text string"
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+
+    # (b) epoch 0 = only short docs -> empty store dir; epoch 1 must run
+    store_b = str(tmp_path / "sigs_b")
+    out_b = str(tmp_path / "out_b")
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame([(1, "too short")], schema), 0, store_b, out_b
+    )
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame([(2, shared)], schema), 1, store_b, out_b
+    )
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out_b).collect()}
+    assert not rep[2]["assigned_dup"]
+
+    # (a) simulate the crash window: run two epochs, compact, then
+    # re-copy an absorbed dir back (duplicates now live in the store)
+    import shutil
+
+    store_a = str(tmp_path / "sigs_a")
+    out_a = str(tmp_path / "out_a")
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame([(1, shared)], schema), 0, store_a, out_a
+    )
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame(
+            [(2, "some mild background corpus text about devices and streams")],
+            schema,
+        ),
+        1,
+        store_a,
+        out_a,
+    )
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame(
+            [(3, "entirely different words that overlap with nothing else here")],
+            schema,
+        ),
+        2,
+        store_a,
+        out_a,
+    )
+    backup = str(tmp_path / "epoch0_backup")
+    shutil.copytree(f"{store_a}/epoch=0", backup)
+    assert compact_fuzzy_signature_store(spark, store_a, 1) == 1
+    shutil.copytree(backup, f"{store_a}/epoch=0")  # the crash artifact
+    # doc 1's signatures now exist in BOTH epoch=0 and epoch=1
+    fuzzy_corpus_dedup_epoch(
+        spark.createDataFrame([(10, shared)], schema), 3, store_a, out_a
+    )
+    rep = {r["doc_id"]: r for r in spark.read.parquet(out_a).collect()}
+    assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
+    assert rep[10]["n_sig_matches"] == 12

@@ -72,12 +72,13 @@ def check_bench_adjudication() -> list[str]:
     # follow-up adjudication section written in the round AFTER the
     # drifted bench (round b+1), naming its bucket.
     # The heading and the bucket mention may sit on different lines —
-    # match the whole section body (heading up to the next heading or
-    # EOF) with DOTALL so formatting can't fail a legitimately
-    # recorded adjudication (ADVICE r15).
+    # match the whole section body (heading up to the next heading of
+    # EQUAL-OR-HIGHER level or EOF; a #### subheading stays inside the
+    # body) with DOTALL so formatting can't fail a legitimately
+    # recorded adjudication (ADVICE r15 + round-16 review).
     perf = open(os.path.join(REPO, "PERF.md")).read()
     section = re.search(
-        rf"### Drift-slower follow-up \(round {b + 1}\)(.*?)(?=\n#|\Z)",
+        rf"### Drift-slower follow-up \(round {b + 1}\)(.*?)(?=\n#{{1,3}} |\Z)",
         perf,
         re.DOTALL,
     )
