@@ -2092,7 +2092,7 @@ BPE_MERGES = 8  # merge table depth (bounded driver loop, 1-row collect each)
 BPE_PIECES_TOP = 32
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_prefix() -> str:
     """The DuckDB twin of the K-round merge loop, UNROLLED: recursive
     CTEs cannot aggregate over their own recursive term (the argmax
     that picks each merge), so each round is four chained CTEs —
@@ -2140,17 +2140,47 @@ def _bpe_oracle() -> str:
                           '<' || m.left_sym || m.right_sym || '>') AS enc
       FROM v{k - 1} CROSS JOIN mm{k} m
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_merges() -> str:
+    """Full trainer oracle: the CTE prefix + one UNION ALL arm per
+    round's real (non-sentinel) merge row."""
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, left_sym, right_sym, pair_count FROM m{k}"
         for k in range(1, BPE_MERGES + 1)
     )
-    return "".join(parts) + "\n    " + unions
+    return _bpe_oracle_prefix() + "\n    " + unions
+
+
+def _bpe_oracle_pieces() -> str:
+    """Full segment-apply oracle: the SAME CTE prefix + the final
+    vocab's piece-count aggregation.  Composed from explicit parts —
+    not string surgery on the trainer SQL (round-16 review: the old
+    split-on-'UNION ALL' survived the mm{k} CTE only by an
+    indentation coincidence)."""
+    return _bpe_oracle_prefix() + f"""
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count
+    FROM (SELECT freq, unnest(string_split(substr(enc, 2, length(enc) - 2),
+                                           '><')) AS piece
+          FROM v{BPE_MERGES})
+    GROUP BY piece
+    ORDER BY piece_count DESC, piece
+    LIMIT {BPE_PIECES_TOP}
+    """
 
 
 def _bpe_initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(freq, enc) vocab with the marker-encoded character segmentation
     — the ONE corpus-sized aggregate of the whole BPE pipeline; lazily
-    localCheckpointed so the merge rounds never re-scan text."""
+    localCheckpointed so the merge rounds never re-scan text.
+
+    DATA CONTRACT: tokens must not contain the marker characters
+    '<' / '>' — the entire encoding (boundary-safe replaces, the
+    sentinel no-op pattern '<><>') relies on them appearing only as
+    markers.  The corpus fixtures are lowercase-letter tokens; a
+    general deployment would map the two characters to private-use
+    codepoints at ingest."""
     d = load_table(spark, sf_dir, "documents").repartition(
         plan_parallelism(spark), "doc_id"
     )
@@ -2207,7 +2237,7 @@ def _bpe_merge_loop(
 
 @register(
     "text_bpe_train_merges",
-    oracle=_bpe_oracle(),
+    oracle=_bpe_oracle_merges(),
     doc=f"Distributed BPE training (Sennrich et al. 2016), {BPE_MERGES} "
         "merge rounds: words are symbol sequences (initially "
         "characters, '<a><b>...' marker encoding so multi-char symbols "
@@ -2239,16 +2269,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_segment_apply",
-    oracle=_bpe_oracle().split("\n    UNION ALL ")[0].rsplit("SELECT CAST(1", 1)[0]
-    + f"""
-    SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count
-    FROM (SELECT freq, unnest(string_split(substr(enc, 2, length(enc) - 2),
-                                           '><')) AS piece
-          FROM v{BPE_MERGES})
-    GROUP BY piece
-    ORDER BY piece_count DESC, piece
-    LIMIT {BPE_PIECES_TOP}
-    """,
+    oracle=_bpe_oracle_pieces(),
     doc=f"The learned BPE tokenizer APPLIED: after the same "
         f"{BPE_MERGES} merge rounds as text_bpe_train_merges (the "
         "literally shared _bpe_merge_loop — the two queries cannot "

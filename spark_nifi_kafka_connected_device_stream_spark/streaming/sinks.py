@@ -129,6 +129,30 @@ def foreach_batch_topk(
     return df.writeStream.foreachBatch(fn)
 
 
+def _read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a persistent sink store, or None when it holds no data yet
+    (round-16 review: ONE helper for every store-read site, so the
+    tolerance rules cannot drift between sinks).  Two conditions mean
+    'no store': PATH_NOT_FOUND (first epoch ever) and
+    UNABLE_TO_INFER_SCHEMA (an epoch wrote a PARTITIONED dir with no
+    data files — partitioned writes of an empty frame emit only
+    _SUCCESS, unlike plain parquet writes which emit a schema-bearing
+    empty file).  Any OTHER analysis error (schema drift, mistyped
+    column) must propagate — swallowing it would silently disable the
+    store probe and corrupt the stream's output permanently."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return None
+
+
 def foreach_batch_corpus_dedup(
     df: DataFrame,
     corpus_dir: str,
@@ -172,24 +196,13 @@ def corpus_dedup_epoch(
     crashed-epoch re-run path is unit-testable: calling this twice
     with the same epoch_id must leave the store and output byte-for-
     byte equivalent (partition overwrite + epoch < N probe)."""
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates([fingerprint_col])
-    try:
-        corpus = spark.read.parquet(corpus_dir).filter(F.col("epoch") < epoch_id)
-    except AnalysisException as exc:
-        # ONLY a missing store directory means "first epoch".  Any other
-        # analysis error (store schema drift, mistyped fingerprint column)
-        # must propagate — swallowing it would silently disable dedup for
-        # the batch and write duplicates permanently into both stores.
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition != "PATH_NOT_FOUND":
-            raise
+    store = _read_store_or_none(spark, corpus_dir)
+    if store is None:
         fresh = batch
     else:
+        corpus = store.filter(F.col("epoch") < epoch_id)
         seen = corpus.join(
             F.broadcast(batch.select(fingerprint_col)), fingerprint_col, "left_semi"
         ).select(fingerprint_col)
@@ -268,48 +281,28 @@ def corpus_dedup_bloom_epoch(
 ) -> None:
     """One epoch of the Bloom-screened corpus dedup (module-level for
     the re-run idempotence and exact-equivalence tests)."""
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     batch = batch_df.dropDuplicates([fingerprint_col])
-    try:
-        bits = (
-            spark.read.parquet(bloom_dir)
-            .filter(F.col("epoch") < epoch_id)
-            .select("pos")
-            .distinct()
-        )
-        first_epoch = False
-    except AnalysisException as exc:
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition != "PATH_NOT_FOUND":
-            raise
+    bloom_store = _read_store_or_none(spark, bloom_dir)
+    first_epoch = False
+    if bloom_store is not None:
+        bits = bloom_store.filter(F.col("epoch") < epoch_id).select("pos").distinct()
+    else:
         # the bits are DERIVED state: a missing bloom_dir does NOT mean
         # an empty corpus (a pipeline may have run the exact path
         # before, or the bits were retention-cleaned).  Rebuild from
         # the corpus store when it exists — treating this as "first
         # epoch" would skip the probe and write duplicates permanently.
-        try:
-            corpus_prev = spark.read.parquet(corpus_dir).filter(
-                F.col("epoch") < epoch_id
-            )
+        corpus_store = _read_store_or_none(spark, corpus_dir)
+        if corpus_store is not None:
+            corpus_prev = corpus_store.filter(F.col("epoch") < epoch_id)
             bits = (
                 _bloom_positions(corpus_prev, fingerprint_col)
                 .select("pos")
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            first_epoch = False
-        except AnalysisException as exc2:
-            condition2 = (
-                exc2.getCondition()
-                if hasattr(exc2, "getCondition")
-                else exc2.getErrorClass()
-            )
-            if condition2 != "PATH_NOT_FOUND":
-                raise
+        else:
             first_epoch = True
     if first_epoch:
         fresh = batch
@@ -391,30 +384,18 @@ def scd2_upsert_epoch(
     """One epoch of foreach_batch_scd2_upsert, module-level so the
     crashed-epoch re-run path is unit-testable: calling this twice with
     the same epoch_id must leave the store byte-for-byte equivalent."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql.types import StructField, StructType
 
     from ..operators.scd import scd2_apply
 
     spark = batch_df.sparkSession
     eff_field = batch_df.schema[effective_col]
-    try:
-        prev = (
-            spark.read.parquet(store_dir)
-            .filter(F.col("v") < epoch_id)
-            .agg(F.max("v"))
-            .first()[0]
-        )
-    except AnalysisException as exc:
-        # ONLY a missing store directory means "first epoch" — any other
-        # analysis error (schema drift, mistyped column) must propagate
-        # (the corpus_dedup_epoch rule).
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition != "PATH_NOT_FOUND":
-            raise
-        prev = None
+    store = _read_store_or_none(spark, store_dir)
+    prev = (
+        store.filter(F.col("v") < epoch_id).agg(F.max("v")).first()[0]
+        if store is not None
+        else None
+    )
     if prev is None:
         state_schema = StructType(
             [batch_df.schema[key]]
@@ -479,8 +460,6 @@ def agg_upsert_epoch(
 ) -> None:
     """One epoch of foreach_batch_agg_upsert, module-level so the
     crashed-epoch re-run path is unit-testable."""
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     part = (
         batch_df.groupBy(*keys)
@@ -489,20 +468,12 @@ def agg_upsert_epoch(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
     )
-    try:
-        prev = (
-            spark.read.parquet(store_dir)
-            .filter(F.col("v") < epoch_id)
-            .agg(F.max("v"))
-            .first()[0]
-        )
-    except AnalysisException as exc:
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition != "PATH_NOT_FOUND":
-            raise
-        prev = None
+    store = _read_store_or_none(spark, store_dir)
+    prev = (
+        store.filter(F.col("v") < epoch_id).agg(F.max("v")).first()[0]
+        if store is not None
+        else None
+    )
     if prev is None:
         merged = part
     else:
@@ -757,16 +728,8 @@ def _pruned_store_probe(
     an epoch whose batch had nothing to sign writes a partitioned dir
     with only _SUCCESS, and the next epoch's read then fails schema
     inference instead of PATH_NOT_FOUND (round-16 review)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        store = spark.read.parquet(sig_store_dir)
-    except AnalysisException as exc:
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
+    store = _read_store_or_none(spark, sig_store_dir)
+    if store is None:
         return None
     return (
         store.filter(F.col("epoch") < epoch_id)
@@ -779,10 +742,10 @@ def compact_fuzzy_signature_store(
     spark: SparkSession, sig_store_dir: str, upto_epoch: int
 ) -> int:
     """Maintenance compaction for the fuzzy-dedup signature store: fold
-    every `epoch < upto_epoch` partition into the existing
-    `epoch=upto_epoch` dir (APPEND — bpfx sub-partitioning preserved,
-    so probe pruning is unchanged) and drop the absorbed dirs.
-    Returns the number of epoch directories removed.
+    every `epoch < upto_epoch` partition into `epoch=upto_epoch` (bpfx
+    sub-partitioning preserved, so probe pruning is unchanged) and
+    drop the absorbed dirs.  Returns the number of epoch directories
+    removed.
 
     WHY: the sink writes one epoch dir per micro-batch — at a
     100 TB-corpus ingest cadence that is millions of small parquet
@@ -791,36 +754,40 @@ def compact_fuzzy_signature_store(
     compaction keeps the store at O(bpfx) files plus a short tail of
     recent epochs.
 
-    Crash-safety protocol (round-16 review): the consolidated rows
-    are APPENDED into `epoch=upto_epoch` — never an overwrite of a
-    directory also being read, so no crash window can delete
-    signatures that exist nowhere else; the absorbed dirs are removed
-    only after the append commits.  A crash between append and
-    deletes leaves DUPLICATE rows, which the probe path tolerates by
-    construction (`cap_hot_buckets` counts distinct doc_ids,
-    `scored.distinct()` dedupes candidates, the report window takes
-    one best row) — duplicates are a bounded space cost, never a
-    correctness one.  `upto_epoch` must be strictly below the
-    newest epoch in the store: foreachBatch can re-deliver its
+    Crash-safe, SELF-HEALING protocol (round-16 review, two passes):
+
+    1. finish any interrupted compaction left by a crash (see below);
+    2. write the absorbed rows to a dot-prefixed temp dir
+       (`.compact_tmp_epoch=N` — invisible to every store read, and
+       mode=overwrite so a half-written temp from a crash is simply
+       rewritten);  the write's _SUCCESS marker is the commit point;
+    3. delete the absorbed epoch dirs (their rows now live in temp);
+    4. move the temp's data files into `epoch=N` (FS renames —
+       filenames carry the writer's UUID so they cannot collide);
+    5. drop the temp dir.
+
+    Every row is present in at least one visible-or-temp location at
+    all times, no directory being READ is ever overwritten, and a
+    crash at ANY step is repaired by the next call's step 1: a temp
+    without _SUCCESS is discarded (its source dirs are intact), a
+    temp with _SUCCESS is rolled FORWARD (remaining absorbed dirs
+    deleted, remaining files moved — renames are consumed, so no
+    re-run can duplicate rows).  `upto_epoch` must be strictly below
+    the newest epoch in the store: foreachBatch can re-deliver its
     LATEST epoch after a crash, and that re-run's probe reads
     `epoch < latest`, so the latest epoch must never absorb history
     (the re-delivered epoch would otherwise see nothing and wipe the
     consolidated base with its own overwrite).  Passing the newest
     epoch raises ValueError."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        store = spark.read.parquet(sig_store_dir)
-    except AnalysisException as exc:
-        condition = (
-            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
-        )
-        if condition != "PATH_NOT_FOUND":
-            raise
-        return 0
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(sig_store_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    _finish_pending_compactions(fs, jvm, sig_store_dir)
+    store = _read_store_or_none(spark, sig_store_dir)
+    if store is None:
+        return 0
     epochs = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -836,9 +803,60 @@ def compact_fuzzy_signature_store(
     absorbed = sorted(e for e in epochs if e < upto_epoch)
     if not absorbed:
         return 0
+    tmp = f"{sig_store_dir}/.compact_tmp_epoch={upto_epoch}"
     store.filter(F.col("epoch") < upto_epoch).drop("epoch").write.mode(
-        "append"
-    ).partitionBy("bpfx").parquet(f"{sig_store_dir}/epoch={upto_epoch}")
+        "overwrite"
+    ).partitionBy("bpfx").parquet(tmp)
     for e in absorbed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sig_store_dir}/epoch={e}"), True)
+    _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={upto_epoch}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return len(absorbed)
+
+
+def _finish_pending_compactions(fs, jvm, sig_store_dir: str) -> None:
+    """Step 1 of the compaction protocol: repair any crash leftovers.
+    A temp dir WITHOUT _SUCCESS is a failed write — its source epoch
+    dirs are still intact, so it is discarded.  A temp WITH _SUCCESS
+    is a committed-but-unfinished compaction — roll it forward
+    exactly as the original call would have (delete remaining
+    absorbed dirs, move remaining files, drop the temp)."""
+    root = jvm.org.apache.hadoop.fs.Path(sig_store_dir)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(".compact_tmp_epoch="):
+            continue
+        tmp = f"{sig_store_dir}/{name}"
+        target_epoch = int(name.split("=", 1)[1])
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_SUCCESS")):
+            fs.delete(st.getPath(), True)
+            continue
+        for est in fs.listStatus(root):
+            ename = est.getPath().getName()
+            if ename.startswith("epoch=") and int(ename.split("=", 1)[1]) < target_epoch:
+                fs.delete(est.getPath(), True)
+        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={target_epoch}")
+        fs.delete(st.getPath(), True)
+
+
+def _move_compaction_tmp(fs, jvm, tmp: str, target: str) -> None:
+    """Move the temp write's data files into the target epoch dir with
+    per-file FS renames (a rename consumes its source, so re-running
+    after a crash moves only the remainder — never a duplicate).
+    Marker/_SUCCESS files are skipped."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    for pst in fs.listStatus(Path(tmp)):
+        pname = pst.getPath().getName()
+        if not pname.startswith("bpfx="):
+            continue
+        dst_dir = Path(f"{target}/{pname}")
+        fs.mkdirs(dst_dir)
+        for fst in fs.listStatus(pst.getPath()):
+            fname = fst.getPath().getName()
+            if fname.startswith(("_", ".")):
+                continue
+            if not fs.rename(fst.getPath(), Path(f"{target}/{pname}/{fname}")):
+                raise IOError(
+                    f"compaction file move failed: {fst.getPath()} -> "
+                    f"{target}/{pname}/{fname}"
+                )

@@ -1799,8 +1799,6 @@ def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
     epoch-0 document, re-running is a no-op, and targeting the
     store's NEWEST epoch (which foreachBatch may re-deliver) is
     refused."""
-    import pytest as _pytest
-
     from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
         compact_fuzzy_signature_store,
         fuzzy_corpus_dedup_epoch,
@@ -1825,7 +1823,7 @@ def test_fuzzy_store_compaction_preserves_probe_semantics(spark, tmp_path):
 
     # the newest epoch must stay un-compacted (crashed-epoch re-runs
     # probe epoch < newest and would see nothing)
-    with _pytest.raises(ValueError, match="newest epoch"):
+    with pytest.raises(ValueError, match="newest epoch"):
         compact_fuzzy_signature_store(spark, store, 2)
 
     removed = compact_fuzzy_signature_store(spark, store, 1)
@@ -1921,3 +1919,75 @@ def test_fuzzy_store_tolerates_duplicate_rows_and_empty_epochs(spark, tmp_path):
     rep = {r["doc_id"]: r for r in spark.read.parquet(out_a).collect()}
     assert rep[10]["assigned_dup"] and rep[10]["best_match_id"] == 1
     assert rep[10]["n_sig_matches"] == 12
+
+
+def test_fuzzy_store_compaction_crash_resume(spark, tmp_path):
+    """The compaction protocol's two crash classes, repaired by the
+    next call's step-1 recovery: (a) a temp WITHOUT _SUCCESS (crash
+    mid-write) is discarded — sources intact, the re-run compacts
+    normally; (b) a temp WITH _SUCCESS whose absorbed dirs were not
+    yet deleted (crash between commit and cleanup) is rolled FORWARD
+    — absorbed dirs removed, files moved, and crucially NO duplicate
+    rows (the failure mode of a naive re-append)."""
+    import shutil
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        compact_fuzzy_signature_store,
+        fuzzy_corpus_dedup_epoch,
+    )
+
+    schema = "doc_id bigint, text string"
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "some mild background corpus text about devices and streams"),
+        (3, "entirely different words that overlap with nothing else here"),
+    ]
+    store = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    for epoch, (doc, text) in enumerate(texts):
+        fuzzy_corpus_dedup_epoch(
+            spark.createDataFrame([(doc, text)], schema), epoch, store, out
+        )
+    baseline = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store).drop("epoch").collect()
+    )
+
+    # (a) incomplete temp: copy epoch=0 as a fake half-written temp
+    # (no _SUCCESS) — recovery must delete it and compact normally
+    tmp_a = f"{store}/.compact_tmp_epoch=1"
+    shutil.copytree(f"{store}/epoch=0", tmp_a)
+    import os
+
+    if os.path.exists(f"{tmp_a}/_SUCCESS"):
+        os.remove(f"{tmp_a}/_SUCCESS")
+    assert compact_fuzzy_signature_store(spark, store, 1) == 1
+    assert not os.path.exists(tmp_a)
+    after_a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store).drop("epoch").collect()
+    )
+    assert after_a == baseline  # no rows lost, none duplicated
+
+    # (b) committed temp with absorbed dirs still present: simulate by
+    # snapshotting epoch=1, running a compaction of it into... instead
+    # build the state by hand: temp := current epoch=1 contents (with
+    # _SUCCESS), absorbed dir := a copy restored alongside
+    tmp_b = f"{store}/.compact_tmp_epoch=2"
+    shutil.move(f"{store}/epoch=1", tmp_b)
+    open(f"{tmp_b}/_SUCCESS", "w").close()
+    # restore the absorbed dir alongside the committed temp so the
+    # recovery's delete-remaining path is exercised too
+    shutil.copytree(tmp_b, f"{store}/epoch=1")
+    os.remove(f"{store}/epoch=1/_SUCCESS")
+    # recovery runs at the start of ANY compact call: upto=1 has
+    # nothing left to absorb, but step 1 still repairs the pending
+    # epoch=2 temp (moves its files into the existing epoch=2 dir)
+    assert compact_fuzzy_signature_store(spark, store, 1) == 0
+    assert not os.path.exists(tmp_b)
+    assert not os.path.exists(f"{store}/epoch=1")
+    after_b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(store).drop("epoch").collect()
+    )
+    assert after_b == baseline  # rolled forward, zero duplicates
