@@ -319,9 +319,16 @@ def corpus_dedup_bloom_epoch(
             # every batch key is provably unseen: no store scan at all
             fresh = batch
         else:
-            corpus = spark.read.parquet(corpus_dir).filter(
-                F.col("epoch") < epoch_id
-            )
+            corpus_store = _read_store_or_none(spark, corpus_dir)
+            if corpus_store is None:
+                # bloom bits without a corpus (retention-cleaned):
+                # every candidate was a false positive
+                corpus_store = spark.createDataFrame(
+                    [], batch.select(fingerprint_col).withColumn(
+                        "epoch", F.lit(0)
+                    ).schema
+                )
+            corpus = corpus_store.filter(F.col("epoch") < epoch_id)
             seen = corpus.join(
                 F.broadcast(candidates), fingerprint_col, "left_semi"
             ).select(fingerprint_col)
@@ -761,18 +768,23 @@ def compact_fuzzy_signature_store(
        (`.compact_tmp_epoch=N` — invisible to every store read, and
        mode=overwrite so a half-written temp from a crash is simply
        rewritten);  the write's _SUCCESS marker is the commit point;
-    3. delete the absorbed epoch dirs (their rows now live in temp);
-    4. move the temp's data files into `epoch=N` (FS renames —
+    3. move the temp's data files into `epoch=N` (FS renames —
        filenames carry the writer's UUID so they cannot collide);
+    4. delete the absorbed epoch dirs;
     5. drop the temp dir.
 
-    Every row is present in at least one visible-or-temp location at
-    all times, no directory being READ is ever overwritten, and a
-    crash at ANY step is repaired by the next call's step 1: a temp
-    without _SUCCESS is discarded (its source dirs are intact), a
-    temp with _SUCCESS is rolled FORWARD (remaining absorbed dirs
-    deleted, remaining files moved — renames are consumed, so no
-    re-run can duplicate rows).  `upto_epoch` must be strictly below
+    Move-BEFORE-delete ordering (second review pass): from _SUCCESS
+    onward the consolidated rows are always VISIBLE somewhere —
+    first duplicated (absorbed dirs + moved copies, which the probe
+    tolerates by construction), never hidden-only (the temp is
+    invisible to readers, so a delete-first window would make every
+    probe miss the compacted history until recovery ran).  No
+    directory being READ is ever overwritten, and a crash at ANY
+    step is repaired by the next call's step 1: a temp without
+    _SUCCESS is discarded (its source dirs are intact), a temp with
+    _SUCCESS is rolled FORWARD (remaining files moved — renames are
+    consumed, so no re-run can duplicate rows — then the absorbed
+    dirs deleted).  `upto_epoch` must be strictly below
     the newest epoch in the store: foreachBatch can re-deliver its
     LATEST epoch after a crash, and that re-run's probe reads
     `epoch < latest`, so the latest epoch must never absorb history
@@ -786,8 +798,6 @@ def compact_fuzzy_signature_store(
         return 0
     _finish_pending_compactions(fs, jvm, sig_store_dir)
     store = _read_store_or_none(spark, sig_store_dir)
-    if store is None:
-        return 0
     epochs = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -803,14 +813,20 @@ def compact_fuzzy_signature_store(
     absorbed = sorted(e for e in epochs if e < upto_epoch)
     if not absorbed:
         return 0
-    tmp = f"{sig_store_dir}/.compact_tmp_epoch={upto_epoch}"
-    store.filter(F.col("epoch") < upto_epoch).drop("epoch").write.mode(
-        "overwrite"
-    ).partitionBy("bpfx").parquet(tmp)
+    if store is not None:
+        tmp = f"{sig_store_dir}/.compact_tmp_epoch={upto_epoch}"
+        store.filter(F.col("epoch") < upto_epoch).drop("epoch").write.mode(
+            "overwrite"
+        ).partitionBy("bpfx").parquet(tmp)
+        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={upto_epoch}")
+    # store is None <=> no data file exists in ANY epoch dir (all-empty
+    # batches so far): nothing to consolidate, but the data-less dirs
+    # still cost a file-listing per probe — drop them (second review
+    # pass)
     for e in absorbed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sig_store_dir}/epoch={e}"), True)
-    _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={upto_epoch}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    if store is not None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     return len(absorbed)
 
 
@@ -831,11 +847,11 @@ def _finish_pending_compactions(fs, jvm, sig_store_dir: str) -> None:
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_SUCCESS")):
             fs.delete(st.getPath(), True)
             continue
+        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={target_epoch}")
         for est in fs.listStatus(root):
             ename = est.getPath().getName()
             if ename.startswith("epoch=") and int(ename.split("=", 1)[1]) < target_epoch:
                 fs.delete(est.getPath(), True)
-        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={target_epoch}")
         fs.delete(st.getPath(), True)
 
 

@@ -1881,6 +1881,23 @@ def test_fuzzy_store_tolerates_duplicate_rows_and_empty_epochs(spark, tmp_path):
     rep = {r["doc_id"]: r for r in spark.read.parquet(out_b).collect()}
     assert not rep[2]["assigned_dup"]
 
+    # an ALL-empty store (every batch short-doc-only) still compacts:
+    # the data-less absorbed dirs are deleted so the probe's
+    # file-listing cost cannot grow without bound
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        compact_fuzzy_signature_store as _compact,
+    )
+
+    store_c = str(tmp_path / "sigs_c")
+    out_c = str(tmp_path / "out_c")
+    for ep in (0, 1, 2):
+        fuzzy_corpus_dedup_epoch(
+            spark.createDataFrame([(ep + 100, "too short")], schema), ep, store_c, out_c
+        )
+    assert _compact(spark, store_c, 1) == 1
+    dirs = sorted(p.name for p in (tmp_path / "sigs_c").iterdir() if p.is_dir())
+    assert dirs == ["epoch=1", "epoch=2"], dirs
+
     # (a) simulate the crash window: run two epochs, compact, then
     # re-copy an absorbed dir back (duplicates now live in the store)
     import shutil
@@ -1957,8 +1974,6 @@ def test_fuzzy_store_compaction_crash_resume(spark, tmp_path):
     # (no _SUCCESS) — recovery must delete it and compact normally
     tmp_a = f"{store}/.compact_tmp_epoch=1"
     shutil.copytree(f"{store}/epoch=0", tmp_a)
-    import os
-
     if os.path.exists(f"{tmp_a}/_SUCCESS"):
         os.remove(f"{tmp_a}/_SUCCESS")
     assert compact_fuzzy_signature_store(spark, store, 1) == 1
