@@ -291,18 +291,28 @@ def seasonal_baseline(hourly: DataFrame) -> DataFrame:
 def seasonal_score(hourly: DataFrame, baseline: DataFrame) -> DataFrame:
     """Score (day, hour_of_day, n_events) rows against a broadcast
     hour-of-day baseline — the SAME select for the batch query and each
-    streaming micro-batch (streaming/jobs.run_seasonal_anomaly_job)."""
+    streaming micro-batch (streaming/jobs.run_seasonal_anomaly_job).
+
+    Degenerate baselines (round-16 review): sigma can be 0.0 (an hour
+    with identical counts every observed day) or NULL (stddev_samp
+    over a single day) — under ANSI mode the raw division would crash
+    the streaming job in a checkpoint-replay loop.  Both degrade to
+    sigma=0 semantics: zscore reports the 0.0 sentinel (a z-score
+    against zero variance is undefined) and is_anomaly carries the
+    signal — ANY deviation from a zero-variance baseline flags.  The
+    oracle mirrors the same CASE/coalesce."""
+    sigma0 = F.coalesce(F.col("sigma"), F.lit(0.0))
     return hourly.join(F.broadcast(baseline), "hour_of_day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "hour_of_day",
         "n_events",
         pround("mu", 6).alias("baseline_mu"),
-        pround((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6).alias(
-            "zscore"
+        F.when(sigma0 == 0.0, F.lit(0.0))
+        .otherwise(pround((F.col("n_events") - F.col("mu")) / sigma0, 6))
+        .alias("zscore"),
+        (F.abs(F.col("n_events") - F.col("mu")) > F.lit(3.0) * sigma0).alias(
+            "is_anomaly"
         ),
-        (
-            F.abs(F.col("n_events") - F.col("mu")) > F.lit(3.0) * F.col("sigma")
-        ).alias("is_anomaly"),
     )
 
 
@@ -324,9 +334,10 @@ def seasonal_score(hourly: DataFrame, baseline: DataFrame) -> DataFrame:
            h.hour_of_day,
            h.n_events,
            floor(b.mu * 1000000.0 + 0.5) / 1000000.0 AS baseline_mu,
-           floor((h.n_events - b.mu) / b.sigma * 1000000.0 + 0.5) / 1000000.0
-             AS zscore,
-           abs(h.n_events - b.mu) > 3.0 * b.sigma AS is_anomaly
+           CASE WHEN coalesce(b.sigma, 0.0) = 0.0 THEN 0.0
+                ELSE floor((h.n_events - b.mu) / b.sigma * 1000000.0 + 0.5)
+                     / 1000000.0 END AS zscore,
+           abs(h.n_events - b.mu) > 3.0 * coalesce(b.sigma, 0.0) AS is_anomaly
     FROM hourly h JOIN baseline b USING (hour_of_day)
     """,
     doc="Seasonal (hour-of-day) ingest-volume anomaly screen: each "

@@ -94,6 +94,12 @@ def rate_events(
     full wire schema as a JSON `value` column."""
     from pyspark.sql import functions as F
 
+    if not sources:
+        # fail at call time, not as an ANSI modulo-by-zero thrown
+        # asynchronously in the first micro-batch (round-16 review —
+        # the same fail-fast convention as json_file_stream's archive
+        # mode)
+        raise ValueError("rate_events requires at least one source name")
     n = len(sources)
     src = F.element_at(F.array(*[F.lit(s) for s in sources]), (F.col("value") % n + 1).cast("int"))
     wire = F.to_json(

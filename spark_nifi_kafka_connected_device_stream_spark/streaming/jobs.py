@@ -46,7 +46,12 @@ def run_product_view_job(
         window_duration=window_duration,
         watermark=watermark,
     )
-    # sink A (v2:77-81): per-epoch global ranking emit
+    # sink A (v2:77-81): per-epoch ranking emit.  Update-mode
+    # semantics, faithfully the reference's: each epoch ranks the
+    # groups UPDATED in that trigger (the reference sorted each
+    # console micro-batch the same way) — it is a delta ranking, not
+    # a global standing; consumers needing the global top-k over all
+    # open windows read sink B and rank there
     ranking_q = (
         foreach_batch_topk(agg, k=topk, collector=collector)
         .outputMode("update")
@@ -54,10 +59,17 @@ def run_product_view_job(
         .start()
     )
     # sink B (v2:84-89): warehouse parquet, columns pruned to the
-    # commerce schema (source, source_number) as at v2:74
+    # commerce schema (source, source_number) as at v2:74.  If ITS
+    # start fails (bad trigger string, unwritable path), the already-
+    # running sink A must not leak as an orphaned query advancing its
+    # checkpoint forever (round-16 review)
     pruned = agg.select("source", "source_number")
     w = parquet_sink(pruned, output_dir, f"{checkpoint_dir}/parquet", trigger=trigger)
-    parquet_q = w.start()
+    try:
+        parquet_q = w.start()
+    except Exception:
+        ranking_q.stop()
+        raise
     if block:
         for q in (ranking_q, parquet_q):
             q.awaitTermination()
@@ -149,8 +161,6 @@ def run_corpus_ingest_job(
     the sink partitions by source so downstream mix/split jobs
     partition-prune.  Returns the StreamingQuery handle.
     """
-    from pyspark.sql import functions as F
-
     from ..functions.textfns import normalize_text
     from ..operators.text import quality_features, quality_prob
     from .stateful import streaming_dedup_exact
@@ -158,7 +168,11 @@ def run_corpus_ingest_job(
     raw = json_file_stream(spark, input_dir)
     parsed = (
         parse_doc_wire(raw)
-        .withColumn("event_ts", F.to_timestamp("ts", DOC_TS_FMT))
+        # try_to_timestamp, NOT to_timestamp (the pipeline.py P7
+        # doctrine): under ANSI mode one malformed ts string would
+        # kill the stream in a checkpoint-replay crash loop; try_
+        # yields NULL and the filter implements drop-malformed
+        .withColumn("event_ts", F.try_to_timestamp(F.col("ts"), F.lit(DOC_TS_FMT)))
         .filter(F.col("event_ts").isNotNull())
     )
     n_tok, dratio = quality_features(F.col("text"))
@@ -213,10 +227,7 @@ def run_seasonal_anomaly_job(
     `.drop("epoch")` or select the scored columns explicitly.  Readers
     that globbed flat part files directly will find none.
     """
-    from pyspark.sql import functions as F
-
     from ..operators.events_timeseries import seasonal_score
-    from .pipeline import parse_product_views
 
     views = parse_product_views(json_file_stream(spark, input_dir))
     hourly = (
@@ -276,8 +287,6 @@ def run_pii_gate_job(
     PII.  Both stages are map-only regex over the stream; each sink
     has its own checkpoint.  Returns (corpus_query, quarantine_query).
     """
-    from pyspark.sql import functions as F
-
     from ..operators.privacy import pii_counts, pii_redact
 
     raw = json_file_stream(spark, input_dir)

@@ -81,6 +81,20 @@ def parse_product_views(raw: DataFrame, value_col: str = "value") -> DataFrame:
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), PRODUCT_VIEW_SCHEMA).alias("value")
     )
+    return _product_view_projection(parsed)
+
+
+def _product_view_projection(parsed: DataFrame) -> DataFrame:
+    """The ONE projection/filter chain from the parsed `value` struct
+    to the output schema — shared by parse_product_views and
+    observe_parse_quality (round-16 review: the DQ-observed variant
+    duplicated these lines verbatim, and nothing enforced the
+    docstring's 'identical output rows' promise)."""
+    # try_to_timestamp, NOT to_timestamp: under ANSI mode (Spark 4
+    # default) to_timestamp THROWS on a malformed value and one bad
+    # record kills the stream — try_ yields NULL and the filter below
+    # implements the documented drop-malformed semantics
+    ts = F.try_to_timestamp(F.col("value.timestamp"), F.lit(TIMESTAMP_FORMAT))
     return (
         parsed.filter(F.col("value").isNotNull())
         .select(
@@ -88,14 +102,7 @@ def parse_product_views(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.col("value.userid").alias("userid"),
             F.col("value.properties.productid").alias("productid"),
             F.col("value.context.source").alias("source"),
-            # try_to_timestamp, NOT to_timestamp: under ANSI mode
-            # (Spark 4 default) to_timestamp THROWS on a malformed
-            # value and one bad record kills the stream — try_ yields
-            # NULL and the filter below implements the documented
-            # drop-malformed semantics
-            F.try_to_timestamp(
-                F.col("value.timestamp"), F.lit(TIMESTAMP_FORMAT)
-            ).alias("timestamp"),
+            ts.alias("timestamp"),
         )
         .filter(F.col("timestamp").isNotNull())
     )
@@ -188,24 +195,18 @@ def observe_parse_quality(raw: DataFrame, value_col: str = "value") -> DataFrame
     # Spark 4 from_json yields an ALL-NULL struct (not a NULL struct)
     # for malformed input, so "bad json" is detected through the
     # required timestamp field being absent; "bad ts" is the field
-    # present but unparseable under the declared format
+    # present but unparseable under the declared format.  Sums are
+    # coalesced to 0: F.sum over an EMPTY micro-batch is NULL, and a
+    # monitor comparing `rows_bad_json > threshold` would crash on
+    # None (round-16 review).
     bad_json = F.col("value").isNull() | F.col("value.timestamp").isNull()
     observed = parsed.observe(
         "parse_dq",
         F.count(F.lit(1)).alias("rows_seen"),
-        F.sum(bad_json.cast("bigint")).alias("rows_bad_json"),
-        F.sum(
-            (F.col("value.timestamp").isNotNull() & ts.isNull()).cast("bigint")
+        F.coalesce(F.sum(bad_json.cast("bigint")), F.lit(0)).alias("rows_bad_json"),
+        F.coalesce(
+            F.sum((F.col("value.timestamp").isNotNull() & ts.isNull()).cast("bigint")),
+            F.lit(0),
         ).alias("rows_bad_ts"),
     )
-    return (
-        observed.filter(F.col("value").isNotNull())
-        .select(
-            F.col("value.messageid").alias("messageid"),
-            F.col("value.userid").alias("userid"),
-            F.col("value.properties.productid").alias("productid"),
-            F.col("value.context.source").alias("source"),
-            ts.alias("timestamp"),
-        )
-        .filter(F.col("timestamp").isNotNull())
-    )
+    return _product_view_projection(observed)

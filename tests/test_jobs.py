@@ -379,3 +379,96 @@ def test_pii_gate_job_redacts_and_quarantines(spark, tmp_path):
     assert set(quar) == {1, 2}                                  # clean doc excluded
     assert quar[1]["n_emails"] == 1 and "alice@corp.example.com" in quar[1]["text"]
     assert quar[2]["n_phones"] == 1 and quar[2]["n_ids"] == 1
+
+
+def test_corpus_ingest_survives_malformed_timestamp(spark, tmp_path):
+    """ANSI-safety (round-16 review): one document with an unparseable
+    `ts` must be DROPPED, not crash the stream in a checkpoint-replay
+    loop (to_timestamp throws under Spark 4's default ANSI mode;
+    try_to_timestamp is the pipeline doctrine)."""
+    import json
+
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_corpus_ingest_job,
+    )
+
+    rich = " ".join(f"tok{i}" for i in range(60))
+    docs = [
+        {"doc_id": 0, "text": rich, "source": "a", "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 1, "text": rich + " other", "source": "a", "ts": "not a time"},
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    out_dir = str(tmp_path / "corpus")
+    q = run_corpus_ingest_job(spark, str(in_dir), out_dir, str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [0], got
+
+
+def test_seasonal_job_survives_degenerate_sigma(spark, tmp_path):
+    """ANSI-safety (round-16 review): a baseline hour with sigma = 0.0
+    (identical counts every day) or NULL (single observed day) must
+    not crash the scoring micro-batch with DIVIDE_BY_ZERO.  The
+    degenerate rows report the 0.0 zscore sentinel, and is_anomaly
+    carries the signal: any deviation from a zero-variance baseline
+    flags."""
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.jobs import (
+        run_seasonal_anomaly_job,
+    )
+
+    d = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_file(
+        d,
+        "b1.json",
+        [
+            _event("2021-03-06 10:05:00.000", 0, "desktop"),
+            _event("2021-03-06 10:15:00.000", 1, "desktop"),
+            _event("2021-03-06 11:30:00.000", 3, "desktop"),
+        ],
+    )
+    baseline = spark.createDataFrame(
+        [(10, 2.0, 0.0), (11, 1.0, None)],
+        "hour_of_day int, mu double, sigma double",
+    )
+    q = run_seasonal_anomaly_job(
+        spark, d, baseline, out, str(tmp_path / "chk"), watermark="2 hours"
+    )
+    try:
+        q.processAllAvailable()
+        _write_file(d, "b2.json", [_event("2021-03-07 10:00:00.000", 0, "desktop")])
+        q.processAllAvailable()
+        _write_file(d, "b3.json", [_event("2021-03-07 11:00:00.000", 0, "desktop")])
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    rows = {
+        (r["day"], r["hour_of_day"]): r for r in spark.read.parquet(out).collect()
+    }
+    # hour 10: n=2 vs mu=2, sigma=0 -> no deviation, no anomaly
+    assert rows[("2021-03-06", 10)]["zscore"] == 0.0
+    assert rows[("2021-03-06", 10)]["is_anomaly"] is False
+    # hour 11: n=1 vs mu=1, sigma NULL -> treated as zero variance
+    assert rows[("2021-03-06", 11)]["zscore"] == 0.0
+    assert rows[("2021-03-06", 11)]["is_anomaly"] is False
+
+    # and the flag side of the zero-variance semantics (batch call on
+    # the same shared select): ANY deviation from sigma=0 flags
+    from pyspark.sql import functions as F
+
+    from spark_nifi_kafka_connected_device_stream_spark.operators.events_timeseries import (
+        seasonal_score,
+    )
+
+    hourly = spark.createDataFrame(
+        [("2021-03-08", 10, 5)], "day string, hour_of_day int, n_events long"
+    ).select(F.to_date("day").alias("day"), "hour_of_day", "n_events")
+    r = seasonal_score(hourly, baseline).collect()[0]
+    assert r["zscore"] == 0.0 and r["is_anomaly"] is True
