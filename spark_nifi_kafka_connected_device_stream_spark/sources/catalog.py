@@ -170,8 +170,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # FAILED_READ_FILE.FILE_NOT_EXIST — or silently read stale rows.
     # A missing path is never cached: the read below still raises the
     # clean PATH_NOT_FOUND callers probe for.
+    # id(spark) distinguishes spark.newSession() siblings: they share
+    # an applicationId but have their own session state (conf, ANSI
+    # flag, temp-view namespace), and a DataFrame cached from one
+    # session executes under ITS conf, not the caller's (round-16
+    # review).  id() reuse requires the old session to be collected,
+    # at which point replacing its entry is exactly right.
     key = (
         spark.sparkContext.applicationId,
+        id(spark),
         spark.conf.get("spark.sql.session.timeZone"),
         os.path.abspath(sf_dir),
         name,
@@ -180,11 +187,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    # evict entries from previous sessions, and SUPERSEDED fingerprints
-    # of this same (app, tz, dir, table) — repeated in-session fixture
-    # rewrites must replace their old entries, not accumulate them
+    # evict entries from previous applications, and SUPERSEDED
+    # fingerprints of this same (app, session, tz, dir, table) —
+    # repeated in-session fixture rewrites must replace their old
+    # entries, not accumulate them
     for k in [
-        k for k in _PLAN_CACHE if k[0] != key[0] or (k[:4] == key[:4] and k != key)
+        k for k in _PLAN_CACHE if k[0] != key[0] or (k[:5] == key[:5] and k != key)
     ]:
         del _PLAN_CACHE[k]
     if name != "events":

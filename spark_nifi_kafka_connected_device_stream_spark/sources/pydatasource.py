@@ -469,8 +469,9 @@ class _AuditWriter(DataSourceWriter):
     could not remove the staged parts.  A production sink targets
     object storage, where the same two-phase shape holds."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("device_audit writer requires option 'path'")
 
@@ -502,7 +503,35 @@ class _AuditWriter(DataSourceWriter):
             ({"file": m.filename, "n_rows": m.n_rows} for m in messages if m),
             key=lambda d: d["file"],
         )
-        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+        mpath = os.path.join(self.path, "_manifest.json")
+        prev: list[dict] = []
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = _json.load(f)
+        if self.overwrite:
+            # overwrite REPLACES the manifest and removes the files the
+            # old manifest named (round-16 review: leaving them meant
+            # non-manifest-aware readers saw mixed generations and
+            # stale bytes accumulated forever); unmanifested strays are
+            # left alone — they were never visible
+            new_files = {d["file"] for d in manifest}
+            for d in prev:
+                if d["file"] not in new_files:
+                    try:
+                        os.remove(os.path.join(self.path, d["file"]))
+                    except FileNotFoundError:
+                        pass
+        else:
+            # append MERGES with the committed manifest: the documented
+            # reader contract is "trust only manifested files", so a
+            # second job must extend the manifest, not silently unlist
+            # (= logically delete) the first job's data (round-16
+            # review)
+            manifest = sorted(
+                prev + manifest,
+                key=lambda d: d["file"],
+            )
+        with open(mpath, "w") as f:
             _json.dump(manifest, f, indent=1)
 
     def abort(self, messages):
@@ -527,7 +556,7 @@ class DeviceAuditDataSource(DataSource):
         return "placeholder string"
 
     def writer(self, schema, overwrite: bool):
-        return _AuditWriter(self.options)
+        return _AuditWriter(self.options, overwrite)
 
 
 def register_audit_sink(spark) -> None:

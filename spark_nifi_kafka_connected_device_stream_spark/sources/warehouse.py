@@ -52,12 +52,12 @@ def create_external_table(
     ddl typo, unreachable location, metastore permissions) must
     propagate — swallowing it would report success while no table
     exists for any other session."""
-    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive":
-        spark.sql(ddl.format(table=table, location=location))
-        return
+    sql = ddl.format(table=table, location=location)
     try:
-        spark.sql(ddl.format(table=table, location=location))
+        spark.sql(sql)
     except Exception:
+        if spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive":
+            raise
         spark.read.parquet(location).createOrReplaceTempView(table)
 
 
@@ -90,7 +90,12 @@ def jdbc_export(
     append, read-back equality) — the same JDBC code path a MySQL URL
     takes, minus the network."""
     opts = dict(properties or {})
-    opts.setdefault("batchsize", str(batch_size))
+    # Spark JDBC options are CASE-INSENSITIVE and last-write-wins: a
+    # plain setdefault("batchsize") would silently override a caller's
+    # 'batchSize' (round-16 review) — default only when no case
+    # variant is present
+    if not any(k.lower() == "batchsize" for k in opts):
+        opts["batchsize"] = str(batch_size)
     w = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
     if num_partitions:
         w = w.option("numPartitions", str(num_partitions))
@@ -174,7 +179,22 @@ def compact_parquet(
     def _parquet_files(d: str) -> list[str]:
         return glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
 
-    src_files = _parquet_files(src_dir)
+    # size/count from the files Spark will ACTUALLY read — on a
+    # streaming-sink dir the read resolves through _spark_metadata and
+    # excludes uncommitted orphans a raw glob would count (round-16
+    # review: the glob inflated n_out and reported orphan bytes as
+    # compacted when they were dropped)
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(src_dir)
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"compact_parquet: no parquet files under {src_dir!r}"
+        ) from exc
+    src_files = [
+        f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()
+    ]
     if not src_files:
         raise FileNotFoundError(f"compact_parquet: no parquet files under {src_dir!r}")
     if not partition_by:
@@ -198,7 +218,6 @@ def compact_parquet(
     files_before = len(src_files)
     total_bytes = sum(os.path.getsize(p) for p in src_files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.parquet(src_dir)
     if sort_col is not None:
         # repartitionByRange + sortWithinPartitions = globally ordered
         # files with tight per-file min/max stats.  With partition_by
@@ -225,11 +244,16 @@ def compact_parquet(
         from pyspark.sql import functions as F
 
         # every column can be a partition column (pure-dimension
-        # layouts): F.hash() with zero args raises, so fall back to the
-        # input partition id — placement-stable within a run, and the
-        # rows of one value are interchangeable anyway
+        # layouts): F.hash() with zero args raises, so fall back to
+        # hashing the partition columns themselves.  DETERMINISTIC by
+        # construction (round-16 review: spark_partition_id changes
+        # across shuffle-retry recomputations, the classic
+        # nondeterministic-repartition row-dup/row-loss hazard at
+        # exactly the cluster scale this function targets); the cost
+        # is that a pure-dimension layout's identical rows share one
+        # salt and stay in one file per value — correct, just unsplit.
         salt = F.pmod(
-            F.hash(*data_cols) if data_cols else F.spark_partition_id(),
+            F.hash(*data_cols) if data_cols else F.hash(*partition_by),
             F.lit(per_value),
         )
         df = df.repartition(n_out, *partition_by, salt)
@@ -268,9 +292,17 @@ def read_evolving_parquet(
     if contract_ddl is None:
         return df
     target = T.StructType.fromDDL(contract_ddl)
-    present = {f.lower() for f in df.columns}
+    # map lowered -> ACTUAL file column name and resolve through it:
+    # deciding presence case-insensitively but resolving with the
+    # contract's casing would crash under spark.sql.caseSensitive=true
+    # (round-16 review)
+    actual = {c.lower(): c for c in df.columns}
     cols = [
-        (F.col(f.name) if f.name.lower() in present else F.lit(None))
+        (
+            F.col(actual[f.name.lower()])
+            if f.name.lower() in actual
+            else F.lit(None)
+        )
         .cast(f.dataType)
         .alias(f.name)
         for f in target.fields
@@ -302,9 +334,13 @@ def write_training_shards(
 
     from pyspark.sql import functions as F
 
+    # NULL keys bucket deterministically via a sentinel instead of
+    # landing in shard=__HIVE_DEFAULT_PARTITION__ outside the
+    # 0..n_shards-1 contract (round-16 review)
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
     shard = F.pmod(
         F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
+            F.substring(F.md5(key_str.cast("binary")), 1, 8),
             16,
             10,
         ).cast("bigint"),
@@ -317,14 +353,22 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    # manifest from the WRITTEN shards, not a re-execution of df's
+    # lineage (round-16 review: a second run of a non-deterministic
+    # upstream could checksum data that was never written, and even
+    # the deterministic case paid the whole upstream twice) — this
+    # reads back only the key column of the final artifact
     stats = (
-        tagged.groupBy("shard")
+        spark_read_back(df.sparkSession, out_dir)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
             # overflows under ANSI after ~2^31 rows
             F.sum(
-                F.xxhash64(F.col(key_col).cast("string")).cast("decimal(38,0)")
+                F.xxhash64(
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("__NULL_KEY__"))
+                ).cast("decimal(38,0)")
             ).alias("key_checksum"),
         )
         .orderBy("shard")
@@ -341,3 +385,14 @@ def write_training_shards(
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def spark_read_back(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The shard read-back used for manifest verification — one place
+    so the writer's manifest and a consumer's re-verification read the
+    artifact identically (shard arrives as the discovered partition
+    column, cast to int for the 0..n_shards-1 contract)."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(out_dir)
+    return back.withColumn("shard", F.col("shard").cast("int"))

@@ -251,6 +251,24 @@ def test_audit_writer_commit_protocol(spark, tmp_path):
     staged = {f for f in os.listdir(d) if f.endswith(".jsonl")}
     assert staged == {m["file"] for m in man}
 
+    # append MERGES the manifest (round-16 review: it used to replace
+    # it, logically deleting the first job's rows from the documented
+    # trust-only-manifested-files contract)
+    df2 = spark.range(60, 70).selectExpr("id", "id % 7 AS bucket").repartition(2)
+    df2.write.format("device_audit").option("path", d).mode("append").save()
+    man2 = json.load(open(os.path.join(d, "_manifest.json")))
+    assert sum(m["n_rows"] for m in man2) == 70
+    assert len(man2) == 5
+
+    # overwrite REPLACES the manifest and removes the previously
+    # manifested files — no mixed generations on disk
+    df3 = spark.range(5).selectExpr("id", "id % 7 AS bucket").repartition(1)
+    df3.write.format("device_audit").option("path", d).mode("overwrite").save()
+    man3 = json.load(open(os.path.join(d, "_manifest.json")))
+    assert sum(m["n_rows"] for m in man3) == 5 and len(man3) == 1
+    staged = {f for f in os.listdir(d) if f.endswith(".jsonl")}
+    assert staged == {m["file"] for m in man3}
+
 
 def test_custom_connector_pipeline_end_to_end(spark, tmp_path):
     """Flagship connector composition: the Python STREAM source feeds
