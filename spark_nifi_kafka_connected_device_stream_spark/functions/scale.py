@@ -19,6 +19,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
@@ -91,6 +92,20 @@ def _ranged_with_offsets(
     Callers must pass a total order in `order_cols` when row-level
     results depend on rank uniqueness (see each primitive's contract).
     """
+    # fail LOUD on reserved-name collisions (round-16 review): an
+    # input already carrying one of the internals — most commonly the
+    # _grand_total a previous global_running_sum kept in ITS output —
+    # would otherwise be silently clobbered or produce an ambiguous
+    # duplicate downstream.  Chaining callers drop the helper columns
+    # between passes.
+    reserved = {"_pid", "_off", "_part"} | {name for name, _ in totals}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"global_* primitive: input already carries reserved helper "
+            f"column(s) {clash} — drop or rename them first (e.g. the "
+            "_grand_total kept by a previous global_running_sum pass)"
+        )
     part = (
         df.repartitionByRange(nparts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -169,7 +184,20 @@ def salted_agg(
     # hashes the ROW, so fully-duplicate rows under a hot key share a
     # salt and are not split — include a high-cardinality column
     # (event id, offset) in `df` when rows can repeat exactly.
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
+    # MapType columns are excluded from the salt hash (round-16
+    # review: F.hash rejects maps at analysis time, and an irrelevant
+    # properties map must not break the whole aggregation); every
+    # other type participates.
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    if not hashable:
+        raise ValueError(
+            "salted_agg: no hashable (non-map) columns to derive the salt from"
+        )
+    salt = F.pmod(F.hash(*hashable), F.lit(n_salts)).alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[expr.alias(f"_p_{name}") for name, (expr, _) in normalized.items()]
     )

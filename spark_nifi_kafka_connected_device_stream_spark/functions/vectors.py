@@ -35,3 +35,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # silently ranking it would corrupt top-k results).  Screen the corpus
 # with operators/similarity.embedding_norm_stats first — see the
 # similarity module docstring for the full contract.
+#
+# DATA CONTRACT (r16 review): NULL elements and length-mismatched
+# pairs are likewise OUTSIDE the contract: Spark's fold NULL-poisons
+# (acc + NULL = NULL → the row silently drops from any top-k) while
+# DuckDB's list_sum SKIPS NULLs — the two engines would silently
+# disagree.  embedding_dim_stats / embedding_norm_stats surface both
+# defects (NULL dims and try_element_at on short vectors); screen
+# before any similarity op, exactly like the zero-norm rule.
+#
+# PERF NOTE: cosine_similarity traverses both arrays three times (dot
+# + two norms) — fine for bounded uses (the k-center coreset's K
+# 1-row probes); in a pairwise HOT path precompute each side's norm
+# once per VECTOR and divide the dot by the product, as every
+# registered top-k operator does.

@@ -50,7 +50,8 @@ def get_session(
     # running from a foreign cwd loses every python-datasource stream.
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
-    if pkg_parent not in existing.split(os.pathsep):
+    pythonpath_modified = pkg_parent not in existing.split(os.pathsep)
+    if pythonpath_modified:
         os.environ["PYTHONPATH"] = (
             pkg_parent + (os.pathsep + existing if existing else "")
         )
@@ -73,7 +74,18 @@ def get_session(
         builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    try:
+        spark = builder.getOrCreate()
+    finally:
+        # restore the process env (round-16 review: the prepend must
+        # not leak into every later unrelated subprocess of the host
+        # application) — the JVM captured its copy at launch, which is
+        # the only consumer that needed it
+        if pythonpath_modified:
+            if existing:
+                os.environ["PYTHONPATH"] = existing
+            else:
+                os.environ.pop("PYTHONPATH", None)
     spark.sparkContext.setLogLevel("WARN")
     ensure_workers_importable(spark)
     return spark
@@ -101,20 +113,43 @@ def ensure_workers_importable(spark: SparkSession) -> None:
     app = sc.applicationId
     if app in _SHIPPED_APPS:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     parent = os.path.dirname(pkg_dir)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if fname.endswith(".py"):
+                full = os.path.join(root, fname)
+                sources.append((os.path.relpath(full, parent), full))
+    sources.sort()
+    # content-addressed zip name + atomic rename (round-16 review):
+    # the old pid-named exists-check could ship a STALE zip after the
+    # sources changed (PID reuse / same process after an edit), a
+    # truncated one from a crashed build, or a foreign file planted at
+    # a predictable path — workers would then run different code than
+    # the driver with no error
+    h = hashlib.md5()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"spark_graft_pkg_{h.hexdigest()}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        z.write(full, os.path.relpath(full, parent))
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for rel, full in sources:
+                    z.write(full, rel)
+            os.replace(tmp, zpath)  # atomic: readers never see a partial zip
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     sc.addPyFile(zpath)
     _SHIPPED_APPS.add(app)

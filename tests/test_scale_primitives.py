@@ -632,3 +632,73 @@ def test_salted_agg_bounds_hot_reducer_on_skewed_events(spark, skewed_wh):
     share_salted = reducer_share(keyed, [F.col("source_key"), salt])
     assert share_plain > 0.5, share_plain  # the hot key floods one reducer
     assert share_salted < 0.15, share_salted  # salting bounds it to ~1/n_salts
+
+
+def test_global_primitives_reject_reserved_column_collisions(spark):
+    """Round-16 review: chaining two global_running_sum passes used to
+    produce an ambiguous duplicate _grand_total; the primitives now
+    fail loud instead of silently clobbering helper columns."""
+    import pytest
+
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        global_running_sum,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    first = global_running_sum(
+        df, order_cols=[F.col("id")], value_col="v", out_col="running_v"
+    )
+    assert "_grand_total" in first.columns
+    with pytest.raises(ValueError, match="reserved helper"):
+        global_running_sum(
+            first, order_cols=[F.col("id")], value_col="v", out_col="r2"
+        )
+    # the documented recovery: drop the helpers between passes
+    second = global_running_sum(
+        first.drop("_grand_total"),
+        order_cols=[F.col("id")],
+        value_col="running_v",
+        out_col="r2",
+    )
+    assert second.count() == 10
+
+
+def test_salted_agg_ignores_map_columns_in_salt(spark):
+    """Round-16 review: F.hash rejects MapType, and an irrelevant
+    properties map must not break the whole salted aggregation."""
+    from spark_nifi_kafka_connected_device_stream_spark.functions.scale import (
+        salted_agg,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id % 3 AS k", "id AS v", "map('a', id) AS props"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df, ["k"], {"n": (F.count(F.lit(1)), "sum"), "s": (F.sum("v"), "sum")}
+        ).collect()
+    }
+    import pyspark.sql.functions as SF
+
+    exact = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("s"))
+        .collect()
+    }
+    assert out == exact
+
+
+def test_get_session_does_not_leak_pythonpath(spark):
+    """Round-16 review: get_session must not permanently mutate the
+    process environment (children of the host app would inherit the
+    repo at the FRONT of PYTHONPATH forever)."""
+    import os
+
+    from spark_nifi_kafka_connected_device_stream_spark.session import get_session
+
+    before = os.environ.get("PYTHONPATH")
+    s = get_session(app_name="pythonpath-probe")  # getOrCreate -> same session
+    assert s is not None
+    assert os.environ.get("PYTHONPATH") == before
