@@ -193,13 +193,7 @@ _DUCK_AUG_PII = """CASE WHEN doc_id % 3 = 0 THEN text
       -- at any SF), so both engines append the SAME deterministic
       -- contact line to 2 of every 3 docs; the op under test is the
       -- detect+redact machinery, which sees realistic spans either way.
-      SELECT doc_id, source,
-             CASE WHEN doc_id % 3 = 0 THEN text
-                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
-                       || '@mail-' || source || '.example.com or +1-555-'
-                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                       || ' ref ID-' || CAST((doc_id * 7919) % 100000 AS VARCHAR)
-             END AS text
+      SELECT doc_id, source, {_DUCK_AUG_PII} AS text
       FROM documents
     )
     SELECT doc_id,
@@ -494,9 +488,7 @@ def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def privacy_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_u")
-    )
+    per_user = _per_user_counts(e)
     return per_user.groupBy("event_type").agg(
         F.sum("n_u").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -505,12 +497,43 @@ def privacy_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_u01(seed_col) -> "F.Column":
+    """md5-derived uniform in (0,1): (u32 + 0.5) / 2^32 — the ONE
+    construction every DP release uses (round-16 review: six inline
+    copies invited drift)."""
+    return (spark_u32(seed_col) + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def _spark_laplace(u, b: float) -> "F.Column":
+    """Laplace(0, b) noise via the inverse CDF on a uniform `u` — the
+    ONE implementation shared by every DP release (round-16 review:
+    four inline copies; a sign/branch fix must hit all releases at
+    once).  Mirrors the oracle's CASE WHEN u >= 0.5 form exactly."""
+    return F.when(
+        u >= 0.5, F.lit(-b) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
+    ).otherwise(F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+
+
+def _per_user_counts(e: DataFrame) -> DataFrame:
+    """(event_type, user_id) contribution counts — shared by the
+    sensitivity report and the Laplace release it calibrates, so the
+    two can never silently diverge (round-16 review)."""
+    return e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+
+
 # --- round 11: the DP release itself --------------------------------------
 # contribution cap (= the calibrated L1 sensitivity after clamping) and
 # the Laplace scale b = cap / epsilon, pre-folded to single literals
 _DP_CAP = 5
 _DP_EPSILON = 1.0
-_DP_B = 5.0  # _DP_CAP / _DP_EPSILON
+# COMPUTED at import, not hand-folded (round-16 review: a hand-folded
+# copy goes stale when the cap/epsilon change and the release would
+# noise at the wrong scale while reporting the new epsilon); the
+# f-string interpolation folds the identical float literal into the
+# oracle, so cross-engine folding is unchanged.
+_DP_B = _DP_CAP / _DP_EPSILON
 
 
 
@@ -562,9 +585,7 @@ _DP_B = 5.0  # _DP_CAP / _DP_EPSILON
 )
 def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("event_type", "user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_u")
-    )
+    per_user = _per_user_counts(e)
     rel = per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("n_u").cast("bigint").alias("true_count"),
@@ -572,11 +593,7 @@ def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped_count"
         ),
     )
-    u32 = spark_u32(F.concat(F.lit("dp_"), F.col("event_type")))
-    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
-    noise = F.when(
-        u >= 0.5, F.lit(-_DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
-    ).otherwise(F.lit(_DP_B) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    noise = _spark_laplace(_spark_u01(F.concat(F.lit("dp_"), F.col("event_type"))), _DP_B)
     return rel.select(
         "event_type",
         "n_users",
@@ -644,12 +661,10 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_count")
     )
-    u32 = spark_u32(F.concat(F.lit("dph_"), F.col("bucket").cast("string")))
-    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
-    scale = 1.0 / _DP_EPSILON
-    noise = F.when(
-        u >= 0.5, F.lit(-scale) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
-    ).otherwise(F.lit(scale) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    noise = _spark_laplace(
+        _spark_u01(F.concat(F.lit("dph_"), F.col("bucket").cast("string"))),
+        1.0 / _DP_EPSILON,
+    )
     return rel.select(
         "bucket",
         "true_count",
@@ -747,11 +762,13 @@ def privacy_k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> Data
 
 
 # DP mean-release constants: row-value clamp bound (L_inf of one row's
-# contribution to the sum, in cents) and the two Laplace scales,
-# pre-folded to single literals so both engines fold identically
+# contribution to the sum, in cents) and the two Laplace scales —
+# COMPUTED at import (round-16 review: hand-folded copies go stale
+# when clamp/epsilon change); the f-string interpolation still folds
+# one identical float literal into both engines.
 _DPM_CLAMP = 50000  # $500.00
-_DPM_B_SUM = 50000.0  # _DPM_CLAMP / _DP_EPSILON
-_DPM_B_CNT = 1.0      # 1 / _DP_EPSILON
+_DPM_B_SUM = _DPM_CLAMP / _DP_EPSILON
+_DPM_B_CNT = 1 / _DP_EPSILON
 
 
 @register(
@@ -818,22 +835,14 @@ def privacy_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def lap(u_col, b):
-        return F.when(
-            u_col >= 0.5,
-            F.lit(-b) * F.log(F.lit(1.0) - F.lit(2.0) * (u_col - F.lit(0.5))),
-        ).otherwise(
-            F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u_col))
-        )
-
-    us_ = (spark_u32(F.concat(F.lit("dpm_s_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
-    uc_ = (spark_u32(F.concat(F.lit("dpm_c_"), F.col("event_type"))) + F.lit(0.5)) / F.lit(4294967296.0)
-    noisy_sum = F.col("clamped_sum") + lap(us_, _DPM_B_SUM)
+    us_ = _spark_u01(F.concat(F.lit("dpm_s_"), F.col("event_type")))
+    uc_ = _spark_u01(F.concat(F.lit("dpm_c_"), F.col("event_type")))
+    noisy_sum = F.col("clamped_sum") + _spark_laplace(us_, _DPM_B_SUM)
     # denominator clamp (r12 review fix): for a rare type (n_rows ~1-5)
     # the count noise can be <= -n_rows (~6% of key space at n=2),
     # flipping the released mean's sign or dividing by ~0 — the
     # standard mechanism clamps the noisy count at 1
-    noisy_n = F.greatest(F.col("n_rows") + lap(uc_, _DPM_B_CNT), F.lit(1.0))
+    noisy_n = F.greatest(F.col("n_rows") + _spark_laplace(uc_, _DPM_B_CNT), F.lit(1.0))
     return rel.select(
         "event_type",
         "n_rows",
@@ -959,12 +968,9 @@ def privacy_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("below"),
         F.sum("cnt").over(wall).alias("n_rows"),
     )
-    u = (
-        spark_u32(
-            F.concat(F.lit("dpq_"), F.col("event_type"), F.lit("_"), F.col("i").cast("string"))
-        )
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    u = _spark_u01(
+        F.concat(F.lit("dpq_"), F.col("event_type"), F.lit("_"), F.col("i").cast("string"))
+    )
     total = (
         F.lit(_DP_EPSILON)
         * (-F.abs(F.lit(2) * F.col("below") - F.col("n_rows")))

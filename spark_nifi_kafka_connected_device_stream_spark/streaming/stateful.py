@@ -552,6 +552,11 @@ EWMA_STREAM_STATE = T.StructType(
     [T.StructField("n", T.LongType()), T.StructField("ewma", T.DoubleType())]
 )
 
+# MUST equal operators/events_timeseries._EWMA_ALPHA — the bit-
+# identical-to-batch replay contract depends on it; mirrored instead
+# of imported (a module-level operators import would reorder registry
+# base positions), with the equality pinned by
+# tests/test_stateful_streaming.py::test_ewma_alpha_matches_batch
 EWMA_STREAM_ALPHA = 0.2
 
 
@@ -730,8 +735,19 @@ def status_streak_islands(
     batch any order is fine — the fn sorts).  The stream's final open
     run per key is never emitted (nothing closes it); replay tests
     close it with a sentinel status row.
+
+    NULL contract (round-16 review): rows with a NULL key, seq, or
+    status are DROPPED at the projection — the state machine overloads
+    status=None as 'no open run', so a null-status row would silently
+    swallow the open run instead of forming an island, and a null seq
+    has no position in the order.  Map nulls to a sentinel status
+    upstream if null runs are meaningful.
     """
-    projected = stream.select(
+    projected = stream.filter(
+        F.col(key_col).isNotNull()
+        & F.col(seq_col).isNotNull()
+        & F.col(status_col).isNotNull()
+    ).select(
         F.col(key_col).cast("string").alias("key"),
         F.col(seq_col).cast("bigint").alias("seq"),
         F.col(status_col).cast("string").alias("status"),
@@ -911,13 +927,23 @@ def streaming_asof_device_state(
     non-null, which the equivalence test exercises on the real
     fixtures.
     """
-    projected = stream.select(
-        F.col(key_col).cast("bigint").alias("key"),
-        F.col(ts_col).cast("bigint").alias("ts_us"),
-        F.coalesce(F.col(event_id_col).cast("bigint"), F.lit(-1)).alias("event_id"),
-        F.col(type_col).isin(*state_types).alias("is_state"),
-        F.col(value_col).cast("double").alias("value"),
-    ).filter(F.col("is_state") | (F.col(type_col) == probe_type))
+    # NULL-key/NULL-ts guard (round-16 review, the r12
+    # streaming_heavy_hitters precedent): a NULL key would crash
+    # int(key[0]) on the executor, a NULL probe ts would crash the
+    # int64 cast in the Arrow batch — one malformed event must not
+    # kill the query.  Rows without a key or timestamp cannot be
+    # matched (the batch twin's join drops them the same way).
+    projected = (
+        stream.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).cast("bigint").alias("key"),
+            F.col(ts_col).cast("bigint").alias("ts_us"),
+            F.coalesce(F.col(event_id_col).cast("bigint"), F.lit(-1)).alias("event_id"),
+            F.col(type_col).isin(*state_types).alias("is_state"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .filter(F.col("is_state") | (F.col(type_col) == probe_type))
+    )
     return projected.groupBy("key").applyInPandasWithState(
         _asof_enrich_fn,
         ASOF_OUTPUT,

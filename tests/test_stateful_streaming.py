@@ -2006,3 +2006,16 @@ def test_fuzzy_store_compaction_crash_resume(spark, tmp_path):
         for r in spark.read.parquet(store).drop("epoch").collect()
     )
     assert after_b == baseline  # rolled forward, zero duplicates
+
+
+def test_ewma_alpha_matches_batch():
+    """The streaming EWMA mirrors the batch smoothing constant instead
+    of importing it (module-level operator imports reorder registry
+    base positions); this pin is what keeps the bit-identical replay
+    contract honest (round-16 review)."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators import (
+        events_timeseries,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming import stateful
+
+    assert stateful.EWMA_STREAM_ALPHA == events_timeseries._EWMA_ALPHA
