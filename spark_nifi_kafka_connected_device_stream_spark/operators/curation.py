@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import pround
 from ..functions.scale import bounded_window_key
 from ..functions.textfns import bigram_pairs, normalize_text, shingles, tokens
+from . import _kmeans as _km
 from ..registry import register
 from ..sources.catalog import load_table
 from .dedup import _DUCK_TOKENS, _documents_parallel
@@ -229,104 +230,30 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# deterministic k-means over embeddings (one unrolled Lloyd round)
+# deterministic k-means over embeddings (one unrolled Lloyd round) —
+# machinery shared with the ANN coarse quantizer via operators/_kmeans
+# (round-17 move; the registering queries, constants and oracle text
+# stay HERE, byte-identical, so nothing about this tier's contract
+# changed — test_quality pins the generated CTE chain against the
+# shared generator)
 # ---------------------------------------------------------------------------
 
-def _dist2(vec_col: F.Column, cent_col: F.Column) -> F.Column:
-    """Σ (x - c)² over two double arrays, accumulated left-to-right."""
-    return F.aggregate(
-        F.zip_with(vec_col, cent_col, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cid, dist2): nearest centroid per vector, ties to the
-    lowest cid via min-of-struct.  centroids is k rows → broadcast
-    nested-loop; the big side never shuffles."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cid", _dist2(F.col("v"), F.col("c")).alias("dist2")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist2", "cid")).alias("b")
-    )
-    return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
+_dist2 = _km.dist2
+_assign = _km.assign
 
 
 def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, dist2) after the shared one-Lloyd-round k-means —
     the Spark twin of _KMEANS_SQL_CTES, reused by both the assignment
-    query and cluster_topic_terms."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    a1 = _assign(emb, init).select("vec_id", "cid")
-    # recenter: (cluster, dim) partial agg, then assemble ordered arrays
-    dims = a1.join(emb, "vec_id").select(
-        "cid", F.posexplode(F.col("v")).alias("j", "x")
-    )
-    mean1 = dims.groupBy("cid", "j").agg(
-        pround(F.avg("x"), CENTROID_DECIMALS).alias("m")
-    )
-    cent_means = mean1.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
-        ).alias("cm")
-    )
-    # empty-cluster retention (r12 review fix): if an init vector is a
-    # DUPLICATE of a lower-cid one, the tie-to-lowest assignment empties
-    # its cluster, recentering drops the cid, and the advertised k
-    # silently shrinks — standard Lloyd practice keeps the old centroid
-    # for an empty cluster, so every cid survives to the final assign
-    cent1 = init.select("cid", F.col("c").alias("c0")).join(
-        cent_means, "cid", "left"
-    ).select("cid", F.coalesce(F.col("cm"), F.col("c0")).alias("c"))
-    return _assign(emb, cent1)
-
+    query and cluster_topic_terms.  Delegates to operators/_kmeans with
+    this module's (KMEANS_K, CENTROID_DECIMALS) geometry."""
+    return _km.final_assign(spark, sf_dir, KMEANS_K, CENTROID_DECIMALS)
 
 
 # the deterministic one-Lloyd-round k-means CTE chain, shared between
 # the assignment query's oracle and the cluster-topic oracle so the
 # two can never disagree about what "the clustering" is
-_KMEANS_SQL_CTES = f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), init AS (
-      SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}
-    ), d1 AS (
-      SELECT e.vec_id, i.cid,
-             list_sum(list_transform(generate_series(1, len(e.v)),
-                                     j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j]))) AS dist2
-      FROM e CROSS JOIN init i
-    ), a1 AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-        FROM d1
-      ) WHERE rn = 1
-    ), mean1 AS (
-      SELECT a1.cid, gs.j,
-             floor(avg(e.v[gs.j]) * 1e{CENTROID_DECIMALS} + 0.5) / 1e{CENTROID_DECIMALS} AS m
-      FROM a1 JOIN e USING (vec_id),
-           LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) gs
-      GROUP BY a1.cid, gs.j
-    ), cent_means AS (
-      SELECT cid, list(m ORDER BY j) AS c FROM mean1 GROUP BY cid
-    ), cent1 AS (
-      SELECT i.cid, coalesce(cm.c, i.c) AS c
-      FROM init i LEFT JOIN cent_means cm USING (cid)
-    ), d2 AS (
-      SELECT e.vec_id, c1.cid,
-             list_sum(list_transform(generate_series(1, len(e.v)),
-                                     j -> (e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j]))) AS dist2
-      FROM e CROSS JOIN cent1 c1
-    )"""
+_KMEANS_SQL_CTES = _km.sql_ctes(KMEANS_K, CENTROID_DECIMALS)
 
 
 @register(

@@ -451,169 +451,6 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# IVF + scalar-quantized codes + exact re-rank (the production ANN stack)
-# ---------------------------------------------------------------------------
-
-N_CAND = 2 * TOP_K  # approximate candidates carried into the exact re-rank
-
-_DUCK_DQ_DOT = (
-    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-)
-
-
-def _duck_dq_cos(a: str, b: str) -> str:
-    d = _DUCK_DQ_DOT
-    return (
-        f"{d.format(a=a, b=b)} / "
-        f"(sqrt({d.format(a=a, b=a)}) * sqrt({d.format(a=b, b=b)}))"
-    )
-
-
-@register(
-    "similarity_topk_ivf_quantized",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), el AS (
-      SELECT vec_id, gs.j, v[gs.j] AS x
-      FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) gs
-    ), dims AS (
-      SELECT j, min(x) AS mn, max(x) AS mx FROM el GROUP BY j
-    ), dq AS (
-      SELECT vec_id,
-             list(d.mn + (CAST(CASE WHEN d.mx > d.mn
-                    THEN least(floor((el.x - d.mn) / (d.mx - d.mn) * 255.0), 255.0)
-                    ELSE 0.0 END AS INTEGER) + 0.5) * (d.mx - d.mn) / 255.0
-                  ORDER BY el.j) AS dv
-      FROM el JOIN dims d USING (j) GROUP BY vec_id
-    ), sides AS (
-      SELECT e.vec_id, e.label, e.v, dq.dv FROM e JOIN dq USING (vec_id)
-    ), approx AS (
-      SELECT * FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_duck_dq_cos("q.dv", "c.dv")} AS approx_raw,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_duck_dq_cos("q.dv", "c.dv")} DESC,
-                                           c.vec_id ASC) AS arnk
-        FROM sides q JOIN sides c ON c.label = q.label AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERIES}
-      ) WHERE arnk <= {N_CAND}
-    )
-    SELECT query_id, neighbor_id,
-           floor(exact_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
-           floor(approx_raw * 1000000.0 + 0.5) / 1000000.0 AS approx_sim,
-           CAST(rnk AS INTEGER) AS rnk
-    FROM (
-      SELECT a.query_id, a.neighbor_id, a.approx_raw,
-             {_duck_dq_cos("q.v", "c.v")} AS exact_raw,
-             row_number() OVER (PARTITION BY a.query_id
-                                ORDER BY {_duck_dq_cos("q.v", "c.v")} DESC,
-                                         a.neighbor_id ASC) AS rnk
-      FROM approx a
-      JOIN sides q ON q.vec_id = a.query_id
-      JOIN sides c ON c.vec_id = a.neighbor_id
-    ) WHERE rnk <= {TOP_K}
-    """,
-    doc=f"The production ANN stack end-to-end: IVF cell restriction + "
-        f"uint8 scalar-quantized codes for the approximate scan + exact "
-        f"re-rank of the top {N_CAND} candidates down to k={TOP_K}. The "
-        "approximate pass touches only dequantized codes (4x smaller at "
-        "rest — what actually fits in memory at 100 TB); full-precision "
-        "vectors are fetched for the candidate set only, which is "
-        "k-bounded per query regardless of corpus size. Per-dim stats "
-        "broadcast; candidate fetch is an equi-join on vec_id.",
-    tags=("similarity", "ann"),
-)
-def similarity_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    e = e.repartition(plan_parallelism(spark), "vec_id")
-    el = e.select("vec_id", F.posexplode("v").alias("j", "x"))
-    dims = el.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    qv = (
-        F.when(
-            F.col("mx") > F.col("mn"),
-            F.least(
-                F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
-                F.lit(255.0),
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .cast("int")
-    )
-    dqv = F.col("mn") + (qv + F.lit(0.5)) * (F.col("mx") - F.col("mn")) / 255.0
-    dq = (
-        el.join(F.broadcast(dims), "j")
-        .select("vec_id", "j", dqv.alias("dqv"))
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "dqv"))), lambda s: s["dqv"]
-            ).alias("dv")
-        )
-    )
-    sides = e.join(dq, "vec_id")
-    q = sides.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("dv").alias("q_dv"),
-    )
-    c = sides.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("c_label"),
-        F.col("dv").alias("c_dv"),
-    )
-    approx_sim = dot(F.col("q_dv"), F.col("c_dv")) / (
-        l2_norm(F.col("q_dv")) * l2_norm(F.col("c_dv"))
-    )
-    aw = Window.partitionBy("query_id").orderBy(F.desc("approx_raw"), F.asc("neighbor_id"))
-    approx = (
-        c.join(
-            F.broadcast(q),
-            (F.col("c_label") == F.col("q_label"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .withColumn("approx_raw", approx_sim)
-        .withColumn("arnk", F.row_number().over(aw))
-        .filter(F.col("arnk") <= N_CAND)
-        .select("query_id", "neighbor_id", "approx_raw")
-    )
-    # exact re-rank: fetch full-precision vectors for the k-bounded
-    # candidate set only.  The QUERY-side broadcast is filtered to the
-    # N_QUERIES rows FIRST (r12 review fix: broadcasting the unfiltered
-    # per-row table shipped the whole full-precision corpus to every
-    # executor — the unbounded-broadcast class, an OOM at the scale
-    # this op's own doc claims); the candidate side stays a plain join.
-    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
-    )
-    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
-    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
-        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
-    )
-    rw = Window.partitionBy("query_id").orderBy(F.desc("exact_raw"), F.asc("neighbor_id"))
-    return (
-        approx.join(F.broadcast(qv_full), "query_id")
-        .join(cv_full, "neighbor_id")
-        .withColumn("exact_raw", exact_sim)
-        .withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround("exact_raw", 6).alias("cos_sim"),
-            pround("approx_raw", 6).alias("approx_sim"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
-
-
 @register(
     "embedding_label_centroids",
     oracle="""
@@ -2102,544 +1939,4 @@ def embedding_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> Data
         pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
             "min_recall"
         ),
-    )
-
-
-# --- round 11: IVF nProbe sweep (recall/cost tuning curve) -------------------
-
-NPROBES = (1, 2, 4)
-
-# centroid dims and query dims quantized to e6 ints BEFORE the
-# query→cell ranking, so the probe order is exact integer arithmetic in
-# both engines (a raw avg() differs by ULP between engines and could
-# flip which cell ranks nprobe-th)
-_DUCK_QCELL_SCORE = """
-  (SELECT sum(qd.q_e6 * cd.c_e6) * 1.0
-          / (sqrt(sum(qd.q_e6 * qd.q_e6) * 1.0)
-             * sqrt(sum(cd.c_e6 * cd.c_e6) * 1.0))
-   FROM qdims qd JOIN cdims cd ON cd.i = qd.i AND cd.label = l.label
-   WHERE qd.query_id = q.vec_id)
-"""
-
-
-@register(
-    "similarity_ivf_nprobe_sweep",
-    oracle=f"""
-    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
-    cdims AS (
-      SELECT label, i,
-             CAST(floor((2 * sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
-                                             * 1000000.0 + 0.5) AS BIGINT))
-                         + count(*)) * 1.0 / (2 * count(*))) AS BIGINT) AS c_e6
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-      GROUP BY label, i
-    ),
-    qdims AS (
-      SELECT vec_id AS query_id, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
-                  AS BIGINT) AS q_e6
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-      WHERE vec_id < {N_QUERIES}
-    ),
-    qcell AS (
-      SELECT q.vec_id AS query_id, l.label,
-             row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY {_DUCK_QCELL_SCORE} DESC, l.label ASC)
-               AS cell_rank
-      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q(vec_id)
-      CROSS JOIN (SELECT DISTINCT label FROM embeddings) l(label)
-    ),
-    np AS (SELECT CAST(unnest([{", ".join(str(p) for p in NPROBES)}]) AS INTEGER) AS nprobe),
-    cand AS (
-      SELECT np.nprobe, qc.query_id, c.vec_id AS neighbor_id, c.embedding
-      FROM np
-      JOIN qcell qc ON qc.cell_rank <= np.nprobe
-      JOIN embeddings c ON c.label = qc.label AND c.vec_id <> qc.query_id
-    ),
-    ranked AS (
-      SELECT * FROM (
-        SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
-               row_number() OVER (
-                 PARTITION BY cand.nprobe, cand.query_id
-                 ORDER BY
-                   list_sum(list_transform(generate_series(1, len(q.embedding)),
-                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(generate_series(1, len(cand.embedding)),
-                        i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE)))))
-                   DESC, cand.neighbor_id ASC) AS rnk
-        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-      ) WHERE rnk <= {TOP_K}
-    ),
-    cost AS (
-      SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
-      FROM cand GROUP BY nprobe, query_id
-    ),
-    hits AS (
-      SELECT np.nprobe, bf.query_id,
-             CAST(count(r.neighbor_id) AS BIGINT) AS n_hits
-      FROM np CROSS JOIN bf
-      LEFT JOIN ranked r ON r.nprobe = np.nprobe
-                        AND r.query_id = bf.query_id
-                        AND r.neighbor_id = bf.neighbor_id
-      GROUP BY np.nprobe, bf.query_id
-    )
-    SELECT h.nprobe,
-           CAST(count(*) AS BIGINT) AS n_queries,
-           floor(avg(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
-             AS mean_recall,
-           floor(min(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
-             AS min_recall,
-           floor(avg(coalesce(c.n_cand, 0) * 1.0) * 1000000.0 + 0.5) / 1000000.0
-             AS avg_candidates
-    FROM hits h LEFT JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
-    GROUP BY h.nprobe
-    """,
-    doc=f"IVF tuning curve: recall@{TOP_K} AND candidates-scanned cost "
-        f"for nProbe in {NPROBES} — the table an ANN deployment reads "
-        "to pick its recall/latency point (the recall report flags the "
-        "1-cell search as low-recall; this quantifies what each extra "
-        "probed cell buys).  Cells are ranked per query by cosine to "
-        "the cell CENTROID — centroid and query dims quantized to e6 "
-        "ints first, so the probe order is exact cross-engine integer "
-        "arithmetic (a raw avg() ULP could flip the nprobe-th cell); "
-        "within-cell ranking reuses the exact brute-force cosine, and "
-        "ground truth composes the registered brute-force SQL.  Scale "
-        "shape: centroids = one (label, dim) partial agg; the "
-        "query×cell ranking is |queries|×|cells| (broadcast); "
-        "candidates stay cell-confined (nprobe× the IVF query's "
-        "candidates, never all-pairs); recall join on k·|queries| "
-        "rows.",
-    tags=("similarity", "ann", "quality"),
-)
-def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(plan_parallelism(spark), "vec_id")
-    dims = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("bigint")
-        .alias("x_e6"),
-    )
-    # centroid dim = round(mean of the QUANTIZED dims) computed as the
-    # pure-integer identity floor(s/n + 1/2) = floor((2s+n)/(2n)) over
-    # exact int64 sums — order-free AND byte-identical to the oracle
-    # (a raw avg() of doubles differs by summation-order ULP between
-    # engines and re-rounding a pre-rounded mean rounds a DIFFERENT
-    # quantity than the oracle's round-of-raw-mean; both failure modes
-    # found by review, both eliminated by rounding the same exact ints)
-    cdims = dims.groupBy("label", "i").agg(
-        F.floor(
-            (2 * F.sum("x_e6") + F.count(F.lit(1)))
-            * F.lit(1.0)
-            / (2 * F.count(F.lit(1)))
-        )
-        .cast("bigint")
-        .alias("c_e6")
-    )
-    # query dims from the 10 filtered rows directly — not by re-running
-    # the full-corpus explode a second time
-    qdims = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("q_e6"),
-        )
-    )
-    qc = (
-        # cdims is |cells|·|dims| rows (~640) — broadcast kills the
-        # dim-key exchange on both sides
-        qdims.join(F.broadcast(cdims), "i")
-        .groupBy("query_id", "label")
-        .agg(
-            F.sum(F.col("q_e6") * F.col("c_e6")).cast("bigint").alias("dot_e"),
-            F.sum(F.col("q_e6") * F.col("q_e6")).cast("bigint").alias("qq"),
-            F.sum(F.col("c_e6") * F.col("c_e6")).cast("bigint").alias("cc"),
-        )
-        .select(
-            "query_id",
-            "label",
-            (
-                F.col("dot_e") * F.lit(1.0)
-                / (
-                    F.sqrt(F.col("qq") * F.lit(1.0))
-                    * F.sqrt(F.col("cc") * F.lit(1.0))
-                )
-            ).alias("score"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
-    qcell = qc.withColumn("cell_rank", F.row_number().over(wq)).select(
-        "query_id", "label", "cell_rank"
-    )
-    nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
-    # (cell, nprobe) fan-out as a map-side explode — the equivalent
-    # tiny-side theta-join plans as a nested-loop and costs seconds of
-    # pure overhead for 300 output rows
-    probe_arr = F.array(*[F.lit(p) for p in NPROBES])
-    probed = qcell.select(
-        F.explode(
-            F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
-        ).alias("nprobe"),
-        "query_id",
-        "label",
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("c_label"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
-    )
-    cand = (
-        c.join(
-            F.broadcast(probed),
-            (c.c_label == probed.label) & (F.col("neighbor_id") != probed.query_id),
-        )
-        .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
-        .select(
-            "nprobe",
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("raw_sim"),
-        )
-    )
-    wr = Window.partitionBy("nprobe", "query_id").orderBy(
-        F.desc("raw_sim"), F.asc("neighbor_id")
-    )
-    # the candidates-scanned cost rides the SAME window pass as the
-    # ranking (count over the whole group), so the candidate set is
-    # generated exactly once — no checkpoint, no second scan branch
-    wall = Window.partitionBy("nprobe", "query_id")
-    ranked = (
-        cand.withColumn("n_cand", F.count(F.lit(1)).over(wall).cast("bigint"))
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            F.col("nprobe").alias("r_np"),
-            F.col("query_id").alias("r_qid"),
-            F.col("neighbor_id").alias("r_nid"),
-            "n_cand",
-        )
-        .localCheckpoint(eager=False)
-    )
-    cost = ranked.groupBy("r_np", "r_qid").agg(
-        F.max("n_cand").cast("bigint").alias("n_cand")
-    ).select(
-        F.col("r_np").alias("c_np"),
-        F.col("r_qid").alias("c_qid"),
-        "n_cand",
-    )
-    bf = similarity_topk_bruteforce(spark, sf_dir).select(
-        F.col("query_id").alias("bf_qid"), F.col("neighbor_id").alias("bf_neighbor")
-    )
-    hits = (
-        bf.crossJoin(F.broadcast(nps.select(F.col("nprobe").alias("np"))))
-        .join(
-            # k·|queries|·|nprobes| rows — broadcast, no exchange
-            F.broadcast(ranked),
-            (F.col("bf_qid") == F.col("r_qid"))
-            & (F.col("bf_neighbor") == F.col("r_nid"))
-            & (F.col("np") == F.col("r_np")),
-            "left",
-        )
-        .groupBy(F.col("np"), F.col("bf_qid"))
-        .agg(F.count(F.col("r_nid")).cast("bigint").alias("n_hits"))
-    )
-    return (
-        # LEFT join + coalesce (r12 review fix): cost rows exist only
-        # for (nprobe, query) groups with >= 1 candidate, so an inner
-        # join DROPPED queries whose probed cells held nothing —
-        # inflating mean/min recall exactly when probing fails; a
-        # failed query must count with recall 0 and 0 candidates
-        hits.join(
-            F.broadcast(cost),  # |nprobes|·|queries| rows
-            (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
-            "left",
-        )
-        .withColumn("n_cand", F.coalesce(F.col("n_cand"), F.lit(0)))
-        .groupBy(F.col("np").cast("int").alias("nprobe"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            pround(F.avg(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
-                "mean_recall"
-            ),
-            pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
-                "min_recall"
-            ),
-            pround(F.avg(F.col("n_cand") * F.lit(1.0)), 6).alias("avg_candidates"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# IVF + PQ composed: the billion-scale ANN serving layout (round 16,
-# VERDICT r15 item 3).  The two pieces built in earlier rounds —
-# IVF cell restriction (similarity_topk_ivf_quantized above) and the
-# product-quantization codebook (curation.embedding_product_quantization)
-# — compose here into the standard IVFADC plan of Jégou et al. 2011.
-# ---------------------------------------------------------------------------
-
-# PQ geometry — MUST match operators/curation.py's
-# embedding_product_quantization (tests/test_quality.py pins the
-# equality so the two files cannot drift apart; a module-level import
-# from curation would reorder registry base positions, so the three
-# ints are mirrored instead).
-IVFPQ_M = 8        # subspaces (64-dim embeddings -> 8 x 8-dim subvectors)
-IVFPQ_SUBDIM = 8
-IVFPQ_K = 4        # codebook entries per subspace (seed rows vec_id < 4)
-# PQ codes are far coarser than uint8 scalar quantization (2 bits vs 8
-# per subdim), so the exact re-rank gets a wider candidate budget —
-# still k-bounded per query, independent of corpus size.
-IVFPQ_NCAND = 4 * TOP_K
-
-_DUCK_IVFPQ_SUB = f"""
-      SELECT vec_id, label, gs.m,
-             list_slice(v, gs.m * {IVFPQ_SUBDIM} + 1,
-                        gs.m * {IVFPQ_SUBDIM} + {IVFPQ_SUBDIM}) AS sv
-      FROM e, LATERAL (SELECT unnest(generate_series(0, {IVFPQ_M - 1})) AS m) gs
-"""
-
-
-@register(
-    "similarity_topk_ivfpq",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), sub AS ({_DUCK_IVFPQ_SUB}
-    ), cent AS (
-      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {IVFPQ_K}
-    ), cnorm AS (
-      SELECT m, k,
-             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
-                  j -> cv[j] * cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS cn2_e6
-      FROM cent
-    ), dists AS (
-      SELECT s.vec_id, s.label, s.m, c.k,
-             list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
-                 j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist2
-      FROM sub s JOIN cent c USING (m)
-    ), codes AS (
-      SELECT vec_id AS neighbor_id, label AS c_label, m, k FROM (
-        SELECT vec_id, label, m, k,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY dist2, k) AS rn
-        FROM dists
-      ) WHERE rn = 1
-    ), qn AS (
-      SELECT vec_id AS query_id, label AS q_label,
-             sqrt(list_sum(list_transform(generate_series(1, len(v)),
-                  i -> v[i] * v[i]))) AS q_norm
-      FROM e WHERE vec_id < {N_QUERIES}
-    ), lut AS (
-      SELECT s.vec_id AS query_id, s.m, c.k,
-             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
-                  j -> s.sv[j] * c.cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS pdot_e6
-      FROM sub s JOIN cent c USING (m)
-      WHERE s.vec_id < {N_QUERIES}
-    ), adc AS (
-      SELECT q.query_id, co.neighbor_id, q.q_norm,
-             CAST(sum(l.pdot_e6) AS BIGINT) AS adot_e6,
-             CAST(sum(cn.cn2_e6) AS BIGINT) AS cn2s_e6
-      FROM codes co
-      JOIN qn q ON q.q_label = co.c_label AND co.neighbor_id <> q.query_id
-      JOIN lut l ON l.query_id = q.query_id AND l.m = co.m AND l.k = co.k
-      JOIN cnorm cn ON cn.m = co.m AND cn.k = co.k
-      GROUP BY q.query_id, co.neighbor_id, q.q_norm
-    ), approx AS (
-      SELECT * FROM (
-        SELECT query_id, neighbor_id,
-               (adot_e6 * 1.0 / 1000000.0)
-                 / (q_norm * sqrt(cn2s_e6 * 1.0 / 1000000.0)) AS approx_raw,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY (adot_e6 * 1.0 / 1000000.0)
-                   / (q_norm * sqrt(cn2s_e6 * 1.0 / 1000000.0)) DESC,
-                   neighbor_id ASC) AS arnk
-        FROM adc
-      ) WHERE arnk <= {IVFPQ_NCAND}
-    )
-    SELECT query_id, neighbor_id,
-           floor(exact_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
-           floor(approx_raw * 1000000.0 + 0.5) / 1000000.0 AS approx_sim,
-           CAST(rnk AS INTEGER) AS rnk
-    FROM (
-      SELECT a.query_id, a.neighbor_id, a.approx_raw,
-             {_duck_dq_cos("q.v", "c.v")} AS exact_raw,
-             row_number() OVER (PARTITION BY a.query_id
-                                ORDER BY {_duck_dq_cos("q.v", "c.v")} DESC,
-                                         a.neighbor_id ASC) AS rnk
-      FROM approx a
-      JOIN e q ON q.vec_id = a.query_id
-      JOIN e c ON c.vec_id = a.neighbor_id
-    ) WHERE rnk <= {TOP_K}
-    """,
-    doc=f"IVFADC — the production billion-scale ANN layout (Jégou et "
-        f"al. 2011), composing the repo's IVF cell restriction with "
-        f"the PQ codebook of embedding_product_quantization: the "
-        f"corpus at rest is ONLY (cell, m, code) rows — "
-        f"log2({IVFPQ_K})·{IVFPQ_M} bits per vector, the ~100 TB -> "
-        f"~1 TB compression rung that makes a full-corpus resident "
-        f"index possible at all.  Per query, an asymmetric-distance "
-        f"lookup table (full-precision query subvector · every "
-        f"codebook entry = {IVFPQ_M}x{IVFPQ_K} partial dots) is built "
-        f"and BROADCAST (|queries|·{IVFPQ_M * IVFPQ_K} rows — "
-        f"constant per query, never corpus-sized); scoring a "
-        f"candidate is then {IVFPQ_M} LUT additions via an equi-join "
-        f"on (cell, m, code) — no float vector is touched until the "
-        f"exact re-rank fetches full precision for the top-{IVFPQ_NCAND} "
-        f"candidates per query (k-bounded regardless of corpus "
-        f"size).  Cross-engine determinism: LUT partial dots and "
-        f"codebook-entry norms are quantized to e6 int64 BEFORE the "
-        f"per-candidate sums, so the approximate ORDER is exact "
-        f"integer arithmetic and the emitted approx_sim is "
-        f"bit-identical; the exact re-rank reuses the proven "
-        f"left-to-right double fold.  Recall vs exact brute force is "
-        f"recorded in artifacts/ivfpq_recall_r16.json (same sweep "
-        f"style as similarity_ivf_nprobe_sweep).",
-    tags=("similarity", "ann"),
-)
-def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    e = e.repartition(plan_parallelism(spark), "vec_id")
-    sub = e.select(
-        "vec_id",
-        "label",
-        F.explode(F.sequence(F.lit(0), F.lit(IVFPQ_M - 1))).alias("m"),
-        "v",
-    ).select(
-        "vec_id",
-        "label",
-        "m",
-        F.slice(F.col("v"), F.col("m") * IVFPQ_SUBDIM + 1, IVFPQ_SUBDIM).alias("sv"),
-    )
-    # codebook: IVFPQ_M x IVFPQ_K rows — constant-size by construction,
-    # so its broadcast is justified (the kmeans/PQ seed protocol)
-    cent = sub.filter(F.col("vec_id") < IVFPQ_K).select(
-        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
-    )
-    cnorm = cent.select(
-        "m",
-        "k",
-        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cn2_e6"),
-    )
-    # encode the corpus: nearest codebook entry per (vector, subspace).
-    # dist2 is the same left-to-right double fold as the PQ operator,
-    # so the code assignment is bit-identical cross-engine.
-    dist2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = sub.join(F.broadcast(cent), "m").select(
-        "vec_id", "label", "m", "k", dist2.alias("dist2")
-    )
-    codes = (
-        dists.groupBy("vec_id", "label", "m")
-        .agg(F.min(F.struct("dist2", "k")).alias("b"))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("c_label"),
-            "m",
-            F.col("b.k").alias("k"),
-        )
-    )
-    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        l2_norm(F.col("v")).alias("q_norm"),
-    )
-    # the ADC lookup table: |queries| x M x K exact-int partial dots
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "m")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("lm"),
-            F.col("k").alias("lk"),
-            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("pdot_e6"),
-        )
-    )
-    lutq = lut.join(F.broadcast(qn), "query_id")
-    # scoring: codes ⋈ broadcast LUT on (cell, m, code) — the corpus
-    # side never rehydrates a float vector
-    adc = (
-        codes.join(F.broadcast(cnorm), ["m", "k"])
-        .join(
-            F.broadcast(lutq),
-            (F.col("c_label") == F.col("q_label"))
-            & (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("m") == F.col("lm"))
-            & (F.col("k") == F.col("lk")),
-        )
-        .groupBy("query_id", "neighbor_id", "q_norm")
-        .agg(
-            F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
-            F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
-        )
-    )
-    approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (
-        F.col("q_norm") * F.sqrt(F.col("cn2s_e6") * F.lit(1.0) / F.lit(1e6))
-    )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_raw"), F.asc("neighbor_id")
-    )
-    approx = (
-        adc.withColumn("approx_raw", approx_raw)
-        .withColumn("arnk", F.row_number().over(aw))
-        .filter(F.col("arnk") <= IVFPQ_NCAND)
-        .select("query_id", "neighbor_id", "approx_raw")
-    )
-    # exact re-rank: full-precision vectors for the k-bounded candidate
-    # set only; query side filtered BEFORE broadcast (the r12 rule)
-    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
-    )
-    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
-    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
-        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
-    )
-    rw = Window.partitionBy("query_id").orderBy(
-        F.desc("exact_raw"), F.asc("neighbor_id")
-    )
-    return (
-        approx.join(F.broadcast(qv_full), "query_id")
-        .join(cv_full, "neighbor_id")
-        .withColumn("exact_raw", exact_sim)
-        .withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround("exact_raw", 6).alias("cos_sim"),
-            pround("approx_raw", 6).alias("approx_sim"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
     )

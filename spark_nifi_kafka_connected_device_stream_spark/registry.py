@@ -37,6 +37,10 @@ _OPERATOR_MODULES = (
     "spark_nifi_kafka_connected_device_stream_spark.operators.windows",
     "spark_nifi_kafka_connected_device_stream_spark.operators.text",
     "spark_nifi_kafka_connected_device_stream_spark.operators.similarity",
+    # the r17 split of the 2.6k-LoC similarity module (VERDICT r16 item
+    # 4): the ANN serving tier (IVF/PQ/IVFADC + the nprobe sweep) moved
+    # into its own file, same treatment as the r14/r15 splits
+    "spark_nifi_kafka_connected_device_stream_spark.operators.similarity_ann",
     "spark_nifi_kafka_connected_device_stream_spark.operators.pipeline_ops",
     "spark_nifi_kafka_connected_device_stream_spark.operators.dedup",
     "spark_nifi_kafka_connected_device_stream_spark.operators.events",
@@ -104,92 +108,93 @@ def register(
 # _DEMOTE to the BACK — everything else keeps registration order.  This
 # lets a round put specific never-driver-checked queries inside the
 # driver's 50-entry correctness window without reshuffling whole
-# modules.  Round 16 executes the rotation pinned at end of round 15
-# (VERDICT r15 item 1), fully determined with zero slack: the first 6
-# slots are ALL of round 15's DEFERRED queue (never-driver-checked
-# backlog → ZERO), the next 23 are the ENTIRE residual of the cohort
-# whose freshest green row is round 9 (after this round no stamp is
-# older than round 10), and the remaining 21 are the
-# alphabetically-first 21 of the 50-query r10 cohort (computed fresh
-# from CORRECTNESS_r01..r15).
+# modules.  Round 17 executes the rotation pinned at end of round 16
+# (VERDICT r16 item 1), fully determined with zero slack: the first 3
+# slots are ALL of round 16's DEFERRED queue (never-driver-checked
+# backlog → ZERO), the next 29 are the ENTIRE residual of the cohort
+# whose freshest green row is round 10 (after this round no stamp is
+# older than round 11), and the remaining 18 are the
+# alphabetically-first 18 of the 50-query r11 cohort (computed fresh
+# from CORRECTNESS_r01..r16).
 _PROMOTE: tuple[str, ...] = (
-    # ex-DEFERRED: round-15 additions never driver-checked (6)
-    "join_asof_device_state",
-    "join_asof_nearest_state",
-    "documents_dsir_weights",
-    "embedding_product_quantization",
-    "events_watermark_lateness_audit",
-    "dedup_incremental_minhash_assign",
-    # stale re-checks: the residual 23 of the r9 cohort (retires r9)
-    "events_device_uptime",
-    "events_erasure_impact",
-    "events_hll_partial_merge_bound",
-    "events_holt_forecast_hourly",
-    "events_linear_attribution",
-    "events_session_paths",
-    "events_survival_kaplan_meier",
-    "events_time_weighted_value",
-    "events_user_activity_percentiles",
-    "events_value_outliers_mad",
-    "multimodal_payload_stats_arrow",
-    "orders_benford_screen",
-    "orders_open_backlog_daily",
-    "orders_pointintime_segment",
-    "pandas_udf_charge",
-    "part_bom_explosion",
-    "supplier_hhi_concentration",
-    "text_langid_confusion",
-    "text_repetition_stats",
-    "text_sentences_udtf",
-    "text_sentiment_lexicon",
-    "text_top_bigrams",
-    "text_vocab_coverage",
-    # stale re-checks: alphabetically-first 21 of the r10 cohort
-    "corpus_ingest_batch",
-    "customers_all_quarters_1995",
-    "dedup_allpairs_prefix",
-    "dedup_exact_substring",
-    "dedup_lsh_recall_report",
-    "dedup_sorted_neighborhood",
-    "dedup_survivorship_policy",
-    "documents_heaps_law",
-    "documents_length_anova_by_lang",
-    "documents_perplexity_buckets",
-    "documents_quality_calibration",
-    "documents_source_lang_mutual_info",
-    "embedding_dim_correlation",
-    "embedding_kcenter_coreset",
-    "embedding_knn_bfs_hops",
-    "events_cms_frequency_bound",
-    "events_debounce_stats",
-    "events_dow_hour_profile",
-    "events_forecast_backtest",
-    "events_hourly_acf",
-    "events_interarrival_burstiness",
+    # ex-DEFERRED: round-16 additions never driver-checked (3)
+    "similarity_topk_ivfpq",
+    "text_bpe_train_merges",
+    "text_bpe_segment_apply",
+    # stale re-checks: the residual 29 of the r10 cohort (retires r10)
+    "events_mann_whitney_value",
+    "events_peak_concurrency",
+    "events_session_trigrams",
+    "events_spearman_hour_value",
+    "events_theil_sen_trend",
+    "events_user_gini",
+    "events_value_log2_histogram",
+    "events_value_winsorized_stats",
+    "events_weekly_growth_accounting",
+    "lineitem_discount_elasticity",
+    "lineitem_returns_pchart",
+    "nation_revenue_share_of_region",
+    "orders_bloom_prefilter_bound",
+    "orders_cohort_ltv_curve",
+    "orders_column_profile",
+    "orders_interpurchase_intervals",
+    "orders_monthly_seasonality",
+    "orders_ship_latency_percentiles",
+    "part_fuzzy_linkage_blocked",
+    "part_skyline_price_size",
+    "privacy_l_diversity_report",
+    "privacy_pii_gate_batch",
+    "similarity_recall_report",
+    "source_crossentropy_matrix",
+    "split_leakage_report",
+    "text_bm25_search",
+    "text_collocation_lift",
+    "text_zipf_fit",
+    "window_percent_rank_cume_dist",
+    # stale re-checks: alphabetically-first 18 of the r11 cohort
+    "dedup_threshold_sensitivity",
+    "documents_holdout_perplexity",
+    "documents_length_tukey_pairs",
+    "documents_source_simpson_diversity",
+    "embedding_effective_dims",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "embedding_random_projection_distortion",
+    "embedding_scalar_quantize",
+    "embedding_silhouette_by_label",
+    "events_ab_srm_check",
+    "events_audience_overlap",
+    "events_bootstrap_mean_ci",
+    "events_bounce_rate_daily",
+    "events_fano_dispersion",
+    "events_gapfill_hourly",
+    "events_hill_tail_index",
+    # ROTATION DEVIATION (documented): the 18th r11 slot goes to
+    # similarity_topk_ivf_quantized instead of events_hourly_stats —
+    # round 17 changed its SEMANTICS (label-as-cell -> k-means coarse
+    # quantizer, VERDICT r16 item 2), which invalidates its old stamp;
+    # a changed query needs a fresh driver row more than an 18th stale
+    # re-check does.  events_hourly_stats moves to the r18 residual.
+    "similarity_topk_ivf_quantized",
 )
 _DEMOTE: tuple[str, ...] = ()
 
 # Queries registered AFTER this round's 50-entry driver window filled.
-# Round 16's window is FULLY consumed by the pinned rotation (6
-# ex-DEFERRED + 23 r9-residual + 21 r10-stale re-checks — VERDICT r15
-# item 1), so this queue restarts empty and collects ONLY round-16
-# additions — capped at 12 so round 17's window keeps 38 slots for
+# Round 17's window is FULLY consumed by the pinned rotation (3
+# ex-DEFERRED + 29 r10-residual + 18 r11-stale re-checks — VERDICT r16
+# item 1), so this queue restarts empty and collects ONLY round-17
+# additions — capped at 12 so round 18's window keeps 38 slots for
 # stale re-checks.  Every name here must be oracle-parity-green
 # locally on every pytest run; tests/test_oracle_parity.py asserts
 # that any never-driver-checked query is either inside the window or
 # on this explicit queue — a silent backlog stays impossible.
-# Round-17 rotation, pre-computed (same construction): _PROMOTE =
-# this DEFERRED queue + the residual 29 of the r10 cohort
-# (events_mann_whitney_value .. window_percent_rank_cume_dist,
-# alphabetical) +
-# enough of the alphabetically-first r11 cohort to fill 50 (compute
-# fresh from CORRECTNESS_r01..r16).
-DEFERRED: tuple[str, ...] = (
-    # round-16 additions (VERDICT r15 items 3/5/6 + widening)
-    "similarity_topk_ivfpq",
-    "text_bpe_train_merges",
-    "text_bpe_segment_apply",
-)
+# Round-18 rotation, pre-computed (same construction): _PROMOTE =
+# this DEFERRED queue + the residual 33 of the r11 cohort
+# (events_hourly_stats + events_id_integrity_audit ..
+# text_token_fertility_by_lang, alphabetical) +
+# enough of the alphabetically-first r12 cohort to fill 50 (compute
+# fresh from CORRECTNESS_r01..r17).
+DEFERRED: tuple[str, ...] = ()
 
 
 def _load() -> None:

@@ -70,26 +70,23 @@ def test_ivf_matches_bruteforce_within_cell(spark):
         assert ranks == sorted(ranks), f"query {q}: IVF order disagrees with brute force"
 
 
-def test_ivf_quantized_rerank_recovers_ivf_topk(spark):
-    """Quantization perturbs similarities by at most the code-cell size;
-    after the exact re-rank over 2k candidates, the final top-k should
-    almost always equal the unquantized IVF top-k (same cells, exact
-    final scores — only candidates squeezed out in the approximate pass
-    can differ)."""
-    ivf = SPECS["similarity_topk_ivf"].fn(spark, SF_MEDIUM).collect()
+def test_ivf_quantized_rerank_exact_scores_match_bruteforce(spark):
+    """The exact re-rank uses full precision, so every pair the
+    quantized path returns that the brute-force ranking also returns
+    must carry bit-identical cos_sim (until round 17 this was checked
+    against label-cell similarity_topk_ivf — the "same cells" premise
+    died with the k-means coarse quantizer, so brute force is now the
+    anchor; recall floors live in
+    test_ivf_quantized_recall_vs_bruteforce)."""
+    bf = SPECS["similarity_topk_bruteforce"].fn(spark, SF_MEDIUM).collect()
     ivfq = SPECS["similarity_topk_ivf_quantized"].fn(spark, SF_MEDIUM).collect()
-    plain = {(r["query_id"], r["neighbor_id"]) for r in ivf}
-    quant = {(r["query_id"], r["neighbor_id"]) for r in ivfq}
-    assert len(quant) == len(plain)
-    recall = len(plain & quant) / len(plain)
-    assert recall >= 0.9, f"quantized ANN recall {recall:.2f} vs plain IVF"
-    # exact-score parity on the common pairs: the re-rank used full
-    # precision, so cos_sim must agree exactly with the IVF numbers
-    ivf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf}
+    assert len(ivfq) == len(bf)
+    bf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
     for r in ivfq:
+        assert abs(r["approx_sim"]) <= 1.0 + 1e-6
         key = (r["query_id"], r["neighbor_id"])
-        if key in ivf_sim:
-            assert abs(r["cos_sim"] - ivf_sim[key]) < 1e-9
+        if key in bf_sim:
+            assert abs(r["cos_sim"] - bf_sim[key]) < 1e-9
 
 
 def test_simhash_near_dups_collide(spark):
@@ -589,7 +586,7 @@ def test_ivf_nprobe_recall_and_cost_monotone(spark):
     """Probing more cells can only add candidates: both recall and the
     candidates-scanned cost must be non-decreasing in nProbe — the
     tuning-curve property the sweep exists to expose."""
-    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity import (
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity_ann import (
         similarity_ivf_nprobe_sweep,
     )
 
@@ -611,35 +608,65 @@ def test_ivfpq_geometry_matches_pq_operator():
     keeps the two files from drifting apart."""
     from spark_nifi_kafka_connected_device_stream_spark.operators import (
         curation,
-        similarity,
+        similarity_ann,
     )
 
-    assert similarity.IVFPQ_M == curation.PQ_M
-    assert similarity.IVFPQ_SUBDIM == curation.PQ_SUBDIM
-    assert similarity.IVFPQ_K == curation.PQ_K
+    assert similarity_ann.IVFPQ_M == curation.PQ_M
+    assert similarity_ann.IVFPQ_SUBDIM == curation.PQ_SUBDIM
+    assert similarity_ann.IVFPQ_K == curation.PQ_K
 
 
-def test_ivfpq_rerank_agrees_with_ivf_on_common_pairs(spark):
+def test_kmeans_sql_generator_matches_curation_chain():
+    """operators/_kmeans.sql_ctes is the ONE k-means CTE chain; the
+    curation oracle constant must be exactly its (KMEANS_K,
+    CENTROID_DECIMALS) instantiation, so the ANN coarse quantizer
+    (different k, same generator) and the curation clustering can
+    never drift in shape."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators import (
+        _kmeans,
+        curation,
+    )
+
+    assert curation._KMEANS_SQL_CTES == _kmeans.sql_ctes(
+        curation.KMEANS_K, curation.CENTROID_DECIMALS
+    )
+
+
+def test_ivfpq_rerank_exact_and_recall_vs_bruteforce(spark):
     """IVFADC scores candidates from 4-entry-per-subspace PQ codes — a
     much coarser approximation than uint8 scalar quantization — but the
     exact re-rank uses full precision, so (a) every pair IVFPQ returns
-    must carry the same exact cos_sim as the unquantized IVF ranking,
-    (b) the approximate score must be a sane cosine (|x| <= 1 + eps),
-    and (c) recall vs plain IVF stays useful (the artifact
-    artifacts/ivfpq_recall_r16.json records the measured value)."""
-    ivf = SPECS["similarity_topk_ivf"].fn(spark, SF_MEDIUM).collect()
+    must carry the same exact cos_sim as the brute-force ranking, (b)
+    the approximate score must be a sane cosine (|x| <= 1 + eps), and
+    (c) since round 17's k-means coarse quantizer (VERDICT r16 item 2)
+    recall vs EXACT BRUTE FORCE must be materially useful — the
+    label-as-cell stand-in this replaced measured 0.08-0.16
+    (artifacts/ivfpq_recall_r16.json vs ivfpq_recall_r17.json)."""
+    bf = SPECS["similarity_topk_bruteforce"].fn(spark, SF_MEDIUM).collect()
     pq = SPECS["similarity_topk_ivfpq"].fn(spark, SF_MEDIUM).collect()
-    assert len(pq) == len(ivf)
-    ivf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf}
+    assert len(pq) == len(bf)
+    bf_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
     for r in pq:
         assert abs(r["approx_sim"]) <= 1.0 + 1e-6
         key = (r["query_id"], r["neighbor_id"])
-        if key in ivf_sim:
-            assert abs(r["cos_sim"] - ivf_sim[key]) < 1e-9
-    recall = len(set(ivf_sim) & {(r["query_id"], r["neighbor_id"]) for r in pq}) / len(
-        ivf_sim
+        if key in bf_sim:
+            assert abs(r["cos_sim"] - bf_sim[key]) < 1e-9
+    recall = len(set(bf_sim) & {(r["query_id"], r["neighbor_id"]) for r in pq}) / len(
+        bf_sim
     )
-    assert recall >= 0.5, f"IVFPQ recall vs plain IVF collapsed: {recall:.2f}"
+    assert recall >= 0.5, f"IVFPQ recall vs brute force collapsed: {recall:.2f}"
+
+
+def test_ivf_quantized_recall_vs_bruteforce(spark):
+    """The scalar-quantized serving path shares the k-means coarse
+    quantizer; uint8 codes are a tight approximation, so its recall
+    floor sits higher than IVFPQ's."""
+    bf = SPECS["similarity_topk_bruteforce"].fn(spark, SF_MEDIUM).collect()
+    ivfq = SPECS["similarity_topk_ivf_quantized"].fn(spark, SF_MEDIUM).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivfq}
+    recall = len(bf_pairs & got) / len(bf_pairs)
+    assert recall >= 0.6, f"IVF-quantized recall vs brute force: {recall:.2f}"
 
 
 def test_bpe_train_merges_hand_example_and_determinism(spark, tmp_path):
