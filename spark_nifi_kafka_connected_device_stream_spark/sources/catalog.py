@@ -40,7 +40,29 @@ TABLES = (
 # events plan embeds the tz in its wall-time correction (tests flip tz
 # mid-session); failed reads (bad path) are never cached, so
 # missing-path errors still surface per call.
+#
+# Bounded LRU (round-17 review): under heavy spark.newSession() churn,
+# per-sibling entries previously accumulated for the application's
+# lifetime.  A collected-session weakref CANNOT be the eviction signal
+# here — every cached DataFrame strongly references its session
+# (df.sparkSession), so the cache itself pins the session object and
+# the weakref would never die.  Instead the cache is a plain LRU
+# capped at _PLAN_CACHE_MAX entries (recent sessions × tables fit
+# comfortably; an evicted entry just re-pays one ~0.1-0.25 s schema
+# capture), which also releases the pinned session objects of cold
+# siblings so they CAN be collected.
 _PLAN_CACHE: dict[tuple[str, str, str, str, str], DataFrame] = {}
+_PLAN_CACHE_MAX = 128
+
+
+def _cache_put(key: tuple, df: DataFrame) -> None:
+    """LRU insert: evict the least-recently-used entries once the cap
+    is reached (the superseded/app-level evictions in load_table handle
+    correctness; this one only bounds growth)."""
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        del _PLAN_CACHE[next(iter(_PLAN_CACHE))]
+    _PLAN_CACHE[key] = df
+
 
 # Fingerprint memo (ADVICE r12): the full recursive walk + name digest
 # ran on EVERY load_table call — including cache hits — so per-call
@@ -186,6 +208,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
+        # refresh LRU recency so an active session's tables stay warm
+        _PLAN_CACHE[key] = _PLAN_CACHE.pop(key)
         return cached
     # evict entries from previous applications, and SUPERSEDED
     # fingerprints of this same (app, session, tz, dir, table) —
@@ -197,7 +221,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         del _PLAN_CACHE[k]
     if name != "events":
         df = spark.read.parquet(path)
-        _PLAN_CACHE[key] = df
+        _cache_put(key, df)
         return df
     # save/restore: the flag is consulted at read() time (schema capture),
     # not at execution, so scoping it here keeps later parquet reads in
@@ -232,12 +256,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # instant (isAdjustedToUTC=true) fixture: already epoch micros
         df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
     else:
-        _PLAN_CACHE[key] = df
+        _cache_put(key, df)
         return df
     df = df.withColumn(
         "ts", F.to_utc_timestamp(F.timestamp_micros(F.col("ts_us")), tz)
     )
-    _PLAN_CACHE[key] = df
+    _cache_put(key, df)
     return df
 
 

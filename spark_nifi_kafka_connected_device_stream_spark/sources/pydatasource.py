@@ -508,6 +508,28 @@ class _AuditWriter(DataSourceWriter):
         if os.path.exists(mpath):
             with open(mpath) as f:
                 prev = _json.load(f)
+        if not self.overwrite:
+            # append MERGES with the committed manifest: the documented
+            # reader contract is "trust only manifested files", so a
+            # second job must extend the manifest, not silently unlist
+            # (= logically delete) the first job's data (round-16
+            # review)
+            manifest = sorted(
+                prev + manifest,
+                key=lambda d: d["file"],
+            )
+        # manifest-first, delete-after (round-17 review / move-before-
+        # delete doctrine): the new manifest lands ATOMICALLY via
+        # temp+rename BEFORE any old file is removed — a crash in the
+        # overwrite window previously left the OLD manifest authoritative
+        # while the files it named were already gone, making committed
+        # data unreadable under the manifest contract.  After the rename
+        # the commit point has passed; a crash then only leaves harmless
+        # unlisted stragglers.
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
         if self.overwrite:
             # overwrite REPLACES the manifest and removes the files the
             # old manifest named (round-16 review: leaving them meant
@@ -521,18 +543,6 @@ class _AuditWriter(DataSourceWriter):
                         os.remove(os.path.join(self.path, d["file"]))
                     except FileNotFoundError:
                         pass
-        else:
-            # append MERGES with the committed manifest: the documented
-            # reader contract is "trust only manifested files", so a
-            # second job must extend the manifest, not silently unlist
-            # (= logically delete) the first job's data (round-16
-            # review)
-            manifest = sorted(
-                prev + manifest,
-                key=lambda d: d["file"],
-            )
-        with open(mpath, "w") as f:
-            _json.dump(manifest, f, indent=1)
 
     def abort(self, messages):
         import os

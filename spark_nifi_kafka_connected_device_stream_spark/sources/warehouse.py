@@ -192,8 +192,15 @@ def compact_parquet(
         raise FileNotFoundError(
             f"compact_parquet: no parquet files under {src_dir!r}"
         ) from exc
+    # inputFiles() returns URIs — percent-encoded characters (spaces,
+    # '%', non-ASCII partition values) must be unquoted before any
+    # os.path call, or getsize raises FileNotFoundError on paths the
+    # old raw glob handled (round-17 review)
+    from urllib.parse import unquote, urlparse
+
     src_files = [
-        f[len("file:"):] if f.startswith("file:") else f for f in df.inputFiles()
+        unquote(urlparse(f).path) if f.startswith("file:") else f
+        for f in df.inputFiles()
     ]
     if not src_files:
         raise FileNotFoundError(f"compact_parquet: no parquet files under {src_dir!r}")

@@ -306,3 +306,34 @@ def test_bench_list_covers_registry():
     )
     for name, reason in bench.BENCH_EXCLUDE.items():
         assert reason.strip(), f"{name} excluded without a documented reason"
+
+
+def test_plan_cache_is_bounded_lru():
+    """Round-17 review: heavy spark.newSession() churn used to grow
+    _PLAN_CACHE without bound (each sibling's entries lingered for the
+    application's lifetime — and each cached DataFrame pins its
+    session object, so a weakref-based eviction could never fire).
+    The cache is now a capped LRU: inserts beyond the cap evict the
+    least-recently-used entry, and a hit refreshes recency."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources import catalog
+
+    saved, saved_max = dict(catalog._PLAN_CACHE), catalog._PLAN_CACHE_MAX
+    try:
+        catalog._PLAN_CACHE.clear()
+        catalog._PLAN_CACHE_MAX = 4
+        for i in range(10):
+            catalog._cache_put(("app", i, "tz", "d", "t", "f"), object())
+        assert len(catalog._PLAN_CACHE) == 4
+        assert ("app", 9, "tz", "d", "t", "f") in catalog._PLAN_CACHE
+        assert ("app", 0, "tz", "d", "t", "f") not in catalog._PLAN_CACHE
+        # recency refresh: touching the oldest entry must save it from
+        # the next eviction (the load_table hit path does this pop/put)
+        oldest = ("app", 6, "tz", "d", "t", "f")
+        catalog._PLAN_CACHE[oldest] = catalog._PLAN_CACHE.pop(oldest)
+        catalog._cache_put(("app", 10, "tz", "d", "t", "f"), object())
+        assert oldest in catalog._PLAN_CACHE
+        assert ("app", 7, "tz", "d", "t", "f") not in catalog._PLAN_CACHE
+    finally:
+        catalog._PLAN_CACHE_MAX = saved_max
+        catalog._PLAN_CACHE.clear()
+        catalog._PLAN_CACHE.update(saved)

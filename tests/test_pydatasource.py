@@ -353,3 +353,58 @@ def test_registry_conjunctive_region_filters_intersect(spark):
         .filter("region in ('na', 'latam')")
     )
     assert df.count() == 0
+
+
+def test_audit_overwrite_commit_is_manifest_first(tmp_path, monkeypatch):
+    """Round-17 review (move-before-delete doctrine): the overwrite
+    commit must land the NEW manifest atomically BEFORE removing the
+    files the old manifest named.  A crash inside the commit window
+    previously left the old manifest authoritative while its files
+    were already deleted — previously committed data became unreadable
+    under the 'trust only manifested files' contract.  Simulate the
+    crash at the atomic-rename commit point and assert the old
+    generation is fully intact; then let the commit complete and
+    assert the stale files are gone."""
+    import json
+    import os
+
+    from spark_nifi_kafka_connected_device_stream_spark.sources.pydatasource import (
+        _AuditCommit,
+        _AuditWriter,
+    )
+
+    d = str(tmp_path / "audit")
+    os.makedirs(d)
+    old_file = "part-00000-old.jsonl"
+    with open(os.path.join(d, old_file), "w") as f:
+        f.write(json.dumps({"id": 1}) + "\n")
+    with open(os.path.join(d, "_manifest.json"), "w") as f:
+        json.dump([{"file": old_file, "n_rows": 1}], f)
+    new_file = "part-00000-new.jsonl"
+    with open(os.path.join(d, new_file), "w") as f:
+        f.write(json.dumps({"id": 2}) + "\n")
+
+    w = _AuditWriter({"path": d}, overwrite=True)
+
+    real_replace = os.replace
+
+    def crash_replace(src, dst):
+        raise OSError("simulated crash at the manifest commit point")
+
+    monkeypatch.setattr(os, "replace", crash_replace)
+    try:
+        w.commit([_AuditCommit(new_file, 1)])
+    except OSError:
+        pass
+    # crash BEFORE the commit point: the old manifest is still
+    # authoritative and every file it names still exists and is intact
+    man = json.load(open(os.path.join(d, "_manifest.json")))
+    assert man == [{"file": old_file, "n_rows": 1}]
+    assert os.path.exists(os.path.join(d, old_file))
+
+    monkeypatch.setattr(os, "replace", real_replace)
+    w.commit([_AuditCommit(new_file, 1)])
+    man = json.load(open(os.path.join(d, "_manifest.json")))
+    assert man == [{"file": new_file, "n_rows": 1}]
+    assert not os.path.exists(os.path.join(d, old_file))  # stale gen removed
+    assert not os.path.exists(os.path.join(d, "_manifest.json.tmp"))

@@ -445,3 +445,30 @@ def test_jdbc_mysql_dialect_ddl_pinned(spark):
         '"seen_at" TIMESTAMP, '
         '"payload" BLOB)'
     ), derby
+
+
+def test_compact_parquet_percent_encoded_paths(spark, tmp_path):
+    """Round-17 review: inputFiles() returns URIs, and partition values
+    with spaces / '%' percent-encode in them — sizing must unquote the
+    URI path before os.path.getsize or every such dataset fails with
+    FileNotFoundError (the old raw glob handled these paths fine)."""
+    from spark_nifi_kafka_connected_device_stream_spark.sources.warehouse import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "enc src")  # space in the dataset path itself
+    dst = str(tmp_path / "enc_dst")
+    spark.createDataFrame(
+        [(i, "north america" if i % 2 else "50% off") for i in range(200)],
+        "id long, seg string",
+    ).repartition(8).write.partitionBy("seg").parquet(src)
+    before, after = compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 30, partition_by=("seg",)
+    )
+    assert before >= 2 and after >= 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 200
+    assert {r.seg for r in got.select("seg").distinct().collect()} == {
+        "north america",
+        "50% off",
+    }
