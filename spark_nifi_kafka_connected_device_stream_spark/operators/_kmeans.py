@@ -114,15 +114,18 @@ def final_assign(
     return assign(emb, final_centroids(spark, sf_dir, k, decimals))
 
 
-def sql_ctes(k: int, decimals: int) -> str:
+def sql_ctes(k: int, decimals: int, leading_with: bool = True) -> str:
     """The deterministic one-Lloyd-round k-means CTE chain (DuckDB) —
     shared between every oracle that consumes the clustering so no two
     queries can disagree about what "the clustering" is.  Exposes CTEs
     `e` (vec_id, v), `cent1` (cid, c) and `d2` (vec_id, cid, dist2);
     the caller derives the final assignment as the rn=1 row of d2
-    ordered by (dist2, cid)."""
+    ordered by (dist2, cid).  `leading_with=False` drops the WITH
+    keyword so a caller can prepend its own CTEs (e.g. the brute-force
+    ground truth) before the chain."""
+    kw = "WITH " if leading_with else ""
     return f"""
-    WITH e AS (
+    {kw}e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), init AS (

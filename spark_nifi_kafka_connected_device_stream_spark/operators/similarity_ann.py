@@ -608,6 +608,142 @@ _DUCK_IVFPQ_SUB = f"""
 """
 
 
+def ivfpq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector split into the M per-subspace
+    subvectors — the shared first step of training, encoding and the
+    query-side LUT build (one definition, so the streaming index sink
+    and the batch query cannot drift)."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(IVFPQ_M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * IVFPQ_SUBDIM + 1, IVFPQ_SUBDIM).alias("sv"),
+    )
+
+
+def ivfpq_codebook(sub: DataFrame) -> DataFrame:
+    """(m, k, cv) PQ codebook: IVFPQ_M x IVFPQ_K rows from the
+    deterministic seed protocol (subvectors of vec_id < IVFPQ_K) —
+    constant-size by construction, so its broadcast is justified."""
+    return sub.filter(F.col("vec_id") < IVFPQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+
+
+def ivfpq_codes(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, k): nearest codebook entry per (vector, subspace).
+    dist2 is the same left-to-right double fold as the PQ operator, so
+    the code assignment is bit-identical cross-engine; ties go to the
+    lowest k via min-of-struct."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "k", dist2.alias("dist2")
+    )
+    return (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist2", "k")).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("k"))
+    )
+
+
+def ivfpq_adc_topk(
+    e: DataFrame, sub: DataFrame, cent: DataFrame, codes: DataFrame, probed: DataFrame
+) -> DataFrame:
+    """The IVFADC serving plan given an encoded corpus: ADC scoring of
+    `codes` (neighbor_id, c_cid, m, k) against the per-query broadcast
+    LUT, then the k-bounded exact re-rank from full-precision vectors
+    in `e`.  Shared verbatim between the registered batch query and
+    the streaming code-store search (`streaming/sinks.py`), so the two
+    serving paths cannot drift."""
+    cnorm = cent.select(
+        "m",
+        "k",
+        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cn2_e6"),
+    )
+    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        l2_norm(F.col("v")).alias("q_norm"),
+    )
+    # the ADC lookup table: |queries| x M x K exact-int partial dots
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pdot_e6"),
+        )
+    )
+    # LUT x probe list: |queries| x nprobe x M x K rows — constant per
+    # query, broadcast; the corpus side never rehydrates a float vector
+    plq = lut.join(F.broadcast(qn), "query_id").join(F.broadcast(probed), "query_id")
+    adc = (
+        codes.join(F.broadcast(cnorm), ["m", "k"])
+        .join(
+            F.broadcast(plq),
+            (F.col("c_cid") == F.col("p_cid"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("k") == F.col("lk")),
+        )
+        .groupBy("query_id", "neighbor_id", "q_norm")
+        .agg(
+            F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
+            F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
+        )
+    )
+    approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (
+        F.col("q_norm") * F.sqrt(F.col("cn2s_e6") * F.lit(1.0) / F.lit(1e6))
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    approx = (
+        adc.withColumn("approx_raw", approx_raw)
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") <= IVFPQ_NCAND)
+        .select("query_id", "neighbor_id", "approx_raw")
+    )
+    # exact re-rank: full-precision vectors for the k-bounded candidate
+    # set only; query side filtered BEFORE broadcast (the r12 rule)
+    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
+    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
+        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_raw"), F.asc("neighbor_id")
+    )
+    return (
+        approx.join(F.broadcast(qv_full), "query_id")
+        .join(cv_full, "neighbor_id")
+        .withColumn("exact_raw", exact_sim)
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround("exact_raw", 6).alias("cos_sim"),
+            pround("approx_raw", 6).alias("approx_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 @register(
     "similarity_topk_ivfpq",
     oracle=f"""
@@ -714,119 +850,365 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.repartition(plan_parallelism(spark), "vec_id")
     cells, probed = _ivf_cells_and_probe(spark, sf_dir)
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(IVFPQ_M - 1))).alias("m"),
-        "v",
-    ).select(
-        "vec_id",
-        "m",
-        F.slice(F.col("v"), F.col("m") * IVFPQ_SUBDIM + 1, IVFPQ_SUBDIM).alias("sv"),
-    )
-    # codebook: IVFPQ_M x IVFPQ_K rows — constant-size by construction,
-    # so its broadcast is justified (the kmeans/PQ seed protocol)
-    cent = sub.filter(F.col("vec_id") < IVFPQ_K).select(
-        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
-    )
-    cnorm = cent.select(
+    sub = ivfpq_subvectors(e)
+    cent = ivfpq_codebook(sub)
+    # encode the corpus, then tag each code row with its IVF cell
+    codes = ivfpq_codes(sub, cent).join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("c_cid"),
         "m",
         "k",
-        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cn2_e6"),
     )
-    # encode the corpus: nearest codebook entry per (vector, subspace).
-    # dist2 is the same left-to-right double fold as the PQ operator,
-    # so the code assignment is bit-identical cross-engine.
-    dist2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return ivfpq_adc_topk(e, sub, cent, codes, probed)
+
+
+# ---------------------------------------------------------------------------
+# round-17 additions: diagnostics for the REAL coarse quantizer — the
+# tuning curve and the cell-balance profile an IVF deployment reads
+# before committing to (ncells, nprobe).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cell_balance_report",
+    oracle=f"""
+    {_IVF_SQL_CELLS}
+    SELECT CAST(c1.cid AS INTEGER) AS cid,
+           CAST(count(cl.vec_id) AS BIGINT) AS n_vectors,
+           floor(count(cl.vec_id) * 1000000.0 / (SELECT count(*) FROM e) + 0.5)
+             / 1000000.0 AS share,
+           floor(count(cl.vec_id) * {IVF_NCELLS} * 1000000.0
+                 / (SELECT count(*) FROM e) + 0.5) / 1000000.0 AS balance
+    FROM cent1 c1 LEFT JOIN cells cl ON cl.cid = c1.cid
+    GROUP BY c1.cid
+    """,
+    doc=f"IVF cell-balance profile of the k-means coarse quantizer "
+        f"({IVF_NCELLS} cells): per-cell vector count, corpus share, "
+        "and balance factor (count x ncells / N — 1.0 is perfectly "
+        "uniform).  THE operational skew diagnostic for an IVF "
+        "deployment: a hot cell (balance >> 1) makes every probe that "
+        "ranks it scan a corpus-scale partition, and empty cells "
+        "(balance 0, possible because duplicate seed vectors retain "
+        "their init centroid) waste list slots — this table is what "
+        "decides a re-fit.  Emitted from the CENTROID list left-joined "
+        "to the assignment so empty cells appear as explicit zero "
+        "rows.  Scale shape: one broadcast-NLJ assignment pass + a "
+        f"{IVF_NCELLS}-row aggregate; the total-count scalar rides a "
+        "1-row broadcast, nothing corpus-sized shuffles.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _km.embeddings_double(spark, sf_dir).repartition(
+        plan_parallelism(spark), "vec_id"
     )
-    dists = sub.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "k", dist2.alias("dist2")
+    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS).localCheckpoint(
+        eager=False
     )
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist2", "k")).alias("b"))
-        .join(cells, "vec_id")
+    cells = _km.assign(emb, cent).select("vec_id", "cid")
+    total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    per_cell = (
+        cent.select("cid")
+        .join(cells, "cid", "left")
+        .groupBy("cid")
+        .agg(F.count("vec_id").cast("bigint").alias("n_vectors"))
+    )
+    # the rounded divisions mirror the oracle's operand order EXACTLY
+    # (one double division each, scaled-int numerator first): a
+    # pround-of-quotient would round a twice-rounded double instead
+    return (
+        per_cell.crossJoin(F.broadcast(total))
         .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cid").alias("c_cid"),
-            "m",
-            F.col("b.k").alias("k"),
+            F.col("cid").cast("int").alias("cid"),
+            "n_vectors",
+            (
+                F.floor(
+                    F.col("n_vectors") * F.lit(1000000.0) / F.col("n_total")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("share"),
+            (
+                F.floor(
+                    F.col("n_vectors") * F.lit(IVF_NCELLS) * F.lit(1000000.0)
+                    / F.col("n_total")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("balance"),
         )
     )
-    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        l2_norm(F.col("v")).alias("q_norm"),
+
+
+@register(
+    "similarity_kmeans_nprobe_sweep",
+    oracle=f"""
+    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
+    {_km.sql_ctes(IVF_NCELLS, IVF_DECIMALS, leading_with=False)}, cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), qcell AS (
+      SELECT vec_id AS query_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+               AS cell_rank
+      FROM d2 WHERE vec_id < {N_QUERIES}
+    ), np AS (SELECT CAST(unnest([{", ".join(str(p) for p in NPROBES)}]) AS INTEGER) AS nprobe),
+    cand AS (
+      SELECT np.nprobe, qc.query_id, cl.vec_id AS neighbor_id
+      FROM np
+      JOIN qcell qc ON qc.cell_rank <= np.nprobe
+      JOIN cells cl ON cl.cid = qc.cid AND cl.vec_id <> qc.query_id
+    ),
+    ranked AS (
+      SELECT * FROM (
+        SELECT cand.nprobe, cand.query_id, cand.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY cand.nprobe, cand.query_id
+                 ORDER BY {_duck_dq_cos("q.v", "c.v")} DESC,
+                          cand.neighbor_id ASC) AS rnk
+        FROM cand
+        JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    cost AS (
+      SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
+      FROM cand GROUP BY nprobe, query_id
+    ),
+    hits AS (
+      SELECT np.nprobe, bf.query_id,
+             CAST(count(r.neighbor_id) AS BIGINT) AS n_hits
+      FROM np CROSS JOIN bf
+      LEFT JOIN ranked r ON r.nprobe = np.nprobe
+                        AND r.query_id = bf.query_id
+                        AND r.neighbor_id = bf.neighbor_id
+      GROUP BY np.nprobe, bf.query_id
     )
-    # the ADC lookup table: |queries| x M x K exact-int partial dots
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "m")
+    SELECT h.nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(avg(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_recall,
+           floor(min(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS min_recall,
+           floor(avg(coalesce(c.n_cand, 0) * 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_candidates
+    FROM hits h LEFT JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
+    GROUP BY h.nprobe
+    """,
+    doc=f"The IVF tuning curve over the REAL coarse quantizer: "
+        f"recall@{TOP_K} and candidates-scanned cost for nProbe in "
+        f"{NPROBES} against the {IVF_NCELLS} k-means cells the serving "
+        "path (similarity_topk_ivf_quantized / similarity_topk_ivfpq) "
+        "actually probes — the sibling of similarity_ivf_nprobe_sweep, "
+        "which sweeps the label-cell stand-in and exists to show what "
+        "a geometry-blind partition costs.  Probe order ranks cells "
+        "by exact squared-L2 to the centroid (dist2 asc, cid asc — "
+        "the serving path's contract), within-cell ranking is the "
+        "exact brute-force cosine, ground truth composes the "
+        "registered brute-force SQL.  Scale shape: centroids are a "
+        "K-row lazily-checkpointed broadcast shared by the corpus "
+        "assignment and the probe ranking; candidates stay "
+        "cell-confined (never all-pairs); the recall join runs on "
+        "k-bounded rows.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_kmeans_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km.embeddings_double(spark, sf_dir).repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS).localCheckpoint(
+        eager=False
+    )
+    cells = _km.assign(e, cent).select("vec_id", "cid")
+    qscore = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("m").alias("lm"),
-            F.col("k").alias("lk"),
-            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("pdot_e6"),
+            "cid",
+            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
         )
     )
-    # LUT x probe list: |queries| x nprobe x M x K rows — constant per
-    # query, broadcast; the corpus side never rehydrates a float vector
-    plq = lut.join(F.broadcast(qn), "query_id").join(F.broadcast(probed), "query_id")
-    adc = (
-        codes.join(F.broadcast(cnorm), ["m", "k"])
-        .join(
-            F.broadcast(plq),
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    qcell = qscore.withColumn("cell_rank", F.row_number().over(wq)).select(
+        "query_id", "cid", "cell_rank"
+    )
+    # (cell, nprobe) fan-out as a map-side explode (the label sweep's
+    # lesson: the tiny-side theta-join plans as a nested loop and
+    # costs seconds of pure overhead)
+    probe_arr = F.array(*[F.lit(p) for p in NPROBES])
+    probed = qcell.select(
+        F.explode(F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)).alias(
+            "nprobe"
+        ),
+        "query_id",
+        F.col("cid").alias("p_cid"),
+    )
+    c = e.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cid").alias("c_cid"),
+        F.col("v").alias("c_emb"),
+        l2_norm(F.col("v")).alias("c_norm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_emb"),
+        l2_norm(F.col("v")).alias("q_norm"),
+    )
+    cand = (
+        c.join(
+            F.broadcast(probed),
             (F.col("c_cid") == F.col("p_cid"))
-            & (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("m") == F.col("lm"))
-            & (F.col("k") == F.col("lk")),
+            & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .groupBy("query_id", "neighbor_id", "q_norm")
-        .agg(
-            F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
-            F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
-        )
-    )
-    approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (
-        F.col("q_norm") * F.sqrt(F.col("cn2s_e6") * F.lit(1.0) / F.lit(1e6))
-    )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_raw"), F.asc("neighbor_id")
-    )
-    approx = (
-        adc.withColumn("approx_raw", approx_raw)
-        .withColumn("arnk", F.row_number().over(aw))
-        .filter(F.col("arnk") <= IVFPQ_NCAND)
-        .select("query_id", "neighbor_id", "approx_raw")
-    )
-    # exact re-rank: full-precision vectors for the k-bounded candidate
-    # set only; query side filtered BEFORE broadcast (the r12 rule)
-    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
-    )
-    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
-    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
-        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
-    )
-    rw = Window.partitionBy("query_id").orderBy(
-        F.desc("exact_raw"), F.asc("neighbor_id")
-    )
-    return (
-        approx.join(F.broadcast(qv_full), "query_id")
-        .join(cv_full, "neighbor_id")
-        .withColumn("exact_raw", exact_sim)
-        .withColumn("rnk", F.row_number().over(rw))
-        .filter(F.col("rnk") <= TOP_K)
+        .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
         .select(
+            "nprobe",
             "query_id",
             "neighbor_id",
-            pround("exact_raw", 6).alias("cos_sim"),
-            pround("approx_raw", 6).alias("approx_sim"),
-            F.col("rnk").cast("int").alias("rnk"),
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("raw_sim"),
         )
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    wall = Window.partitionBy("nprobe", "query_id")
+    ranked = (
+        cand.withColumn("n_cand", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            F.col("nprobe").alias("r_np"),
+            F.col("query_id").alias("r_qid"),
+            F.col("neighbor_id").alias("r_nid"),
+            "n_cand",
+        )
+        .localCheckpoint(eager=False)
+    )
+    cost = (
+        ranked.groupBy("r_np", "r_qid")
+        .agg(F.max("n_cand").cast("bigint").alias("n_cand"))
+        .select(
+            F.col("r_np").alias("c_np"),
+            F.col("r_qid").alias("c_qid"),
+            "n_cand",
+        )
+    )
+    nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        F.col("query_id").alias("bf_qid"), F.col("neighbor_id").alias("bf_neighbor")
+    )
+    hits = (
+        bf.crossJoin(F.broadcast(nps.select(F.col("nprobe").alias("np"))))
+        .join(
+            F.broadcast(ranked),
+            (F.col("bf_qid") == F.col("r_qid"))
+            & (F.col("bf_neighbor") == F.col("r_nid"))
+            & (F.col("np") == F.col("r_np")),
+            "left",
+        )
+        .groupBy(F.col("np"), F.col("bf_qid"))
+        .agg(F.count(F.col("r_nid")).cast("bigint").alias("n_hits"))
+    )
+    return (
+        # LEFT join + coalesce: a query whose probed cells hold nothing
+        # must count with recall 0 and 0 candidates (the label sweep's
+        # r12 lesson)
+        hits.join(
+            F.broadcast(cost),
+            (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
+            "left",
+        )
+        .withColumn("n_cand", F.coalesce(F.col("n_cand"), F.lit(0)))
+        .groupBy(F.col("np").cast("int").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            pround(F.avg(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "mean_recall"
+            ),
+            pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "min_recall"
+            ),
+            pround(F.avg(F.col("n_cand") * F.lit(1.0)), 6).alias("avg_candidates"),
+        )
+    )
+
+
+@register(
+    "similarity_pq_code_histogram",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sub AS ({_DUCK_IVFPQ_SUB}
+    ), cent AS (
+      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {IVFPQ_K}
+    ), dists AS (
+      SELECT s.vec_id, s.m, c.k,
+             list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                 j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist2
+      FROM sub s JOIN cent c USING (m)
+    ), codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT CAST(c.m AS INTEGER) AS m, CAST(c.k AS INTEGER) AS k,
+           CAST(count(co.vec_id) AS BIGINT) AS n_vectors,
+           floor(count(co.vec_id) * 1000000.0 / (SELECT count(*) FROM e) + 0.5)
+             / 1000000.0 AS share
+    FROM cent c LEFT JOIN codes co ON co.m = c.m AND co.k = c.k
+    GROUP BY c.m, c.k
+    """,
+    doc=f"PQ codebook utilization: per (subspace, code) assignment "
+        f"counts and corpus share over the {IVFPQ_M}x{IVFPQ_K} "
+        "codebook — the code-side twin of "
+        "similarity_cell_balance_report.  A PQ deployment reads this "
+        "before trusting its index: a dead codebook entry (share 0, "
+        "emitted as an explicit zero row via the centroid-list left "
+        "join) wastes a quantization cell and halves the effective "
+        "bits of its subspace, and a dominant entry means the "
+        "subspace's distances carry almost no signal — both are "
+        "re-train triggers.  Encoding is the LITERALLY shared "
+        "ivfpq_subvectors/ivfpq_codes helpers, so the histogram "
+        "describes exactly the codes similarity_topk_ivfpq and the "
+        "streaming index sink store.  Scale shape: one broadcast "
+        "codebook encode pass + a 32-row aggregate; the total-count "
+        "scalar rides a 1-row broadcast.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km.embeddings_double(spark, sf_dir).repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    sub = ivfpq_subvectors(e)
+    cent = ivfpq_codebook(sub)
+    codes = ivfpq_codes(sub, cent)
+    total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    per_code = (
+        cent.select("m", "k")
+        .join(codes, ["m", "k"], "left")
+        .groupBy("m", "k")
+        .agg(F.count("vec_id").cast("bigint").alias("n_vectors"))
+    )
+    # share mirrors the oracle's operand order exactly (scaled-int
+    # numerator, ONE double division) — the cell-balance precedent
+    return per_code.crossJoin(F.broadcast(total)).select(
+        F.col("m").cast("int").alias("m"),
+        F.col("k").cast("int").alias("k"),
+        "n_vectors",
+        (
+            F.floor(
+                F.col("n_vectors") * F.lit(1000000.0) / F.col("n_total") + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("share"),
     )

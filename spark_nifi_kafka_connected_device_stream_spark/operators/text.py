@@ -13,6 +13,8 @@ and RE2 (DuckDB).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2088,7 +2090,21 @@ def documents_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration trainer on top of text_bpe_pair_counts' one-round shape.
 # ---------------------------------------------------------------------------
 
-BPE_MERGES = 8  # merge table depth (bounded driver loop, 1-row collect each)
+# Stopping contract (round 17, VERDICT r16 item 5): train until the
+# piece vocabulary reaches BPE_VOCAB_TARGET distinct symbols, the
+# pair supply exhausts, or BPE_MERGES rounds have run — whichever
+# comes first.  The target is the tokenizer-deployment knob (a vocab
+# SIZE is what one actually specifies); the round bound exists because
+# the oracle is a mechanically UNROLLED CTE chain whose depth must be
+# fixed at registration, so both engines stop on the identical triple
+# condition.  A merge round can also REMOVE pieces (a fully-absorbed
+# symbol disappears), so the piece count is measured from the live
+# vocab each round, never inferred from the merge count.  36 against
+# the fixture's 24-character alphabet yields a ~20-30-round merge
+# table (depth varies with SF — the point of a data-driven stop).
+BPE_MERGES = 32  # unroll bound (bounded driver loop, 1-row collect each)
+_BPE_LOOP_MEMO: dict[tuple, tuple] = {}  # see _bpe_merge_loop
+BPE_VOCAB_TARGET = 36
 BPE_PIECES_TOP = 32
 
 
@@ -2096,12 +2112,15 @@ def _bpe_oracle_prefix() -> str:
     """The DuckDB twin of the K-round merge loop, UNROLLED: recursive
     CTEs cannot aggregate over their own recursive term (the argmax
     that picks each merge), so each round is four chained CTEs —
-    pair counts from v{k-1}, the argmax merge m{k}, its exhaustion
-    fallback mm{k} (a sentinel no-op merge when no pairs remain, so a
-    fully-merged vocab propagates UNCHANGED through the remaining
-    rounds instead of collapsing the CROSS JOIN to empty — the Spark
-    loop breaks early at the same point and the final union filters
-    the sentinels out), and the re-segmented vocab v{k}.  Every
+    pair counts from v{k-1}, the argmax merge m{k} (guarded by the
+    vocab-target predicate — the round is a no-op once v{k-1} already
+    holds >= BPE_VOCAB_TARGET distinct pieces), its halt fallback
+    mm{k} (a sentinel no-op merge when m{k} is empty — pair supply
+    exhausted OR target reached — so a halted vocab propagates
+    UNCHANGED through the remaining rounds instead of collapsing the
+    CROSS JOIN to empty; the Spark loop breaks at the same triple
+    condition and the final union filters the sentinels out), and the
+    re-segmented vocab v{k}.  Every
     per-round CTE is MATERIALIZED: each is referenced 2-3 times, and
     DuckDB's default inlining would re-evaluate the whole upstream
     chain per reference — exponential in the round count (found as a
@@ -2128,7 +2147,12 @@ def _bpe_oracle_prefix() -> str:
       GROUP BY 1, 2
     ), m{k} AS MATERIALIZED (
       SELECT left_sym, right_sym, pair_count
-      FROM p{k} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+      FROM p{k}
+      WHERE (SELECT count(DISTINCT piece) FROM (
+               SELECT unnest(string_split(substr(enc, 2, length(enc) - 2),
+                                          '><')) AS piece
+               FROM v{k - 1})) < {BPE_VOCAB_TARGET}
+      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
     ), mm{k} AS MATERIALIZED (
       SELECT * FROM m{k}
       UNION ALL
@@ -2196,11 +2220,35 @@ def _bpe_initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_merge_loop(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """The shared K-round merge loop (round-16 review: ONE
-    implementation, so the trainer's merge table and the apply
-    query's segmentation can never drift).  Returns (merges, final
-    vocab) — merges as (rank, left, right, count) tuples collected
-    one row per round, the final vocab still distributed."""
+    """The shared merge loop (round-16 review: ONE implementation, so
+    the trainer's merge table and the apply query's segmentation can
+    never drift).  Returns (merges, final vocab) — merges as (rank,
+    left, right, count) tuples collected one row per round, the final
+    vocab still distributed.
+
+    Stop = the triple condition mirrored by the oracle's per-round
+    guard: piece vocab at BPE_VOCAB_TARGET, pair supply exhausted, or
+    BPE_MERGES rounds.  Each round makes ONE 1-row driver round-trip:
+    the live piece count (measured, because merges can also absorb
+    pieces) left-joined with the pair argmax rides a single job.
+
+    Memoized per (application, session, corpus fingerprint): three
+    registered queries consume this loop, and a multi-query session
+    (the driver runs hundreds) would otherwise re-train the identical
+    merge table per consumer.  The listing fingerprint in the key —
+    the plan-cache staleness contract — makes an in-session fixture
+    rewrite miss the memo instead of serving stale merges."""
+    from ..sources.catalog import _listing_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        os.path.abspath(sf_dir),
+        _listing_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
+    hit = _BPE_LOOP_MEMO.get(key)
+    if hit is not None:
+        return hit
     cur = _bpe_initial_vocab(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
@@ -2212,6 +2260,11 @@ def _bpe_merge_loop(
                 F.element_at(F.col("syms"), i + 1).alias("r"),
             ),
         )
+        n_pieces = (
+            cur.select(syms.alias("syms"))
+            .select(F.explode("syms").alias("piece"))
+            .agg(F.count_distinct("piece").alias("n_pieces"))
+        )
         top = (
             cur.select("freq", syms.alias("syms"))
             .filter(F.size("syms") >= 2)
@@ -2220,11 +2273,15 @@ def _bpe_merge_loop(
             .agg(F.sum("freq").cast("bigint").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
             .limit(1)
-            .collect()
         )
-        if not top:  # vocab fully merged: the oracle's sentinel rounds
-            break
-        l, r, c = top[0]["left_sym"], top[0]["right_sym"], int(top[0]["pair_count"])
+        # 1-row x 1-row left join: piece count + argmax in ONE job, so
+        # the vocab-target stop costs no extra driver round-trip
+        row = n_pieces.join(top, F.lit(True), "left").collect()[0]
+        if row["n_pieces"] >= BPE_VOCAB_TARGET:
+            break  # target reached: the oracle's guard empties m{k}
+        if row["left_sym"] is None:
+            break  # vocab fully merged: the oracle's sentinel rounds
+        l, r, c = row["left_sym"], row["right_sym"], int(row["pair_count"])
         merges.append((rank, l, r, c))
         cur = cur.select(
             "freq",
@@ -2232,14 +2289,28 @@ def _bpe_merge_loop(
                 F.col("enc"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
             ).alias("enc"),
         )
+        if rank % 8 == 0:
+            # truncate the replace-chain lineage: without this, round k
+            # re-executes k string replaces from the checkpointed vocab
+            # per job — O(K^2) work and a K-deep plan by the last round
+            cur = cur.localCheckpoint(eager=False)
+    # lazily checkpoint the FINAL vocab too, so every memo consumer
+    # shares one materialization instead of replaying the tail rounds
+    cur = cur.localCheckpoint(eager=False)
+    while len(_BPE_LOOP_MEMO) >= 8:
+        del _BPE_LOOP_MEMO[next(iter(_BPE_LOOP_MEMO))]
+    _BPE_LOOP_MEMO[key] = (merges, cur)
     return merges, cur
 
 
 @register(
     "text_bpe_train_merges",
     oracle=_bpe_oracle_merges(),
-    doc=f"Distributed BPE training (Sennrich et al. 2016), {BPE_MERGES} "
-        "merge rounds: words are symbol sequences (initially "
+    doc=f"Distributed BPE training (Sennrich et al. 2016) to a vocab "
+        f"TARGET of {BPE_VOCAB_TARGET} pieces (the deployment knob; "
+        f"round bound {BPE_MERGES}, pair exhaustion the third stop — "
+        "both engines halt on the identical triple condition): words "
+        "are symbol sequences (initially "
         "characters, '<a><b>...' marker encoding so multi-char symbols "
         "never false-match across boundaries); each round counts "
         "adjacent symbol pairs weighted by word frequency, picks the "
@@ -2253,11 +2324,13 @@ def _bpe_merge_loop(
         "so later rounds never re-scan text); every round is "
         "vocab-bounded (|vocab| rows, ~1e6-1e8 at 100 TB), the argmax "
         "compiles to TakeOrderedAndProject, and the only driver "
-        "traffic is ONE row per round (the chosen merge — the k-center "
-        "bounded-collect precedent).  The merge table itself is "
+        "traffic is ONE row per round (live piece count + chosen "
+        "merge share a single job — the k-center bounded-collect "
+        "precedent).  The merge table itself is "
         f"<= {BPE_MERGES} rows built driver-side from those collects "
-        "(fewer when the vocab exhausts early — the oracle's sentinel "
-        "fallback rounds mirror the loop's break exactly).",
+        "(fewer when the vocab target or pair exhaustion halts the "
+        "loop — the oracle's guarded argmax and sentinel fallback "
+        "rounds mirror both breaks exactly).",
     tags=("text", "iterative"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2271,9 +2344,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_segment_apply",
     oracle=_bpe_oracle_pieces(),
     doc=f"The learned BPE tokenizer APPLIED: after the same "
-        f"{BPE_MERGES} merge rounds as text_bpe_train_merges (the "
-        "literally shared _bpe_merge_loop — the two queries cannot "
-        "drift), every word's final segmentation is exploded into "
+        f"vocab-target-{BPE_VOCAB_TARGET} merge loop as "
+        "text_bpe_train_merges (the literally shared _bpe_merge_loop "
+        "— the two queries cannot drift), every word's final "
+        "segmentation is exploded into "
         f"sub-word pieces and the top {BPE_PIECES_TOP} pieces by "
         "corpus frequency are emitted — the output-distribution check "
         "a tokenizer deployment runs before committing to a merge "
@@ -2296,4 +2370,66 @@ def text_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("bigint").alias("piece_count"))
         .orderBy(F.desc("piece_count"), "piece")
         .limit(BPE_PIECES_TOP)
+    )
+
+
+@register(
+    "text_bpe_compression_ratio",
+    oracle=_bpe_oracle_prefix() + f"""
+    , stats0 AS (
+      SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+             CAST(sum(freq * len(string_split(substr(enc, 2, length(enc) - 2),
+                                              '><'))) AS BIGINT) AS n_chars
+      FROM v0
+    ), statsK AS (
+      SELECT CAST(sum(freq * len(string_split(substr(enc, 2, length(enc) - 2),
+                                              '><'))) AS BIGINT) AS n_pieces
+      FROM v{BPE_MERGES}
+    )
+    SELECT n_words, n_chars, n_pieces,
+           floor(n_pieces * 1000000.0 / n_words + 0.5) / 1000000.0
+             AS pieces_per_word,
+           floor(n_chars * 1000000.0 / n_pieces + 0.5) / 1000000.0
+             AS chars_per_piece
+    FROM stats0 CROSS JOIN statsK
+    """,
+    doc=f"Tokenizer QA for the trained BPE (vocab target "
+        f"{BPE_VOCAB_TARGET}): corpus-weighted word / character / "
+        "piece totals plus the two ratios a tokenizer deployment "
+        "actually budgets by — pieces-per-word (sequence-length "
+        "inflation: what the context window pays) and "
+        "chars-per-piece (compression: what each embedding row "
+        "carries).  Composes the SAME shared merge loop and unrolled "
+        "oracle chain as the trainer, so the ratios describe exactly "
+        "the merge table text_bpe_train_merges emits.  Scale shape: "
+        "both totals are vocab-bounded aggregates over the (freq, "
+        "enc) table the loop already maintains — 1-row output, exact "
+        "int64 totals, one mirrored rounded division each.",
+    tags=("text", "iterative", "quality"),
+)
+def text_bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final_vocab = _bpe_merge_loop(spark, sf_dir)
+    v0 = _bpe_initial_vocab(spark, sf_dir)
+    npieces_col = F.size(
+        F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")
+    )
+    stats0 = v0.agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * npieces_col).cast("bigint").alias("n_chars"),
+    )
+    statsk = final_vocab.agg(
+        F.sum(F.col("freq") * npieces_col).cast("bigint").alias("n_pieces")
+    )
+    return stats0.crossJoin(F.broadcast(statsk)).select(
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        (
+            F.floor(F.col("n_pieces") * F.lit(1000000.0) / F.col("n_words") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("pieces_per_word"),
+        (
+            F.floor(F.col("n_chars") * F.lit(1000000.0) / F.col("n_pieces") + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("chars_per_piece"),
     )

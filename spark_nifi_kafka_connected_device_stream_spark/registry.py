@@ -194,7 +194,15 @@ _DEMOTE: tuple[str, ...] = ()
 # text_token_fertility_by_lang, alphabetical) +
 # enough of the alphabetically-first r12 cohort to fill 50 (compute
 # fresh from CORRECTNESS_r01..r17).
-DEFERRED: tuple[str, ...] = ()
+DEFERRED: tuple[str, ...] = (
+    # round-17 additions (coarse-quantizer diagnostics, VERDICT r16
+    # item 2's composition made observable)
+    "similarity_cell_balance_report",
+    "similarity_kmeans_nprobe_sweep",
+    # round-17 additions, second wave (tokenizer QA + PQ utilization)
+    "text_bpe_compression_ratio",
+    "similarity_pq_code_histogram",
+)
 
 
 def _load() -> None:

@@ -781,7 +781,7 @@ def _pruned_store_probe(
 
 
 def compact_fuzzy_signature_store(
-    spark: SparkSession, sig_store_dir: str, upto_epoch: int
+    spark: SparkSession, sig_store_dir: str, upto_epoch: int, part_col: str = "bpfx"
 ) -> int:
     """Maintenance compaction for the fuzzy-dedup signature store: fold
     every `epoch < upto_epoch` partition into `epoch=upto_epoch` (bpfx
@@ -831,7 +831,7 @@ def compact_fuzzy_signature_store(
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
-    _finish_pending_compactions(fs, jvm, sig_store_dir)
+    _finish_pending_compactions(fs, jvm, sig_store_dir, part_col)
     store = _read_store_or_none(spark, sig_store_dir)
     epochs = []
     for st in fs.listStatus(root):
@@ -852,8 +852,8 @@ def compact_fuzzy_signature_store(
         tmp = f"{sig_store_dir}/.compact_tmp_epoch={upto_epoch}"
         store.filter(F.col("epoch") < upto_epoch).drop("epoch").write.mode(
             "overwrite"
-        ).partitionBy("bpfx").parquet(tmp)
-        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={upto_epoch}")
+        ).partitionBy(part_col).parquet(tmp)
+        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={upto_epoch}", part_col)
     # store is None <=> no data file exists in ANY epoch dir (all-empty
     # batches so far): nothing to consolidate, but the data-less dirs
     # still cost a file-listing per probe — drop them (second review
@@ -865,7 +865,7 @@ def compact_fuzzy_signature_store(
     return len(absorbed)
 
 
-def _finish_pending_compactions(fs, jvm, sig_store_dir: str) -> None:
+def _finish_pending_compactions(fs, jvm, sig_store_dir: str, part_col: str) -> None:
     """Step 1 of the compaction protocol: repair any crash leftovers.
     A temp dir WITHOUT _SUCCESS is a failed write — its source epoch
     dirs are still intact, so it is discarded.  A temp WITH _SUCCESS
@@ -882,7 +882,7 @@ def _finish_pending_compactions(fs, jvm, sig_store_dir: str) -> None:
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_SUCCESS")):
             fs.delete(st.getPath(), True)
             continue
-        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={target_epoch}")
+        _move_compaction_tmp(fs, jvm, tmp, f"{sig_store_dir}/epoch={target_epoch}", part_col)
         for est in fs.listStatus(root):
             ename = est.getPath().getName()
             if ename.startswith("epoch=") and int(ename.split("=", 1)[1]) < target_epoch:
@@ -890,7 +890,7 @@ def _finish_pending_compactions(fs, jvm, sig_store_dir: str) -> None:
         fs.delete(st.getPath(), True)
 
 
-def _move_compaction_tmp(fs, jvm, tmp: str, target: str) -> None:
+def _move_compaction_tmp(fs, jvm, tmp: str, target: str, part_col: str) -> None:
     """Move the temp write's data files into the target epoch dir with
     per-file FS renames (a rename consumes its source, so re-running
     after a crash moves only the remainder — never a duplicate).
@@ -898,7 +898,7 @@ def _move_compaction_tmp(fs, jvm, tmp: str, target: str) -> None:
     Path = jvm.org.apache.hadoop.fs.Path
     for pst in fs.listStatus(Path(tmp)):
         pname = pst.getPath().getName()
-        if not pname.startswith("bpfx="):
+        if not pname.startswith(f"{part_col}="):
             continue
         dst_dir = Path(f"{target}/{pname}")
         fs.mkdirs(dst_dir)
@@ -911,3 +911,169 @@ def _move_compaction_tmp(fs, jvm, tmp: str, target: str) -> None:
                     f"compaction file move failed: {fst.getPath()} -> "
                     f"{target}/{pname}/{fname}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# streaming IVFPQ ingest (round 17, VERDICT r16 stretch): the vector-
+# index twin of the fuzzy signature store — incoming embeddings are
+# encoded to (cell, m, code) rows against a FIXED trained model and
+# appended to an epoch-partitioned code store with the same
+# exactly-once / compaction discipline.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq_index_model(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
+    """Fit-once training for the streaming IVFPQ index: persist the IVF
+    coarse centroids (the shared deterministic one-Lloyd k-means over
+    the training corpus) and the PQ codebook (the seed-row protocol of
+    embedding_product_quantization) as two tiny parquet tables.  A
+    streaming encoder MUST encode every batch against a frozen model —
+    re-fitting per batch would silently re-key the whole store — so
+    the model lives on disk, versioned by overwrite, exactly one
+    broadcast-sized read per epoch.  At 100 TB the fit runs on a
+    sample; the artifact is k·dims + M·K·subdim floats either way."""
+    from ..operators import _kmeans as _km
+    from ..operators.similarity_ann import (
+        IVF_DECIMALS,
+        IVF_NCELLS,
+        ivfpq_codebook,
+        ivfpq_subvectors,
+    )
+
+    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
+    cent.write.mode("overwrite").parquet(f"{model_dir}/centroids")
+    e = _km.embeddings_double(spark, sf_dir)
+    ivfpq_codebook(ivfpq_subvectors(e)).write.mode("overwrite").parquet(
+        f"{model_dir}/codebook"
+    )
+
+
+def foreach_batch_embedding_index_ivfpq(
+    df: DataFrame,
+    index_dir: str,
+    model_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = FUZZY_COMPACT_EVERY,
+) -> DataStreamWriter:
+    """Streaming IVFPQ index ingest: each micro-batch's embeddings are
+    encoded to (vec_id, cid, m, k) code rows — the IVFADC at-rest
+    layout of similarity_topk_ivfpq, via the LITERALLY shared encode
+    helpers (operators/similarity_ann.ivfpq_subvectors/codes), so the
+    store can never drift from what the batch query would compute —
+    and land as the store's `epoch=N` partition, sub-partitioned by
+    the IVF cell id so a serving probe partition-prunes to its
+    nprobe cells.
+
+    Exactly-once: the epoch dir is overwritten on re-delivery (the
+    fuzzy-store contract); nothing reads the store during encode, so
+    a crashed-epoch re-run is trivially idempotent.  Store maintenance
+    is self-driving on the same cadence as the fuzzy sink
+    (compact_every epochs, newest epoch never absorbed)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ivfpq_index_epoch(
+            batch_df, epoch_id, index_dir, model_dir, id_col, vec_col, compact_every
+        )
+
+    return df.writeStream.foreachBatch(fn)
+
+
+def ivfpq_index_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    model_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+) -> None:
+    """One epoch of foreach_batch_embedding_index_ivfpq, module-level
+    so the crashed-epoch re-run path is unit-testable (the fuzzy-sink
+    doctrine).  Per epoch: one broadcast-sized model read, a
+    broadcast-NLJ cell assignment, a broadcast codebook encode, one
+    partitioned write — the corpus store is never read."""
+    from ..operators import _kmeans as _km
+    from ..operators.similarity_ann import ivfpq_codes, ivfpq_subvectors
+
+    spark = batch_df.sparkSession
+    cent = spark.read.parquet(f"{model_dir}/centroids")
+    cb = spark.read.parquet(f"{model_dir}/codebook")
+    e = batch_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cells = _km.assign(e, cent).select("vec_id", "cid")
+    codes = (
+        ivfpq_codes(ivfpq_subvectors(e), cb)
+        .join(cells, "vec_id")
+        .select("vec_id", "cid", "m", "k")
+    )
+    codes.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{index_dir}/epoch={epoch_id}"
+    )
+    if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+        compact_fuzzy_signature_store(
+            spark, index_dir, upto_epoch=epoch_id - 1, part_col="cid"
+        )
+
+
+def ivfpq_search_code_store(
+    spark: SparkSession, index_dir: str, model_dir: str, sf_dir: str
+) -> DataFrame:
+    """Serve top-k from the STREAMED code store: rank the model's
+    centroids per query (same dist2/tie contract as the batch coarse
+    quantizer), collect the probed cell ids (bounded:
+    |queries| x nprobe ints — the touched-bpfx precedent), scan ONLY
+    those cid partitions of the store (partition-pruned, asserted by
+    test on inputFiles), and run the SAME ADC + exact-re-rank plan as
+    similarity_topk_ivfpq (shared ivfpq_adc_topk — the two serving
+    paths cannot drift).  Queries and the full-precision re-rank
+    vectors come from the embeddings table; the store contributes
+    codes only.  dropDuplicates on the code key tolerates the
+    duplicate rows a crashed compaction can leave (the fuzzy-probe
+    doctrine) — duplicates would otherwise double-count ADC sums."""
+    from pyspark.sql import Window
+
+    from ..operators import _kmeans as _km
+    from ..operators.similarity_ann import (
+        IVF_NPROBE,
+        N_QUERIES,
+        ivfpq_adc_topk,
+        ivfpq_subvectors,
+    )
+
+    e = _km.embeddings_double(spark, sf_dir)
+    cent = spark.read.parquet(f"{model_dir}/centroids")
+    cb = spark.read.parquet(f"{model_dir}/codebook")
+    scored = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    probed = (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= IVF_NPROBE)
+        .select("query_id", F.col("cid").alias("p_cid"))
+        .localCheckpoint(eager=False)
+    )
+    # bounded collect (<= |queries| x nprobe ints): literal cids make
+    # the store scan PARTITION-pruned, which a join could not
+    probe_cids = sorted({r[0] for r in probed.select("p_cid").collect()})
+    store = spark.read.parquet(index_dir)
+    codes = (
+        store.filter(F.col("cid").isin(probe_cids))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("c_cid"),
+            "m",
+            "k",
+        )
+        .dropDuplicates(["neighbor_id", "m"])
+    )
+    return ivfpq_adc_topk(e, ivfpq_subvectors(e), cb, codes, probed)

@@ -693,6 +693,10 @@ def test_bpe_train_merges_hand_example_and_determinism(spark, tmp_path):
     ], got
     # after the 3 merges the vocab is fully merged: the loop stops early
     assert len(got) == 3
+    # clear the per-session memo so the second run actually RE-TRAINS
+    # (round 17 memoizes the loop; without this the determinism check
+    # would just read the cache back)
+    T._BPE_LOOP_MEMO.clear()
     again = [tuple(r) for r in T.text_bpe_train_merges(spark, d).collect()]
     assert again == got
 
@@ -723,3 +727,29 @@ def test_bpe_segmentation_round_trips_and_matches_merge_table(spark, tmp_path):
     # round-trip: vocab {abab:3, cd:3, a:3} after merges (a,b),(ab,ab),(c,d)
     # segments as {abab:[abab], cd:[cd], a:[a]} -> piece counts by freq
     assert pieces == {"abab": 3, "cd": 3, "a": 3}, pieces
+
+
+def test_bpe_vocab_target_stop(spark):
+    """Round 17 (VERDICT r16 item 5): the BPE trainer stops at a vocab
+    SIZE target, not a fixed toy round count — on the fixture corpus
+    the loop must halt with exactly BPE_VOCAB_TARGET distinct pieces
+    in the final vocabulary, strictly before the unroll bound, and
+    with a non-toy merge table (deeper than the old 8-round cap)."""
+    import pyspark.sql.functions as F
+
+    import spark_nifi_kafka_connected_device_stream_spark.operators.text as T
+
+    from .conftest import SF_SMALL
+
+    merges, final = T._bpe_merge_loop(spark, SF_SMALL)
+    assert 8 < len(merges) < T.BPE_MERGES, len(merges)
+    n_pieces = (
+        final.select(
+            F.explode(
+                F.split(F.col("enc").substr(F.lit(2), F.length("enc") - 2), "><")
+            ).alias("p")
+        )
+        .agg(F.count_distinct("p"))
+        .collect()[0][0]
+    )
+    assert n_pieces == T.BPE_VOCAB_TARGET, n_pieces

@@ -2077,3 +2077,115 @@ def test_fuzzy_store_compaction_drives_itself_on_epoch_cadence(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(store).select("doc_id").distinct().collect()
     ) == list(range(3 * n))
+
+
+def test_ivfpq_index_sink_encode_parity_restart_and_pruned_search(spark, tmp_path):
+    """Round-17 stretch (VERDICT r16 item 7): the streaming IVFPQ
+    ingest.  Train the model once, stream the sf0.001 embedding corpus
+    through the sink in two epochs, and the code-store search must
+    return EXACTLY the batch similarity_topk_ivfpq result (the encode
+    and ADC/re-rank helpers are literally shared, and the model is the
+    same geometry the batch query derives in-query).  A crashed-epoch
+    re-delivery is idempotent, and the serving scan reads ONLY the
+    probed cid partitions of the store."""
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        load_table,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        ivfpq_index_epoch,
+        ivfpq_search_code_store,
+        train_ivfpq_index_model,
+    )
+
+    from .conftest import SF_SMALL
+
+    model = str(tmp_path / "model")
+    index = str(tmp_path / "index")
+    train_ivfpq_index_model(spark, SF_SMALL, model)
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b0 = emb.filter("vec_id % 2 = 0")
+    b1 = emb.filter("vec_id % 2 = 1")
+    ivfpq_index_epoch(b0, 0, index, model)
+    ivfpq_index_epoch(b1, 1, index, model)
+
+    batch = sorted(
+        tuple(r) for r in all_specs()["similarity_topk_ivfpq"].fn(spark, SF_SMALL).collect()
+    )
+    served = ivfpq_search_code_store(spark, index, model, SF_SMALL)
+    assert sorted(tuple(r) for r in served.collect()) == batch
+
+    # crashed-epoch re-delivery: identical rows, identical search
+    ivfpq_index_epoch(b1, 1, index, model)
+    served2 = ivfpq_search_code_store(spark, index, model, SF_SMALL)
+    assert sorted(tuple(r) for r in served2.collect()) == batch
+
+    # the store side of the serving plan is partition-pruned to the
+    # probed cells: every store file read lives under a probed cid=
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity_ann import (
+        IVF_NPROBE,
+        N_QUERIES,
+    )
+
+    # the store scan plans PARTITION filters on cid (inputFiles()
+    # reports the whole relation pre-pruning, so the plan is the right
+    # witness — the fuzzy-store pruning test's technique), bounded by
+    # the |queries| x nprobe probe list
+    from spark_nifi_kafka_connected_device_stream_spark.plans.inspect import (
+        explain_str,
+    )
+
+    plan = explain_str(served)
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cid" in ln
+    ]
+    assert pf, plan
+    # renders as: PartitionFilters: [cid#N INSET 0, 1, 10, ...]
+    probed_lits = {
+        int(tok)
+        for tok in pf[0].split("INSET")[1].split("]")[0].split(",")
+    }
+    assert 0 < len(probed_lits) <= N_QUERIES * IVF_NPROBE, pf[0]
+
+
+def test_ivfpq_index_store_compaction_cadence_preserves_search(spark, tmp_path):
+    """The code store self-compacts on the same epoch cadence as the
+    fuzzy signature store (generalized part_col='cid'): across a
+    3N-epoch replay the epoch-dir count stays <= N+1 and the served
+    top-k still equals the batch query (no code row lost or
+    duplicated through the folds)."""
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+    from spark_nifi_kafka_connected_device_stream_spark.sources.catalog import (
+        load_table,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.streaming.sinks import (
+        ivfpq_index_epoch,
+        ivfpq_search_code_store,
+        train_ivfpq_index_model,
+    )
+
+    from .conftest import SF_SMALL
+
+    model = str(tmp_path / "model")
+    index = str(tmp_path / "index")
+    train_ivfpq_index_model(spark, SF_SMALL, model)
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = 3
+    for epoch in range(3 * n):
+        ivfpq_index_epoch(
+            emb.filter(f"vec_id % {3 * n} = {epoch}"), epoch, index, model,
+            compact_every=n,
+        )
+        dirs = [
+            p.name for p in (tmp_path / "index").iterdir()
+            if p.is_dir() and p.name.startswith("epoch=")
+        ]
+        assert len(dirs) <= n + 1, (epoch, sorted(dirs))
+    batch = sorted(
+        tuple(r) for r in all_specs()["similarity_topk_ivfpq"].fn(spark, SF_SMALL).collect()
+    )
+    served = ivfpq_search_code_store(spark, index, model, SF_SMALL)
+    assert sorted(tuple(r) for r in served.collect()) == batch
