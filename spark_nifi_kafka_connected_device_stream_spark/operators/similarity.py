@@ -3,12 +3,15 @@
 - brute-force cosine top-k: the correctness baseline. JVM-side
   higher-order functions (`zip_with` + `aggregate`), no Python in the
   row path.
-- IVF-style partitioned top-k: the scale path — restrict the search to
-  the query's cell (here the `label` column stands in for a k-means
-  cell assignment; at 100 TB cells come from a sampled k-means fit and
-  the probe fans out to nProbe nearest centroids). Candidate set drops
-  from N to N/cells; the join is an equi-join on the cell id, so it
-  shuffles only matching cells instead of a full cross join.
+- IVF-style partitioned top-k (`similarity_topk_ivf`): the
+  cell-restriction DEMONSTRATION — here the `label` column stands in
+  for a cell assignment, and `similarity_recall_report` exists to
+  show what that geometry-blind partition costs.  The PRODUCTION
+  serving tier (k-means coarse quantizer, scalar-quantized and IVFADC
+  codes, nprobe sweeps) lives in `operators/similarity_ann.py` since
+  the round-17 split.  Candidate set drops from N to ~nprobe·N/cells;
+  the join is an equi-join on the cell id, so it shuffles only
+  matching cells instead of a full cross join.
 
 Floating-point contract: elements are cast to double before any
 arithmetic; similarities are rounded to 6 dp in both engines (the fold
