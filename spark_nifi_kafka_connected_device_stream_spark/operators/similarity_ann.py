@@ -1212,3 +1212,65 @@ def similarity_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("share"),
     )
+
+
+@register(
+    "similarity_ivfpq_recall_report",
+    oracle=f"""
+    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
+    pq AS ({_REG["similarity_topk_ivfpq"].oracle}),
+    hits AS (
+      SELECT bf.query_id,
+             CAST(count(pq.neighbor_id) AS BIGINT) AS n_hits
+      FROM bf LEFT JOIN pq
+        ON pq.query_id = bf.query_id AND pq.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT CAST({TOP_K} AS INTEGER)            AS k,
+           CAST(count(*) AS BIGINT)            AS n_queries,
+           floor(avg(n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+                                               AS mean_recall,
+           floor(min(n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+                                               AS min_recall
+    FROM hits
+    """,
+    doc=f"recall@{TOP_K} of the FULL IVFADC serving path "
+        "(similarity_topk_ivfpq: k-means coarse quantizer, "
+        f"nprobe={IVF_NPROBE}, PQ-coded ADC short-list, exact re-rank) "
+        "against the exact brute-force ranking — the headline quality "
+        "number of the round-17 quantizer rework, REGISTERED so the "
+        "driver re-verifies it every rotation instead of trusting a "
+        "point-in-time artifact (artifacts/ivfpq_recall_r17.json is "
+        "the sweep twin; the label-cell era this replaced measured "
+        "0.08–0.16 here).  Same composition discipline as "
+        "similarity_recall_report: the oracle embeds the two queries' "
+        "own SQL, so the report cannot drift from what they return.  "
+        "Scale: both rankings are the registered queries' plans; the "
+        "comparison joins k·|queries|-row result sets.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    pq = similarity_topk_ivfpq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    hits = (
+        bf.join(
+            pq,
+            (bf.query_id == pq.query_id)
+            & (F.col("bf_neighbor") == F.col("pq_neighbor")),
+            "left",
+        )
+        .select(bf.query_id, "pq_neighbor")
+        .groupBy("query_id")
+        .agg(F.count("pq_neighbor").cast("bigint").alias("n_hits"))
+    )
+    recall = F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)
+    return hits.agg(
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        pround(F.avg(recall), 6).alias("mean_recall"),
+        pround(F.min(recall), 6).alias("min_recall"),
+    )

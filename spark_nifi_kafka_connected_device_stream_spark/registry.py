@@ -202,6 +202,8 @@ DEFERRED: tuple[str, ...] = (
     # round-17 additions, second wave (tokenizer QA + PQ utilization)
     "text_bpe_compression_ratio",
     "similarity_pq_code_histogram",
+    # third wave: the IVFADC recall number as a driver-verified row
+    "similarity_ivfpq_recall_report",
 )
 
 
