@@ -1274,3 +1274,292 @@ def similarity_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFram
         pround(F.avg(recall), 6).alias("mean_recall"),
         pround(F.min(recall), 6).alias("min_recall"),
     )
+
+
+@register(
+    "similarity_ivfpq_nprobe_sweep",
+    oracle=f"""
+    WITH bf AS ({_REG["similarity_topk_bruteforce"].oracle}),
+    {_km.sql_ctes(IVF_NCELLS, IVF_DECIMALS, leading_with=False)}, cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), qcell AS (
+      SELECT vec_id AS query_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)
+               AS cell_rank
+      FROM d2 WHERE vec_id < {N_QUERIES}
+    ), np AS (SELECT CAST(unnest([{", ".join(str(p) for p in NPROBES)}]) AS INTEGER) AS nprobe),
+    sub AS ({_DUCK_IVFPQ_SUB}
+    ), cent AS (
+      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {IVFPQ_K}
+    ), cnorm AS (
+      SELECT m, k,
+             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                  j -> cv[j] * cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS cn2_e6
+      FROM cent
+    ), dists AS (
+      SELECT s.vec_id, s.m, c.k,
+             list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                 j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS dist2
+      FROM sub s JOIN cent c USING (m)
+    ), codes AS (
+      SELECT r.vec_id AS neighbor_id, cl.cid, r.m, r.k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, k) AS rn
+        FROM dists
+      ) r JOIN cells cl USING (vec_id)
+      WHERE r.rn = 1
+    ), qn AS (
+      SELECT vec_id AS query_id,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                  i -> v[i] * v[i]))) AS q_norm
+      FROM e WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.k,
+             CAST(floor(list_sum(list_transform(generate_series(1, {IVFPQ_SUBDIM}),
+                  j -> s.sv[j] * c.cv[j])) * 1000000.0 + 0.5) AS BIGINT) AS pdot_e6
+      FROM sub s JOIN cent c USING (m)
+      WHERE s.vec_id < {N_QUERIES}
+    ), adc AS (
+      SELECT np.nprobe, qc.query_id, co.neighbor_id, q.q_norm,
+             CAST(sum(l.pdot_e6) AS BIGINT) AS adot_e6,
+             CAST(sum(cn.cn2_e6) AS BIGINT) AS cn2s_e6
+      FROM np
+      JOIN qcell qc ON qc.cell_rank <= np.nprobe
+      JOIN codes co ON co.cid = qc.cid AND co.neighbor_id <> qc.query_id
+      JOIN qn q ON q.query_id = qc.query_id
+      JOIN lut l ON l.query_id = qc.query_id AND l.m = co.m AND l.k = co.k
+      JOIN cnorm cn ON cn.m = co.m AND cn.k = co.k
+      GROUP BY np.nprobe, qc.query_id, co.neighbor_id, q.q_norm
+    ), approx AS (
+      SELECT * FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY (adot_e6 * 1.0 / 1000000.0)
+                   / (q_norm * sqrt(cn2s_e6 * 1.0 / 1000000.0)) DESC,
+                   neighbor_id ASC) AS arnk
+        FROM adc
+      ) WHERE arnk <= {IVFPQ_NCAND}
+    ), reranked AS (
+      SELECT * FROM (
+        SELECT a.nprobe, a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY a.nprobe, a.query_id
+                                  ORDER BY {_duck_dq_cos("q.v", "c.v")} DESC,
+                                           a.neighbor_id ASC) AS rnk
+        FROM approx a
+        JOIN e q ON q.vec_id = a.query_id
+        JOIN e c ON c.vec_id = a.neighbor_id
+      ) WHERE rnk <= {TOP_K}
+    ), cost AS (
+      SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
+      FROM adc GROUP BY nprobe, query_id
+    ), hits AS (
+      SELECT np.nprobe, bf.query_id,
+             CAST(count(r.neighbor_id) AS BIGINT) AS n_hits
+      FROM np CROSS JOIN bf
+      LEFT JOIN reranked r ON r.nprobe = np.nprobe
+                          AND r.query_id = bf.query_id
+                          AND r.neighbor_id = bf.neighbor_id
+      GROUP BY np.nprobe, bf.query_id
+    )
+    SELECT h.nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(avg(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_recall,
+           floor(min(h.n_hits * 1.0 / {TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+             AS min_recall,
+           floor(avg(coalesce(c.n_cand, 0) * 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_candidates
+    FROM hits h LEFT JOIN cost c ON c.nprobe = h.nprobe AND c.query_id = h.query_id
+    GROUP BY h.nprobe
+    """,
+    doc=f"The END-TO-END IVFADC tuning curve: recall@{TOP_K} vs exact "
+        f"brute force and ADC-candidates-scored cost for nProbe in "
+        f"{NPROBES} through the FULL serving path — PQ-coded ADC "
+        "short-list then exact re-rank — unlike "
+        "similarity_kmeans_nprobe_sweep, which ranks probed candidates "
+        "with exact cosine and therefore measures what the CELLS cost; "
+        "the gap between the two curves is what 2-bit PQ coding costs "
+        "at each probe depth, and together they are the table that "
+        "picks the deployment's (nprobe, rerank-budget) point.  Same "
+        "exact-int ADC determinism contract as similarity_topk_ivfpq "
+        "(the nprobe={IVF_NPROBE} row of this sweep IS that query's "
+        "configuration).  Scale shape: codes scored via the broadcast "
+        "LUT equi-join per probe depth (candidates stay cell-confined, "
+        "never all-pairs), full-precision vectors only in the "
+        "k-bounded re-rank, recall join on k-bounded rows.",
+    tags=("similarity", "ann", "quality"),
+)
+def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.repartition(plan_parallelism(spark), "vec_id")
+    emb = _km.embeddings_double(spark, sf_dir).repartition(
+        plan_parallelism(spark), "vec_id"
+    )
+    cent_ivf = _km.final_centroids(
+        spark, sf_dir, IVF_NCELLS, IVF_DECIMALS
+    ).localCheckpoint(eager=False)
+    cells = _km.assign(emb, cent_ivf).select("vec_id", "cid")
+    qscore = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent_ivf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    probe_arr = F.array(*[F.lit(p) for p in NPROBES])
+    probed = (
+        qscore.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= max(NPROBES))
+        .select(
+            F.explode(
+                F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
+            ).alias("nprobe"),
+            "query_id",
+            F.col("cid").alias("p_cid"),
+        )
+    )
+    sub = ivfpq_subvectors(e)
+    cent = ivfpq_codebook(sub)
+    cnorm = cent.select(
+        "m",
+        "k",
+        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cn2_e6"),
+    )
+    codes = (
+        ivfpq_codes(sub, cent)
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("c_cid"),
+            "m",
+            "k",
+        )
+    )
+    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        l2_norm(F.col("v")).alias("q_norm"),
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pdot_e6"),
+        )
+    )
+    # |queries| x sum(NPROBES) x M x K rows — constant per query, broadcast
+    plq = lut.join(F.broadcast(qn), "query_id").join(F.broadcast(probed), "query_id")
+    adc = (
+        codes.join(F.broadcast(cnorm), ["m", "k"])
+        .join(
+            F.broadcast(plq),
+            (F.col("c_cid") == F.col("p_cid"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("k") == F.col("lk")),
+        )
+        .groupBy("nprobe", "query_id", "neighbor_id", "q_norm")
+        .agg(
+            F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
+            F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
+        )
+    )
+    approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (
+        F.col("q_norm") * F.sqrt(F.col("cn2s_e6") * F.lit(1.0) / F.lit(1e6))
+    )
+    aw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("approx_raw"), F.asc("neighbor_id")
+    )
+    wall = Window.partitionBy("nprobe", "query_id")
+    # the candidates-scored cost rides the SAME pass as the ADC ranking
+    approx = (
+        adc.withColumn("approx_raw", approx_raw)
+        .withColumn("n_cand", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") <= IVFPQ_NCAND)
+        .select("nprobe", "query_id", "neighbor_id", "n_cand")
+        .localCheckpoint(eager=False)
+    )
+    qv_full = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_v")
+    )
+    cv_full = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
+    exact_sim = dot(F.col("q_v"), F.col("c_v")) / (
+        l2_norm(F.col("q_v")) * l2_norm(F.col("c_v"))
+    )
+    rw = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("exact_raw"), F.asc("neighbor_id")
+    )
+    reranked = (
+        approx.join(F.broadcast(qv_full), "query_id")
+        .join(cv_full, "neighbor_id")
+        .withColumn("exact_raw", exact_sim)
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            F.col("nprobe").alias("r_np"),
+            F.col("query_id").alias("r_qid"),
+            F.col("neighbor_id").alias("r_nid"),
+        )
+    )
+    cost = (
+        approx.groupBy("nprobe", "query_id")
+        .agg(F.max("n_cand").cast("bigint").alias("n_cand"))
+        .select(
+            F.col("nprobe").alias("c_np"),
+            F.col("query_id").alias("c_qid"),
+            "n_cand",
+        )
+    )
+    nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        F.col("query_id").alias("bf_qid"), F.col("neighbor_id").alias("bf_neighbor")
+    )
+    hits = (
+        bf.crossJoin(F.broadcast(nps.select(F.col("nprobe").alias("np"))))
+        .join(
+            F.broadcast(reranked),
+            (F.col("bf_qid") == F.col("r_qid"))
+            & (F.col("bf_neighbor") == F.col("r_nid"))
+            & (F.col("np") == F.col("r_np")),
+            "left",
+        )
+        .groupBy(F.col("np"), F.col("bf_qid"))
+        .agg(F.count(F.col("r_nid")).cast("bigint").alias("n_hits"))
+    )
+    return (
+        hits.join(
+            F.broadcast(cost),
+            (F.col("np") == F.col("c_np")) & (F.col("bf_qid") == F.col("c_qid")),
+            "left",
+        )
+        .withColumn("n_cand", F.coalesce(F.col("n_cand"), F.lit(0)))
+        .groupBy(F.col("np").cast("int").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            pround(F.avg(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "mean_recall"
+            ),
+            pround(F.min(F.col("n_hits") * F.lit(1.0) / F.lit(TOP_K)), 6).alias(
+                "min_recall"
+            ),
+            pround(F.avg(F.col("n_cand") * F.lit(1.0)), 6).alias("avg_candidates"),
+        )
+    )

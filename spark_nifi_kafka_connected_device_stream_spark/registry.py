@@ -204,6 +204,7 @@ DEFERRED: tuple[str, ...] = (
     "similarity_pq_code_histogram",
     # third wave: the IVFADC recall number as a driver-verified row
     "similarity_ivfpq_recall_report",
+    "similarity_ivfpq_nprobe_sweep",
 )
 
 

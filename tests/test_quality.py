@@ -753,3 +753,27 @@ def test_bpe_vocab_target_stop(spark):
         .collect()[0][0]
     )
     assert n_pieces == T.BPE_VOCAB_TARGET, n_pieces
+
+
+def test_ivfpq_nprobe_sweep_consistency(spark):
+    """Cross-query consistency pins for the end-to-end IVFADC sweep:
+    (a) every probe depth covers all 10 queries; (b) ADC candidates
+    scored grow monotonically with nprobe (more cells can only add
+    candidates); (c) the sweep's nprobe=IVF_NPROBE row IS the
+    configuration of similarity_topk_ivfpq, so its mean_recall must
+    equal similarity_ivfpq_recall_report's — two independently
+    composed paths to the same number."""
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity_ann import (
+        IVF_NPROBE,
+    )
+
+    rows = {
+        r["nprobe"]: r
+        for r in SPECS["similarity_ivfpq_nprobe_sweep"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert all(r["n_queries"] == 10 for r in rows.values())
+    assert rows[1]["avg_candidates"] <= rows[2]["avg_candidates"] <= rows[4]["avg_candidates"]
+    report = SPECS["similarity_ivfpq_recall_report"].fn(spark, SF_MEDIUM).collect()[0]
+    assert rows[IVF_NPROBE]["mean_recall"] == report["mean_recall"]
+    assert rows[IVF_NPROBE]["min_recall"] == report["min_recall"]
