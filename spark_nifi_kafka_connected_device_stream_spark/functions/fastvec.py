@@ -1,0 +1,431 @@
+"""Vectorized EXACT-fold vector kernels (optimization round 17).
+
+The similarity / ANN / k-means tier computes millions of fixed-order
+double folds (dot products, squared distances) per query.  The
+Catalyst higher-order functions (`aggregate(zip_with(...))`) that
+expressed them are CodegenFallback — every element is an interpreted
+lambda call — and profiling showed them dominating the whole family
+(PERF.md round-17 optimization notes; e.g. the 16-cell k-means build
+alone cost ~2.9 s/query at sf0.1).
+
+These kernels move the SAME arithmetic into numpy inside
+`mapInArrow` (guide §4.2: batch-native compute beats both interpreted
+JVM expressions and row-at-a-time Python).  The contract that makes
+the swap safe is BIT-IDENTITY, not approximate equality:
+
+- elements are widened float32 -> float64 exactly as the JVM cast
+  does (exact, no rounding),
+- per-element products/squares are single IEEE-754 double ops —
+  identical on both sides,
+- the accumulation uses ``np.cumsum(..., axis=-1)`` and takes the last
+  prefix: cumsum must produce every prefix, so it is a strict
+  left-to-right sequential add — THE SAME float operation sequence as
+  ``F.aggregate(prods, lit(0.0), acc + x)`` (0.0 + x0 == x0 exactly).
+
+Verified empirically in tests/test_fastvec.py: 0 bit mismatches
+against the HOF expressions over every fixture vector and every
+within-cell pair (399k pairs at sf0.1).
+
+Scale shape: each kernel is a map-only pass (no shuffle introduced or
+removed by the swap itself); centroid/query/codebook closures are
+k-row bounded tables (the documented bounded-collect class — at 100 TB
+a coarse quantizer is fit driver-side and SHIPPED to the scan, which
+is exactly what the closure does).  Batches stream through Arrow;
+per-batch temporaries are O(batch x dims).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Left-to-right float64 dot along the last axis — bit-identical to
+    the Catalyst fold `aggregate(zip_with(a, b, x*y), 0.0, acc+x)`."""
+    prods = a * b
+    if prods.shape[-1] == 0:
+        return np.zeros(prods.shape[:-1], dtype=np.float64)
+    return np.cumsum(prods, axis=-1)[..., -1]
+
+
+def exact_dist2(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Left-to-right float64 squared L2 along the last axis — bit-identical
+    to `aggregate(zip_with(v, c, (x-c)*(x-c)), 0.0, acc+x)`."""
+    d = v - c
+    sq = d * d
+    if sq.shape[-1] == 0:
+        return np.zeros(sq.shape[:-1], dtype=np.float64)
+    return np.cumsum(sq, axis=-1)[..., -1]
+
+
+def _matrix(col, n: int, dtype=np.float32) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column; fails loud on
+    ragged rows (outside the screened-corpus data contract, same posture
+    as the ANSI zero-norm abort)."""
+    flat = col.flatten()
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if len(flat) % n != 0:
+        raise ValueError(
+            "fastvec: ragged embedding lengths in batch — screen the "
+            "corpus (embedding_dim_stats) before similarity ops"
+        )
+    return (
+        np.asarray(flat, dtype=dtype).reshape(n, len(flat) // n).astype(np.float64)
+    )
+
+
+def scored_cells(
+    emb: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, cid, dist2) for EVERY (vector, centroid) pair — the
+    vectorized, bit-identical replacement for
+    ``emb.crossJoin(broadcast(cent)).select(id, cid, dist2(v, c))``.
+
+    `cent_rows` is the collected k-row centroid table [(cid, coords)]
+    — bounded by construction (k = IVF_NCELLS / KMEANS_K).  Map-only:
+    each input row yields k output rows; no exchange."""
+    cents = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([coords for _, coords in cents], dtype=np.float64)
+    k = len(cids)
+    id_field = emb.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(tb.column(id_col))
+            vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
+            # one vectorized pass per centroid keeps temporaries at
+            # O(batch x dims) instead of O(batch x k x dims)
+            d2 = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                d2[:, j] = exact_dist2(vmat, cmat[j])
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(ids, k)),
+                    pa.array(np.tile(cids, n), pa.int64()),
+                    pa.array(d2.reshape(-1), pa.float64()),
+                ],
+                names=[id_col, "cid", "dist2"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} {id_field}, cid bigint, dist2 double"
+    )
+
+
+def query_sims(
+    emb: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dtype=np.float32,
+) -> DataFrame:
+    """(query_id, id, raw_sim) cosine of every corpus vector against
+    each of the bounded query set — the vectorized, bit-identical
+    replacement for ``corpus.crossJoin(broadcast(queries))`` + the
+    dot/norm HOFs (query_id == id rows are NOT emitted, matching the
+    `neighbor_id != query_id` filter).  Norms fold left-to-right per
+    side exactly like `l2_norm`; the division matches
+    `dot / (q_norm * c_norm)` operation-for-operation."""
+    qs = sorted(query_rows, key=lambda r: r[0])
+    qids = np.array([q for q, _ in qs], dtype=np.int64)
+    qmat = np.array([coords for _, coords in qs], dtype=np.float64)
+    qnorm = np.sqrt(exact_dot(qmat, qmat))
+    nq = len(qids)
+    id_field = emb.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(tb.column(id_col))
+            vmat = _matrix(tb.column(vec_col), n, dtype=in_dtype)
+            cnorm = np.sqrt(exact_dot(vmat, vmat))
+            sims = np.empty((n, nq), dtype=np.float64)
+            for j in range(nq):
+                sims[:, j] = exact_dot(vmat, qmat[j]) / (qnorm[j] * cnorm)
+            keep = np.repeat(ids, nq) != np.tile(qids, n)
+            yield pa.record_batch(
+                [
+                    pa.array(np.tile(qids, n)[keep], pa.int64()),
+                    pa.array(np.repeat(ids, nq)[keep]),
+                    pa.array(sims.reshape(-1)[keep], pa.float64()),
+                ],
+                names=["query_id", id_col, "raw_sim"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        kernel, f"query_id bigint, {id_col} {id_field}, raw_sim double"
+    )
+
+
+def pair_sims(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "raw_sim",
+    in_dtype=np.float32,
+) -> DataFrame:
+    """Append cosine(a, b) to a pair frame and DROP the two array
+    columns — the vectorized, bit-identical replacement for the
+    per-pair `dot(a, b) / (l2_norm(a) * l2_norm(b))` HOF projection.
+    The join that produced the pairs is untouched (same exchanges,
+    same strategy); only the expression evaluation moves to numpy."""
+    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields
+        if f.name in keep
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            amat = _matrix(tb.column(a_col), n, dtype=in_dtype)
+            bmat = _matrix(tb.column(b_col), n, dtype=in_dtype)
+            sim = exact_dot(amat, bmat) / (
+                np.sqrt(exact_dot(amat, amat)) * np.sqrt(exact_dot(bmat, bmat))
+            )
+            yield pa.record_batch(
+                [tb.column(c) for c in keep] + [pa.array(sim, pa.float64())],
+                names=keep + [out_col],
+            )
+
+    return pairs.mapInArrow(kernel, f"{keep_schema}, {out_col} double")
+
+
+def grouped_scored(
+    sub: DataFrame,
+    cent_rows: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    group_col: str = "m",
+    vec_col: str = "sv",
+    score: str = "dist2",
+) -> DataFrame:
+    """(id, m, k, score) of every subvector against every codebook
+    entry OF ITS GROUP — the vectorized replacement for
+    ``sub.join(broadcast(cent), "m")`` + the per-row dist2/dot HOF in
+    the PQ encode/LUT paths.  `cent_rows` is the collected
+    (m, k, coords) codebook — M x K rows, bounded.  `score` picks the
+    bit-identical kernel: 'dist2' (encode) or 'dot' (LUT)."""
+    by_m: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for m, k, coords in cent_rows:
+        by_m.setdefault(int(m), ([], []))
+        by_m[int(m)][0].append(int(k))
+        by_m[int(m)][1].append(coords)
+    packed = {
+        m: (np.array(ks, dtype=np.int64), np.array(cs, dtype=np.float64))
+        for m, (ks, cs) in by_m.items()
+    }
+    fn = exact_dist2 if score == "dist2" else exact_dot
+    id_field = sub.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(tb.column(id_col))
+            ms = np.asarray(tb.column(group_col))
+            vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
+            out_id, out_m, out_k, out_s = [], [], [], []
+            for m, (ks, cmat) in packed.items():
+                sel = np.nonzero(ms == m)[0]
+                if len(sel) == 0:
+                    continue
+                vm = vmat[sel]
+                kk = len(ks)
+                sc = np.empty((len(sel), kk), dtype=np.float64)
+                for j in range(kk):
+                    sc[:, j] = fn(vm, cmat[j])
+                out_id.append(np.repeat(ids[sel], kk))
+                out_m.append(np.full(len(sel) * kk, m, dtype=np.int64))
+                out_k.append(np.tile(ks, len(sel)))
+                out_s.append(sc.reshape(-1))
+            if not out_id:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_m), pa.int64()),
+                    pa.array(np.concatenate(out_k), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.float64()),
+                ],
+                names=[id_col, group_col, "k", score],
+            )
+
+    return sub.select(id_col, group_col, vec_col).mapInArrow(
+        kernel, f"{id_col} {id_field}, {group_col} bigint, k bigint, {score} double"
+    )
+
+
+def nearest_cell(
+    emb: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, cid, dist2) of the NEAREST centroid per vector, ties to the
+    lowest cid — bit-identical to ``scored_cells(...).groupBy(id).agg(
+    min(struct(dist2, cid)))`` but MAP-ONLY: the per-vector argmin runs
+    inside the kernel, so the crossJoin AND the aggregation exchange
+    both disappear from the plan.  dist2 values are bit-identical to
+    the HOF fold, and np.argmin over the cid-ascending score matrix
+    returns the FIRST index achieving the minimum — exactly the
+    min-of-struct (dist2, cid) tie rule."""
+    cents = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([coords for _, coords in cents], dtype=np.float64)
+    k = len(cids)
+    id_field = emb.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
+            d2 = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                d2[:, j] = exact_dist2(vmat, cmat[j])
+            best = np.argmin(d2, axis=1)
+            yield pa.record_batch(
+                [
+                    tb.column(id_col),
+                    pa.array(cids[best], pa.int64()),
+                    pa.array(d2[np.arange(n), best], pa.float64()),
+                ],
+                names=[id_col, "cid", "dist2"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} {id_field}, cid bigint, dist2 double"
+    )
+
+
+def nearest_code(
+    sub: DataFrame,
+    cent_rows: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    group_col: str = "m",
+    vec_col: str = "sv",
+) -> DataFrame:
+    """(id, m, k) of the nearest codebook entry per (vector, subspace),
+    ties to the lowest k — the map-only form of the PQ encode
+    (``sub.join(broadcast(cent), "m")`` + dist2 HOF + min-of-struct):
+    both the join and the (id, m) aggregation exchange disappear."""
+    by_m: dict[int, tuple[list, list]] = {}
+    for m, k, coords in cent_rows:
+        by_m.setdefault(int(m), ([], []))
+        by_m[int(m)][0].append(int(k))
+        by_m[int(m)][1].append(coords)
+    packed = {}
+    for m, (ks, cs) in by_m.items():
+        order = np.argsort(np.array(ks, dtype=np.int64), kind="stable")
+        packed[m] = (
+            np.array(ks, dtype=np.int64)[order],
+            np.array(cs, dtype=np.float64)[order],
+        )
+    id_field = sub.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for tb in batches:
+            n = tb.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(tb.column(id_col))
+            ms = np.asarray(tb.column(group_col))
+            vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
+            out_k = np.empty(n, dtype=np.int64)
+            for m, (ks, cmat) in packed.items():
+                sel = np.nonzero(ms == m)[0]
+                if len(sel) == 0:
+                    continue
+                vm = vmat[sel]
+                sc = np.empty((len(sel), len(ks)), dtype=np.float64)
+                for j in range(len(ks)):
+                    sc[:, j] = exact_dist2(vm, cmat[j])
+                out_k[sel] = ks[np.argmin(sc, axis=1)]
+            yield pa.record_batch(
+                [
+                    pa.array(ids),
+                    pa.array(ms.astype(np.int32)),
+                    pa.array(out_k, pa.int64()),
+                ],
+                names=[id_col, group_col, "k"],
+            )
+
+    return sub.select(id_col, group_col, vec_col).mapInArrow(
+        kernel, f"{id_col} {id_field}, {group_col} int, k bigint"
+    )
+
+
+def collect_vectors(df: DataFrame, id_col: str, vec_col: str) -> list[tuple[int, list[float]]]:
+    """Bounded collect of a k-row (id, vector) table for a kernel
+    closure (centroids, query sets, codebooks).  Callers pass frames
+    that are k-bounded BY CONSTRUCTION (k centroids, N_QUERIES query
+    rows) — the documented bounded-collect class."""
+    return [
+        (row[0], list(row[1])) for row in df.select(id_col, vec_col).collect()
+    ]
+
+
+def read_vectors_driver(
+    sf_dir: str,
+    max_id: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The k seed/query rows (`id < max_id`) read DRIVER-SIDE straight
+    from the parquet input — the barrier-free form of the bounded
+    collect (optimization r17).
+
+    A `.collect()` of the same rows costs a full Spark job that
+    SERIALIZES the driver (and, when the frame was repartitioned
+    upstream, a shuffle of the whole table just to fetch k rows);
+    measured, those barriers were the entire regression in the
+    composed ANN queries.  This reads the same bytes from the same
+    parquet path per invocation — nothing is cached or precomputed
+    across runs — and widens float32 exactly like the Spark
+    double-cast.  Scale posture: k rows regardless of corpus size,
+    the same driver-side footprint as broadcasting a k-row table."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_numpy()
+    keep = np.nonzero(ids < max_id)[0]
+    vecs = t.column(vec_col)
+    out = [
+        (int(ids[i]), [float(x) for x in vecs[int(i)].as_py()]) for i in keep
+    ]
+    out.sort(key=lambda r: r[0])
+    return out

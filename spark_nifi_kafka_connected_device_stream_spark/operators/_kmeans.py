@@ -37,12 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import fastvec
 from ..functions.portable import pround
 from ..sources.catalog import load_table
 
 
 def dist2(vec_col: F.Column, cent_col: F.Column) -> F.Column:
-    """Σ (x - c)² over two double arrays, accumulated left-to-right."""
+    """Σ (x - c)² over two double arrays, accumulated left-to-right.
+
+    The HOF form, kept for metadata-sized operands (centroid-pair
+    grids, bounded probes).  Corpus-sized scoring goes through the
+    bit-identical vectorized `scored` / `fastvec.scored_cells` path
+    (optimization r17): the interpreted per-element lambda was the
+    dominant cost of every k-means consumer."""
     return F.aggregate(
         F.zip_with(vec_col, cent_col, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -50,17 +57,26 @@ def dist2(vec_col: F.Column, cent_col: F.Column) -> F.Column:
     )
 
 
+def scored(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2) of EVERY (vector, centroid) pair — the
+    vectorized, bit-identical form of
+    ``emb.crossJoin(broadcast(centroids)).select(dist2(v, c))``.
+    Collects the k-row centroid table (bounded by construction) into
+    the kernel closure; the corpus side stays a map-only pass."""
+    return fastvec.scored_cells(
+        emb, fastvec.collect_vectors(centroids, "cid", "c")
+    )
+
+
 def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cid, dist2): nearest centroid per vector, ties to the
-    lowest cid via min-of-struct.  centroids is k rows → broadcast
-    nested-loop; the big side never shuffles."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cid", dist2(F.col("v"), F.col("c")).alias("dist2")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist2", "cid")).alias("b")
-    )
-    return best.select("vec_id", F.col("b.cid").alias("cid"), F.col("b.dist2").alias("dist2"))
+    lowest cid (the min-of-struct rule, evaluated by argmin over the
+    cid-ascending score matrix inside the kernel).  centroids is k
+    rows → shipped to the scoring kernel's closure; MAP-ONLY — the big
+    side neither shuffles nor aggregates (optimization r17: the
+    crossJoin+min-of-struct form paid one exchange plus an interpreted
+    lambda per element)."""
+    return assign_rows(emb, fastvec.collect_vectors(centroids, "cid", "c"))
 
 
 def embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +98,12 @@ def final_centroids(
     init = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    a1 = assign(emb, init).select("vec_id", "cid")
+    # seed rows read driver-side from the parquet input (barrier-free
+    # bounded read, optimization r17) — the lazy `init` frame above
+    # still feeds the empty-cluster retention join below, so no collect
+    # job runs during query construction
+    init_rows = fastvec.read_vectors_driver(sf_dir, k)
+    a1 = assign_rows(emb, init_rows).select("vec_id", "cid")
     # recenter: (cluster, dim) partial agg, then assemble ordered arrays
     dims = a1.join(emb, "vec_id").select(
         "cid", F.posexplode(F.col("v")).alias("j", "x")
@@ -105,6 +126,18 @@ def final_centroids(
     ).select("cid", F.coalesce(F.col("cm"), F.col("c0")).alias("c"))
 
 
+def final_centroid_rows(
+    spark: SparkSession, sf_dir: str, k: int, decimals: int
+) -> list[tuple[int, list[float]]]:
+    """The post-Lloyd centroids COLLECTED to k bounded rows [(cid,
+    coords)] — one collect shared by every consumer of the clustering
+    inside a query (cells assignment + query probe ranking), instead
+    of re-materializing the centroid frame per consumer."""
+    return fastvec.collect_vectors(
+        final_centroids(spark, sf_dir, k, decimals), "cid", "c"
+    )
+
+
 def final_assign(
     spark: SparkSession, sf_dir: str, k: int, decimals: int
 ) -> DataFrame:
@@ -112,6 +145,20 @@ def final_assign(
     the Spark twin of sql_ctes()."""
     emb = embeddings_double(spark, sf_dir)
     return assign(emb, final_centroids(spark, sf_dir, k, decimals))
+
+
+def scored_rows(
+    emb: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, cid, dist2) over a pre-collected centroid row set."""
+    return fastvec.scored_cells(emb, cent_rows)
+
+
+def assign_rows(
+    emb: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """`assign` over a pre-collected centroid row set (shared collect)."""
+    return fastvec.nearest_cell(emb, cent_rows)
 
 
 def sql_ctes(k: int, decimals: int, leading_with: bool = True) -> str:

@@ -1717,14 +1717,27 @@ _PROFILE_COLS = (
 )
 def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    # TWO aggregation passes instead of one (optimization r17).  Mixing
+    # min/max over STRING columns into the same agg as the multi-column
+    # exact COUNT(DISTINCT) forced the distinct Expand rewrite into a
+    # SortAggregate — string agg buffers are not hash-mutable — i.e. a
+    # full 7-key SORT of the |cols|+1-way expanded table (7·N wide rows;
+    # measured 5.6 s at sf0.1, and at 100 TB that sort IS the job).
+    # Split, the distinct pass keeps long-only buffers and stays a
+    # HashAggregate over the Expand, and the null/min/max pass is a
+    # plain keyless single-pass agg (no Expand, no sort); the two 1-row
+    # results recombine with a broadcast cross join.  Results identical.
+    dist_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    mm_aggs = []
     for c in _PROFILE_COLS:
-        aggs.extend(
+        dist_aggs.append(
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"dist__{c}")
+        )
+        mm_aggs.extend(
             [
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias(f"null__{c}"),
-                F.count_distinct(F.col(c)).cast("bigint").alias(f"dist__{c}"),
                 F.coalesce(F.min(c).cast("string"), F.lit("(all null)")).alias(
                     f"min__{c}"
                 ),
@@ -1733,7 +1746,7 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ]
         )
-    wide = o.agg(*aggs)
+    wide = o.agg(*dist_aggs).crossJoin(F.broadcast(o.agg(*mm_aggs)))
     per_col = F.array(
         *[
             F.struct(

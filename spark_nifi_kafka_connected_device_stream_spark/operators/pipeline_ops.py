@@ -228,25 +228,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
+        nl = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                nl.alias("label"),
+                # convergence flag computed IN the round (optimization
+                # r17): labels only decrease, so "some row changed" ==
+                # "new != old" — the old exceptAll check re-shuffled
+                # both label frames every round just to learn that
+                (nl != F.col("label")).alias("_changed"),
             )
             # iterative algorithms must truncate lineage per round, or the
             # unrolled join tree grows unbounded (66 shuffles at 10 rounds).
             # eager=True (made explicit per ADVICE r12) materializes the
-            # round's labels HERE, so the exceptAll convergence action and
-            # the next round's join both read checkpointed blocks — per-
-            # round cost is constant in round number, plan depth is O(1).
+            # round's labels HERE, so the convergence probe and the next
+            # round's join both read checkpointed blocks — per-round cost
+            # is constant in round number, plan depth is O(1).
             .localCheckpoint(eager=True)
         )
-        if new_labels.exceptAll(labels).isEmpty():
-            labels = new_labels
+        if new_labels.filter(F.col("_changed")).isEmpty():
+            labels = new_labels.drop("_changed")
             converged = True
             break
-        labels = new_labels
+        labels = new_labels.drop("_changed")
     if not converged:
         raise RuntimeError(
             "dedup_clusters: min-label propagation did not converge in "

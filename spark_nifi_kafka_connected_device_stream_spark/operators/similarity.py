@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import fastvec
 from ..functions.vectors import dot, l2_norm
 from ..functions.portable import pround
 from ..functions.scale import plan_parallelism
@@ -76,28 +77,27 @@ _DUCK_COS = """
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # candidate side arrives as one small parquet split; spread it so
-    # the broadcast-NLJ probe runs on every core.  Norms are computed
-    # once per SIDE, not per pair — the per-pair work is one dot fold.
+    # the probe runs on every core.  The N_QUERIES query vectors are a
+    # bounded collect shipped to the scoring kernel's closure
+    # (optimization r17: the crossJoin(broadcast(q)) + dot/norm HOFs
+    # paid an interpreted lambda per element; the kernel computes the
+    # SAME left-to-right folds vectorized, bit-identically).  Norms are
+    # still computed once per SIDE inside the kernel, not per pair.
     e = e.repartition(plan_parallelism(spark), "vec_id")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    # query vectors read driver-side from the parquet input (a collect
+    # here would shuffle the whole repartitioned table to fetch 10 rows)
+    qrows = fastvec.read_vectors_driver(sf_dir, N_QUERIES)
+    sims = fastvec.query_sims(e, qrows, id_col="vec_id", vec_col="embedding")
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("vec_id"))
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("raw_sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
+        sims.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", pround("raw_sim", 6).alias("cos_sim"), "rnk")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround("raw_sim", 6).alias("cos_sim"),
+            "rnk",
+        )
     )
 
 
@@ -552,6 +552,11 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         l2_norm(F.col("embedding")).alias("c_norm"),
     )
+    # measured r17: swapping this per-pair HOF for the Arrow kernel is
+    # NOT a win — shipping both arrays per pair through the Python
+    # boundary costs what the interpreted fold costs; the kernel swap
+    # pays off only where a bounded side moves into the closure
+    # (bruteforce/centroids) — so the HOF projection stays.
     sim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import fastvec
 from ..functions.vectors import dot, l2_norm
 from ..functions.portable import pround
 from ..functions.scale import plan_parallelism
@@ -89,26 +90,20 @@ def _ivf_cells_and_probe(
 ) -> tuple[DataFrame, DataFrame]:
     """(cells, probed): the corpus cell assignment (vec_id, cid) and
     the per-query probe list (query_id, p_cid) of the IVF_NPROBE
-    nearest cells.  The K-row centroid frame is lazily checkpointed so
-    the two-pass Lloyd build runs ONCE for both consumers; both joins
-    against it are broadcast nested-loops — the corpus side never
-    shuffles for the assignment."""
+    nearest cells.  The k-row centroid table is collected ONCE
+    (bounded by construction) and shipped to the bit-identical
+    vectorized scoring kernel for both consumers (optimization r17 —
+    the crossJoin+HOF form re-ran the two-pass Lloyd build per
+    consumer and paid an interpreted lambda per element); the corpus
+    side never shuffles for the assignment."""
     emb = _km.embeddings_double(spark, sf_dir).repartition(
         plan_parallelism(spark), "vec_id"
     )
-    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS).localCheckpoint(
-        eager=False
-    )
-    cells = _km.assign(emb, cent).select("vec_id", "cid")
-    scored = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
-        )
-    )
+    crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
+    cells = _km.assign_rows(emb, crows).select("vec_id", "cid")
+    scored = _km.scored_rows(
+        emb.filter(F.col("vec_id") < N_QUERIES), crows
+    ).select(F.col("vec_id").alias("query_id"), "cid", "dist2")
     w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
     probed = (
         scored.withColumn("cell_rank", F.row_number().over(w))
@@ -633,24 +628,41 @@ def ivfpq_codebook(sub: DataFrame) -> DataFrame:
     )
 
 
-def ivfpq_codes(sub: DataFrame, cent: DataFrame) -> DataFrame:
+def ivfpq_codebook_rows(sf_dir: str) -> list[tuple[int, int, list[float]]]:
+    """The (m, k, cv) codebook rows read DRIVER-SIDE from the parquet
+    input (barrier-free bounded read, optimization r17): subvector
+    slices of the IVFPQ_K seed rows — element-for-element what
+    `ivfpq_codebook(ivfpq_subvectors(e))` computes, without paying a
+    Spark collect barrier for M·K constant rows."""
+    seeds = fastvec.read_vectors_driver(sf_dir, IVFPQ_K)
+    return [
+        (m, vid, coords[m * IVFPQ_SUBDIM : (m + 1) * IVFPQ_SUBDIM])
+        for vid, coords in seeds
+        for m in range(IVFPQ_M)
+    ]
+
+
+def ivfpq_codes(
+    sub: DataFrame,
+    cent: DataFrame,
+    cent_rows: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
     """(vec_id, m, k): nearest codebook entry per (vector, subspace).
-    dist2 is the same left-to-right double fold as the PQ operator, so
-    the code assignment is bit-identical cross-engine; ties go to the
-    lowest k via min-of-struct."""
-    dist2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = sub.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "k", dist2.alias("dist2")
-    )
-    return (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist2", "k")).alias("b"))
-        .select("vec_id", "m", F.col("b.k").alias("k"))
-    )
+    The squared distances are the same left-to-right double fold as
+    the PQ operator (bit-identical cross-engine) with ties to the
+    lowest k — evaluated MAP-ONLY by the vectorized encode kernel
+    (optimization r17: the broadcast-join + HOF + min-of-struct form
+    paid one exchange plus an interpreted lambda per element).  The
+    M·K-row codebook ships in the kernel closure: from `cent_rows`
+    when the caller already has it (the registered queries read the
+    seed rows driver-side), else via a bounded collect of `cent` (the
+    streaming index path, whose codebook is a trained model frame)."""
+    if cent_rows is None:
+        cent_rows = [
+            (row[0], row[1], list(row[2]))
+            for row in cent.select("m", "k", "cv").collect()
+        ]
+    return fastvec.nearest_code(sub, cent_rows)
 
 
 def ivfpq_adc_topk(
@@ -853,7 +865,9 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = ivfpq_subvectors(e)
     cent = ivfpq_codebook(sub)
     # encode the corpus, then tag each code row with its IVF cell
-    codes = ivfpq_codes(sub, cent).join(cells, "vec_id").select(
+    codes = ivfpq_codes(
+        sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir)
+    ).join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("c_cid"),
         "m",
@@ -901,13 +915,14 @@ def similarity_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _km.embeddings_double(spark, sf_dir).repartition(
         plan_parallelism(spark), "vec_id"
     )
-    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS).localCheckpoint(
-        eager=False
-    )
-    cells = _km.assign(emb, cent).select("vec_id", "cid")
+    crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
+    cells = _km.assign_rows(emb, crows).select("vec_id", "cid")
     total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    cid_frame = spark.createDataFrame(
+        [(cid,) for cid, _ in crows], "cid bigint"
+    )
     per_cell = (
-        cent.select("cid")
+        cid_frame
         .join(cells, "cid", "left")
         .groupBy("cid")
         .agg(F.count("vec_id").cast("bigint").alias("n_vectors"))
@@ -1018,19 +1033,11 @@ def similarity_kmeans_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     e = _km.embeddings_double(spark, sf_dir).repartition(
         plan_parallelism(spark), "vec_id"
     )
-    cent = _km.final_centroids(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS).localCheckpoint(
-        eager=False
-    )
-    cells = _km.assign(e, cent).select("vec_id", "cid")
-    qscore = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
-        )
-    )
+    crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
+    cells = _km.assign_rows(e, crows).select("vec_id", "cid")
+    qscore = _km.scored_rows(
+        e.filter(F.col("vec_id") < N_QUERIES), crows
+    ).select(F.col("vec_id").alias("query_id"), "cid", "dist2")
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
     qcell = qscore.withColumn("cell_rank", F.row_number().over(wq)).select(
         "query_id", "cid", "cell_rank"
@@ -1191,7 +1198,7 @@ def similarity_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = ivfpq_subvectors(e)
     cent = ivfpq_codebook(sub)
-    codes = ivfpq_codes(sub, cent)
+    codes = ivfpq_codes(sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir))
     total = e.agg(F.count(F.lit(1)).alias("n_total"))
     per_code = (
         cent.select("m", "k")
@@ -1403,19 +1410,11 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _km.embeddings_double(spark, sf_dir).repartition(
         plan_parallelism(spark), "vec_id"
     )
-    cent_ivf = _km.final_centroids(
-        spark, sf_dir, IVF_NCELLS, IVF_DECIMALS
-    ).localCheckpoint(eager=False)
-    cells = _km.assign(emb, cent_ivf).select("vec_id", "cid")
-    qscore = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent_ivf))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cid",
-            _km.dist2(F.col("v"), F.col("c")).alias("dist2"),
-        )
-    )
+    crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
+    cells = _km.assign_rows(emb, crows).select("vec_id", "cid")
+    qscore = _km.scored_rows(
+        emb.filter(F.col("vec_id") < N_QUERIES), crows
+    ).select(F.col("vec_id").alias("query_id"), "cid", "dist2")
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
     probe_arr = F.array(*[F.lit(p) for p in NPROBES])
     probed = (
@@ -1439,7 +1438,7 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cn2_e6"),
     )
     codes = (
-        ivfpq_codes(sub, cent)
+        ivfpq_codes(sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir))
         .join(cells, "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),

