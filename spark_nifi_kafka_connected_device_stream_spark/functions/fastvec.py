@@ -176,70 +176,26 @@ def query_sims(
     )
 
 
-def pair_sims(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
-    out_col: str = "raw_sim",
-    in_dtype=np.float32,
-) -> DataFrame:
-    """Append cosine(a, b) to a pair frame and DROP the two array
-    columns — the vectorized, bit-identical replacement for the
-    per-pair `dot(a, b) / (l2_norm(a) * l2_norm(b))` HOF projection.
-    The join that produced the pairs is untouched (same exchanges,
-    same strategy); only the expression evaluation moves to numpy."""
-    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
-    keep_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in pairs.schema.fields
-        if f.name in keep
-    )
-
-    def kernel(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-
-        for tb in batches:
-            n = tb.num_rows
-            if n == 0:
-                continue
-            amat = _matrix(tb.column(a_col), n, dtype=in_dtype)
-            bmat = _matrix(tb.column(b_col), n, dtype=in_dtype)
-            sim = exact_dot(amat, bmat) / (
-                np.sqrt(exact_dot(amat, amat)) * np.sqrt(exact_dot(bmat, bmat))
-            )
-            yield pa.record_batch(
-                [tb.column(c) for c in keep] + [pa.array(sim, pa.float64())],
-                names=keep + [out_col],
-            )
-
-    return pairs.mapInArrow(kernel, f"{keep_schema}, {out_col} double")
-
-
-def grouped_scored(
-    sub: DataFrame,
-    cent_rows: list[tuple[int, int, list[float]]],
+def plane_band_buckets(
+    emb: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    n_rows: int,
     id_col: str = "vec_id",
-    group_col: str = "m",
-    vec_col: str = "sv",
-    score: str = "dist2",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, m, k, score) of every subvector against every codebook
-    entry OF ITS GROUP — the vectorized replacement for
-    ``sub.join(broadcast(cent), "m")`` + the per-row dist2/dot HOF in
-    the PQ encode/LUT paths.  `cent_rows` is the collected
-    (m, k, coords) codebook — M x K rows, bounded.  `score` picks the
-    bit-identical kernel: 'dist2' (encode) or 'dot' (LUT)."""
-    by_m: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for m, k, coords in cent_rows:
-        by_m.setdefault(int(m), ([], []))
-        by_m[int(m)][0].append(int(k))
-        by_m[int(m)][1].append(coords)
-    packed = {
-        m: (np.array(ks, dtype=np.int64), np.array(cs, dtype=np.float64))
-        for m, (ks, cs) in by_m.items()
-    }
-    fn = exact_dist2 if score == "dist2" else exact_dot
-    id_field = sub.schema[id_col].dataType.simpleString()
+    """(id, band_id, bucket) banded hyperplane-LSH assignment — the
+    vectorized, bit-identical form of the per-band `_plane_dot` HOF
+    folds + explode.  Each plane dot is the same left-to-right float64
+    fold; the sign test and the Σ 2^r bucket arithmetic are exact
+    integer ops.  Fails loudly on a dimension mismatch (the same
+    contract as `_plane_dot`'s assert_true guard: a padded fold would
+    silently send every vector to bucket 0 and degenerate LSH to
+    all-pairs)."""
+    pmat = np.array(planes, dtype=np.float64)  # (n_bands*n_rows, dims)
+    weights = np.array([2**r for r in range(n_rows)], dtype=np.int64)
+    id_field = emb.schema[id_col].dataType.simpleString()
+    dims = pmat.shape[1]
 
     def kernel(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -248,37 +204,32 @@ def grouped_scored(
             n = tb.num_rows
             if n == 0:
                 continue
+            vmat = _matrix(tb.column(vec_col), n, dtype=np.float32)
+            if vmat.shape[1] != dims:
+                raise ValueError(
+                    f"LSH hyperplanes are {dims}-dim but the embedding "
+                    f"column has length {vmat.shape[1]}; regenerate "
+                    "_hyperplanes(dims=...) for this corpus"
+                )
             ids = np.asarray(tb.column(id_col))
-            ms = np.asarray(tb.column(group_col))
-            vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
-            out_id, out_m, out_k, out_s = [], [], [], []
-            for m, (ks, cmat) in packed.items():
-                sel = np.nonzero(ms == m)[0]
-                if len(sel) == 0:
-                    continue
-                vm = vmat[sel]
-                kk = len(ks)
-                sc = np.empty((len(sel), kk), dtype=np.float64)
-                for j in range(kk):
-                    sc[:, j] = fn(vm, cmat[j])
-                out_id.append(np.repeat(ids[sel], kk))
-                out_m.append(np.full(len(sel) * kk, m, dtype=np.int64))
-                out_k.append(np.tile(ks, len(sel)))
-                out_s.append(sc.reshape(-1))
-            if not out_id:
-                continue
+            # sign bit per (vector, plane), then per-band Σ 2^r
+            signs = np.empty((n, len(pmat)), dtype=np.int64)
+            for j in range(len(pmat)):
+                signs[:, j] = exact_dot(vmat, pmat[j]) > 0
+            buckets = signs.reshape(n, n_bands, n_rows) @ weights  # (n, n_bands)
             yield pa.record_batch(
                 [
-                    pa.array(np.concatenate(out_id)),
-                    pa.array(np.concatenate(out_m), pa.int64()),
-                    pa.array(np.concatenate(out_k), pa.int64()),
-                    pa.array(np.concatenate(out_s), pa.float64()),
+                    pa.array(np.repeat(ids, n_bands)),
+                    pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                    ),
+                    pa.array(buckets.reshape(-1), pa.int64()),
                 ],
-                names=[id_col, group_col, "k", score],
+                names=[id_col, "band_id", "bucket"],
             )
 
-    return sub.select(id_col, group_col, vec_col).mapInArrow(
-        kernel, f"{id_col} {id_field}, {group_col} bigint, k bigint, {score} double"
+    return emb.select(id_col, vec_col).mapInArrow(
+        kernel, f"{id_col} {id_field}, band_id int, bucket bigint"
     )
 
 

@@ -1700,15 +1700,19 @@ _PROFILE_COLS = (
         "as strings — the DISCOVERY side of data quality "
         "(dataset_quality_expectations CHECKS declared invariants; "
         "this is where those invariants come from when onboarding an "
-        "unknown 100 TB feed).  All six columns profile in ONE "
-        "aggregation over ONE scan: Spark plans the multi-column exact "
-        "COUNT(DISTINCT) via its Expand rewrite (|cols|+1-way row "
-        "replication map-side, then a single partially-aggregated "
-        "shuffle — the documented cost of exactness; swap "
-        "approx_count_distinct in and the Expand disappears when ±2% "
-        "suffices at 100 TB).  The 1-row wide result is exploded to "
-        "per-column rows JVM-side.  min/max are computed on native "
-        "types (lexicographic string min would mis-profile numerics) "
+        "unknown 100 TB feed).  TWO aggregation passes (optimization "
+        "r17): the multi-column exact COUNT(DISTINCT) rides Spark's "
+        "Expand rewrite with long-only buffers so it stays a "
+        "HashAggregate (|cols|+1-way row replication map-side, then "
+        "one partially-aggregated shuffle — the documented cost of "
+        "exactness; swap approx_count_distinct in and the Expand "
+        "disappears when ±2% suffices at 100 TB), while null counts "
+        "and min/max — whose STRING buffers would otherwise force the "
+        "whole expanded table through Sort + SortAggregate — run as a "
+        "keyless single-pass agg recombined by a broadcast cross "
+        "join.  The 1-row wide result is exploded to per-column rows "
+        "JVM-side.  min/max are computed on native types "
+        "(lexicographic string min would mis-profile numerics) "
         "and cast to strings only for output — bigint/2-dp-double/"
         "wall-time-ntz renderings are engine-identical; all-NULL "
         "columns fold to a '(all null)' sentinel in both engines "

@@ -353,9 +353,14 @@ def documents_source_lang_mutual_info(spark: SparkSession, sf_dir: str) -> DataF
     tags=("curation", "text"),
 )
 def documents_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the bigram-LM scores once (optimization r17): the
+    # threshold agg below is a BROADCAST subtree, so without the lazy
+    # checkpoint the whole text_bigram_logprob pipeline — the expensive
+    # part of this query — executed twice, once under the broadcast and
+    # once in the main plan.
     scored = text_bigram_logprob(spark, sf_dir).select(
         "doc_id", F.col("avg_logprob").alias("score")
-    )
+    ).localCheckpoint(eager=False)
     th = scored.agg(
         F.percentile("score", 0.3333333).alias("t1"),
         F.percentile("score", 0.6666667).alias("t2"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import duck_u32, pround
+from ..functions.scale import bounded_window_key
 from ..registry import register
 from ..sources.catalog import load_table
 from .events import TS_FMT_SPARK
@@ -1797,21 +1798,29 @@ def events_xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ny", F.lit(0)).cast("bigint").alias("y"),
         )
     )
-    stats = series.agg(
-        F.count(F.lit(1)).cast("bigint").alias("t"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
+    # full-series moments as windows over the calendar-bounded series
+    # (optimization r17): the agg + crossJoin(broadcast) form paid a
+    # serial BroadcastExchange JOB per scalar (stats, den) — four extra
+    # driver barriers on a |hours|-row metadata frame.  The bounded-
+    # frame window computes the same exact-int sums in-stage; the
+    # series is |calendar hours| by construction, the documented
+    # bounded_window_key contract.
+    w_all = (
+        Window.partitionBy(bounded_window_key("h"))
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    dev = series.crossJoin(F.broadcast(stats)).select(
+    dev = series.select(
         "h",
-        (F.col("x") * F.col("t") - F.col("sx")).alias("dx"),
-        (F.col("y") * F.col("t") - F.col("sy")).alias("dy"),
+        (F.col("x") * F.count(F.lit(1)).over(w_all) - F.sum("x").over(w_all)).alias("dx"),
+        (F.col("y") * F.count(F.lit(1)).over(w_all) - F.sum("y").over(w_all)).alias("dy"),
+    )
+    dev = dev.withColumn(
+        "dxx", F.sum(F.col("dx") * F.col("dx")).over(w_all).cast("bigint")
+    ).withColumn(
+        "dyy", F.sum(F.col("dy") * F.col("dy")).over(w_all).cast("bigint")
     )
     dev = dev.localCheckpoint(eager=False)
-    den = dev.agg(
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("dxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("dyy"),
-    )
     lags = spark.createDataFrame([(L,) for L in _XCORR_LAGS], "lag int")
     b = dev.select(F.col("h").alias("hb"), F.col("dy").alias("dyb"))
     num = (
@@ -1821,9 +1830,13 @@ def events_xcorr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.sum(F.col("dx") * F.col("dyb")).cast("bigint").alias("nxy"),
+            # den is constant across the series; carry it through the
+            # join instead of a second broadcast barrier
+            F.any_value("dxx").alias("dxx"),
+            F.any_value("dyy").alias("dyy"),
         )
     )
-    return num.crossJoin(F.broadcast(den)).select(
+    return num.select(
         F.col("lag").cast("int").alias("lag"),
         "n_pairs",
         pround(

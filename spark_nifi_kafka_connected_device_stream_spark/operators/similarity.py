@@ -70,8 +70,10 @@ _DUCK_COS = """
     ) WHERE rnk <= {TOP_K}
     """,
     doc="Brute-force cosine top-k (k=5) for 10 query vectors — exact ANN "
-        "baseline. Query side broadcast; candidate side streamed, so the "
-        "plan is a broadcast nested loop over the big side only.",
+        "baseline. The bounded query set ships in the scoring kernel's "
+        "closure (r17: the vectorized bit-identical form of the old "
+        "broadcast nested loop); the candidate side is streamed map-only, "
+        "never shuffled before the k-bounded rank.",
     tags=("similarity",),
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,24 +334,15 @@ _DUCK_NB_BANDS = " UNION ALL ".join(
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(plan_parallelism(spark), "vec_id")
-    band_structs = []
-    for b in range(_NB_BANDS):
-        bucket = None
-        for r in range(_NB_ROWS):
-            dp = _plane_dot(F.col("embedding"), _NB_PLANES[b * _NB_ROWS + r])
-            term = F.when(dp > 0, F.lit(2 ** r)).otherwise(F.lit(0))
-            bucket = term if bucket is None else bucket + term
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), bucket.cast("bigint").alias("bucket"))
-        )
     # slim (vec_id, band_id, bucket) table, materialized once: it feeds
-    # both sides of the candidate self-join, and the 32 plane-dot HOFs
-    # are the expensive part (localCheckpoint, not persist — see dedup)
-    bands = (
-        e.select("vec_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("vec_id", "bb.band_id", "bb.bucket")
-        .localCheckpoint(eager=True)
-    )
+    # both sides of the candidate self-join.  The 32 plane-dot folds
+    # are the expensive part — since optimization r17 they run in the
+    # vectorized bit-identical kernel (same left-to-right folds, same
+    # loud dimension guard) instead of 32 interpreted HOFs + explode.
+    # (localCheckpoint, not persist — see dedup)
+    bands = fastvec.plane_band_buckets(
+        e, _NB_PLANES, _NB_BANDS, _NB_ROWS
+    ).localCheckpoint(eager=True)
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (

@@ -142,14 +142,19 @@ def test_incremental_corpus_join_is_broadcast(spark):
     assert broadcast_join_count(df) >= 2
 
 
-def test_kmeans_assignment_is_broadcast_nlj(spark):
+def test_kmeans_assignment_is_map_only_kernel(spark):
+    # optimization r17: the centroid assignment is the vectorized
+    # bit-identical mapInArrow kernel with the k-row centroid table in
+    # its closure — the corpus side neither joins nor aggregates, so
+    # the final plan has NO join and NO exchange at all (the recenter
+    # shuffles run inside the bounded centroid collect, not here).
+    # Before the change this asserted a BroadcastNestedLoopJoin + <= 6
+    # exchanges; fewer is strictly better, so pin the improvement.
     df = SPECS["embedding_kmeans_assign"].fn(spark, SF_SMALL)
     text = explain_str(df)
-    assert "BroadcastNestedLoopJoin" in text
-    # the only exchanges: assignment argmin (vec_id), recenter (cid,j),
-    # centroid assembly (cid), final argmin (vec_id) — no corpus-sized
-    # extra shuffles from the iteration unrolling
-    assert shuffle_count(df) <= 6
+    assert "MapInArrow" in text
+    assert "Join" not in text
+    assert shuffle_count(df) == 0
 
 
 def test_entropy_two_level_agg_shuffles(spark):
