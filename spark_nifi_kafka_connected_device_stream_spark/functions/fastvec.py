@@ -65,14 +65,37 @@ def exact_dist2(v: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def _matrix(col, n: int, dtype=np.float32) -> np.ndarray:
     """(n, dim) float64 matrix from an Arrow list column; fails loud on
-    ragged rows (outside the screened-corpus data contract, same posture
-    as the ANSI zero-norm abort)."""
-    flat = col.flatten()
+    ragged/null rows (outside the screened-corpus data contract, same
+    posture as the ANSI zero-norm abort).
+
+    The validation is PER-ROW (r17 advice): the old aggregate
+    `len(flat) % n` check let compensating lengths (a 63-dim beside a
+    65-dim row) or null list rows — which ListArray.flatten() silently
+    drops — reshape cleanly, shifting every subsequent row's vector
+    onto the wrong id.  `list_value_length` reads the offsets buffer,
+    so the guard is O(n) ints, not a data pass.  NULL elements are
+    rejected too: they convert to NaN, and NaN wins np.argmin, so a
+    kernel would silently pick the poisoned column where the HOF fold
+    NULL-poisoned only the offending row."""
+    import pyarrow.compute as pc
+
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    if len(flat) % n != 0:
+    if col.null_count:
+        raise ValueError(
+            "fastvec: NULL embedding rows in batch — screen the corpus "
+            "(embedding_dim_stats) before similarity ops"
+        )
+    lens = pc.list_value_length(col).to_numpy()
+    if not (lens == lens[0]).all():
         raise ValueError(
             "fastvec: ragged embedding lengths in batch — screen the "
+            "corpus (embedding_dim_stats) before similarity ops"
+        )
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError(
+            "fastvec: NULL embedding elements in batch — screen the "
             "corpus (embedding_dim_stats) before similarity ops"
         )
     return (
@@ -314,7 +337,12 @@ def nearest_code(
             ids = np.asarray(tb.column(id_col))
             ms = np.asarray(tb.column(group_col))
             vmat = _matrix(tb.column(vec_col), n, dtype=np.float64)
+            # unset rows fail LOUD (r17 advice): a subspace id absent
+            # from the codebook — a partial/corrupt trained model dir on
+            # the streaming path — must not emit uninitialized memory as
+            # a PQ code (same posture as plane_band_buckets' dim guard)
             out_k = np.empty(n, dtype=np.int64)
+            unset = np.ones(n, dtype=bool)
             for m, (ks, cmat) in packed.items():
                 sel = np.nonzero(ms == m)[0]
                 if len(sel) == 0:
@@ -324,6 +352,14 @@ def nearest_code(
                 for j in range(len(ks)):
                     sc[:, j] = exact_dist2(vm, cmat[j])
                 out_k[sel] = ks[np.argmin(sc, axis=1)]
+                unset[sel] = False
+            if unset.any():
+                missing = sorted({int(x) for x in np.unique(ms[unset])})
+                raise ValueError(
+                    f"fastvec.nearest_code: subspace ids {missing} have no "
+                    "codebook entries — the codebook is partial or corrupt; "
+                    "refusing to emit undefined PQ codes"
+                )
             yield pa.record_batch(
                 [
                     pa.array(ids),
@@ -338,14 +374,26 @@ def nearest_code(
     )
 
 
+_COLLECT_BOUND = 65536  # far above any model table (k cells, M·K codes)
+
+
 def collect_vectors(df: DataFrame, id_col: str, vec_col: str) -> list[tuple[int, list[float]]]:
     """Bounded collect of a k-row (id, vector) table for a kernel
     closure (centroids, query sets, codebooks).  Callers pass frames
     that are k-bounded BY CONSTRUCTION (k centroids, N_QUERIES query
-    rows) — the documented bounded-collect class."""
-    return [
-        (row[0], list(row[1])) for row in df.select(id_col, vec_col).collect()
-    ]
+    rows) — the documented bounded-collect class.  Enforced (r17
+    advice): a caller that hands a corpus-sized frame — the signature
+    accepts any DataFrame, and the streaming foreachBatch path collects
+    per epoch — errors loudly instead of serializing the corpus onto
+    the driver."""
+    rows = df.select(id_col, vec_col).limit(_COLLECT_BOUND + 1).collect()
+    if len(rows) > _COLLECT_BOUND:
+        raise ValueError(
+            f"fastvec.collect_vectors: frame exceeds the {_COLLECT_BOUND}-row "
+            "bounded-collect class — kernel closures are for k-row model "
+            "tables (centroids/codebooks/query sets), not corpus frames"
+        )
+    return [(row[0], list(row[1])) for row in rows]
 
 
 def read_vectors_driver(
@@ -366,12 +414,19 @@ def read_vectors_driver(
     composed ANN queries.  This reads the same bytes from the same
     parquet path per invocation — nothing is cached or precomputed
     across runs — and widens float32 exactly like the Spark
-    double-cast.  Scale posture: k rows regardless of corpus size,
-    the same driver-side footprint as broadcasting a k-row table."""
+    double-cast.  Scale posture: the read itself is bounded, not just
+    the output (VERDICT r17 item 1): the `id < max_id` predicate is
+    pushed into the parquet read as a dataset filter, so row groups
+    whose id-column min/max statistics exclude the seed range are
+    never decoded — the driver reads O(k) row groups of two columns,
+    not the table.  The numpy re-filter below is belt-and-braces for
+    a reader that returns whole row groups."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    t = pq.read_table(path, columns=[id_col, vec_col])
+    t = pq.read_table(
+        path, columns=[id_col, vec_col], filters=[(id_col, "<", max_id)]
+    )
     ids = t.column(id_col).to_numpy()
     keep = np.nonzero(ids < max_id)[0]
     vecs = t.column(vec_col)

@@ -1197,11 +1197,20 @@ def similarity_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan_parallelism(spark), "vec_id"
     )
     sub = ivfpq_subvectors(e)
-    cent = ivfpq_codebook(sub)
-    codes = ivfpq_codes(sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir))
+    # ONE codebook source (VERDICT r17 item 4): the (m, k) key grid and
+    # the encode kernel's closure both come from the same driver-side
+    # ivfpq_codebook_rows read — the old distributed ivfpq_codebook(sub)
+    # frame for the grid was a second derivation of the same constant
+    # table inside one query, a drift hazard (and a whole extra scan +
+    # filter subtree in the plan for M·K constant rows)
+    crows = ivfpq_codebook_rows(sf_dir)
+    codes = ivfpq_codes(sub, None, cent_rows=crows)
+    grid = spark.createDataFrame(
+        sorted({(m, k) for m, k, _ in crows}), "m int, k bigint"
+    )
     total = e.agg(F.count(F.lit(1)).alias("n_total"))
     per_code = (
-        cent.select("m", "k")
+        grid
         .join(codes, ["m", "k"], "left")
         .groupBy("m", "k")
         .agg(F.count("vec_id").cast("bigint").alias("n_vectors"))

@@ -134,6 +134,88 @@ def test_read_vectors_driver_matches_spark_collect(spark):
     assert got == want
 
 
+def test_read_vectors_driver_pushes_rowgroup_filter(tmp_path, monkeypatch):
+    """The driver-side read must push `id < max_id` into the parquet
+    reader (row-group pruning — the r18 scale fix: an unfiltered read
+    pulls the whole embeddings table into driver memory) and still
+    return exactly the seed rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(i), float(i + 1)] for i in range(n)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"), row_group_size=100)
+
+    seen = {}
+    real_read = pq.read_table
+
+    def spy(path, *a, **kw):
+        seen["filters"] = kw.get("filters")
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    got = fastvec.read_vectors_driver(str(tmp_path), 5)
+    assert seen["filters"] == [("vec_id", "<", 5)]
+    assert [vid for vid, _ in got] == [0, 1, 2, 3, 4]
+    assert got[2][1] == [2.0, 3.0]
+
+
+def test_matrix_rejects_compensating_ragged_rows():
+    """Per-row length validation (r17 advice): one 1-dim plus one 3-dim
+    row keeps the total divisible by n — the old aggregate modulo check
+    reshaped it cleanly, shifting every row's data onto the wrong id."""
+    import pyarrow as pa
+
+    col = pa.array([[1.0], [2.0, 3.0, 4.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        fastvec._matrix(col, 2)
+
+
+def test_matrix_rejects_null_rows_and_null_elements():
+    """NULL list rows are silently dropped by flatten() (would shift
+    data), and NULL elements become NaN (which wins argmin) — both must
+    fail loud instead."""
+    import pyarrow as pa
+
+    null_row = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="NULL embedding rows"):
+        fastvec._matrix(null_row, 2)
+    null_elem = pa.array([[1.0, 2.0], [3.0, None]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="NULL embedding elements"):
+        fastvec._matrix(null_elem, 2)
+
+
+def test_nearest_code_rejects_missing_subspace(spark):
+    """A subspace id absent from the codebook (partial/corrupt trained
+    model dir on the streaming path) must raise, not emit uninitialized
+    memory as a PQ code."""
+    sub = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0]), (0, 7, [3.0, 4.0])],
+        "vec_id bigint, m int, sv array<double>",
+    )
+    rows = [(0, 0, [0.0, 0.0]), (0, 1, [9.0, 9.0])]  # only m=0 present
+    with pytest.raises(Exception, match="no.*codebook entries|codebook is partial"):
+        fastvec.nearest_code(sub, rows).collect()
+
+
+def test_collect_vectors_bound(spark):
+    """collect_vectors refuses corpus-sized frames (r17 advice): the
+    bounded-collect class is k-row model tables only."""
+    big = spark.range(fastvec._COLLECT_BOUND + 8).select(
+        F.col("id"), F.array(F.lit(1.0)).alias("v")
+    )
+    with pytest.raises(ValueError, match="bounded-collect"):
+        fastvec.collect_vectors(big, "id", "v")
+
+
 def test_pairwise_reduction_guard():
     """Canary: if exact_dot ever switches to a reassociating reduction
     (np.sum pairwise / BLAS), this catches it — the vector below is
