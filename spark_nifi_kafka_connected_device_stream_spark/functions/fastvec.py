@@ -261,6 +261,7 @@ def nearest_cell(
     cent_rows: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "v",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cid, dist2) of the NEAREST centroid per vector, ties to the
     lowest cid — bit-identical to ``scored_cells(...).groupBy(id).agg(
@@ -269,12 +270,18 @@ def nearest_cell(
     both disappear from the plan.  dist2 values are bit-identical to
     the HOF fold, and np.argmin over the cid-ascending score matrix
     returns the FIRST index achieving the minimum — exactly the
-    min-of-struct (dist2, cid) tie rule."""
+    min-of-struct (dist2, cid) tie rule.
+
+    `keep_vec=True` passes the input vector column through unchanged
+    (optimization r18): a consumer that needs (cid, v) — the Lloyd
+    recenter — previously joined this output back to the corpus on the
+    id, a corpus-sized self-join the pass-through makes unnecessary."""
     cents = sorted(cent_rows, key=lambda r: r[0])
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     cmat = np.array([coords for _, coords in cents], dtype=np.float64)
     k = len(cids)
     id_field = emb.schema[id_col].dataType.simpleString()
+    vec_field = emb.schema[vec_col].dataType.simpleString()
 
     def kernel(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -288,18 +295,21 @@ def nearest_cell(
             for j in range(k):
                 d2[:, j] = exact_dist2(vmat, cmat[j])
             best = np.argmin(d2, axis=1)
-            yield pa.record_batch(
-                [
-                    tb.column(id_col),
-                    pa.array(cids[best], pa.int64()),
-                    pa.array(d2[np.arange(n), best], pa.float64()),
-                ],
-                names=[id_col, "cid", "dist2"],
-            )
+            cols = [
+                tb.column(id_col),
+                pa.array(cids[best], pa.int64()),
+                pa.array(d2[np.arange(n), best], pa.float64()),
+            ]
+            names = [id_col, "cid", "dist2"]
+            if keep_vec:
+                cols.append(tb.column(vec_col))
+                names.append(vec_col)
+            yield pa.record_batch(cols, names=names)
 
-    return emb.select(id_col, vec_col).mapInArrow(
-        kernel, f"{id_col} {id_field}, cid bigint, dist2 double"
-    )
+    schema = f"{id_col} {id_field}, cid bigint, dist2 double"
+    if keep_vec:
+        schema += f", {vec_col} {vec_field}"
+    return emb.select(id_col, vec_col).mapInArrow(kernel, schema)
 
 
 def nearest_code(

@@ -93,37 +93,14 @@ def final_centroids(
 ) -> DataFrame:
     """(cid, c): the post-one-Lloyd-round centroids — coordinates
     rounded to `decimals`, empty clusters retaining their init vector.
-    Exactly the `cent1` CTE of sql_ctes()."""
-    emb = embeddings_double(spark, sf_dir)
-    init = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    Exactly the `cent1` CTE of sql_ctes().  Built as a k-row local
+    frame over `final_centroid_rows` — the bounded-model-table shape
+    every consumer (assignment kernels, the streaming fit's parquet
+    write) wants anyway."""
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in final_centroid_rows(spark, sf_dir, k, decimals)],
+        "cid bigint, c array<double>",
     )
-    # seed rows read driver-side from the parquet input (barrier-free
-    # bounded read, optimization r17) — the lazy `init` frame above
-    # still feeds the empty-cluster retention join below, so no collect
-    # job runs during query construction
-    init_rows = fastvec.read_vectors_driver(sf_dir, k)
-    a1 = assign_rows(emb, init_rows).select("vec_id", "cid")
-    # recenter: (cluster, dim) partial agg, then assemble ordered arrays
-    dims = a1.join(emb, "vec_id").select(
-        "cid", F.posexplode(F.col("v")).alias("j", "x")
-    )
-    mean1 = dims.groupBy("cid", "j").agg(
-        pround(F.avg("x"), decimals).alias("m")
-    )
-    cent_means = mean1.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
-        ).alias("cm")
-    )
-    # empty-cluster retention (r12 review fix): if an init vector is a
-    # DUPLICATE of a lower-cid one, the tie-to-lowest assignment empties
-    # its cluster, recentering drops the cid, and the advertised k
-    # silently shrinks — standard Lloyd practice keeps the old centroid
-    # for an empty cluster, so every cid survives to the final assign
-    return init.select("cid", F.col("c").alias("c0")).join(
-        cent_means, "cid", "left"
-    ).select("cid", F.coalesce(F.col("cm"), F.col("c0")).alias("c"))
 
 
 def final_centroid_rows(
@@ -132,10 +109,36 @@ def final_centroid_rows(
     """The post-Lloyd centroids COLLECTED to k bounded rows [(cid,
     coords)] — one collect shared by every consumer of the clustering
     inside a query (cells assignment + query probe ranking), instead
-    of re-materializing the centroid frame per consumer."""
-    return fastvec.collect_vectors(
-        final_centroids(spark, sf_dir, k, decimals), "cid", "c"
+    of re-materializing the centroid frame per consumer.
+
+    Optimization r18 (the Lloyd round is re-run by every ANN-family
+    query, so its job count is the family's floor): the assignment
+    kernel passes the vector through (`keep_vec`) instead of joining
+    its output back to the corpus on vec_id — the recenter is now
+    scan -> kernel -> posexplode -> one (cid, j) agg, no corpus
+    self-join — and the empty-cluster retention happens HERE on the
+    collected k rows instead of as a broadcast join job (labels can
+    only come from init cids, so a cid absent from the recenter output
+    has an empty cluster and keeps its init vector — the same
+    coalesce, driver-side)."""
+    emb = embeddings_double(spark, sf_dir)
+    init_rows = fastvec.read_vectors_driver(sf_dir, k)
+    a1v = fastvec.nearest_cell(emb, init_rows, keep_vec=True)
+    dims = a1v.select("cid", F.posexplode(F.col("v")).alias("j", "x"))
+    mean1 = dims.groupBy("cid", "j").agg(
+        pround(F.avg("x"), decimals).alias("m")
     )
+    cent_means = mean1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+        ).alias("cm")
+    )
+    recentered = {
+        row[0]: list(row[1]) for row in cent_means.collect()
+    }
+    return [
+        (cid, recentered.get(cid, c0)) for cid, c0 in init_rows
+    ]
 
 
 def final_assign(
@@ -144,7 +147,7 @@ def final_assign(
     """(vec_id, cid, dist2) after the shared one-Lloyd-round k-means —
     the Spark twin of sql_ctes()."""
     emb = embeddings_double(spark, sf_dir)
-    return assign(emb, final_centroids(spark, sf_dir, k, decimals))
+    return assign_rows(emb, final_centroid_rows(spark, sf_dir, k, decimals))
 
 
 def scored_rows(

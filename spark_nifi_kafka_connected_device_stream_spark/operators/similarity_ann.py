@@ -39,6 +39,7 @@ similarity module docstring).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,7 +87,7 @@ _IVF_SQL_CELLS = f"""{_km.sql_ctes(IVF_NCELLS, IVF_DECIMALS)}, cells AS (
 
 
 def _ivf_cells_and_probe(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(cells, probed): the corpus cell assignment (vec_id, cid) and
     the per-query probe list (query_id, p_cid) of the IVF_NPROBE
@@ -95,10 +96,14 @@ def _ivf_cells_and_probe(
     vectorized scoring kernel for both consumers (optimization r17 —
     the crossJoin+HOF form re-ran the two-pass Lloyd build per
     consumer and paid an interpreted lambda per element); the corpus
-    side never shuffles for the assignment."""
-    emb = _km.embeddings_double(spark, sf_dir).repartition(
-        plan_parallelism(spark), "vec_id"
-    )
+    side never shuffles for the assignment.  Callers that already hold
+    the (vec_id, v) corpus frame pass it via `emb` so the assignment
+    shares their repartition exchange instead of building a
+    plan-distinct twin of the same scan (optimization r18)."""
+    if emb is None:
+        emb = _km.embeddings_double(spark, sf_dir).repartition(
+            plan_parallelism(spark), "vec_id"
+        )
     crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
     cells = _km.assign_rows(emb, crows).select("vec_id", "cid")
     scored = _km.scored_rows(
@@ -200,7 +205,7 @@ def similarity_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     e = e.repartition(plan_parallelism(spark), "vec_id")
-    cells, probed = _ivf_cells_and_probe(spark, sf_dir)
+    cells, probed = _ivf_cells_and_probe(spark, sf_dir, emb=e)
     el = e.select("vec_id", F.posexplode("v").alias("j", "x"))
     dims = el.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     qv = (
@@ -460,16 +465,20 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "label", "cell_rank"
     )
     nps = spark.createDataFrame([(p,) for p in NPROBES], "nprobe int")
-    # (cell, nprobe) fan-out as a map-side explode — the equivalent
-    # tiny-side theta-join plans as a nested-loop and costs seconds of
-    # pure overhead for 300 output rows
+    # ONE scoring pass for all probe depths (optimization r18, VERDICT
+    # r17 item 4): a candidate reaches depth d iff the cell that admits
+    # it ranks <= d, and its cosine does not depend on d — so the
+    # per-(query, neighbor) score is computed ONCE against the
+    # max(NPROBES) probe list with the admitting cell's rank carried,
+    # and the (nprobe >= cell_rank) fan-out happens AFTER the expensive
+    # dot as a map-side explode of already-scored rows.  The old shape
+    # exploded the probe list FIRST, so every candidate paid the
+    # interpreted 64-dim dot once per depth that admits it (up to
+    # |NPROBES|x).  Same rows, same values: the explode emits exactly
+    # the depths the old per-depth join produced.
     probe_arr = F.array(*[F.lit(p) for p in NPROBES])
-    probed = qcell.select(
-        F.explode(
-            F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
-        ).alias("nprobe"),
-        "query_id",
-        "label",
+    probed = qcell.filter(F.col("cell_rank") <= max(NPROBES)).select(
+        "query_id", "label", "cell_rank"
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -489,13 +498,21 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
         .select(
-            "nprobe",
             "query_id",
             "neighbor_id",
+            "cell_rank",
             (
                 dot(F.col("q_emb"), F.col("c_emb"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("raw_sim"),
+        )
+        .select(
+            F.explode(
+                F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
+            ).alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            "raw_sim",
         )
     )
     wr = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -665,39 +682,97 @@ def ivfpq_codes(
     return fastvec.nearest_code(sub, cent_rows)
 
 
+def _adc_query_tables(
+    spark: SparkSession,
+    query_rows: list[tuple[int, list[float]]],
+    cent_rows: list[tuple[int, int, list[float]]],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(qn, lut, cnorm) for the ADC serving plan, computed DRIVER-SIDE
+    from the bounded query/codebook rows (optimization r18): the three
+    tables are |queries|, |queries|·M·K and M·K rows of pure arithmetic
+    on already-driver-read vectors — building them as distributed
+    subtrees cost a corpus-scan + filter + explode + broadcast-join
+    chain (and two broadcast barrier jobs) per consumer, for a few
+    hundred constant rows.  Bit-identity with the HOF forms
+    (tests/test_fastvec.py + test_semantics_similarity pins): the dot
+    is the same left-to-right float64 fold (`fastvec.exact_dot`), the
+    e6 quantization the same IEEE multiply/add/floor, and sqrt is
+    correctly rounded on both sides."""
+    import math
+
+    lut_rows = []
+    qn_rows = []
+    for qid, v in query_rows:
+        vv = np.array(v, dtype=np.float64)
+        qn_rows.append((qid, float(np.sqrt(fastvec.exact_dot(vv, vv)))))
+        for m, k, cv in cent_rows:
+            sv = vv[m * IVFPQ_SUBDIM : (m + 1) * IVFPQ_SUBDIM]
+            pd = float(fastvec.exact_dot(sv, np.array(cv, dtype=np.float64)))
+            lut_rows.append((qid, m, k, int(math.floor(pd * 1e6 + 0.5))))
+    cnorm_rows = []
+    for m, k, cv in cent_rows:
+        cvv = np.array(cv, dtype=np.float64)
+        cn2 = float(fastvec.exact_dot(cvv, cvv))
+        cnorm_rows.append((m, k, int(math.floor(cn2 * 1e6 + 0.5))))
+    qn = spark.createDataFrame(qn_rows, "query_id bigint, q_norm double")
+    lut = spark.createDataFrame(
+        lut_rows, "query_id bigint, lm int, lk bigint, pdot_e6 bigint"
+    )
+    cnorm = spark.createDataFrame(cnorm_rows, "m int, k bigint, cn2_e6 bigint")
+    return qn, lut, cnorm
+
+
 def ivfpq_adc_topk(
-    e: DataFrame, sub: DataFrame, cent: DataFrame, codes: DataFrame, probed: DataFrame
+    e: DataFrame,
+    sub: DataFrame,
+    cent: DataFrame,
+    codes: DataFrame,
+    probed: DataFrame,
+    model_rows: tuple[list, list] | None = None,
 ) -> DataFrame:
     """The IVFADC serving plan given an encoded corpus: ADC scoring of
     `codes` (neighbor_id, c_cid, m, k) against the per-query broadcast
     LUT, then the k-bounded exact re-rank from full-precision vectors
     in `e`.  Shared verbatim between the registered batch query and
     the streaming code-store search (`streaming/sinks.py`), so the two
-    serving paths cannot drift."""
-    cnorm = cent.select(
-        "m",
-        "k",
-        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cn2_e6"),
-    )
-    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        l2_norm(F.col("v")).alias("q_norm"),
-    )
-    # the ADC lookup table: |queries| x M x K exact-int partial dots
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "m")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("lm"),
-            F.col("k").alias("lk"),
-            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+    serving paths cannot drift.
+
+    `model_rows=(query_rows, cent_rows)`: when the caller already holds
+    the bounded query vectors and codebook rows driver-side (the
+    registered batch queries read both from the parquet seed rows), the
+    qn/lut/cnorm tables are built by `_adc_query_tables` instead of as
+    distributed subtrees — same values (bit-identity pinned by tests),
+    several plan subtrees and broadcast barriers fewer.  The streaming
+    path keeps the frame-based form (its codebook is a trained model
+    frame)."""
+    if model_rows is not None:
+        qrows, crows = model_rows
+        qn, lut, cnorm = _adc_query_tables(e.sparkSession, qrows, crows)
+    else:
+        cnorm = cent.select(
+            "m",
+            "k",
+            F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
             .cast("bigint")
-            .alias("pdot_e6"),
+            .alias("cn2_e6"),
         )
-    )
+        qn = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            l2_norm(F.col("v")).alias("q_norm"),
+        )
+        # the ADC lookup table: |queries| x M x K exact-int partial dots
+        lut = (
+            sub.filter(F.col("vec_id") < N_QUERIES)
+            .join(F.broadcast(cent), "m")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("m").alias("lm"),
+                F.col("k").alias("lk"),
+                F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+                .cast("bigint")
+                .alias("pdot_e6"),
+            )
+        )
     # LUT x probe list: |queries| x nprobe x M x K rows — constant per
     # query, broadcast; the corpus side never rehydrates a float vector
     plq = lut.join(F.broadcast(qn), "query_id").join(F.broadcast(probed), "query_id")
@@ -861,19 +936,21 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     e = e.repartition(plan_parallelism(spark), "vec_id")
-    cells, probed = _ivf_cells_and_probe(spark, sf_dir)
+    cells, probed = _ivf_cells_and_probe(spark, sf_dir, emb=e)
     sub = ivfpq_subvectors(e)
-    cent = ivfpq_codebook(sub)
-    # encode the corpus, then tag each code row with its IVF cell
-    codes = ivfpq_codes(
-        sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir)
-    ).join(cells, "vec_id").select(
+    # encode the corpus, then tag each code row with its IVF cell.
+    # Codebook AND query rows ride driver-side bounded reads
+    # (optimization r18): the qn/lut/cnorm subtrees disappear from the
+    # plan — see _adc_query_tables
+    crows = ivfpq_codebook_rows(sf_dir)
+    codes = ivfpq_codes(sub, None, cent_rows=crows).join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cid").alias("c_cid"),
         "m",
         "k",
     )
-    return ivfpq_adc_topk(e, sub, cent, codes, probed)
+    qrows = fastvec.read_vectors_driver(sf_dir, N_QUERIES)
+    return ivfpq_adc_topk(e, sub, None, codes, probed, model_rows=(qrows, crows))
 
 
 # ---------------------------------------------------------------------------
@@ -1042,16 +1119,17 @@ def similarity_kmeans_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     qcell = qscore.withColumn("cell_rank", F.row_number().over(wq)).select(
         "query_id", "cid", "cell_rank"
     )
-    # (cell, nprobe) fan-out as a map-side explode (the label sweep's
-    # lesson: the tiny-side theta-join plans as a nested loop and
-    # costs seconds of pure overhead)
+    # ONE scoring pass for all probe depths (optimization r18, same
+    # restructure as similarity_ivf_nprobe_sweep): the admitting cell's
+    # rank rides the probe list, the exact cosine is computed once per
+    # (query, neighbor), and the (nprobe >= cell_rank) fan-out explodes
+    # already-scored rows — the old shape paid the interpreted 64-dim
+    # dot once per depth that admits the candidate.
     probe_arr = F.array(*[F.lit(p) for p in NPROBES])
-    probed = qcell.select(
-        F.explode(F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)).alias(
-            "nprobe"
-        ),
+    probed = qcell.filter(F.col("cell_rank") <= max(NPROBES)).select(
         "query_id",
         F.col("cid").alias("p_cid"),
+        "cell_rank",
     )
     c = e.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1072,13 +1150,21 @@ def similarity_kmeans_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .join(F.broadcast(q), F.col("query_id") == F.col("q_id"))
         .select(
-            "nprobe",
             "query_id",
             "neighbor_id",
+            "cell_rank",
             (
                 dot(F.col("q_emb"), F.col("c_emb"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("raw_sim"),
+        )
+        .select(
+            F.explode(
+                F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
+            ).alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            "raw_sim",
         )
     )
     wr = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -1416,38 +1502,40 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     e = e.repartition(plan_parallelism(spark), "vec_id")
-    emb = _km.embeddings_double(spark, sf_dir).repartition(
-        plan_parallelism(spark), "vec_id"
-    )
     crows = _km.final_centroid_rows(spark, sf_dir, IVF_NCELLS, IVF_DECIMALS)
-    cells = _km.assign_rows(emb, crows).select("vec_id", "cid")
+    # one corpus frame for assignment, codes and re-rank (r18: the old
+    # second `emb` frame was plan-identical to `e` but a separate
+    # subtree, so the corpus repartition exchange ran twice)
+    cells = _km.assign_rows(e, crows).select("vec_id", "cid")
     qscore = _km.scored_rows(
-        emb.filter(F.col("vec_id") < N_QUERIES), crows
+        e.filter(F.col("vec_id") < N_QUERIES), crows
     ).select(F.col("vec_id").alias("query_id"), "cid", "dist2")
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    # ONE ADC pass for all probe depths (optimization r18, VERDICT r17
+    # item 4): a candidate's ADC sums do not depend on the probe depth
+    # — only on its (query, neighbor) pair — and it reaches depth d iff
+    # the cell that admits it ranks <= d.  So the probe list carries
+    # the admitting cell's rank, the ADC join + aggregation run once
+    # per (query, neighbor), and the (nprobe >= cell_rank) fan-out
+    # explodes the already-summed rows.  The old shape exploded depths
+    # FIRST, so every candidate paid the M-row LUT join and the ADC
+    # aggregation once per depth that admits it (up to |NPROBES|x).
     probe_arr = F.array(*[F.lit(p) for p in NPROBES])
     probed = (
         qscore.withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= max(NPROBES))
-        .select(
-            F.explode(
-                F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
-            ).alias("nprobe"),
-            "query_id",
-            F.col("cid").alias("p_cid"),
-        )
+        .select("query_id", F.col("cid").alias("p_cid"), "cell_rank")
     )
     sub = ivfpq_subvectors(e)
-    cent = ivfpq_codebook(sub)
-    cnorm = cent.select(
-        "m",
-        "k",
-        F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cn2_e6"),
+    cb_rows = ivfpq_codebook_rows(sf_dir)
+    # qn/lut/cnorm driver-computed from the bounded seed rows — the
+    # distributed subtrees (scan+filter+explode+broadcast-join per
+    # table) disappear from the plan (see _adc_query_tables)
+    qn, lut, cnorm = _adc_query_tables(
+        spark, fastvec.read_vectors_driver(sf_dir, N_QUERIES), cb_rows
     )
     codes = (
-        ivfpq_codes(sub, cent, cent_rows=ivfpq_codebook_rows(sf_dir))
+        ivfpq_codes(sub, None, cent_rows=cb_rows)
         .join(cells, "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1456,23 +1544,7 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             "k",
         )
     )
-    qn = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        l2_norm(F.col("v")).alias("q_norm"),
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cent), "m")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("lm"),
-            F.col("k").alias("lk"),
-            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
-            .cast("bigint")
-            .alias("pdot_e6"),
-        )
-    )
-    # |queries| x sum(NPROBES) x M x K rows — constant per query, broadcast
+    # |queries| x max(NPROBES) x M x K rows — constant per query, broadcast
     plq = lut.join(F.broadcast(qn), "query_id").join(F.broadcast(probed), "query_id")
     adc = (
         codes.join(F.broadcast(cnorm), ["m", "k"])
@@ -1483,10 +1555,20 @@ def similarity_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             & (F.col("m") == F.col("lm"))
             & (F.col("k") == F.col("lk")),
         )
-        .groupBy("nprobe", "query_id", "neighbor_id", "q_norm")
+        .groupBy("query_id", "neighbor_id", "q_norm", "cell_rank")
         .agg(
             F.sum("pdot_e6").cast("bigint").alias("adot_e6"),
             F.sum("cn2_e6").cast("bigint").alias("cn2s_e6"),
+        )
+        .select(
+            F.explode(
+                F.filter(probe_arr, lambda p: F.col("cell_rank") <= p)
+            ).alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+            "q_norm",
+            "adot_e6",
+            "cn2s_e6",
         )
     )
     approx_raw = (F.col("adot_e6") * F.lit(1.0) / F.lit(1e6)) / (

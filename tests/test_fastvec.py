@@ -216,6 +216,68 @@ def test_collect_vectors_bound(spark):
         fastvec.collect_vectors(big, "id", "v")
 
 
+def test_adc_query_tables_bit_identical_to_distributed(spark):
+    """The driver-computed qn/lut/cnorm ADC tables (r18) == the
+    distributed HOF subtrees they replace, value for value, on the
+    real fixture: same left-to-right fold, same e6 quantization, same
+    sqrt."""
+    from spark_nifi_kafka_connected_device_stream_spark.functions.vectors import (
+        l2_norm,
+    )
+    from spark_nifi_kafka_connected_device_stream_spark.operators.similarity_ann import (
+        N_QUERIES,
+        _adc_query_tables,
+        ivfpq_codebook,
+        ivfpq_codebook_rows,
+        ivfpq_subvectors,
+    )
+
+    e = _km.embeddings_double(spark, SF_SMALL)
+    sub = ivfpq_subvectors(e)
+    cent = ivfpq_codebook(sub)
+    want_cnorm = {
+        (r.m, r.k): r.cn2_e6
+        for r in cent.select(
+            "m",
+            "k",
+            F.floor(dot(F.col("cv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cn2_e6"),
+        ).collect()
+    }
+    want_qn = {
+        r.query_id: r.q_norm
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), l2_norm(F.col("v")).alias("q_norm"))
+        .collect()
+    }
+    want_lut = {
+        (r.query_id, r.lm, r.lk): r.pdot_e6
+        for r in sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+            F.floor(dot(F.col("sv"), F.col("cv")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pdot_e6"),
+        )
+        .collect()
+    }
+    qn, lut, cnorm = _adc_query_tables(
+        spark,
+        fastvec.read_vectors_driver(SF_SMALL, N_QUERIES),
+        ivfpq_codebook_rows(SF_SMALL),
+    )
+    got_qn = {r.query_id: r.q_norm for r in qn.collect()}
+    got_lut = {(r.query_id, r.lm, r.lk): r.pdot_e6 for r in lut.collect()}
+    got_cnorm = {(r.m, r.k): r.cn2_e6 for r in cnorm.collect()}
+    assert got_qn == want_qn
+    assert got_lut == want_lut
+    assert got_cnorm == want_cnorm
+
+
 def test_pairwise_reduction_guard():
     """Canary: if exact_dot ever switches to a reassociating reduction
     (np.sum pairwise / BLAS), this catches it — the vector below is

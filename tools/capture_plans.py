@@ -1,9 +1,9 @@
-"""Capture `.explain("formatted")` for named queries into plans/r17/.
+"""Capture `.explain("formatted")` for named queries into plans/r18/.
 
     python tools/capture_plans.py before q1_pricing_summary ...
     python tools/capture_plans.py after  q1_pricing_summary ...
 
-Writes plans/r17/<query>_<tag>.txt (judge-facing evidence for the
+Writes plans/r18/<query>_<tag>.txt (judge-facing evidence for the
 optimization round's plan claims).  Plans built at sf0.001 like the
 plan-audit golden (plan SHAPE is SF-independent).
 """
@@ -33,7 +33,7 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(REPO, "plans", "r17")
+    outdir = os.path.join(REPO, "plans", "r18")
     os.makedirs(outdir, exist_ok=True)
     specs = all_specs()
     for name in names:
