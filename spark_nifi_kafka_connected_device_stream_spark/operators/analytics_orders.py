@@ -143,6 +143,11 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # consumed FOUR times (both pair-join sides, the per-item
+        # marginals, the distinct-order total): materialize the basket
+        # membership once instead of re-running scan+distinct per
+        # consumer (optimization r18, the dedup-tier idiom)
+        .localCheckpoint(eager=False)
     )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")

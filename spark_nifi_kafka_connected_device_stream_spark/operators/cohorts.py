@@ -120,16 +120,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scale import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
+    # checkpointed once: three independent ntile branches re-read the
+    # per-customer aggregate instead of re-running it (optimization r18)
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         pround(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    rfm = global_ntile(rfm, 4, [F.desc("last_order"), F.asc("custkey")], "r_quartile")
-    rfm = global_ntile(rfm, 4, [F.desc("frequency"), F.asc("custkey")], "f_quartile")
-    rfm = global_ntile(rfm, 4, [F.desc("monetary"), F.asc("custkey")], "m_quartile")
-    return rfm.select(
-        "custkey", "frequency", "monetary", "r_quartile", "f_quartile", "m_quartile"
+    ).localCheckpoint(eager=False)
+    # The three quartiles were a SERIAL chain of global_ntile passes,
+    # each range-repartitioning the full frame (every column riding
+    # every exchange) and each gated on the previous one's checkpoint.
+    # They are independent — each orders by its own key — so they now
+    # run as three COLUMN-PRUNED branches (custkey + one metric per
+    # range exchange, ~1/3 the bytes) that AQE schedules concurrently,
+    # joined back on custkey (guide §2.6 overlap / §2.3 project before
+    # the exchange).  ntile semantics are untouched: same total order
+    # (metric desc, custkey asc) per branch, exact rank arithmetic.
+    def branch(key: str, out: str) -> DataFrame:
+        return global_ntile(
+            rfm.select("custkey", key), 4,
+            [F.desc(key), F.asc("custkey")], out,
+        ).select("custkey", out)
+
+    return (
+        rfm.select("custkey", "frequency", "monetary")
+        .join(branch("last_order", "r_quartile"), "custkey")
+        .join(branch("frequency", "f_quartile"), "custkey")
+        .join(branch("monetary", "m_quartile"), "custkey")
+        .select(
+            "custkey", "frequency", "monetary",
+            "r_quartile", "f_quartile", "m_quartile",
+        )
     )
 
 

@@ -182,9 +182,18 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    g = e.groupBy("event_type").agg(
+    # dedup to (event_type, user_id) FIRST, then count (optimization
+    # r18): in the mixed distinct+approx aggregate the HLL partial ran
+    # over EVERY event row while the countDistinct path deduped in its
+    # own aggregate levels; HLL sketches are duplicate-insensitive
+    # (re-inserting a value's hash is a register no-op), so
+    # approx_count_distinct over the deduped rows builds the IDENTICAL
+    # sketch, count(*) over them IS the exact distinct, and both ride
+    # one dedup shuffle (2.06x paired at sf0.1)
+    d = e.select("event_type", "user_id").distinct()
+    g = d.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     )
     return g.select(
         "event_type",
