@@ -71,9 +71,14 @@ from .dedup import _DUCK_TOKENS, _documents_parallel
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_parallel(spark, sf_dir)
+    # tokenize ONCE (optimization r18): `toks` feeds the bigram explode
+    # (consumed by bg_counts AND doc_bg) and the unigram explode — the
+    # regex tokenizer, the expensive stage, previously re-ran in all
+    # three branches.  Same checkpoint idiom as the dedup shingle base
+    # and the holdout-perplexity twin.
     toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("tk")
-    )
+    ).localCheckpoint(eager=False)
     tk = F.col("tk")
     pairs = bigram_pairs(tk)
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
