@@ -71,14 +71,19 @@ from .dedup import _DUCK_TOKENS, _documents_parallel
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents_parallel(spark, sf_dir)
-    # tokenize ONCE (optimization r18): `toks` feeds the bigram explode
-    # (consumed by bg_counts AND doc_bg) and the unigram explode — the
-    # regex tokenizer, the expensive stage, previously re-ran in all
-    # three branches.  Same checkpoint idiom as the dedup shingle base
-    # and the holdout-perplexity twin.
+    # `toks` feeds three branches (unigrams + two bigram aggregates), so
+    # the regex tokenizer runs three times.  A tokenize-once checkpoint
+    # was TRIED and REVERTED in optimization r18: interleaved A/B
+    # (min-of-12 runs per variant, sf0.1) read 1.66 s checkpointed vs
+    # 1.15 s recomputed — the checkpoint serializes the materialization
+    # where the three branches' redundant tokenizes run concurrently on
+    # otherwise-idle cores, and AQE overlaps them.  The
+    # holdout-perplexity twin keeps its checkpoint because its branches
+    # FILTER the same token table by split (recompute there would scan
+    # documents twice per split side, not just re-run a projection).
     toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("tk")
-    ).localCheckpoint(eager=False)
+    )
     tk = F.col("tk")
     pairs = bigram_pairs(tk)
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
